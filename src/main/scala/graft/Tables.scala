@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixtures (schemas verified in
+  * FIXTURES.md; the reference snapshot is empty — /root/reference/README.md:1
+  * — so the fixture schemas are the authoritative data model).
+  *
+  * All loaders return plain DataFrames so Catalyst keeps full pushdown /
+  * pruning freedom; at 100 TB these would be the same `spark.read.parquet`
+  * calls against a partitioned object-store layout, and every downstream
+  * operator is written to survive that (no collect, no driver loops).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark 4 refuses
+    * by default ([PARQUET_TYPE_ILLEGAL]). With the legacy conf it reads as
+    * BIGINT nanos-since-epoch (SURVEY.md §7.3.1). We keep the raw `ts`
+    * (bigint ns — this is what oracled outputs must use; DuckDB side is
+    * `epoch_ns(ts)`) and add `ts_us`, a micros-truncated real timestamp for
+    * window()/session_window()/watermark operators.
+    *
+    * NOTE `ts div 1000` (integer division) — `ts / 1000` would go through
+    * double and lose precision at 1.7e18 ns. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Scratch dir for sink/ingest round-trip operators. Outside the repo,
+    * recreated per use; never read as an oracle input. */
+  val scratchDir = "/tmp/graft_scratch"
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.D — aggregations. All shapes are hash aggregations with
+  * automatic partial (map-side) + final phases, the form that scales
+  * linearly with data and shuffles only the group cardinality. Float
+  * determinism policy per SURVEY.md §7.4: plain sum/avg/count on the same
+  * rows is probe-verified bit-exact vs DuckDB; anything with engine-varying
+  * accumulation order (stddev/var/percentile) is rounded to 6dp both sides.
+  */
+object Aggregates extends QueryGroup {
+
+  /** Flagship (TPC-H Q1 analog): pricing summary per (returnflag,
+    * linestatus). Probe-verified bit-exact vs DuckDB at sf0.01
+    * (SURVEY.md §7.3.2). */
+  val pricingSummary: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact distinct (expand + two-phase agg) per order priority. */
+  private val aggDistinctExact: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** HLL sketch distinct — approximate, not portable → no oracle
+    * (SURVEY.md §2.D agg_approx_distinct). */
+  private val aggApproxDistinct: QFn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  /** sum(DISTINCT) per flag. */
+  private val aggSumDistinct: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sum_distinct(col("l_quantity")).as("sum_dist_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP with grouping_id — subtotal rows carry NULL group keys. */
+  private val aggRollup: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+           grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over (status, priority). */
+  private val aggCube: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  /** Explicit GROUPING SETS ((status), (priority)) via SQL. */
+  private val aggGroupingSets: QFn = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+    s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                    grouping_id() AS gid
+             FROM graft_orders_gs
+             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+             ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+                      o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** Deterministic collect: sorted array of the distinct priorities per
+    * status (collect_list order is nondeterministic → distinct + sort_array,
+    * SURVEY.md §7.4). */
+  private val aggCollect: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_orderstatus"))
+      .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Pivot on a fixed value list (stable columns) — event counts per user. */
+  private val aggPivot: QFn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"), col("error").as("n_error"),
+              col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+              col("view").as("n_view"))
+      .orderBy(col("user_id"))
+
+  /** min/max/stddev/variance per event type (rounded — accumulation-order
+    * sensitive). */
+  private val aggStats: QFn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+           round(stddev_samp(col("value")), 6).as("sd_v"),
+           round(var_samp(col("value")), 6).as("var_v"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Exact interpolated percentiles (sort-based) of n_chars per lang. */
+  private val aggPercentile: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+           round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
+      .orderBy(col("lang"))
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "agg_pricing_summary" -> pricingSummary,
+    "agg_distinct_exact" -> aggDistinctExact,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_sum_distinct" -> aggSumDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_collect" -> aggCollect,
+    "agg_pivot" -> aggPivot,
+    "agg_stats" -> aggStats,
+    "agg_percentile" -> aggPercentile,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                sum(l_extendedprice) AS sum_base_price,
+                sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+                avg(l_quantity) AS avg_qty,
+                avg(l_extendedprice) AS avg_price,
+                avg(l_discount) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_distinct_exact" ->
+      """SELECT o_orderpriority,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
+    "agg_sum_distinct" ->
+      """SELECT l_returnflag, sum(DISTINCT l_quantity) AS sum_dist_qty
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS FIRST""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                count(*) AS n, grouping(l_returnflag, l_linestatus) AS gid
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                grouping(o_orderstatus, o_orderpriority) AS gid
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                grouping(o_orderstatus, o_orderpriority) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "agg_collect" ->
+      """SELECT o_orderstatus,
+                list(o_orderpriority ORDER BY o_orderpriority ASC) AS prios
+         FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) t
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS FIRST""",
+    "agg_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                count(*) FILTER (WHERE event_type = 'view') AS n_view
+         FROM events GROUP BY user_id
+         ORDER BY user_id ASC NULLS FIRST""",
+    "agg_stats" ->
+      """SELECT event_type, min(value) AS min_v, max(value) AS max_v,
+                round(stddev_samp(value), 6) AS sd_v,
+                round(var_samp(value), 6) AS var_v,
+                count(*) AS n
+         FROM events GROUP BY event_type
+         ORDER BY event_type ASC NULLS FIRST""",
+    "agg_percentile" ->
+      """SELECT lang,
+                round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                round(quantile_cont(n_chars, 0.9), 6) AS p90
+         FROM documents GROUP BY lang
+         ORDER BY lang ASC NULLS FIRST""",
+  )
+}

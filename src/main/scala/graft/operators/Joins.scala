@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — joins.
+  * Scale design: dimension tables (region/nation/customer) get explicit
+  * `broadcast()` hints → broadcast-hash join, no shuffle of the fact side.
+  * Fact-fact joins (lineitem⨝orders) shuffle on the join key → sort-merge,
+  * the shape that scales to 100 TB with AQE skew splitting. Non-equi joins
+  * are capped by selective pushdown filters on BOTH sides before the
+  * nested-loop product (SURVEY.md §4: no unbounded cross products).
+  */
+object Joins extends QueryGroup {
+
+  /** customer⨝nation⨝region, dims broadcast: customers + avg balance per
+    * (region, nation). */
+  private val joinBroadcast: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg(col("c_acctbal")), 6).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** lineitem⨝orders on orderkey — large-large, shuffle/sort-merge:
+    * revenue per order priority. */
+  private val joinShuffle: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** customer LEFT JOIN orders — customers with no orders keep NULL
+    * aggregates (count=0, total=0). */
+  private val joinOuterLeft: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** orders FULL OUTER customer on custkey, row-level with NULLs kept. */
+  private val joinOuterFull: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 350000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** EXISTS — customers having ≥1 urgent order over 250k. */
+  private val joinSemi: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** NOT EXISTS — customers with no order over 400k. */
+  private val joinAnti: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Bounded cross join: region × distinct order status (5×3 rows). */
+  private val joinCross: QFn = (s, d) => {
+    val r = Tables.region(s, d).select(col("r_name"))
+    val st = Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+    r.crossJoin(st).orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** Non-equi (theta) join: parts whose size falls strictly below the
+    * line's quantity, both sides pre-filtered selective (≥49) so the
+    * nested-loop product stays bounded at any SF. */
+  private val joinTheta: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 49.0)
+      .select(col("l_quantity"))
+    val p = Tables.part(s, d).filter(col("p_size") >= 49)
+      .select(col("p_size"))
+    l.join(broadcast(p), p("p_size").cast("double") < l("l_quantity"))
+      .groupBy(col("l_quantity"), col("p_size"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("l_quantity"), col("p_size"))
+  }
+
+  /** Interval join: for each purchase event, count events by the same user
+    * in the following hour. Equi key (user_id) + range condition on raw
+    * bigint-ns time — planner runs it as a shuffled equi join with the
+    * range as post-filter, which partitions cleanly at scale. */
+  private val joinRangeTime: QFn = (s, d) => {
+    val a = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_event_id"), col("user_id").as("a_user_id"),
+              col("ts").as("a_ts"))
+    val b = Tables.events(s, d)
+      .select(col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+    val hourNs = 3600L * 1000L * 1000L * 1000L
+    a.join(b,
+        a("a_user_id") === b("b_user_id") &&
+        b("b_ts") > a("a_ts") && b("b_ts") <= a("a_ts") + lit(hourNs), "left")
+      .groupBy(col("a_event_id"))
+      .agg(count(col("b_ts")).as("n_next_hour"))
+      .orderBy(col("a_event_id"))
+  }
+
+  /** As-of join (backward): for each purchase, the value of the same
+    * user's most recent click strictly before it. Implemented without a
+    * quadratic join: single window over the event stream with an
+    * IGNORE NULLS last() over rows preceding — the scalable as-of pattern
+    * (sort once per user, no pair enumeration). Spark has no native batch
+    * as-of join; this composition is the §4-preferred form. */
+  private val joinAsof: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("click_value", when(col("event_type") === "click", col("value")))
+      .withColumn("prev_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prev_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "join_broadcast" -> joinBroadcast,
+    "join_shuffle" -> joinShuffle,
+    "join_outer_left" -> joinOuterLeft,
+    "join_outer_full" -> joinOuterFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_cross" -> joinCross,
+    "join_theta" -> joinTheta,
+    "join_range_time" -> joinRangeTime,
+    "join_asof" -> joinAsof,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+                round(avg(c_acctbal), 6) AS avg_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "join_shuffle" ->
+      """SELECT o_orderpriority,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
+    "join_outer_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey
+         ORDER BY c_custkey ASC NULLS FIRST""",
+    "join_outer_full" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer
+         FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0)
+         ORDER BY c_custkey ASC NULLS FIRST""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey ASC NULLS FIRST""",
+    "join_cross" ->
+      """SELECT r_name, o_orderstatus
+         FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+         ORDER BY r_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
+    "join_theta" ->
+      """SELECT l_quantity, p_size, count(*) AS n_pairs
+         FROM (SELECT l_quantity FROM lineitem WHERE l_quantity >= 49.0) l
+         JOIN (SELECT p_size FROM part WHERE p_size >= 49) p
+           ON CAST(p_size AS DOUBLE) < l_quantity
+         GROUP BY l_quantity, p_size
+         ORDER BY l_quantity ASC NULLS FIRST, p_size ASC NULLS FIRST""",
+    "join_range_time" ->
+      """SELECT a.event_id AS a_event_id, count(b.ts) AS n_next_hour
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+         LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND epoch_ns(b.ts) > epoch_ns(a.ts)
+          AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
+         GROUP BY a.event_id
+         ORDER BY a_event_id ASC NULLS FIRST""",
+    "join_asof" ->
+      """SELECT event_id, user_id, prev_click_value FROM (
+           SELECT event_id, user_id, event_type,
+                  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_click_value
+           FROM events) t
+         WHERE event_type = 'purchase'
+         ORDER BY event_id ASC NULLS FIRST""",
+  )
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.A — scans, sources, sinks.
+  * Scale notes: parquet scans rely on Catalyst pushdown/pruning (verified
+  * via explain in the spec); at 100 TB the same plans prune row groups and
+  * read only projected columns, so these shapes are scan-bound, not
+  * shuffle-bound.
+  */
+object Scans extends QueryGroup {
+
+  /** Full scan, count-shaped projection. */
+  private val scanParquet: QFn = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+
+  /** Column pruning + predicate pushdown: only 3 columns reach the scan and
+    * the shipdate range lands in PushedFilters (asserted in ScanSpec). */
+  private val scanPruned: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampNTZType) &&
+              col("l_shipdate") <  lit("1996-04-01").cast(TimestampNTZType))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** CSV round-trip: write `region` as CSV (header), re-ingest with an
+    * explicit schema, return the re-ingested rows. Oracle reads the
+    * original parquet — equality proves lossless ingest. */
+  private val ingestCsv: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/ingest_csv"
+    Tables.region(s, d).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** JSON-lines round-trip incl. schema inference: nation → jsonl →
+    * inferred read (JSON ints come back as bigint → cast to the parquet
+    * schema's int). */
+  private val ingestJsonl: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/ingest_jsonl"
+    Tables.nation(s, d).coalesce(1).write.mode("overwrite").json(out)
+    s.read.json(out)
+      .select(col("n_nationkey").cast(IntegerType).as("n_nationkey"),
+              col("n_name"),
+              col("n_regionkey").cast(IntegerType).as("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Partitioned sink: write orders partitioned by status (hive-style
+    * dirs — at scale this is the partition-pruning layout), read back,
+    * count per partition. */
+  private val sinkPartitioned: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/sink_partitioned"
+    Tables.orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("o_orderstatus").cast(StringType).as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "scan_parquet" -> scanParquet,
+    "scan_pruned" -> scanPruned,
+    "ingest_csv" -> ingestCsv,
+    "ingest_jsonl" -> ingestJsonl,
+    "sink_partitioned" -> sinkPartitioned,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "scan_parquet" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""",
+    "ingest_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey ASC NULLS FIRST",
+    "ingest_jsonl" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC NULLS FIRST",
+    "sink_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n_orders FROM orders
+         GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""",
+  )
+}
