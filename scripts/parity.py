@@ -43,6 +43,11 @@ def canon(v):
         return "NaN"
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None)
+    # pandas renders DuckDB DATE as midnight datetime64 while Spark's
+    # date32 stays datetime.date — normalize both to midnight datetimes
+    # (arrow-level both sides are date32; checked separately).
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
     if isinstance(v, bool):
         return int(v)
     return v

@@ -13,6 +13,9 @@ object SparkEntry {
     operators.Filters,
     operators.Joins,
     operators.Aggregates,
+    operators.Windows,
+    operators.SortsSets,
+    functions.ScalarFns,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,222 @@
+package graft.functions
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.H — scalar function suites. One query per family,
+  * exercising the codegen'd `org.apache.spark.sql.functions._` surface
+  * (never UDFs — whole-stage codegen keeps these in one pipeline stage,
+  * no shuffle). Cross-dialect hazards handled per SURVEY.md §7.4:
+  * POSIX-safe regex only, dayofweek off-by-one vs DuckDB, libm 1-ulp
+  * differences on ln/exp/pow rounded to 6dp, 1-based array indexing on
+  * both engines made explicit.
+  */
+object ScalarFns extends QueryGroup {
+
+  private val fnString: QFn = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_brand")).as("lo"),
+      trim(concat(lit("  "), col("p_name"), lit(" "))).as("trimmed"),
+      substring(col("p_name"), 1, 4).as("sub4"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      lpad(col("p_size").cast(StringType), 3, "0").as("size_pad"),
+      length(col("p_name")).cast(LongType).as("name_len"),
+      instr(col("p_name"), "o").cast(LongType).as("first_o"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      translate(col("p_name"), "abc", "xyz").as("translated"),
+    ).orderBy(col("p_partkey"))
+
+  private val fnDatetime: QFn = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast(LongType).as("y"),
+      month(col("o_orderdate")).cast(LongType).as("m"),
+      dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+      dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+      date_trunc("month", col("o_orderdate")).cast(DateType).as("month_start"),
+      datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+        .cast(LongType).as("days_since"),
+      date_add(col("o_orderdate").cast(DateType), 30).as("plus_30d"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType).as("month_index"),
+      unix_timestamp(col("o_orderdate").cast(TimestampType)).as("epoch_s"),
+    ).orderBy(col("o_orderkey"))
+
+  private val fnMath: QFn = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice"), 1).as("price_r1"),
+      floor(col("l_extendedprice")).as("price_fl"),
+      ceil(col("l_extendedprice")).as("price_ce"),
+      abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+      round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      round(log(col("l_extendedprice")), 6).as("price_ln"),
+      round(exp(col("l_discount")), 6).as("disc_exp"),
+      signum(col("l_quantity") - lit(25.0)).as("qty_sign"),
+      pmod(col("l_orderkey"), lit(7L)).as("ok_mod7"),
+      greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+      least(col("l_tax"), col("l_discount")).as("min_rate"),
+    ).orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val fnCond: QFn = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 400000.0, "high")
+        .when(col("o_totalprice") > 200000.0, "mid")
+        .otherwise("low").as("tier"),
+      coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending")).as("status_or_pending"),
+      nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")).as("prio_or_null"),
+      expr("if(o_totalprice > 250000.0, 1L, 0L)").as("is_big"),
+      nvl(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("nvl_demo"),
+    ).orderBy(col("o_orderkey"))
+
+  /** Higher-order array functions over the 64-dim embedding column —
+    * transform/filter/aggregate/zip_with stay inside codegen, the §4
+    * pattern for vector math without UDFs. */
+  private val fnArray: QFn = (s, d) =>
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).cast(LongType).as("dim"),
+      element_at(col("embedding"), 1).cast(DoubleType).as("e1"),
+      size(filter(col("embedding"), x => x > lit(0.0f))).cast(LongType).as("n_pos"),
+      round(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast(DoubleType)), 6).as("sum_all"),
+      round(aggregate(zip_with(col("embedding"), col("embedding"),
+          (a, b) => a.cast(DoubleType) * b.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x), 6).as("self_dot"),
+      transform(slice(col("embedding"), 1, 3),
+        x => round(x.cast(DoubleType) * 2.0, 6)).as("head3_x2"),
+      sort_array(transform(slice(col("embedding"), 1, 5),
+        x => round(x.cast(DoubleType), 6))).as("head5_sorted"),
+    ).orderBy(col("vec_id"))
+
+  /** Map construction from parsed JSON props + map accessors. */
+  private val fnMap: QFn = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("props_map", from_json(col("props"), MapType(StringType, IntegerType)))
+      .select(
+        col("event_id"),
+        element_at(col("props_map"), "k").as("k_val"),
+        size(col("props_map")).cast(LongType).as("n_keys"),
+        map_keys(col("props_map")).as("keys"),
+        map_values(col("props_map")).as("vals"),
+      ).orderBy(col("event_id"))
+
+  private val fnJson: QFn = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k_str_path"),
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").as("k_typed"),
+    ).orderBy(col("event_id"))
+
+  /** Generator: posexplode of whitespace tokens with 0-based ordinal. */
+  private val fnExplode: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50L)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("col").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "fn_string" -> fnString,
+    "fn_datetime" -> fnDatetime,
+    "fn_math" -> fnMath,
+    "fn_cond" -> fnCond,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson,
+    "fn_explode" -> fnExplode,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "fn_string" ->
+      """SELECT p_partkey,
+                upper(p_name) AS up,
+                lower(p_brand) AS lo,
+                trim('  ' || p_name || ' ') AS trimmed,
+                substring(p_name, 1, 4) AS sub4,
+                concat_ws('-', p_brand, p_type) AS brand_type,
+                lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+                CAST(length(p_name) AS BIGINT) AS name_len,
+                CAST(strpos(p_name, 'o') AS BIGINT) AS first_o,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                translate(p_name, 'abc', 'xyz') AS translated
+         FROM part ORDER BY p_partkey ASC NULLS FIRST""",
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS y,
+                CAST(month(o_orderdate) AS BIGINT) AS m,
+                CAST(day(o_orderdate) AS BIGINT) AS dom,
+                CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month_index,
+                CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey ASC NULLS FIRST""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice, 1) AS price_r1,
+                floor(l_extendedprice) AS price_fl,
+                ceil(l_extendedprice) AS price_ce,
+                abs(l_discount - 0.05) AS disc_dev,
+                round(pow(l_quantity, 2.0), 6) AS qty_sq,
+                sqrt(l_quantity) AS qty_sqrt,
+                round(ln(l_extendedprice), 6) AS price_ln,
+                round(exp(l_discount), 6) AS disc_exp,
+                CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
+                l_orderkey % 7 AS ok_mod7,
+                greatest(l_tax, l_discount) AS max_rate,
+                least(l_tax, l_discount) AS min_rate
+         FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""",
+    "fn_cond" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 400000.0 THEN 'high'
+                     WHEN o_totalprice > 200000.0 THEN 'mid'
+                     ELSE 'low' END AS tier,
+                coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+                nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null,
+                CASE WHEN o_totalprice > 250000.0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS is_big,
+                coalesce(nullif(o_orderstatus, 'O'), 'open') AS nvl_demo
+         FROM orders ORDER BY o_orderkey ASC NULLS FIRST""",
+    "fn_array" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS BIGINT) AS dim,
+                CAST(embedding[1] AS DOUBLE) AS e1,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+                round(list_reduce(list_prepend(0.0, CAST(embedding AS DOUBLE[])),
+                                  (acc, x) -> acc + x), 6) AS sum_all,
+                round(list_reduce(list_prepend(0.0,
+                        list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                      (acc, x) -> acc + x), 6) AS self_dot,
+                list_transform(CAST(embedding[1:3] AS DOUBLE[]), x -> round(x * 2.0, 6)) AS head3_x2,
+                list_sort(list_transform(CAST(embedding[1:5] AS DOUBLE[]), x -> round(x, 6))) AS head5_sorted
+         FROM embeddings ORDER BY vec_id ASC NULLS FIRST""",
+    "fn_map" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+                CAST(1 AS BIGINT) AS n_keys,
+                ['k'] AS keys,
+                [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vals
+         FROM events ORDER BY event_id ASC NULLS FIRST""",
+    "fn_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str_path,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
+         FROM events ORDER BY event_id ASC NULLS FIRST""",
+    "fn_explode" ->
+      """SELECT doc_id,
+                CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents WHERE doc_id < 50
+         ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST""",
+  )
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.E — window functions. Every window is partitioned on a
+  * high-cardinality key (custkey/user_id) so state stays bounded per
+  * partition at scale; the one global window (ntile over customers) is
+  * documented as a deliberate single-partition sort, acceptable only
+  * because the customer dim is small relative to facts. Window order keys
+  * always carry a unique tie-break (SURVEY.md §7.4).
+  */
+object Windows extends QueryGroup {
+
+  /** row_number / rank / dense_rank of orders per customer by price. */
+  private val winRank: QFn = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("drk", dense_rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              col("rn"), col("rk"), col("drk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** lag/lead of event value per user + delta to previous. */
+  private val winLagLead: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("next_v", lead(col("value"), 1).over(w))
+      .withColumn("delta_prev", col("value") - col("prev_v"))
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("prev_v"), col("next_v"), col("delta_prev"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Cumulative revenue per customer in orderdate order. */
+  private val winRunningSum: QFn = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spent", round(sum(col("o_totalprice")).over(w), 4))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spent"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** 3-row moving average of event value per user. */
+  private val winSlidingAvg: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 0)
+    Tables.events(s, d)
+      .withColumn("mavg3", round(avg(col("value")).over(w), 6))
+      .select(col("event_id"), col("user_id"), col("mavg3"))
+      .orderBy(col("event_id"))
+  }
+
+  /** RANGE frame: per status, sum of order prices within ±100 of each
+    * order's price (frame defined by value bounds, so tie order inside
+    * the frame cannot affect the result set). */
+  private val winRangeFrame: QFn = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-100L, 100L)
+    Tables.orders(s, d)
+      .withColumn("band_n", count(lit(1)).over(w))
+      .withColumn("band_sum", round(sum(col("o_totalprice")).over(w), 4))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("band_n"), col("band_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** first/last event_type per user over the full frame → one row/user. */
+  private val winFirstLast: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("first_et", first(col("event_type")).over(w))
+      .withColumn("last_et", last(col("event_type")).over(w))
+      .select(col("user_id"), col("first_et"), col("last_et")).distinct()
+      .orderBy(col("user_id"))
+  }
+
+  /** ntile / percent_rank / cume_dist of customers by balance (global
+    * window — deliberate, customer dim only). */
+  private val winNtilePctrank: QFn = (s, d) => {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select(col("c_custkey"), col("c_acctbal"), col("quartile"), col("pr"), col("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "win_rank" -> winRank,
+    "win_lag_lead" -> winLagLead,
+    "win_running_sum" -> winRunningSum,
+    "win_sliding_avg" -> winSlidingAvg,
+    "win_range_frame" -> winRangeFrame,
+    "win_first_last" -> winFirstLast,
+    "win_ntile_pctrank" -> winNtilePctrank,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST)) t
+         WHERE rn <= 3
+         ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""",
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, value,
+                lag(value, 1) OVER w AS prev_v,
+                lead(value, 1) OVER w AS next_v,
+                value - lag(value, 1) OVER w AS delta_prev
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         ORDER BY event_id ASC NULLS FIRST""",
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spent
+         FROM orders
+         ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""",
+    "win_sliding_avg" ->
+      """SELECT event_id, user_id,
+                round(avg(value) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+         FROM events
+         ORDER BY event_id ASC NULLS FIRST""",
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus,
+                count(*) OVER w AS band_n,
+                round(sum(o_totalprice) OVER w, 4) AS band_sum
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+                      RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING)
+         ORDER BY o_orderkey ASC NULLS FIRST""",
+    "win_first_last" ->
+      """SELECT DISTINCT user_id,
+                first_value(event_type) OVER w AS first_et,
+                last_value(event_type) OVER w AS last_et
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id ASC NULLS FIRST""",
+    "win_ntile_pctrank" ->
+      """SELECT c_custkey, c_acctbal,
+                ntile(4) OVER w AS quartile,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM customer
+         WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+         ORDER BY c_custkey ASC NULLS FIRST""",
+  )
+}
