@@ -16,6 +16,8 @@ object SparkEntry {
     operators.Windows,
     operators.SortsSets,
     functions.ScalarFns,
+    operators.LlmText,
+    operators.LlmVector,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

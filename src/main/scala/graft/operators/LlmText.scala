@@ -1,0 +1,408 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.I (text half) + the training-data-pipeline brief: text
+  * normalization/analysis, exact + near dedup (MinHash-LSH, SimHash,
+  * n-gram Jaccard), fingerprinting, sentiment.
+  *
+  * Portable-hash policy: every hash that reaches an oracled output is
+  * md5-derived (identical digests in Spark and DuckDB; probe-verified
+  * `('0x'||hex)::BIGINT` on the DuckDB side ≡ `conv(hex,16,10)` on the
+  * Spark side). Spark `hash()`/`xxhash64` never appear in oracled
+  * queries (SURVEY.md §7.4).
+  *
+  * Scale design: all dedup paths avoid the O(n²) pair product — MinHash
+  * bands and SimHash chunks turn pair discovery into equality-bucket
+  * shuffles (groupBy/join on band keys), which is the 100 TB shape; the
+  * exact-Jaccard verification only ever runs on the candidate set.
+  */
+object LlmText extends QueryGroup {
+
+  /** 48-bit portable token hash from the md5 hex prefix. */
+  private def tokHash(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
+
+  /** lowercase, strip non-alnum, collapse whitespace. */
+  private val textNormalize: QFn = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")),
+        " +", " ").as("norm_text")
+    ).orderBy(col("doc_id"))
+
+  /** Global term frequencies, top 50 terms. */
+  private val textTokens: QFn = (s, d) =>
+    tokens(s, d).groupBy(col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(50)
+
+  /** tf-idf, top term per doc. idf = ln((N+1)/(df+1)). */
+  private val textTfidf: QFn = (s, d) => {
+    val t = tokens(s, d)
+    val n = Tables.documents(s, d).count()
+    val tf = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = t.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) *
+          log((lit(n.toDouble) + 1.0) / (col("df").cast(DoubleType) + 1.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("term"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangStats: QFn = (s, d) =>
+    Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_chars")), 6).as("avg_chars"),
+           countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  /** Lexicon-join sentiment (grounding: PAPERS.md Spark sentiment work):
+    * tiny embedded ±1 lexicon, per-doc mean over matched tokens, per-lang
+    * mean of doc scores. */
+  private val textSentiment: QFn = (s, d) => {
+    val lex = s.createDataFrame(Seq(
+      ("fast", 1.0), ("big", 1.0), ("value", 1.0),
+      ("slow", -1.0), ("dup", -1.0))).toDF("tok", "score")
+    val docScore = tokens(s, d).join(broadcast(lex), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(col("score")) / count(lit(1))).as("doc_sent"))
+    docScore.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_scored_docs"),
+           round(avg(col("doc_sent")), 6).as("mean_sent"))
+      .orderBy(col("lang"))
+  }
+
+  /** Language-ID by stopword-trigram heuristic (demo heuristic — corpus
+    * text is synthetic English-vocabulary for every lang label). */
+  private val textLangid: QFn = (s, d) => {
+    val t = tokens(s, d)
+    t.groupBy(col("doc_id"), col("lang"))
+      .agg((sum(when(col("tok") === "the", 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1))).as("the_ratio"))
+      .select(col("doc_id"),
+        when(col("the_ratio") > 0.0, "en").otherwise("unk").as("pred_lang"),
+        round(col("the_ratio"), 6).as("the_ratio"),
+        (when(col("the_ratio") > 0.0, "en").otherwise("unk") === col("lang"))
+          .as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: token/char counts, stopword ratio, log-length
+    * score — the standard pre-training quality gates. */
+  private val textQuality: QFn = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      length(col("text")).cast(LongType).as("len_chars"),
+      col("n_chars").as("meta_chars"),
+      round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
+            size(split(col("text"), " ")).cast(DoubleType), 6).as("avg_tok_len"),
+      round(size(filter(split(col("text"), " "),
+              x => x === "the" || x === "a")).cast(DoubleType) /
+            size(split(col("text"), " ")).cast(DoubleType), 6).as("stop_ratio"),
+    ).withColumn("quality",
+        round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 6))
+     .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace split vs BPE-ish regex tokenizer. */
+  private val textTokenCount: QFn = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+        .cast(LongType).as("re_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast(LongType).as("distinct_tokens"),
+    ).orderBy(col("doc_id"))
+
+  /** Position-weighted rolling fingerprint over md5 token hashes:
+    * fp = Σ (h(tok) mod M) · (pos+1)  mod M. Order-sensitive, portable. */
+  private val textFingerprint: QFn = (s, d) => {
+    val M = 1000003L
+    tokens(s, d)
+      .withColumn("hm", tokHash(col("tok")) % M)
+      .groupBy(col("doc_id"))
+      .agg((sum(col("hm") * (col("pos") + 1L)) % M).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup on normalized text; survivor = min doc_id via
+    * row_number (dropDuplicates' survivor is nondeterministic —
+    * SURVEY.md §7.4). */
+  private val dedupExact: QFn = (s, d) => {
+    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("norm"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH near-dup: distinct 3-token shingles → 16 portable
+    * minhashes ((aᵢ·h+bᵢ) mod p over md5-derived h) → 8 bands of r=2 →
+    * equality-bucket candidate pairs → exact-Jaccard verify ≥ 0.8.
+    * The oracle is the all-pairs exact Jaccard (banding recall at
+    * J≥0.8 with b=8,r=2 is 1-(1-J²)⁸ ≥ 0.9997; equality to the exact
+    * answer on this corpus is established by the parity gate itself). */
+  private val dedupNearMinhash: QFn = (s, d) => {
+    val P = 2147483647L
+    val params = s.createDataFrame(
+      (0 until 16).map(i => (i, 2L * i + 3L, 7919L * i + 13L))
+    ).toDF("i", "a", "b")
+    val sh = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct()
+    val hashed = sh.withColumn("hm", tokHash(col("s")) % P)
+    val sig = hashed.crossJoin(broadcast(params))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("hm") + col("b")) % P).as("mh"))
+    val bands = sig
+      .withColumn("band", (col("i") / 2).cast(IntegerType))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(min(when(col("i") % 2 === 0, col("mh"))).as("s0"),
+           min(when(col("i") % 2 === 1, col("mh"))).as("s1"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.s0") === col("y.s0") && col("x.s1") === col("y.s1") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("j", col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= 0.8)
+      .select(col("da"), col("db"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash near-dup: 16-bit signature from ±1 bit votes of md5 token
+    * hashes; candidate pairs via 4×4-bit chunk buckets (pigeonhole: any
+    * pair at hamming ≤ 3 shares ≥1 exact chunk → recall is exactly 1,
+    * so the all-pairs oracle is equal by construction). */
+  private val dedupSimhash: QFn = (s, d) => {
+    val bits = s.createDataFrame((0 until 16).map(i => (i, 1L << i)))
+      .toDF("bit", "w")
+    val sig = tokens(s, d)
+      .withColumn("hv", tokHash(col("tok")))
+      .crossJoin(broadcast(bits))
+      .withColumn("c", when(expr("shiftright(hv, bit)")
+        .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("bit"), col("w"))
+      .agg(sum(col("c")).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sc") > 0L, col("w")).otherwise(0L)).as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("key", expr("shiftright(sig, chunk * 4)").bitwiseAND(15L))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("x.sig").as("sa"),
+              col("y.doc_id").as("db"), col("y.sig").as("sb"))
+      .distinct()
+    cand.withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 3L)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Exact character-5-gram Jaccard pairs ≥ 0.55 among the first 150
+    * docs — the exact (capped) companion to the LSH paths. */
+  private val dedupNgramJaccard: QFn = (s, d) => {
+    val g = Tables.documents(s, d).filter(col("doc_id") < 150L)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+        .as("s"))
+      .distinct()
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = g.select(col("doc_id").as("da"), col("s")).as("x")
+      .join(g.select(col("doc_id").as("db"), col("s")).as("y"), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("j", col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= 0.55)
+      .select(col("da"), col("db"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "text_normalize" -> textNormalize,
+    "text_tokens" -> textTokens,
+    "text_tfidf" -> textTfidf,
+    "text_lang_stats" -> textLangStats,
+    "text_sentiment" -> textSentiment,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+    "dedup_exact" -> dedupExact,
+    "dedup_near_minhash" -> dedupNearMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "text_normalize" ->
+      """SELECT doc_id,
+                regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                               ' +', ' ', 'g') AS norm_text
+         FROM documents ORDER BY doc_id ASC NULLS FIRST""",
+    "text_tokens" ->
+      """SELECT tok AS term, count(*) AS tf
+         FROM (SELECT unnest(string_split(text, ' ')) tok FROM documents) t
+         GROUP BY tok
+         ORDER BY tf DESC NULLS LAST, term ASC NULLS FIRST
+         LIMIT 50""",
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) tf FROM toks GROUP BY 1, 2),
+              df AS (SELECT tok, count(*) df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+              n AS (SELECT count(*) n FROM documents),
+              scored AS (
+                SELECT doc_id, tok,
+                       CAST(tf AS DOUBLE) * ln((n + 1.0) / (df + 1.0)) AS tfidf
+                FROM tf JOIN df USING (tok) CROSS JOIN n)
+         SELECT doc_id, tok AS term, round(tfidf, 6) AS tfidf FROM (
+           SELECT doc_id, tok, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC NULLS LAST, tok ASC) AS rn
+           FROM scored) t
+         WHERE rn = 1 ORDER BY doc_id ASC NULLS FIRST""",
+    "text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+                count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""",
+    "text_sentiment" ->
+      """WITH lex(tok, score) AS (VALUES
+              ('fast', 1.0), ('big', 1.0), ('value', 1.0), ('slow', -1.0), ('dup', -1.0)),
+            toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),
+            ds AS (SELECT doc_id, lang, sum(score) / count(*) AS doc_sent
+                   FROM toks JOIN lex USING (tok) GROUP BY doc_id, lang)
+         SELECT lang, count(*) AS n_scored_docs, round(avg(doc_sent), 6) AS mean_sent
+         FROM ds GROUP BY lang ORDER BY lang ASC NULLS FIRST""",
+    "text_langid" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS the_ratio
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN the_ratio > 0.0 THEN 'en' ELSE 'unk' END AS pred_lang,
+                round(the_ratio, 6) AS the_ratio,
+                (CASE WHEN the_ratio > 0.0 THEN 'en' ELSE 'unk' END) = lang AS is_match
+         FROM r ORDER BY doc_id ASC NULLS FIRST""",
+    "text_quality" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(length(text) AS BIGINT) AS len_chars,
+                  n_chars AS meta_chars,
+                  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                        / len(string_split(text, ' ')), 6) AS avg_tok_len,
+                  round(CAST(len(list_filter(string_split(text, ' '),
+                          x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                        / len(string_split(text, ' ')), 6) AS stop_ratio
+           FROM documents)
+         SELECT doc_id, n_tokens, len_chars, meta_chars, avg_tok_len, stop_ratio,
+                round(ln(1.0 + n_tokens) * (1.0 - stop_ratio), 6) AS quality
+         FROM q ORDER BY doc_id ASC NULLS FIRST""",
+    "text_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
+         FROM documents ORDER BY doc_id ASC NULLS FIRST""",
+    "text_fingerprint" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents)
+         SELECT doc_id,
+                CAST(sum((('0x' || substr(md5(tok), 1, 12))::BIGINT % 1000003)
+                         * (pos + 1)) % 1000003 AS BIGINT) AS fingerprint
+         FROM toks GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""",
+    "dedup_exact" ->
+      """SELECT doc_id, n_copies FROM (
+           SELECT doc_id,
+                  row_number() OVER (PARTITION BY norm ORDER BY doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY norm) AS n_copies
+           FROM (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
+                 FROM documents) t) x
+         WHERE rn = 1 ORDER BY doc_id ASC NULLS FIRST""",
+    "dedup_near_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+            sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                   FROM toks, unnest(range(1, len(t) - 1)) r(i)),
+            cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id da, b.doc_id db, count(*) ni
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT da, db, round(j, 6) AS jaccard FROM (
+           SELECT da, db, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS j
+           FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db) t
+         WHERE j >= 0.8
+         ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT hv FROM toks),
+            bv AS (SELECT doc_id, b.bit, b.w,
+                          CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END c
+                   FROM h CROSS JOIN (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),(5,32),(6,64),
+                     (7,128),(8,256),(9,512),(10,1024),(11,2048),(12,4096),(13,8192),
+                     (14,16384),(15,32768)) b(bit, w)),
+            sc AS (SELECT doc_id, bit, w, sum(c) sc FROM bv GROUP BY 1, 2, 3),
+            sig AS (SELECT doc_id,
+                           CAST(sum(CASE WHEN sc > 0 THEN w ELSE 0 END) AS BIGINT) AS sig
+                    FROM sc GROUP BY doc_id)
+         SELECT a.doc_id da, b.doc_id db,
+                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+                    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150) d,
+                         unnest(range(1, length(text) - 3)) r(i)),
+            cnt AS (SELECT doc_id, count(*) n FROM g GROUP BY doc_id),
+            inter AS (SELECT a.doc_id da, b.doc_id db, count(*) ni
+                      FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT da, db, round(j, 6) AS jaccard FROM (
+           SELECT da, db, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS j
+           FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db) t
+         WHERE j >= 0.55
+         ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
+  )
+}

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.I (vector half) + the training-data-pipeline brief:
+  * similarity search over the embedding column, embedding near-dup,
+  * multimodal (opaque binary) columns.
+  *
+  * Vector math is pure higher-order functions (`zip_with`/`aggregate`) —
+  * no UDFs, exact double arithmetic, identical left-fold order to the
+  * DuckDB oracle formula (probe-verified bit-exact, SURVEY.md §7.3.3).
+  * Pair enumeration is always explicitly capped or LSH/IVF-bucketed —
+  * the O(n²) step is the one that cannot survive 100 TB (SURVEY.md §4).
+  */
+object LlmVector extends QueryGroup {
+
+  /** Exact double dot product via zip_with + aggregate left fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB-side cosine between two DOUBLE[] exprs — the §7.3.3-verified
+    * explicit formula (never list_cosine_similarity, it computes f32). */
+  private def duckCos(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $a[i])), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
+
+  /** Pairwise cosine among the first 200 vectors, pairs above 0.3.
+    * The N-cap is the explicit guard on the quadratic step. */
+  private val simCosinePairs: QFn = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 200L)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    a.join(b, col("ia") < col("ib"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") > 0.3)
+      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Brute-force top-10 nearest (cosine) to the vec_id=0 query vector —
+    * the exactness baseline for ANN. Single-row broadcast join, global
+    * TakeOrderedAndProject: scales as one pass over the corpus. */
+  private val simKnn: QFn = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-style ANN (approximate → no oracle; recall asserted vs brute
+    * force in LlmVectorSpec): cells = label, coarse centroids per cell,
+    * probe the 3 nearest cells, exact search inside. At scale this reads
+    * ~nprobe/ncells of the corpus instead of all of it. */
+  private val simKnnIvf: QFn = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val cent = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast(DoubleType)).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+    val probed = cent.crossJoin(broadcast(q))
+      .select(col("label"), cosine(col("centroid"), col("qe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("label")).limit(3)
+      .select(col("label"))
+    e.filter(col("vec_id") =!= 0L)
+      .join(broadcast(probed), Seq("label"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Per-label centroid (posexplode → per-dimension avg → rebuild) +
+    * each vector's L2 distance to its own centroid. */
+  private val simCentroids: QFn = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cent = e.select(col("label").as("c_label"), posexplode(col("embedding")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(avg(col("col").cast(DoubleType)).as("c"))
+      .withColumnRenamed("pos", "c_pos")
+    val terms = e.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .join(cent, col("label") === col("c_label") && col("pos") === col("c_pos"))
+      .withColumn("sq", (col("col").cast(DoubleType) - col("c")) *
+                        (col("col").cast(DoubleType) - col("c")))
+    terms.groupBy(col("vec_id"), col("label"))
+      .agg(round(sqrt(sum(col("sq"))), 6).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Embedding-cosine near-dup: all pairs above 0.4 (none are planted
+    * above 0.52 in this corpus, so the output is the discriminating
+    * high tail). The full quadratic form is retained here as the exact
+    * reference; the LSH-bucketed scale path is dedup_simhash/minhash on
+    * the text side. */
+  private val dedupEmbcos: QFn = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    a.join(b, col("ia") < col("ib"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") > 0.4)
+      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** Multimodal column plumbing: text → opaque binary, then a
+    * partition-wise "decoder" producing typed metadata. The decode body
+    * is a STUB (deterministic byte-level features — this container has no
+    * image/audio codecs); the Spark side (binary column, typed Dataset,
+    * mapPartitions batch shape, schema) is real and oracled via the
+    * ASCII equivalence bytes==codepoints. */
+  private val multimodalMeta: QFn = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decoder: real codec calls would go here; features are
+          // deterministic byte arithmetic so the pipeline stays testable.
+          val n = bytes.length.toLong
+          val checksum = bytes.map(x => (x & 0xff).toLong).sum % 997L
+          (id, n, n % 64L, n / 64L, checksum,
+            (bytes.head & 0xff).toLong, (bytes.last & 0xff).toLong)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "meta_w", "meta_h", "checksum", "first_byte", "last_byte")
+      .orderBy(col("doc_id"))
+  }
+
+  /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
+    * embedding L2 norm per label. */
+  private val multimodalJoin: QFn = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val e = Tables.embeddings(s, d)
+    doc.join(e, doc("doc_id") === e("vec_id"))
+      .select(col("label"), length(col("text")).cast(DoubleType).as("tlen"),
+              sqrt(dot(col("embedding"), col("embedding"))).as("l2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(corr(col("tlen"), col("l2")), 6).as("len_norm_corr"))
+      .orderBy(col("label"))
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "sim_cosine_pairs" -> simCosinePairs,
+    "sim_knn" -> simKnn,
+    "sim_knn_ivf" -> simKnnIvf,
+    "sim_centroids" -> simCentroids,
+    "dedup_embcos" -> dedupEmbcos,
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_join" -> multimodalJoin,
+  )
+
+  private val duckPairCos = duckCos("ea", "eb")
+
+  val oracles: Seq[(String, String)] = Seq(
+    "sim_cosine_pairs" ->
+      s"""WITH p AS (
+            SELECT a.vec_id ia, b.vec_id ib,
+                   CAST(a.embedding AS DOUBLE[]) ea, CAST(b.embedding AS DOUBLE[]) eb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200)
+          SELECT ia, ib, round(c, 6) AS cos_sim
+          FROM (SELECT ia, ib, $duckPairCos AS c FROM p) t
+          WHERE c > 0.3
+          ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST""",
+    "sim_knn" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) eb FROM embeddings WHERE vec_id = 0),
+           sc AS (SELECT vec_id, round($duckPairCos, 6) AS cos_sim
+                  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) ea FROM embeddings
+                        WHERE vec_id <> 0) e CROSS JOIN q)
+          SELECT vec_id, cos_sim FROM sc
+          ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+          LIMIT 10""",
+    "sim_centroids" ->
+      """WITH terms AS (
+            SELECT vec_id, label,
+                   CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings),
+          cent AS (SELECT label, pos, avg(v) AS c FROM terms GROUP BY label, pos)
+          SELECT t.vec_id, t.label, round(sqrt(sum((t.v - c.c) * (t.v - c.c))), 6) AS dist
+          FROM terms t JOIN cent c ON t.label = c.label AND t.pos = c.pos
+          GROUP BY t.vec_id, t.label
+          ORDER BY t.vec_id ASC NULLS FIRST""",
+    "dedup_embcos" ->
+      s"""WITH p AS (
+            SELECT a.vec_id ia, b.vec_id ib,
+                   CAST(a.embedding AS DOUBLE[]) ea, CAST(b.embedding AS DOUBLE[]) eb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          SELECT ia, ib, round(c, 6) AS cos_sim
+          FROM (SELECT ia, ib, $duckPairCos AS c FROM p) t
+          WHERE c > 0.4
+          ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST""",
+    "multimodal_meta" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_bytes,
+                CAST(length(text) % 64 AS BIGINT) AS meta_w,
+                CAST(length(text) // 64 AS BIGINT) AS meta_h,
+                CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ''), c -> ascii(c))),
+                                 (a, b) -> a + b) % 997 AS BIGINT) AS checksum,
+                CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+                CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte
+         FROM documents ORDER BY doc_id ASC NULLS FIRST""",
+    "multimodal_join" ->
+      """WITH j AS (
+            SELECT label, CAST(length(text) AS DOUBLE) tlen,
+                   sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                        (a, b) -> a + b)) AS l2
+            FROM documents JOIN embeddings ON doc_id = vec_id)
+          SELECT label, count(*) AS n, round(corr(tlen, l2), 6) AS len_norm_corr
+          FROM j GROUP BY label ORDER BY label ASC NULLS FIRST""",
+  )
+}
