@@ -18,6 +18,8 @@ object SparkEntry {
     functions.ScalarFns,
     operators.LlmText,
     operators.LlmVector,
+    operators.EventsBatch,
+    functions.Udx,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.J batch twins — the same window()/session_window()
+  * semantics the streaming operators use, run on the static events table
+  * so they are DuckDB-oracle-able. Event time is exposed as BIGINT epoch
+  * seconds in outputs (ns-timestamp parity rule, SURVEY.md §7.3.1).
+  */
+object EventsBatch extends QueryGroup {
+
+  /** 1-hour tumbling windows per event type. */
+  private val eventsTumbling: QFn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"), col("event_type"),
+              col("n"), col("sum_v"))
+      .orderBy(col("bucket_s"), col("event_type"))
+
+  /** Per-user session windows with a 30-minute gap. Oracle reconstructs
+    * sessions with the lag + cumulative-flag idiom on the same µs values
+    * Spark's session_window sees. */
+  private val eventsSession: QFn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts_us"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_v"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start_s"),
+              col("n_events"), col("sum_v"))
+      .orderBy(col("user_id"), col("session_start_s"))
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "events_tumbling" -> eventsTumbling,
+    "events_session" -> eventsSession,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "events_tumbling" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s, event_type,
+                count(*) AS n, round(sum(value), 6) AS sum_v
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY bucket_s ASC NULLS FIRST, event_type ASC NULLS FIRST""",
+    "events_session" ->
+      """WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+            flagged AS (
+              SELECT user_id, value, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC)),
+            sess AS (
+              SELECT user_id, value, us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged)
+         SELECT user_id, min(us) // 1000000 AS session_start_s,
+                count(*) AS n_events, round(sum(value), 6) AS sum_v
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id ASC NULLS FIRST, session_start_s ASC NULLS FIRST""",
+  )
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.J — Structured Streaming operators.
+  *
+  * Every transform takes a DataFrame with event-time column `ts_us`
+  * (TimestampType, µs-truncated from the raw ns longs — Tables.events) so
+  * the IDENTICAL code path runs on a bounded batch frame (the oracled
+  * twins in operators.EventsBatch) and on a readStream/MemoryStream
+  * source; StreamingSpec asserts batch-equivalence including late-row
+  * drop under watermark.
+  *
+  * Scale: windowed aggregations shuffle on (window, key) with partial
+  * aggregation; state store size is bounded by watermark horizon ×
+  * active keys — the standard production shape.
+  */
+object StreamingOps {
+
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"),
+              col("event_type"), col("n"), col("sum_v"))
+
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_us"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"),
+              col("event_type"), col("n"))
+
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_us", "30 minutes")
+      .groupBy(session_window(col("ts_us"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start_s"),
+              col("n_events"))
+
+  /** Tumbling counts that drop events arriving >1h late (append mode
+    * emits only watermark-closed windows). */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"),
+              col("event_type"), col("n"))
+
+  /** Exactly-once-ish dedup on event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_us", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  case class Ev(event_id: Long, ts_us: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class UserAgg(user_id: Long, n: Long, total: Double)
+
+  /** Explicit keyed state: running per-user count/sum via
+    * flatMapGroupsWithState (state survives across triggers; emits the
+    * updated aggregate each trigger). */
+  def runningPerUser(ds: Dataset[Ev]): Dataset[UserAgg] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { e => n += 1; t += e.value }
+          state.update((n, t))
+          Iterator(UserAgg(uid, n, t))
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws (SURVEY.md §5.5) checked on the sf0.001 fixtures. */
+class LawsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("dedup is idempotent: dedup output has no duplicate norms") {
+    val out = SparkEntry.queries("dedup_exact")(spark, sf)
+    assert(out.count() == out.select(col("doc_id")).distinct().count())
+  }
+
+  test("union-all count additivity") {
+    val a = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+    val b = Tables.orders(spark, sf).filter(col("o_orderstatus") =!= "F")
+    assert(a.count() + b.count() == a.unionByName(b).count())
+    assert(a.unionByName(b).count() == Tables.orders(spark, sf).count())
+  }
+
+  test("exceptAll inverts unionAll on bags") {
+    val a = Tables.orders(spark, sf).select(col("o_orderpriority"))
+    val b = a.limit(100)
+    assert(a.unionByName(b).exceptAll(b).count() == a.count())
+  }
+
+  test("running sum final value equals group sum") {
+    val run = SparkEntry.queries("win_running_sum")(spark, sf)
+    val lastPer = run.groupBy(col("o_custkey"))
+      .agg(max(col("running_spent")).as("final_sum"))
+    val direct = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("direct_sum"))
+    val joined = lastPer.join(direct, "o_custkey")
+      .filter(abs(col("final_sum") - col("direct_sum")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("cosine(v, v) == 1 for every embedding") {
+    val e = Tables.embeddings(spark, sf)
+    val selfCos = e.select(
+      expr("""aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * y),
+              0D, (acc, v) -> acc + v)
+              / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v))
+               * sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v)))""")
+        .as("c"))
+    assert(selfCos.filter(abs(col("c") - 1.0) > 1e-12).count() == 0)
+  }
+
+  test("minhash candidates are a superset of exact near-dup pairs (recall)") {
+    val got = SparkEntry.queries("dedup_near_minhash")(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs Jaccard >= 0.8 via the ngram machinery on word shingles
+    val docs = Tables.documents(spark, sf)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s"))
+      .distinct()
+    val cnt = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = docs.select(col("doc_id").as("da"), col("s"))
+      .join(docs.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+    val exact = inter
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("ni").cast("double") / (col("na") + col("nb") - col("ni")) >= 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == got, s"missed: ${exact.diff(got)}, extra: ${got.diff(exact)}")
+  }
+
+  test("geomean aggregator matches exp(avg(ln)) closed form") {
+    val got = SparkEntry.queries("udaf_geomean")(spark, sf)
+    val expected = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(round(exp(avg(log(col("l_extendedprice")))), 6).as("closed_form"))
+    val bad = got.join(expected, "l_returnflag")
+      .filter(abs(col("geomean_price") - col("closed_form")) > 1e-6)
+    assert(bad.count() == 0)
+  }
+}

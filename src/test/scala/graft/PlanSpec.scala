@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4): pushdown, pruning, join
+  * strategy, and top-k shapes must be the ones that survive a 100×
+  * scale-up — not just any plan that returns the right rows. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("scan_pruned pushes the shipdate range into the parquet scan") {
+    val p = plan("scan_pruned")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // column pruning: only the 3 projected columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"), p)
+  }
+
+  test("join_broadcast uses broadcast-hash joins for the dims") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_shuffle falls back to a shuffle join when neither side is broadcastable") {
+    // at sf0.001 the planner rightly broadcasts the small side; the shape
+    // that matters at 100 TB is what it picks once broadcast is off
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = SparkEntry.queries("join_shuffle")(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("topk_global plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_pricing_summary is a two-phase hash aggregate") {
+    val p = plan("agg_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("whole-stage codegen covers the flagship pipeline") {
+    // codegen spans only materialize in the final adaptive plan
+    val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
+    df.collect()
+    // codegen stages render as "*(n) Operator" in the final adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") && p.contains("*(2)"), p)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2.J / §5.6 — streaming operators are verified by
+  * batch-equivalence: MemoryStream drives the same transform the batch
+  * twin runs, and the sink contents must match (counts exactly; double
+  * sums to 1e-6, stream state accumulates in a different order). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val evs: Seq[Ev] = {
+    val sp = spark
+    import sp.implicits._
+    Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq.sortBy(_.event_id)
+  }
+  private def batchDf(rows: Seq[Ev]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    spark.createDataset(rows).toDF()
+  }
+  private lazy val maxTs = evs.map(_.ts_us.getTime).max
+
+  /** got ≡ exp on key cols exactly; double cols within 1e-6. */
+  private def assertEquivalent(got: DataFrame, exp: DataFrame,
+                               keys: Seq[String], doubles: Seq[String]): Unit = {
+    assert(got.count() == exp.count(), "row count")
+    val g = got.select(keys.map(col) ++ doubles.map(col): _*)
+    val e = exp.select((keys.map(c => col(c).as(s"e_$c")) ++
+                        doubles.map(c => col(c).as(s"e_$c"))): _*)
+    val cond = keys.map(k => col(k) === col(s"e_$k")).reduce(_ && _)
+    val joined = g.join(e, cond)
+    assert(joined.count() == got.count(), "keys align")
+    val bad = doubles.map(c => abs(col(c) - col(s"e_$c")) > 1e-6)
+      .foldLeft(lit(false))(_ || _)
+    assert(joined.filter(bad).count() == 0, "double drift")
+  }
+
+  test("stream_tumbling equals batch tumbling") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("st_tumbling")
+      .outputMode("complete").start()
+    in.addData(evs.take(500)); q.processAllAvailable()
+    in.addData(evs.drop(500)); q.processAllAvailable()
+    assertEquivalent(spark.table("st_tumbling"),
+      StreamingOps.tumblingCounts(batchDf(evs)),
+      Seq("bucket_s", "event_type", "n"), Seq("sum_v"))
+    q.stop()
+  }
+
+  test("stream_sliding equals batch sliding") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.slidingCounts(in.toDF())
+      .writeStream.format("memory").queryName("st_sliding")
+      .outputMode("complete").start()
+    in.addData(evs); q.processAllAvailable()
+    assertEquivalent(spark.table("st_sliding"),
+      StreamingOps.slidingCounts(batchDf(evs)),
+      Seq("bucket_s", "event_type", "n"), Seq.empty)
+    q.stop()
+  }
+
+  test("stream_session closes and emits exactly the batch sessions") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName("st_session")
+      .outputMode("append").start()
+    in.addData(evs); q.processAllAvailable()
+    // sentinel far in the future closes every real session
+    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
+    in.addData(Seq(sentinel)); q.processAllAvailable()
+    assertEquivalent(spark.table("st_session"),
+      StreamingOps.sessionCounts(batchDf(evs)),
+      Seq("user_id", "session_start_s", "n_events"), Seq.empty)
+    q.stop()
+  }
+
+  test("stream_watermark drops events later than 1h") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.tumblingWithWatermark(in.toDF())
+      .writeStream.format("memory").queryName("st_wm")
+      .outputMode("append").start()
+    in.addData(evs); q.processAllAvailable()
+    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
+    in.addData(Seq(sentinel)); q.processAllAvailable()
+    // a duplicate of the earliest event is now far behind the watermark
+    in.addData(Seq(evs.head.copy(event_id = -2L))); q.processAllAvailable()
+    val emitted = spark.table("st_wm").agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(emitted == evs.length, s"late row not dropped: $emitted")
+    q.stop()
+  }
+
+  test("stream_dedup removes duplicate event_ids within the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("st_dedup")
+      .outputMode("append").start()
+    // recent events (inside the 1h watermark horizon) duplicated later
+    val recent = evs.filter(_.ts_us.getTime >= maxTs - 30L * 60 * 1000)
+    assert(recent.nonEmpty)
+    in.addData(evs); q.processAllAvailable()
+    in.addData(recent); q.processAllAvailable()
+    assert(spark.table("st_dedup").count() == evs.length)
+    q.stop()
+  }
+
+  test("stream_stateful running per-user totals equal batch aggregates") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.runningPerUser(in.toDS())
+      .writeStream.format("memory").queryName("st_state")
+      .outputMode("update").start()
+    in.addData(evs.take(400)); q.processAllAvailable()
+    in.addData(evs.drop(400)); q.processAllAvailable()
+    // final state per user = the row with the max running count
+    val finals = spark.table("st_state")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n"), col("total"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n"), col("s.total").as("total"))
+    val exp = batchDf(evs).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    assertEquivalent(finals, exp, Seq("user_id", "n"), Seq("total"))
+    q.stop()
+  }
+}
