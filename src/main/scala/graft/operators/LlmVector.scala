@@ -35,11 +35,12 @@ object LlmVector extends QueryGroup {
   /** Pairwise cosine among the first 200 vectors, pairs above 0.3.
     * The N-cap is the explicit guard on the quadratic step. */
   private val simCosinePairs: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d).filter(col("vec_id") < 200L)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
     a.join(b, col("ia") < col("ib"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", expr("cosine_f32(ea, eb)"))
       .filter(col("cos") > 0.3)
       .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("ia"), col("ib"))
@@ -49,11 +50,12 @@ object LlmVector extends QueryGroup {
     * the exactness baseline for ANN. Single-row broadcast join, global
     * TakeOrderedAndProject: scales as one pass over the corpus. */
   private val simKnn: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
     e.filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+      .select(col("vec_id"), round(expr("cosine_f32(embedding, qe)"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -78,7 +80,7 @@ object LlmVector extends QueryGroup {
     e.filter(col("vec_id") =!= 0L)
       .join(broadcast(probed), Seq("label"))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+      .select(col("vec_id"), round(expr("cosine_f32(embedding, qe)"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -106,11 +108,12 @@ object LlmVector extends QueryGroup {
     * reference; the LSH-bucketed scale path is dedup_simhash/minhash on
     * the text side. */
   private val dedupEmbcos: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
     a.join(b, col("ia") < col("ib"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", expr("cosine_f32(ea, eb)"))
       .filter(col("cos") > 0.4)
       .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("ia"), col("ib"))

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native CosineSimF32 expression: numerics + plan-shape guarantees. */
+class VectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val hofCos =
+    """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, v) -> a + v)
+       / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v))
+        * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * x), 0D, (a, v) -> a + v)))"""
+
+  test("cosine_f32 is bit-identical to the HOF formula on every pair") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf).limit(100)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .select(expr("cosine_f32(ea, eb)").as("native"), expr(hofCos).as("hof"))
+    // bit-identical, not approximately equal: both are the same left fold
+    assert(pairs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("cosine_f32 participates in whole-stage codegen") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val df = a.join(b, col("ia") < col("ib"))
+      .select(expr("cosine_f32(ea, eb)").as("c")).filter(col("c") > 0.4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // codegen span covers the join+filter
+  }
+
+  test("ivf ANN returns 10 rows and overlaps brute force") {
+    val knn = SparkEntry.queries("sim_knn")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("sim_knn_ivf")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 10)
+    assert(knn.intersect(ivf).nonEmpty) // label cells ≠ learned clusters: partial recall
+  }
+}
