@@ -48,13 +48,14 @@ object LlmText extends QueryGroup {
       .orderBy(col("tf").desc, col("term"))
       .limit(50)
 
-  /** tf-idf, top term per doc. idf = ln((N+1)/(df+1)). */
+  /** tf-idf, top term per doc. idf = ln((N+1)/(df+1)).
+    * df is re-aggregated from tf rather than from a second tokenize
+    * pass — the (doc_id, tok) exchange is identical in both branches, so
+    * ReuseExchange scans and explodes the corpus once. */
   private val textTfidf: QFn = (s, d) => {
-    val t = tokens(s, d)
     val n = Tables.documents(s, d).count()
-    val tf = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = t.select(col("doc_id"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tf = tokens(s, d).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("tok"))
     tf.join(df, "tok")
@@ -143,19 +144,20 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact dedup on normalized text; survivor = min doc_id via
-    * row_number (dropDuplicates' survivor is nondeterministic —
-    * SURVEY.md §7.4). */
-  private val dedupExact: QFn = (s, d) => {
-    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+  /** Exact dedup on normalized text; survivor = min doc_id. Grouping on
+    * the md5 digest of the normalized text (not the text itself) keeps
+    * the shuffle rows fixed-width, and min/count aggregate map-side —
+    * at 100 TB this moves digests, not documents, and never needs the
+    * full per-group row set a window would (SURVEY.md §7.4: survivor
+    * choice must be deterministic, hence min, not dropDuplicates). */
+  private val dedupExact: QFn = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("norm", regexp_replace(trim(lower(col("text"))), " +", " "))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("norm"))))
-      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), " +", " ")).as("nh"))
+      .groupBy(col("nh"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
-  }
 
   /** MinHash-LSH near-dup: distinct 3-token shingles → 16 portable
     * minhashes ((aᵢ·h+bᵢ) mod p over md5-derived h) → 8 bands of r=2 →
@@ -165,9 +167,6 @@ object LlmText extends QueryGroup {
     * answer on this corpus is established by the parity gate itself). */
   private val dedupNearMinhash: QFn = (s, d) => {
     val P = 2147483647L
-    val params = s.createDataFrame(
-      (0 until 16).map(i => (i, 2L * i + 3L, 7919L * i + 13L))
-    ).toDF("i", "a", "b")
     val sh = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
@@ -175,14 +174,17 @@ object LlmText extends QueryGroup {
         .as("s"))
       .distinct()
     val hashed = sh.withColumn("hm", tokHash(col("s")) % P)
-    val sig = hashed.crossJoin(broadcast(params))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("hm") + col("b")) % P).as("mh"))
-    val bands = sig
-      .withColumn("band", (col("i") / 2).cast(IntegerType))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(min(when(col("i") % 2 === 0, col("mh"))).as("s0"),
-           min(when(col("i") % 2 === 1, col("mh"))).as("s1"))
+    // All 16 minhashes in ONE partial-aggregating groupBy (no 16× row
+    // blow-up via a params crossJoin — that shape shuffles 16× the
+    // shingle set and cannot survive 100 TB).
+    val mins = (0 until 16).map { i =>
+      min((col("hm") * (2L * i + 3L) + (7919L * i + 13L)) % P).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array((0 until 8).map { j =>
+        struct(lit(j).as("band"), col(s"mh${2 * j}").as("s0"), col(s"mh${2 * j + 1}").as("s1"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.s0").as("s0"), col("b.s1").as("s1"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.s0") === col("y.s0") && col("x.s1") === col("y.s1") &&
@@ -203,25 +205,25 @@ object LlmText extends QueryGroup {
       .orderBy(col("da"), col("db"))
   }
 
-  /** SimHash near-dup: 16-bit signature from ±1 bit votes of md5 token
-    * hashes; candidate pairs via 4×4-bit chunk buckets (pigeonhole: any
+  /** SimHash near-dup: 32-bit signature from ±1 bit votes of md5 token
+    * hashes; candidate pairs via 4×8-bit chunk buckets (pigeonhole: any
     * pair at hamming ≤ 3 shares ≥1 exact chunk → recall is exactly 1,
-    * so the all-pairs oracle is equal by construction). */
+    * so the all-pairs oracle is equal by construction). All 32 vote sums
+    * are aggregate expressions in ONE partial-aggregating groupBy — no
+    * per-bit crossJoin row blow-up — and 8-bit chunk keys give 256
+    * buckets per chunk, keeping the candidate self-join sparse at scale. */
   private val dedupSimhash: QFn = (s, d) => {
-    val bits = s.createDataFrame((0 until 16).map(i => (i, 1L << i)))
-      .toDF("bit", "w")
-    val sig = tokens(s, d)
-      .withColumn("hv", tokHash(col("tok")))
-      .crossJoin(broadcast(bits))
-      .withColumn("c", when(expr("shiftright(hv, bit)")
-        .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("bit"), col("w"))
-      .agg(sum(col("c")).as("sc"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("sc") > 0L, col("w")).otherwise(0L)).as("sig"))
+    val h = tokens(s, d).select(col("doc_id"), tokHash(col("tok")).as("hv"))
+    val votes = (0 until 32).map { b =>
+      sum(shiftright(col("hv"), b).bitwiseAND(1L) * 2L - 1L).as(s"v$b")
+    }
+    val sig = h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0L, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("key", expr("shiftright(sig, chunk * 4)").bitwiseAND(15L))
+      .withColumn("key", expr("shiftright(sig, chunk * 8)").bitwiseAND(255L))
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -377,14 +379,12 @@ object LlmText extends QueryGroup {
     "dedup_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
             h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT hv FROM toks),
-            bv AS (SELECT doc_id, b.bit, b.w,
+            bv AS (SELECT doc_id, b.bit,
                           CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END c
-                   FROM h CROSS JOIN (VALUES (0,1),(1,2),(2,4),(3,8),(4,16),(5,32),(6,64),
-                     (7,128),(8,256),(9,512),(10,1024),(11,2048),(12,4096),(13,8192),
-                     (14,16384),(15,32768)) b(bit, w)),
-            sc AS (SELECT doc_id, bit, w, sum(c) sc FROM bv GROUP BY 1, 2, 3),
+                   FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) b),
+            sc AS (SELECT doc_id, bit, sum(c) sc FROM bv GROUP BY 1, 2),
             sig AS (SELECT doc_id,
-                           CAST(sum(CASE WHEN sc > 0 THEN w ELSE 0 END) AS BIGINT) AS sig
+                           CAST(sum(CASE WHEN sc > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
                     FROM sc GROUP BY doc_id)
          SELECT a.doc_id da, b.doc_id db,
                 CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
