@@ -139,6 +139,29 @@ object Joins extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** Skew-salting idiom: the big side tags each row with one of 8 salts
+    * (any per-row hash — never in the output), the dimension side is
+    * replicated once per salt, and the join key becomes (key, salt) — a
+    * hot key's rows now land on 8 reducers instead of one. AQE's runtime
+    * skew split covers most cases; explicit salting is the hand tool for
+    * pathological keys, and the aggregated result is provably identical
+    * to the unsalted join (each big-side row matches exactly one replica). */
+  private val joinSalted: QFn = (s, d) => {
+    val salts = 8
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("salt", pmod(xxhash64(col("l_extendedprice")), lit(salts)).cast("int"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "join_broadcast" -> joinBroadcast,
     "join_shuffle" -> joinShuffle,
@@ -150,6 +173,7 @@ object Joins extends QueryGroup {
     "join_theta" -> joinTheta,
     "join_range_time" -> joinRangeTime,
     "join_asof" -> joinAsof,
+    "join_salted" -> joinSalted,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -221,5 +245,12 @@ object Joins extends QueryGroup {
            FROM events) t
          WHERE event_type = 'purchase'
          ORDER BY event_id ASC NULLS FIRST""",
+    "join_salted" ->
+      """SELECT o_orderstatus,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS FIRST""",
   )
 }

@@ -64,12 +64,48 @@ object Scans extends QueryGroup {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Bucketed sink + co-located large-large join: both fact tables are
+    * written bucketed (and sorted) by orderkey into the session catalog,
+    * so the join consumes bucket-aligned scans with NO shuffle exchange
+    * on either side (asserted in PlanSpec) — the canonical 100 TB layout
+    * when a big join key is reused across many queries: shuffle once at
+    * write time, never again at read time. */
+  private val sinkBucketed: QFn = (s, d) => {
+    val out = Tables.scratchDir
+    // repartition on the bucket key first: each write task then owns
+    // whole buckets, so the table lands as 8 files, not tasks × buckets
+    // small files — at 100 TB the small-file explosion is the classic
+    // bucketed-write failure mode.
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$out/bucketed_orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_bucketed")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$out/bucketed_lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_bucketed")
+    s.table("graft_lineitem_bucketed")
+      .join(s.table("graft_orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "scan_parquet" -> scanParquet,
     "scan_pruned" -> scanPruned,
     "ingest_csv" -> ingestCsv,
     "ingest_jsonl" -> ingestJsonl,
     "sink_partitioned" -> sinkPartitioned,
+    "sink_bucketed" -> sinkBucketed,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -86,5 +122,12 @@ object Scans extends QueryGroup {
     "sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n_orders FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""",
+    "sink_bucketed" ->
+      """SELECT o_orderpriority,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
   )
 }

@@ -45,6 +45,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
+  test("sink_bucketed joins the bucketed tables without a shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    // materialize the bucketed tables (also runs the full oracled query)
+    SparkEntry.queries("sink_bucketed")(spark, TestSpark.sf).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_lineitem_bucketed")
+        .join(spark.table("graft_orders_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // bucket-aligned scans: the join reads buckets directly, no Exchange
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
