@@ -145,6 +145,37 @@ object LlmVector extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame-sampling over the opaque binary column: split each blob into
+    * 256-byte frames, keep every 2nd frame (the decode/sample stub — a
+    * real video path would seek keyframes here), emit per-frame typed
+    * metadata. flatMap on the typed Dataset is the UDTF-shaped batch
+    * plumbing; oracled via the ASCII bytes==codepoints equivalence. */
+  private val multimodalFrames: QFn = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(256).zipWithIndex.collect { case (fr, i) if i % 2 == 0 =>
+          (id, i.toLong, fr.length.toLong,
+            fr.map(x => (x & 0xff).toLong).sum % 997L)
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame_bytes", "frame_checksum")
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** "Resize" for vector payloads: average-pool the 64-dim embedding down
+    * to 16 dims (4→1). Pure HOF — stays in codegen, no UDF. */
+  private val multimodalResize: QFn = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("""transform(sequence(0, 15), i -> round(
+                  (CAST(embedding[i*4] AS DOUBLE) + embedding[i*4+1]
+                   + embedding[i*4+2] + embedding[i*4+3]) / 4.0, 6))""").as("pooled"))
+      .orderBy(col("vec_id"))
+
   /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
     * embedding L2 norm per label. */
   private val multimodalJoin: QFn = (s, d) => {
@@ -165,6 +196,8 @@ object LlmVector extends QueryGroup {
     "sim_centroids" -> simCentroids,
     "dedup_embcos" -> dedupEmbcos,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_frames" -> multimodalFrames,
+    "multimodal_resize" -> multimodalResize,
     "multimodal_join" -> multimodalJoin,
   )
 
@@ -219,6 +252,25 @@ object LlmVector extends QueryGroup {
                 CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
                 CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte
          FROM documents ORDER BY doc_id ASC NULLS FIRST""",
+    "multimodal_frames" ->
+      """WITH f AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+                  substr(text, CAST(i * 256 + 1 AS INTEGER), 256) AS fr
+           FROM documents,
+                unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT), 2)) r(i))
+         SELECT doc_id, frame_no,
+                CAST(length(fr) AS BIGINT) AS frame_bytes,
+                CAST(list_reduce(list_prepend(0, list_transform(string_split(fr, ''), c -> ascii(c))),
+                                 (a, b) -> a + b) % 997 AS BIGINT) AS frame_checksum
+         FROM f
+         ORDER BY doc_id ASC NULLS FIRST, frame_no ASC NULLS FIRST""",
+    "multimodal_resize" ->
+      """SELECT vec_id,
+                list_transform(range(0, 16), i -> round(
+                  (e[CAST(i*4 + 1 AS INTEGER)] + e[CAST(i*4 + 2 AS INTEGER)]
+                   + e[CAST(i*4 + 3 AS INTEGER)] + e[CAST(i*4 + 4 AS INTEGER)]) / 4.0, 6)) AS pooled
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings) t
+         ORDER BY vec_id ASC NULLS FIRST""",
     "multimodal_join" ->
       """WITH j AS (
             SELECT label, CAST(length(text) AS DOUBLE) tlen,
