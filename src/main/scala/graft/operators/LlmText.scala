@@ -191,6 +191,10 @@ object LlmText extends QueryGroup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
+    // The verify joins key candidate pairs against the shingle sets; at
+    // 100 TB you would checkpoint `cand` and semi-join `sh` down to
+    // candidate docs first — uncheckpointed here, that doubles the
+    // banding pipeline, so verification joins the shared `sh` directly.
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("da"), col("s")), "da")

@@ -145,6 +145,46 @@ object LlmVector extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Squared L2 distance via zip_with/aggregate (exact doubles). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** K-means (k=4, 3 Lloyd iterations) over the embeddings — the learned
+    * coarse quantizer an IVF index builds on. No oracle (iterative), but
+    * fully deterministic: init = vectors 0..3, exact double arithmetic,
+    * nearest-centroid ties broken by min cid via struct ordering;
+    * VectorSpec asserts partition totals and that inertia shrinks vs the
+    * init assignment. Scale shape: each Lloyd step is one broadcast of k
+    * centroids + one partial-agg shuffle of k×dim centroid cells — the
+    * corpus is scanned, never shuffled. */
+  private val simKmeans: QFn = (s, d) => {
+    val k = 4
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(l2sq(col("v"), col("cv")).as("d2"), col("cid"))).as("m"),
+             first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    for (_ <- 1 to 3) {
+      cent = assign(cent)
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("c"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), transform(col("pc"), x => x.getField("c")).as("cv"))
+    }
+    assign(cent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), round(sum(col("d2")), 6).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
   /** Frame-sampling over the opaque binary column: split each blob into
     * 256-byte frames, keep every 2nd frame (the decode/sample stub — a
     * real video path would seek keyframes here), emit per-frame typed
@@ -194,6 +234,7 @@ object LlmVector extends QueryGroup {
     "sim_knn" -> simKnn,
     "sim_knn_ivf" -> simKnnIvf,
     "sim_centroids" -> simCentroids,
+    "sim_kmeans" -> simKmeans,
     "dedup_embcos" -> dedupEmbcos,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,

@@ -35,6 +35,14 @@ class VectorSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // codegen span covers the join+filter
   }
 
+  test("kmeans partitions the corpus and improves on the init assignment") {
+    val rows = SparkEntry.queries("sim_kmeans")(spark, TestSpark.sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = Tables.embeddings(spark, TestSpark.sf).count()
+    assert(total == corpus) // every vector assigned to exactly one cluster
+    assert(rows.length <= 4 && rows.forall(_.getDouble(2) >= 0.0))
+  }
+
   test("ivf ANN returns 10 rows and overlaps brute force") {
     val knn = SparkEntry.queries("sim_knn")(spark, TestSpark.sf)
       .collect().map(_.getLong(0)).toSet
