@@ -58,6 +58,27 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the hour before it. Watermarks on BOTH sides plus the
+    * two-sided time bound let Spark evict join state — without them a
+    * stream-stream join buffers forever; this is the production
+    * stream-enrichment shape. In batch the watermark is a no-op and the
+    * identical code runs as a plain interval join (StreamingSpec asserts
+    * equivalence). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("p_user"), col("c_ts"), col("c_value"))
+  }
+
   case class Ev(event_id: Long, ts_us: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class UserAgg(user_id: Long, n: Long, total: Double)

@@ -127,6 +127,26 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_join equals the batch interval join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.purchaseClickJoin(in.toDF())
+      .writeStream.format("memory").queryName("st_join")
+      .outputMode("append").start()
+    in.addData(evs.take(500)); q.processAllAvailable()
+    in.addData(evs.drop(500)); q.processAllAvailable()
+    // compare per-purchase click counts/sums (join keys are not unique rows)
+    def perPurchase(df: DataFrame): DataFrame =
+      df.groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_clicks"), sum(col("c_value")).as("sum_v"))
+    assertEquivalent(perPurchase(spark.table("st_join")),
+      perPurchase(StreamingOps.purchaseClickJoin(batchDf(evs))),
+      Seq("p_id", "n_clicks"), Seq("sum_v"))
+    q.stop()
+  }
+
   test("stream_stateful running per-user totals equal batch aggregates") {
     val sp = spark
     import sp.implicits._
