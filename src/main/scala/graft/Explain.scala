@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dumps `explain("formatted")` for headline queries (PLANS.md is the
+  * committed snapshot). Used to iterate on physical shapes — pushdown,
+  * broadcast choices, codegen spans — not just row correctness.
+  */
+object Explain {
+  val headline: Seq[String] = Seq(
+    "scan_pruned", "join_broadcast", "join_shuffle", "agg_pricing_summary",
+    "topk_global", "win_running_sum", "dedup_exact", "dedup_near_minhash",
+    "sim_knn", "events_tumbling")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else headline
+    names.foreach { n =>
+      println(s"\n## $n\n")
+      println("```")
+      println(SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted")).trim)
+      println("```")
+    }
+    spark.stop()
+  }
+}
