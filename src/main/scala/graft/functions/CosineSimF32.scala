@@ -20,6 +20,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),0D,+)` over
   * `sqrt(Σx²)·sqrt(Σy²)` and therefore to the DuckDB oracle recipe
   * (SURVEY.md §7.3.3). VectorSpec asserts the equivalence exactly.
+  *
+  * Edge cases (deliberately NOT the HOF behavior, which null-propagates):
+  * unequal lengths truncate to the shorter array; null elements read as
+  * 0.0. Callers needing null-propagation should pre-filter — the fixture
+  * embeddings are fixed-width non-null, so oracled queries are unaffected.
   */
 case class CosineSimF32(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -47,7 +47,8 @@ object Udx extends QueryGroup {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split(" ")
+        // limit -1 keeps trailing empty tokens, matching DuckDB string_split
+        val t = text.split(" ", -1)
         (0 to t.length - 3).iterator.map(i =>
           (id, i.toLong, s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
       }

@@ -53,15 +53,18 @@ object LlmText extends QueryGroup {
     * pass — the (doc_id, tok) exchange is identical in both branches, so
     * ReuseExchange scans and explodes the corpus once. */
   private val textTfidf: QFn = (s, d) => {
-    val n = Tables.documents(s, d).count()
+    // corpus size as a lazy 1-row broadcast, not an eager driver count()
+    // (constructing the DataFrame must not run a Spark job)
+    val n = Tables.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
     val tf = tokens(s, d).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("tok"))
     tf.join(df, "tok")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast(DoubleType) *
-          log((lit(n.toDouble) + 1.0) / (col("df").cast(DoubleType) + 1.0)))
+          log((col("n_docs") + 1.0) / (col("df").cast(DoubleType) + 1.0)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("tok").as("term"), round(col("tfidf"), 6).as("tfidf"))
@@ -169,6 +172,10 @@ object LlmText extends QueryGroup {
     val P = 2147483647L
     val sh = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
+      // <3-token docs have no 3-shingles; without this filter
+      // sequence(0, size-3) would DESCEND (default step -1) and fabricate
+      // null-padded shingles the oracle's empty range never produces
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
         .as("s"))
@@ -243,7 +250,8 @@ object LlmText extends QueryGroup {
   /** Exact character-5-gram Jaccard pairs ≥ 0.55 among the first 150
     * docs — the exact (capped) companion to the LSH paths. */
   private val dedupNgramJaccard: QFn = (s, d) => {
-    val g = Tables.documents(s, d).filter(col("doc_id") < 150L)
+    val g = Tables.documents(s, d)
+      .filter(col("doc_id") < 150L && length(col("text")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
         .as("s"))

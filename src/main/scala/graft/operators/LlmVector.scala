@@ -32,6 +32,18 @@ object LlmVector extends QueryGroup {
         / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $a[i])), (x, y) -> x + y))
          * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
 
+  /** Per-group mean vector: posexplode → per-dimension avg → rebuild the
+    * array ordered by dimension (shared by the IVF and k-means coarse
+    * quantizers — shuffles k×dim cells, never vectors). */
+  private def meanVector(df: DataFrame, key: Column, vec: Column,
+                         outKey: String, outVec: String): DataFrame =
+    df.select(key.as("mv_k"), posexplode(vec))
+      .groupBy(col("mv_k"), col("pos"))
+      .agg(avg(col("col").cast(DoubleType)).as("c"))
+      .groupBy(col("mv_k"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("mv_k").as(outKey), transform(col("pc"), x => x.getField("c")).as(outVec))
+
   /** Pairwise cosine among the first 200 vectors, pairs above 0.3.
     * The N-cap is the explicit guard on the quadratic step. */
   private val simCosinePairs: QFn = (s, d) => {
@@ -65,14 +77,10 @@ object LlmVector extends QueryGroup {
     * probe the 3 nearest cells, exact search inside. At scale this reads
     * ~nprobe/ncells of the corpus instead of all of it. */
   private val simKnnIvf: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
-    val cent = e.select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col").cast(DoubleType)).as("c"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+    val cent = meanVector(e, col("label"), col("embedding"), "label", "centroid")
     val probed = cent.crossJoin(broadcast(q))
       .select(col("label"), cosine(col("centroid"), col("qe")).as("ccos"))
       .orderBy(col("ccos").desc, col("label")).limit(3)
@@ -137,8 +145,9 @@ object LlmVector extends QueryGroup {
           // deterministic byte arithmetic so the pipeline stays testable.
           val n = bytes.length.toLong
           val checksum = bytes.map(x => (x & 0xff).toLong).sum % 997L
-          (id, n, n % 64L, n / 64L, checksum,
-            (bytes.head & 0xff).toLong, (bytes.last & 0xff).toLong)
+          val first = if (n > 0) (bytes.head & 0xff).toLong else 0L
+          val last = if (n > 0) (bytes.last & 0xff).toLong else 0L
+          (id, n, n % 64L, n / 64L, checksum, first, last)
         }
       }
       .toDF("doc_id", "n_bytes", "meta_w", "meta_h", "checksum", "first_byte", "last_byte")
@@ -171,14 +180,8 @@ object LlmVector extends QueryGroup {
         .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.d2").as("d2"))
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
-    for (_ <- 1 to 3) {
-      cent = assign(cent)
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("c"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cid"), transform(col("pc"), x => x.getField("c")).as("cv"))
-    }
+    for (_ <- 1 to 3)
+      cent = meanVector(assign(cent), col("cid"), col("v"), "cid", "cv")
     assign(cent)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"), round(sum(col("d2")), 6).as("inertia"))
