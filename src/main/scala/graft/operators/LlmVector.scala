@@ -168,8 +168,9 @@ object LlmVector extends QueryGroup {
     * init assignment. Scale shape: each Lloyd step is one broadcast of k
     * centroids + one partial-agg shuffle of k×dim centroid cells — the
     * corpus is scanned, never shuffled. */
-  private val simKmeans: QFn = (s, d) => {
-    val k = 4
+  /** Final (vec_id, cid, d2) assignment after `iters` Lloyd iterations
+    * (package-visible so LawsSpec can assert inertia monotonicity). */
+  private[graft] def kmeansFit(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     def assign(cent: DataFrame): DataFrame =
@@ -180,13 +181,16 @@ object LlmVector extends QueryGroup {
         .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.d2").as("d2"))
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
-    for (_ <- 1 to 3)
+    for (_ <- 1 to iters)
       cent = meanVector(assign(cent), col("cid"), col("v"), "cid", "cv")
     assign(cent)
+  }
+
+  private val simKmeans: QFn = (s, d) =>
+    kmeansFit(s, d, k = 4, iters = 3)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vecs"), round(sum(col("d2")), 6).as("inertia"))
       .orderBy(col("cid"))
-  }
 
   /** Frame-sampling over the opaque binary column: split each blob into
     * 256-byte frames, keep every 2nd frame (the decode/sample stub — a

@@ -70,6 +70,29 @@ class LawsSpec extends AnyFunSuite {
     assert(exact == got, s"missed: ${exact.diff(got)}, extra: ${got.diff(exact)}")
   }
 
+  test("kmeans inertia is monotonically non-increasing over Lloyd iterations") {
+    def inertia(iters: Int): Double =
+      operators.LlmVector.kmeansFit(spark, sf, k = 4, iters = iters)
+        .agg(sum(col("d2"))).collect()(0).getDouble(0)
+    val i0 = inertia(0); val i1 = inertia(1); val i3 = inertia(3)
+    assert(i1 <= i0 + 1e-9, s"$i1 > $i0")
+    assert(i3 <= i1 + 1e-9, s"$i3 > $i1")
+  }
+
+  test("text_normalize is idempotent (normalized text is a fixpoint)") {
+    val out = SparkEntry.queries("text_normalize")(spark, sf)
+    val renorm = out.select(col("doc_id"),
+      regexp_replace(trim(regexp_replace(lower(col("norm_text")), "[^a-z0-9 ]", "")),
+        " +", " ").as("again"), col("norm_text"))
+    assert(renorm.filter(col("again") =!= col("norm_text")).count() == 0)
+  }
+
+  test("intersect and except partition a distinct set") {
+    val a = Tables.customer(spark, sf).select(col("c_custkey")).distinct()
+    val b = Tables.orders(spark, sf).select(col("o_custkey").as("c_custkey")).distinct()
+    assert(a.intersect(b).count() + a.except(b).count() == a.count())
+  }
+
   test("geomean aggregator matches exp(avg(ln)) closed form") {
     val got = SparkEntry.queries("udaf_geomean")(spark, sf)
     val expected = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
