@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +29,18 @@ object Joins extends QueryGroup {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Money-exact revenue sum: per-element double product (identical in
+    * both engines) cast to DECIMAL(18,6) BEFORE aggregation, so the sum
+    * is order-independent — a plain double sum over 100k+ rows diverges
+    * from the oracle at the 4th decimal once plans reorder accumulation
+    * (seen at sf0.1 with the bucketed plan; SURVEY.md §7.4 policy). */
+  private[operators] def revenueSum: Column =
+    round(sum(expr("CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))"))
+      .cast("double"), 4)
+
+  private[operators] val revenueSumSql =
+    "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)"
+
   /** lineitem⨝orders on orderkey — large-large, shuffle/sort-merge:
     * revenue per order priority. */
   private val joinShuffle: QFn = (s, d) => {
@@ -35,8 +48,7 @@ object Joins extends QueryGroup {
     val o = Tables.orders(s, d)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-             .as("revenue"),
+      .agg(revenueSum.as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
   }
@@ -156,8 +168,7 @@ object Joins extends QueryGroup {
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
       .groupBy(col("o_orderstatus"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-             .as("revenue"),
+      .agg(revenueSum.as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderstatus"))
   }
@@ -186,8 +197,8 @@ object Joins extends QueryGroup {
          GROUP BY r_name, n_name
          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
     "join_shuffle" ->
-      """SELECT o_orderpriority,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      s"""SELECT o_orderpriority,
+                $revenueSumSql AS revenue,
                 count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority
@@ -246,8 +257,8 @@ object Joins extends QueryGroup {
          WHERE event_type = 'purchase'
          ORDER BY event_id ASC NULLS FIRST""",
     "join_salted" ->
-      """SELECT o_orderstatus,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      s"""SELECT o_orderstatus,
+                $revenueSumSql AS revenue,
                 count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus

@@ -93,8 +93,7 @@ object Scans extends QueryGroup {
     s.table("graft_lineitem_bucketed")
       .join(s.table("graft_orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-             .as("revenue"),
+      .agg(Joins.revenueSum.as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
   }
@@ -123,8 +122,8 @@ object Scans extends QueryGroup {
       """SELECT o_orderstatus, count(*) AS n_orders FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""",
     "sink_bucketed" ->
-      """SELECT o_orderpriority,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      s"""SELECT o_orderpriority,
+                ${Joins.revenueSumSql} AS revenue,
                 count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority
