@@ -98,9 +98,37 @@ object Scans extends QueryGroup {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dynamic partition pruning: a hive-partitioned fact joined to a
+    * selectively-filtered dim — Catalyst injects a runtime partition
+    * filter from the broadcast dim (PlanSpec asserts dynamicpruning in
+    * PartitionFilters), so at 100 TB only the surviving partitions are
+    * ever read even though the fact side has no static predicate. */
+  private val scanDpp: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/dpp_orders"
+    val dimOut = s"${Tables.scratchDir}/dpp_status_dim"
+    Tables.orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    // the dim must be a file scan filtered on a NON-join column: a filter
+    // on the join key would be inferred statically, and a local relation
+    // folds the filter away — neither exercises runtime pruning
+    Tables.orders(s, d).select(col("o_orderstatus")).distinct()
+      .withColumn("status_name",
+        when(col("o_orderstatus") === "F", "closed").otherwise("other"))
+      .coalesce(1).write.mode("overwrite").parquet(dimOut)
+    val fact = s.read.parquet(out)
+    val dim = s.read.parquet(dimOut).filter(col("status_name") === "closed")
+    fact.join(dim.hint("broadcast"), Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus").cast(StringType).as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(expr("CAST(o_totalprice AS DECIMAL(18,4))")).cast("double"), 2)
+             .as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "scan_parquet" -> scanParquet,
     "scan_pruned" -> scanPruned,
+    "scan_dpp" -> scanDpp,
     "ingest_csv" -> ingestCsv,
     "ingest_jsonl" -> ingestJsonl,
     "sink_partitioned" -> sinkPartitioned,
@@ -114,6 +142,12 @@ object Scans extends QueryGroup {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
          ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""",
+    "scan_dpp" ->
+      """SELECT o_orderstatus,
+                count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""",
     "ingest_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey ASC NULLS FIRST",
     "ingest_jsonl" ->

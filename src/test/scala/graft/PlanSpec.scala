@@ -45,6 +45,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
+  test("scan_dpp injects a runtime partition filter from the dim side") {
+    val df = SparkEntry.queries("scan_dpp")(spark, TestSpark.sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("sink_bucketed joins the bucketed tables without a shuffle exchange") {
     import org.apache.spark.sql.functions.col
     // materialize the bucketed tables (also runs the full oracled query)
