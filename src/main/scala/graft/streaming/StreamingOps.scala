@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** SURVEY.md §2.J — Structured Streaming operators.
   *
@@ -97,5 +98,31 @@ object StreamingOps {
           state.update((n, t))
           Iterator(UserAgg(uid, n, t))
       }
+  }
+
+  case class UserMax(user_id: Long, max_value: Double)
+
+  /** Spark 4.x-native arbitrary state (transformWithState): running
+    * per-user max via a typed ValueState. Requires the RocksDB state
+    * store provider — the production choice anyway: state spills to
+    * disk instead of growing the executor heap. */
+  class MaxValueProcessor extends StatefulProcessor[Long, Ev, UserMax] {
+    @transient private var state: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Double]("max_value", Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserMax] = {
+      val prev = if (state.exists()) state.get() else Double.NegativeInfinity
+      val mx = rows.foldLeft(prev)((m, e) => math.max(m, e.value))
+      state.update(mx)
+      Iterator(UserMax(key, mx))
+    }
+  }
+
+  def runningMaxPerUser(ds: Dataset[Ev]): Dataset[UserMax] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new MaxValueProcessor, TimeMode.None(), OutputMode.Update)
   }
 }

@@ -147,6 +147,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_tws transformWithState running max equals batch max") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    try {
+      spark.conf.set(provider,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[Ev]
+      val q = StreamingOps.runningMaxPerUser(in.toDS())
+        .writeStream.format("memory").queryName("st_tws")
+        .outputMode("update").start()
+      in.addData(evs.take(400)); q.processAllAvailable()
+      in.addData(evs.drop(400)); q.processAllAvailable()
+      val finals = spark.table("st_tws")
+        .groupBy(col("user_id")).agg(max(col("max_value")).as("max_value"))
+      val exp = batchDf(evs).groupBy(col("user_id"))
+        .agg(max(col("value")).as("max_value"))
+      assertEquivalent(finals, exp, Seq("user_id"), Seq("max_value"))
+      q.stop()
+    } finally spark.conf.set(provider, prev)
+  }
+
   test("stream_stateful running per-user totals equal batch aggregates") {
     val sp = spark
     import sp.implicits._
