@@ -160,16 +160,13 @@ object LlmVector extends QueryGroup {
         (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
       lit(0.0), (acc, v) => acc + v)
 
-  /** K-means (k=4, 3 Lloyd iterations) over the embeddings — the learned
-    * coarse quantizer an IVF index builds on. No oracle (iterative), but
-    * fully deterministic: init = vectors 0..3, exact double arithmetic,
-    * nearest-centroid ties broken by min cid via struct ordering;
-    * VectorSpec asserts partition totals and that inertia shrinks vs the
-    * init assignment. Scale shape: each Lloyd step is one broadcast of k
-    * centroids + one partial-agg shuffle of k×dim centroid cells — the
-    * corpus is scanned, never shuffled. */
-  /** Final (vec_id, cid, d2) assignment after `iters` Lloyd iterations
-    * (package-visible so LawsSpec can assert inertia monotonicity). */
+  /** Lloyd k-means over the embeddings: final (vec_id, cid, d2)
+    * assignment after `iters` iterations. Fully deterministic — init =
+    * vectors 0..k-1, exact double arithmetic, nearest-centroid ties
+    * broken by min cid via struct ordering. Scale shape: each iteration
+    * is one broadcast of k centroids + one partial-agg shuffle of k×dim
+    * centroid cells — the corpus is scanned, never shuffled.
+    * Package-visible so LawsSpec can assert inertia monotonicity. */
   private[graft] def kmeansFit(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
@@ -186,6 +183,9 @@ object LlmVector extends QueryGroup {
     assign(cent)
   }
 
+  /** The declared query: k=4, 3 iterations, per-cluster size + inertia.
+    * No oracle (iterative); VectorSpec asserts the partition covers the
+    * corpus, LawsSpec asserts inertia never increases per iteration. */
   private val simKmeans: QFn = (s, d) =>
     kmeansFit(s, d, k = 4, iters = 3)
       .groupBy(col("cid"))

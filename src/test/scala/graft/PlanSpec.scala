@@ -46,8 +46,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("scan_dpp injects a runtime partition filter from the dim side") {
-    val df = SparkEntry.queries("scan_dpp")(spark, TestSpark.sf)
-    val p = df.queryExecution.executedPlan.toString
+    val p = plan("scan_dpp")
     assert(p.contains("dynamicpruning"), p)
   }
 

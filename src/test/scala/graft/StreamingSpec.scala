@@ -153,11 +153,12 @@ class StreamingSpec extends AnyFunSuite {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val provider = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(provider)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       spark.conf.set(provider,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val in = MemoryStream[Ev]
-      val q = StreamingOps.runningMaxPerUser(in.toDS())
+      q = StreamingOps.runningMaxPerUser(in.toDS())
         .writeStream.format("memory").queryName("st_tws")
         .outputMode("update").start()
       in.addData(evs.take(400)); q.processAllAvailable()
@@ -167,8 +168,10 @@ class StreamingSpec extends AnyFunSuite {
       val exp = batchDf(evs).groupBy(col("user_id"))
         .agg(max(col("value")).as("max_value"))
       assertEquivalent(finals, exp, Seq("user_id"), Seq("max_value"))
-      q.stop()
-    } finally spark.conf.set(provider, prev)
+    } finally {
+      if (q != null) q.stop()
+      spark.conf.set(provider, prev)
+    }
   }
 
   test("stream_stateful running per-user totals equal batch aggregates") {
