@@ -70,6 +70,29 @@ class LawsSpec extends AnyFunSuite {
     assert(exact == got, s"missed: ${exact.diff(got)}, extra: ${got.diff(exact)}")
   }
 
+  test("simhash chunk buckets have recall 1 vs all-pairs hamming (pigeonhole)") {
+    // recompute the 32-bit signatures exactly as the operator does, then
+    // compare its bucketed candidate pairs with the O(n²) reference
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
+    val votes = (0 until 32).map { b =>
+      sum(shiftright(col("hv"), b).bitwiseAND(1L) * 2L - 1L).as(s"v$b")
+    }
+    val sig = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0L, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allPairs = (for {
+      (da, sa) <- sig; (db, sb) <- sig if da < db
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (da, db)).toSet
+    val got = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == allPairs, s"missed: ${allPairs.diff(got)}, extra: ${got.diff(allPairs)}")
+  }
+
   test("kmeans inertia is monotonically non-increasing over Lloyd iterations") {
     def inertia(iters: Int): Double =
       operators.LlmVector.kmeansFit(spark, sf, k = 4, iters = iters)
