@@ -151,6 +151,26 @@ object Joins extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** Star join over the full dimension chain: lineitem⨝supplier⨝nation⨝
+    * region, revenue per region — the fact table streams through three
+    * broadcast-hash joins with no shuffle until the final aggregation
+    * (smallest-first join order; SURVEY.md §4). Completes query coverage
+    * of all ten fixture tables. */
+  private val joinStar: QFn = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(revenueSum.as("revenue"),
+           countDistinct(col("s_suppkey")).as("n_suppliers"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
   /** Skew-salting idiom: the big side tags each row with one of 8 salts
     * (any per-row hash — never in the output), the dimension side is
     * replicated once per salt, and the join key becomes (key, salt) — a
@@ -185,6 +205,7 @@ object Joins extends QueryGroup {
     "join_range_time" -> joinRangeTime,
     "join_asof" -> joinAsof,
     "join_salted" -> joinSalted,
+    "join_star" -> joinStar,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -256,6 +277,17 @@ object Joins extends QueryGroup {
            FROM events) t
          WHERE event_type = 'purchase'
          ORDER BY event_id ASC NULLS FIRST""",
+    "join_star" ->
+      s"""SELECT r_name,
+                $revenueSumSql AS revenue,
+                count(DISTINCT s_suppkey) AS n_suppliers,
+                count(*) AS n_lines
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name
+         ORDER BY r_name ASC NULLS FIRST""",
     "join_salted" ->
       s"""SELECT o_orderstatus,
                 $revenueSumSql AS revenue,
