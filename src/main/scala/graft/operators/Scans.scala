@@ -98,6 +98,21 @@ object Scans extends QueryGroup {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Raw text-lines round-trip — the canonical LLM corpus format: one
+    * document per line out via write.text, back in via read.text, then
+    * aggregate (order is not preserved by the round-trip, so the query
+    * is the order-free corpus profile; oracle computes it from the
+    * original table). */
+  private val ingestText: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/ingest_text"
+    Tables.documents(s, d).select(col("text"))
+      .coalesce(1).write.mode("overwrite").text(out)
+    s.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+           sum(length(col("value"))).as("total_chars"),
+           sum(size(split(col("value"), " "))).as("total_tokens"))
+  }
+
   /** Dynamic partition pruning: a hive-partitioned fact joined to a
     * selectively-filtered dim — Catalyst injects a runtime partition
     * filter from the broadcast dim (PlanSpec asserts dynamicpruning in
@@ -131,6 +146,7 @@ object Scans extends QueryGroup {
     "scan_dpp" -> scanDpp,
     "ingest_csv" -> ingestCsv,
     "ingest_jsonl" -> ingestJsonl,
+    "ingest_text" -> ingestText,
     "sink_partitioned" -> sinkPartitioned,
     "sink_bucketed" -> sinkBucketed,
   )
@@ -152,6 +168,11 @@ object Scans extends QueryGroup {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey ASC NULLS FIRST",
     "ingest_jsonl" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey ASC NULLS FIRST",
+    "ingest_text" ->
+      """SELECT count(*) AS n_lines,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         FROM documents""",
     "sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n_orders FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""",

@@ -125,4 +125,17 @@ object StreamingOps {
     ds.groupByKey(_.user_id)
       .transformWithState(new MaxValueProcessor, TimeMode.None(), OutputMode.Update)
   }
+
+  /** foreachBatch sink pattern: per-micro-batch parquet append keyed by
+    * batchId — the production escape hatch for sinks Structured Streaming
+    * lacks natively (JDBC upserts, multi-table writes). batchId makes the
+    * write idempotent under retries: a replayed batch overwrites its own
+    * directory instead of duplicating rows. */
+  def sinkPerBatch(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
 }

@@ -174,6 +174,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_foreach_batch parquet sink holds exactly the fed rows") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = s"${Tables.scratchDir}/st_foreach_batch"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(out)) // stale batch dirs from prior runs
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.sinkPerBatch(in.toDF(), out).start()
+    in.addData(evs.take(300)); q.processAllAvailable()
+    in.addData(evs.drop(300)); q.processAllAvailable()
+    q.stop()
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() == evs.length)
+    // batchId partitioning visible, and ids/values round-trip exactly
+    assert(readBack.select(col("batch_id")).distinct().count() >= 2)
+    assert(readBack.agg(sum(col("event_id"))).collect()(0).getLong(0)
+      == evs.map(_.event_id).sum)
+  }
+
   test("stream_stateful running per-user totals equal batch aggregates") {
     val sp = spark
     import sp.implicits._
