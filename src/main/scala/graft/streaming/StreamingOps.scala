@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** SURVEY.md §2.J — Structured Streaming operators.
   *
@@ -124,6 +124,68 @@ object StreamingOps {
     import sp.implicits._
     ds.groupByKey(_.user_id)
       .transformWithState(new MaxValueProcessor, TimeMode.None(), OutputMode.Update)
+  }
+
+  case class SessionSt(start_ms: Long, last_ms: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_s: Long, n_events: Long)
+
+  /** Event-time session windows via explicit timers: in-batch gap splits
+    * emit closed sessions immediately; the open session is emitted by an
+    * event-time timer at last_ts + gap once the watermark passes it —
+    * the hand-built equivalent of session_window(), and the canonical
+    * use of the timer API. Gap semantics are half-open ([start, last+gap))
+    * to match session_window exactly; StreamingSpec asserts equivalence. */
+  class SessionGapProcessor(gapMs: Long) extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var state: ValueState[SessionSt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionSt](
+        "open_session", Encoders.product[SessionSt], TTLConfig.NONE)
+
+    private def toOut(key: Long, st: SessionSt): SessionOut =
+      SessionOut(key, st.start_ms / 1000L, st.n)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us.getTime, e.event_id))
+      var closed = List.empty[SessionOut]
+      var open: Option[SessionSt] = if (state.exists()) Some(state.get()) else None
+      for (e <- sorted) {
+        val t = e.ts_us.getTime
+        open = open match {
+          case Some(st) if t - st.last_ms >= gapMs =>
+            closed ::= toOut(key, st); Some(SessionSt(t, t, 1))
+          case Some(st) =>
+            Some(st.copy(last_ms = math.max(st.last_ms, t), n = st.n + 1))
+          case None => Some(SessionSt(t, t, 1))
+        }
+      }
+      open.foreach { st =>
+        state.update(st)
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(st.last_ms + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (state.exists()) {
+        val st = state.get()
+        if (info.getExpiryTimeInMs >= st.last_ms + gapMs) {
+          state.clear(); Iterator(toOut(key, st))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** Session counts via the timer processor; requires an event-time
+    * watermark on the input for TimeMode.EventTime. */
+  def sessionsByTimer(ds: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    ds.withWatermark("ts_us", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionGapProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Update)
   }
 
   /** foreachBatch sink pattern: per-micro-batch parquet append keyed by

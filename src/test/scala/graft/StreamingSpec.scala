@@ -174,6 +174,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_timer_sessions equal batch session_window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      spark.conf.set(provider,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[Ev]
+      q = StreamingOps.sessionsByTimer(in.toDS(), 30L * 60 * 1000)
+        .writeStream.format("memory").queryName("st_timer")
+        .outputMode("update").start()
+      in.addData(evs); q.processAllAvailable()
+      // sentinel advances the watermark so every real session's timer fires
+      val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
+      in.addData(Seq(sentinel)); q.processAllAvailable()
+      assertEquivalent(
+        spark.table("st_timer").filter(col("user_id") =!= 999999L),
+        StreamingOps.sessionCounts(batchDf(evs)),
+        Seq("user_id", "session_start_s", "n_events"), Seq.empty)
+    } finally {
+      if (q != null) q.stop()
+      spark.conf.set(provider, prev)
+    }
+  }
+
   test("stream_foreach_batch parquet sink holds exactly the fed rows") {
     val sp = spark
     import sp.implicits._
