@@ -123,6 +123,17 @@ object Aggregates extends QueryGroup {
            round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
       .orderBy(col("lang"))
 
+  /** t-digest sketch percentiles — the constant-memory scale path the
+    * exact sort-based percentile cannot take at 100 TB. Approximate →
+    * no oracle, like agg_approx_distinct. */
+  private val aggApproxQuantiles: QFn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("q"))
+      .select(col("event_type"),
+        col("q")(0).as("p50"), col("q")(1).as("p90"), col("q")(2).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -135,6 +146,7 @@ object Aggregates extends QueryGroup {
     "agg_pivot" -> aggPivot,
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
+    "agg_approx_quantiles" -> aggApproxQuantiles,
   )
 
   val oracles: Seq[(String, String)] = Seq(
