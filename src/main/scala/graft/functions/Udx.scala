@@ -56,13 +56,37 @@ object Udx extends QueryGroup {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Custom TypedImperativeAggregate (HistogramAgg): 10-bin histogram of
+    * event values over [0, 500) per event type — the buffer/merge shape
+    * of real sketches, with exactly-reproducible (oracled) output. */
+  private val udafHistogram: QFn = (s, d) => {
+    graft.functions.HistogramAgg.ensureRegistered(s)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("histogram10(value)").as("hist"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "udf_jaccard" -> udfJaccard,
     "udaf_geomean" -> udafGeomean,
+    "udaf_histogram" -> udafHistogram,
     "udtf_ngrams" -> udtfNgrams,
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "udaf_histogram" ->
+      """WITH b AS (SELECT event_type,
+                           CAST(least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS INT) AS bin
+                    FROM events),
+            c AS (SELECT event_type, bin, count(*) n FROM b GROUP BY 1, 2),
+            g AS (SELECT DISTINCT event_type, CAST(gs.i AS INT) AS bin
+                  FROM events CROSS JOIN (SELECT unnest(range(10)) AS i) gs)
+         SELECT event_type,
+                list(CAST(coalesce(n, 0) AS BIGINT) ORDER BY bin) AS hist
+         FROM g LEFT JOIN c USING (event_type, bin)
+         GROUP BY event_type
+         ORDER BY event_type ASC NULLS FIRST""",
     "udf_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
             b AS (SELECT toks AS toks0 FROM t WHERE doc_id = 0)
