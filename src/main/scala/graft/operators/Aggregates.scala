@@ -123,9 +123,11 @@ object Aggregates extends QueryGroup {
            round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
       .orderBy(col("lang"))
 
-  /** t-digest sketch percentiles — the constant-memory scale path the
-    * exact sort-based percentile cannot take at 100 TB. Approximate →
-    * no oracle, like agg_approx_distinct. */
+  /** Sketch percentiles via approx_percentile (Greenwald-Khanna
+    * QuantileSummaries with compression 1000 — rank-error bounded) —
+    * the constant-memory scale path the exact sort-based percentile
+    * cannot take at 100 TB. Approximate → no oracle, like
+    * agg_approx_distinct. */
   private val aggApproxQuantiles: QFn = (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))

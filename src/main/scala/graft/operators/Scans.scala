@@ -105,7 +105,11 @@ object Scans extends QueryGroup {
     * original table). */
   private val ingestText: QFn = (s, d) => {
     val out = s"${Tables.scratchDir}/ingest_text"
+    // one doc per line only holds for newline-free non-null text; filter
+    // (mirrored in the oracle) so a fixture change cannot silently skew
+    // the round-trip counts
     Tables.documents(s, d).select(col("text"))
+      .filter(col("text").isNotNull && !col("text").contains("\n"))
       .coalesce(1).write.mode("overwrite").text(out)
     s.read.text(out)
       .agg(count(lit(1)).as("n_lines"),
@@ -172,7 +176,8 @@ object Scans extends QueryGroup {
       """SELECT count(*) AS n_lines,
                 CAST(sum(length(text)) AS BIGINT) AS total_chars,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-         FROM documents""",
+         FROM documents
+         WHERE text IS NOT NULL AND NOT contains(text, chr(10))""",
     "sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n_orders FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""",

@@ -126,43 +126,50 @@ object StreamingOps {
       .transformWithState(new MaxValueProcessor, TimeMode.None(), OutputMode.Update)
   }
 
-  case class SessionSt(start_ms: Long, last_ms: Long, n: Long)
+  case class SessionSt(start_us: Long, last_us: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_s: Long, n_events: Long)
 
   /** Event-time session windows via explicit timers: in-batch gap splits
     * emit closed sessions immediately; the open session is emitted by an
     * event-time timer at last_ts + gap once the watermark passes it —
     * the hand-built equivalent of session_window(), and the canonical
-    * use of the timer API. Gap semantics are half-open ([start, last+gap))
-    * to match session_window exactly; StreamingSpec asserts equivalence. */
-  class SessionGapProcessor(gapMs: Long) extends StatefulProcessor[Long, Ev, SessionOut] {
+    * use of the timer API. Gap comparison happens at MICROsecond
+    * precision ([start, last+gap) half-open) because session_window
+    * compares full event-time precision — ms-truncated Timestamp.getTime
+    * would misclassify events within ~1ms of a gap boundary. Timers are
+    * ms-granular, so registration rounds the expiry UP (never early).
+    * StreamingSpec asserts equivalence against batch session_window. */
+  class SessionGapProcessor(gapUs: Long) extends StatefulProcessor[Long, Ev, SessionOut] {
     @transient private var state: ValueState[SessionSt] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[SessionSt](
         "open_session", Encoders.product[SessionSt], TTLConfig.NONE)
 
+    private def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
     private def toOut(key: Long, st: SessionSt): SessionOut =
-      SessionOut(key, st.start_ms / 1000L, st.n)
+      SessionOut(key, st.start_us / 1000000L, st.n)
 
     override def handleInputRows(key: Long, rows: Iterator[Ev],
                                  tv: TimerValues): Iterator[SessionOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts_us.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts_us), e.event_id))
       var closed = List.empty[SessionOut]
       var open: Option[SessionSt] = if (state.exists()) Some(state.get()) else None
       for (e <- sorted) {
-        val t = e.ts_us.getTime
+        val t = micros(e.ts_us)
         open = open match {
-          case Some(st) if t - st.last_ms >= gapMs =>
+          case Some(st) if t - st.last_us >= gapUs =>
             closed ::= toOut(key, st); Some(SessionSt(t, t, 1))
           case Some(st) =>
-            Some(st.copy(last_ms = math.max(st.last_ms, t), n = st.n + 1))
+            Some(st.copy(last_us = math.max(st.last_us, t), n = st.n + 1))
           case None => Some(SessionSt(t, t, 1))
         }
       }
       open.foreach { st =>
         state.update(st)
-        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
-        getHandle.registerTimer(st.last_ms + gapMs)
+        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((st.last_us + gapUs + 999L) / 1000L)
       }
       closed.reverse.iterator
     }
@@ -171,7 +178,7 @@ object StreamingOps {
                                     info: ExpiredTimerInfo): Iterator[SessionOut] =
       if (state.exists()) {
         val st = state.get()
-        if (info.getExpiryTimeInMs >= st.last_ms + gapMs) {
+        if (info.getExpiryTimeInMs * 1000L >= st.last_us + gapUs) {
           state.clear(); Iterator(toOut(key, st))
         } else Iterator.empty
       } else Iterator.empty
@@ -179,12 +186,12 @@ object StreamingOps {
 
   /** Session counts via the timer processor; requires an event-time
     * watermark on the input for TimeMode.EventTime. */
-  def sessionsByTimer(ds: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+  def sessionsByTimer(ds: Dataset[Ev], gapUs: Long): Dataset[SessionOut] = {
     val sp = ds.sparkSession
     import sp.implicits._
     ds.withWatermark("ts_us", "0 seconds")
       .groupByKey(_.user_id)
-      .transformWithState(new SessionGapProcessor(gapMs),
+      .transformWithState(new SessionGapProcessor(gapUs),
         TimeMode.EventTime(), OutputMode.Update)
   }
 

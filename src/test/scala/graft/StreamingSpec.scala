@@ -185,7 +185,7 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.set(provider,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val in = MemoryStream[Ev]
-      q = StreamingOps.sessionsByTimer(in.toDS(), 30L * 60 * 1000)
+      q = StreamingOps.sessionsByTimer(in.toDS(), 30L * 60 * 1000 * 1000)
         .writeStream.format("memory").queryName("st_timer")
         .outputMode("update").start()
       in.addData(evs); q.processAllAvailable()
