@@ -178,8 +178,17 @@ object LlmVector extends QueryGroup {
         .select(col("vec_id"), col("v"), col("m.cid").as("cid"), col("m.d2").as("d2"))
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
-    for (_ <- 1 to iters)
-      cent = meanVector(assign(cent), col("cid"), col("v"), "cid", "cv")
+    // collect the k×dim centroids to the driver between iterations (they
+    // are tiny by construction — this is how Lloyd is run in practice):
+    // each iteration is then a short fresh plan instead of an
+    // ever-deeper unrolled lineage that re-derives every prior round
+    val centSchema = StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("cv", ArrayType(DoubleType))))
+    for (_ <- 1 to iters) {
+      val rows = meanVector(assign(cent), col("cid"), col("v"), "cid", "cv").collect()
+      cent = s.createDataFrame(java.util.Arrays.asList(rows: _*), centSchema)
+    }
     assign(cent)
   }
 
