@@ -98,6 +98,25 @@ object Scans extends QueryGroup {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Schema evolution: two parquet generations of the same table — the
+    * second adds a column — read back together with mergeSchema; rows
+    * from the old generation surface NULL for the new column. The
+    * standard long-lived-ingestion concern: schemas drift, readers must
+    * reconcile. */
+  private val ingestMergeSchema: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/merge_schema"
+    val r = Tables.region(s, d)
+    r.select(col("r_regionkey"), col("r_name"))
+      .write.mode("overwrite").parquet(s"$out/gen=a")
+    r.select(col("r_regionkey"), col("r_name"),
+        length(col("r_name")).cast(IntegerType).as("name_len"))
+      .write.mode("overwrite").parquet(s"$out/gen=b")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("gen").cast(StringType).as("gen"))
+      .agg(count(lit(1)).as("n_rows"), count(col("name_len")).as("n_with_len"))
+      .orderBy(col("gen"))
+  }
+
   /** Raw text-lines round-trip — the canonical LLM corpus format: one
     * document per line out via write.text, back in via read.text, then
     * aggregate (order is not preserved by the round-trip, so the query
@@ -151,6 +170,7 @@ object Scans extends QueryGroup {
     "ingest_csv" -> ingestCsv,
     "ingest_jsonl" -> ingestJsonl,
     "ingest_text" -> ingestText,
+    "ingest_merge_schema" -> ingestMergeSchema,
     "sink_partitioned" -> sinkPartitioned,
     "sink_bucketed" -> sinkBucketed,
   )
@@ -178,6 +198,11 @@ object Scans extends QueryGroup {
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
          FROM documents
          WHERE text IS NOT NULL AND NOT contains(text, chr(10))""",
+    "ingest_merge_schema" ->
+      """SELECT 'a' AS gen, count(*) AS n_rows, CAST(0 AS BIGINT) AS n_with_len FROM region
+         UNION ALL
+         SELECT 'b' AS gen, count(*) AS n_rows, count(*) AS n_with_len FROM region
+         ORDER BY gen ASC NULLS FIRST""",
     "sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n_orders FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""",
