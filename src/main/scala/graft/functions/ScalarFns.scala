@@ -123,6 +123,20 @@ object ScalarFns extends QueryGroup {
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("col").as("token"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Bitwise family over keys: shifts, and/or/xor, bit_count. */
+  private val fnBitwise: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 200L)
+      .select(
+        col("o_orderkey"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        col("o_orderkey").bitwiseAND(255L).as("and_ff"),
+        col("o_orderkey").bitwiseOR(16L).as("or_10"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_cust"),
+        expr("CAST(bit_count(o_orderkey) AS INT)").as("popcount"),
+      ).orderBy(col("o_orderkey"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "fn_string" -> fnString,
     "fn_datetime" -> fnDatetime,
@@ -132,9 +146,20 @@ object ScalarFns extends QueryGroup {
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
     "fn_explode" -> fnExplode,
+    "fn_bitwise" -> fnBitwise,
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey << 3 AS shl3,
+                o_orderkey >> 2 AS shr2,
+                o_orderkey & 255 AS and_ff,
+                o_orderkey | 16 AS or_10,
+                xor(o_orderkey, CAST(o_custkey AS BIGINT)) AS xor_cust,
+                CAST(bit_count(o_orderkey) AS INT) AS popcount
+         FROM orders WHERE o_orderkey < 200
+         ORDER BY o_orderkey ASC NULLS FIRST""",
     "fn_string" ->
       """SELECT p_partkey,
                 upper(p_name) AS up,

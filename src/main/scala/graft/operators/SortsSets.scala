@@ -90,6 +90,18 @@ object SortsSets extends QueryGroup {
     a.exceptAll(b).orderBy(col("o_orderpriority"))
   }
 
+  /** Schema-evolving union: the two inputs project different column
+    * sets; unionByName(allowMissingColumns=true) null-fills the gaps —
+    * the set-op twin of mergeSchema ingestion. */
+  private val setUnionEvolve: QFn = (s, d) => {
+    val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val b = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sort_multi" -> sortMulti,
     "topk_global" -> topkGlobal,
@@ -100,6 +112,7 @@ object SortsSets extends QueryGroup {
     "set_intersect_all" -> setIntersectAll,
     "set_except" -> setExcept,
     "set_except_all" -> setExceptAll,
+    "set_union_evolve" -> setUnionEvolve,
   )
 
   private val fSlice =
@@ -129,6 +142,11 @@ object SortsSets extends QueryGroup {
     "set_union_all" ->
       s"""SELECT * FROM (($fSlice) UNION ALL ($uSlice)) t
           ORDER BY o_orderkey ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "set_union_evolve" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL BY NAME
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_orderkey ASC NULLS FIRST""",
     "set_union" ->
       s"""SELECT * FROM (($fSlice) UNION ($uSlice)) t
           ORDER BY o_orderkey ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
