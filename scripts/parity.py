@@ -96,6 +96,21 @@ def main():
             print(f"FAIL {name}: columns spark={gc} duck={ec}")
             failed.append(name)
             continue
+        # Dtype parity: the driver hashes TYPED values, so int64 1234 vs
+        # float64 1234.0 hash-differ even though == passes (bit round 1:
+        # fn_math floor/ceil LongType vs DuckDB DOUBLE). Compare pandas
+        # dtypes kind-wise (int vs float vs object vs datetime).
+        kinds_g = {c: got[c].dtype.kind for c in gc}
+        kinds_e = {c: exp[c].dtype.kind for c in ec}
+        dkinds = {c for c in gc
+                  if kinds_g[c] != kinds_e[c]
+                  and {kinds_g[c], kinds_e[c]} != {"O", "M"}}
+        if dkinds:
+            print(f"FAIL {name}: dtype mismatch "
+                  + ", ".join(f"{c}: spark={got[c].dtype} duck={exp[c].dtype}"
+                              for c in sorted(dkinds)))
+            failed.append(name)
+            continue
         if len(grows) != len(erows):
             print(f"FAIL {name}: rows spark={len(grows)} duck={len(erows)}")
             failed.append(name)

@@ -89,10 +89,16 @@ object ScalarFns extends QueryGroup {
       round(aggregate(zip_with(col("embedding"), col("embedding"),
           (a, b) => a.cast(DoubleType) * b.cast(DoubleType)),
         lit(0.0), (acc, x) => acc + x), 6).as("self_dot"),
-      transform(slice(col("embedding"), 1, 3),
-        x => round(x.cast(DoubleType) * 2.0, 6)).as("head3_x2"),
-      sort_array(transform(slice(col("embedding"), 1, 5),
-        x => round(x.cast(DoubleType), 6))).as("head5_sorted"),
+      // array cells break the driver's pandas sort-then-hash → join to a
+      // string. %.6f on both engines (free-form double repr differs:
+      // Spark "1.0E-5" vs DuckDB "1e-05"); `+ 0.0` folds -0.0 to 0.0 so
+      // the sign bit can't leak into the text.
+      concat_ws(",", transform(slice(col("embedding"), 1, 3),
+        x => format_string("%.6f", round(x.cast(DoubleType) * 2.0, 6) + lit(0.0))))
+        .as("head3_x2"),
+      concat_ws(",", transform(sort_array(transform(slice(col("embedding"), 1, 5),
+        x => round(x.cast(DoubleType), 6))),
+        x => format_string("%.6f", x + lit(0.0)))).as("head5_sorted"),
     ).orderBy(col("vec_id"))
 
   /** Map construction from parsed JSON props + map accessors. */
@@ -103,8 +109,9 @@ object ScalarFns extends QueryGroup {
         col("event_id"),
         element_at(col("props_map"), "k").as("k_val"),
         size(col("props_map")).cast(LongType).as("n_keys"),
-        map_keys(col("props_map")).as("keys"),
-        map_values(col("props_map")).as("vals"),
+        concat_ws(",", map_keys(col("props_map"))).as("keys"),
+        array_join(transform(map_values(col("props_map")),
+          v => v.cast(StringType)), ",").as("vals"),
       ).orderBy(col("event_id"))
 
   private val fnJson: QFn = (s, d) =>
@@ -189,8 +196,8 @@ object ScalarFns extends QueryGroup {
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
                 round(l_extendedprice, 1) AS price_r1,
-                floor(l_extendedprice) AS price_fl,
-                ceil(l_extendedprice) AS price_ce,
+                CAST(floor(l_extendedprice) AS BIGINT) AS price_fl,
+                CAST(ceil(l_extendedprice) AS BIGINT) AS price_ce,
                 abs(l_discount - 0.05) AS disc_dev,
                 round(pow(l_quantity, 2.0), 6) AS qty_sq,
                 sqrt(l_quantity) AS qty_sqrt,
@@ -222,15 +229,18 @@ object ScalarFns extends QueryGroup {
                 round(list_reduce(list_prepend(0.0,
                         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                       (acc, x) -> acc + x), 6) AS self_dot,
-                list_transform(CAST(embedding[1:3] AS DOUBLE[]), x -> round(x * 2.0, 6)) AS head3_x2,
-                list_sort(list_transform(CAST(embedding[1:5] AS DOUBLE[]), x -> round(x, 6))) AS head5_sorted
+                array_to_string(list_transform(CAST(embedding[1:3] AS DOUBLE[]),
+                  x -> printf('%.6f', round(x * 2.0, 6) + 0.0)), ',') AS head3_x2,
+                array_to_string(list_transform(
+                  list_sort(list_transform(CAST(embedding[1:5] AS DOUBLE[]), x -> round(x, 6))),
+                  x -> printf('%.6f', x + 0.0)), ',') AS head5_sorted
          FROM embeddings ORDER BY vec_id ASC NULLS FIRST""",
     "fn_map" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
                 CAST(1 AS BIGINT) AS n_keys,
-                ['k'] AS keys,
-                [CAST(json_extract_string(props, '$.k') AS INTEGER)] AS vals
+                'k' AS keys,
+                CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS VARCHAR) AS vals
          FROM events ORDER BY event_id ASC NULLS FIRST""",
     "fn_json" ->
       """SELECT event_id,

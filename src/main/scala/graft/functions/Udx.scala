@@ -63,7 +63,9 @@ object Udx extends QueryGroup {
     graft.functions.HistogramAgg.ensureRegistered(s)
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(expr("histogram10(value)").as("hist"))
+      // counts joined to one string — the driver's checker can't hash
+      // array cells (round-1 ERR); int→string formatting is engine-stable
+      .agg(expr("array_join(cast(histogram10(value) AS array<string>), ',')").as("hist"))
       .orderBy(col("event_type"))
   }
 
@@ -83,7 +85,7 @@ object Udx extends QueryGroup {
             g AS (SELECT DISTINCT event_type, CAST(gs.i AS INT) AS bin
                   FROM events CROSS JOIN (SELECT unnest(range(10)) AS i) gs)
          SELECT event_type,
-                list(CAST(coalesce(n, 0) AS BIGINT) ORDER BY bin) AS hist
+                string_agg(CAST(coalesce(n, 0) AS VARCHAR), ',' ORDER BY bin) AS hist
          FROM g LEFT JOIN c USING (event_type, bin)
          GROUP BY event_type
          ORDER BY event_type ASC NULLS FIRST""",

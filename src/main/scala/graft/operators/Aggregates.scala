@@ -82,14 +82,15 @@ object Aggregates extends QueryGroup {
                       o_orderpriority ASC NULLS FIRST""")
   }
 
-  /** Deterministic collect: sorted array of the distinct priorities per
-    * status (collect_list order is nondeterministic → distinct + sort_array,
-    * SURVEY.md §7.4). */
+  /** Deterministic collect: sorted distinct priorities per status
+    * (collect_list order is nondeterministic → distinct + sort_array,
+    * SURVEY.md §7.4). Joined to one string because the driver's pandas
+    * sort-then-hash cannot sort array cells (round-1 checker ERR). */
   private val aggCollect: QFn = (s, d) =>
     Tables.orders(s, d)
       .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
       .groupBy(col("o_orderstatus"))
-      .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))
+      .agg(array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("prios"))
       .orderBy(col("o_orderstatus"))
 
   /** Pivot on a fixed value list (stable columns) — event counts per user. */
@@ -197,7 +198,7 @@ object Aggregates extends QueryGroup {
                   o_orderpriority ASC NULLS FIRST""",
     "agg_collect" ->
       """SELECT o_orderstatus,
-                list(o_orderpriority ORDER BY o_orderpriority ASC) AS prios
+                string_agg(o_orderpriority, ',' ORDER BY o_orderpriority ASC) AS prios
          FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) t
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus ASC NULLS FIRST""",

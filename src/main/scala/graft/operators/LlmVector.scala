@@ -227,9 +227,11 @@ object LlmVector extends QueryGroup {
   private val multimodalResize: QFn = (s, d) =>
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        expr("""transform(sequence(0, 15), i -> round(
+        // string-joined %.6f cells (driver's checker can't hash array
+        // columns); + 0.0 folds -0.0 so the sign can't reach the text
+        expr("""concat_ws(',', transform(sequence(0, 15), i -> format_string('%.6f', round(
                   (CAST(embedding[i*4] AS DOUBLE) + embedding[i*4+1]
-                   + embedding[i*4+2] + embedding[i*4+3]) / 4.0, 6))""").as("pooled"))
+                   + embedding[i*4+2] + embedding[i*4+3]) / 4.0, 6) + 0.0d)))""").as("pooled"))
       .orderBy(col("vec_id"))
 
   /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
@@ -323,9 +325,9 @@ object LlmVector extends QueryGroup {
          ORDER BY doc_id ASC NULLS FIRST, frame_no ASC NULLS FIRST""",
     "multimodal_resize" ->
       """SELECT vec_id,
-                list_transform(range(0, 16), i -> round(
+                array_to_string(list_transform(range(0, 16), i -> printf('%.6f', round(
                   (e[CAST(i*4 + 1 AS INTEGER)] + e[CAST(i*4 + 2 AS INTEGER)]
-                   + e[CAST(i*4 + 3 AS INTEGER)] + e[CAST(i*4 + 4 AS INTEGER)]) / 4.0, 6)) AS pooled
+                   + e[CAST(i*4 + 3 AS INTEGER)] + e[CAST(i*4 + 4 AS INTEGER)]) / 4.0, 6) + 0.0)), ',') AS pooled
          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings) t
          ORDER BY vec_id ASC NULLS FIRST""",
     "multimodal_join" ->
