@@ -9,7 +9,9 @@ object TimeQ {
     val d = "/root/testdata/sf0.1"
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, d).count()
+      // noop sink = full evaluation (count() lets Catalyst prune all
+      // columns, timing projection queries as bare row counts)
+      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
       println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

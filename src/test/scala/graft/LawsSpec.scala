@@ -54,6 +54,9 @@ class LawsSpec extends AnyFunSuite {
     // exact all-pairs Jaccard >= 0.8 via the ngram machinery on word shingles
     val docs = Tables.documents(spark, sf)
       .withColumn("t", split(col("text"), " "))
+      // same <3-token guard as the operator: sequence(0, size-3) DESCENDS
+      // for shorter docs and would fabricate null-padded shingles here
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("s"))
       .distinct()
@@ -71,17 +74,17 @@ class LawsSpec extends AnyFunSuite {
   }
 
   test("simhash chunk buckets have recall 1 vs all-pairs hamming (pigeonhole)") {
-    // recompute the 32-bit signatures exactly as the operator does, then
+    // recompute the 60-bit signatures exactly as the operator does, then
     // compare its bucketed candidate pairs with the O(n²) reference
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("hv", conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
-    val votes = (0 until 32).map { b =>
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { b =>
       sum(shiftright(col("hv"), b).bitwiseAND(1L) * 2L - 1L).as(s"v$b")
     }
     val sig = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(b => when(col(s"v$b") > 0L, lit(1L << b)).otherwise(0L))
+        (0 until 60).map(b => when(col(s"v$b") > 0L, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("sig"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val allPairs = (for {

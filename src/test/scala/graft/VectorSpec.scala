@@ -43,6 +43,26 @@ class VectorSpec extends AnyFunSuite {
     assert(rows.length <= 4 && rows.forall(_.getDouble(2) >= 0.0))
   }
 
+  test("dedup_embcos: precision 1 vs exact all-pairs; recall measured") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val got = SparkEntry.queries("dedup_embcos")(spark, TestSpark.sf)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val exact = a.join(b, col("ia") < col("ib"))
+      .withColumn("cos", expr("cosine_f32(ea, eb)"))
+      .filter(col("cos") > 0.4)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is a true >0.4 pair (exact verify ⇒ precision 1)
+    assert(got.subsetOf(exact), s"false positives: ${got.diff(exact)}")
+    // cell partitioning is lossy by design (SemDeDup); recall must be
+    // nonzero and is reported for the record
+    assert(exact.isEmpty || got.nonEmpty,
+      s"cells found none of ${exact.size} true pairs")
+    info(s"recall = ${got.size}/${exact.size}")
+  }
+
   test("ivf ANN returns 10 rows and overlaps brute force") {
     val knn = SparkEntry.queries("sim_knn")(spark, TestSpark.sf)
       .collect().map(_.getLong(0)).toSet
