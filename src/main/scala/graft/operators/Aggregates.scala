@@ -13,18 +13,27 @@ import org.apache.spark.sql.functions._
 object Aggregates extends QueryGroup {
 
   /** Flagship (TPC-H Q1 analog): pricing summary per (returnflag,
-    * linestatus). Probe-verified bit-exact vs DuckDB at sf0.01
-    * (SURVEY.md §7.3.2). */
+    * linestatus). Money sums and their averages go through per-element
+    * DECIMAL(18,6) casts (the revenueSum pattern, §7.4): a raw double
+    * sum over ~25k rows per group is accumulation-order dependent, so
+    * its bit pattern changes with partitioning; the decimal sum is
+    * exact and order-free. Averages divide the decimal sum as a double
+    * (identical division both engines), then round 6dp. sum_qty stays a
+    * double sum — quantities are small integers, exactly representable. */
   val pricingSummary: QFn = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        avg(col("l_quantity")).as("avg_qty"),
-        avg(col("l_extendedprice")).as("avg_price"),
-        avg(col("l_discount")).as("avg_disc"),
+        round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast("double"), 4)
+          .as("sum_base_price"),
+        round(sum(expr("CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))"))
+          .cast("double"), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast("double")
+          / count(lit(1)), 6).as("avg_price"),
+        round(sum(expr("CAST(l_discount AS DECIMAL(18,6))")).cast("double")
+          / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -156,11 +165,11 @@ object Aggregates extends QueryGroup {
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity) AS sum_qty,
-                sum(l_extendedprice) AS sum_base_price,
-                sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-                avg(l_quantity) AS avg_qty,
-                avg(l_extendedprice) AS avg_price,
-                avg(l_discount) AS avg_disc,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+                round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus

@@ -61,7 +61,12 @@ object Joins extends QueryGroup {
     c.join(o, c("c_custkey") === o("o_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total_spent"))
+           // per-element DECIMAL cast before summing (the revenueSum
+           // pattern): double sums are accumulation-order dependent and
+           // bit-diverge from the oracle once partitioning varies
+           round(coalesce(
+             sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).cast("double"),
+             lit(0.0)), 4).as("total_spent"))
       .orderBy(col("c_custkey"))
   }
 
@@ -226,7 +231,7 @@ object Joins extends QueryGroup {
          ORDER BY o_orderpriority ASC NULLS FIRST""",
     "join_outer_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-                round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+                round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0), 4) AS total_spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey
          ORDER BY c_custkey ASC NULLS FIRST""",

@@ -46,7 +46,12 @@ object Windows extends QueryGroup {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
-      .withColumn("running_spent", round(sum(col("o_totalprice")).over(w), 4))
+      // per-element DECIMAL cast (revenueSum pattern): every prefix sum
+      // is exact, so the 4dp rounding cannot straddle a boundary from
+      // double accumulation error at larger scale factors
+      .withColumn("running_spent",
+        round(sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).over(w)
+          .cast("double"), 4))
       .select(col("o_custkey"), col("o_orderkey"), col("running_spent"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
@@ -88,14 +93,46 @@ object Windows extends QueryGroup {
       .orderBy(col("user_id"))
   }
 
-  /** ntile / percent_rank / cume_dist of customers by balance (global
-    * window — deliberate, customer dim only). */
+  /** ntile / percent_rank / cume_dist of customers by balance — two-pass
+    * distributed ranking instead of the single-partition global window
+    * (`Window.orderBy` with no partition puts the WHOLE table in one
+    * task). Because the order key carries a unique tie-break
+    * (c_custkey), rank()=row_number() and peers are singletons, so all
+    * three functions are closed-form in (global rank r, total n):
+    * ntile = the ceil/floor split formula, pr = (r-1)/(n-1), cd = r/n.
+    * Plan: (1) approx-quantile range boundaries (bucketing only — they
+    * affect load balance, never values); (2) per-bucket counts → bucket
+    * offsets via a ≤32-row window (tiny by construction); (3) within-
+    * bucket row_number + offset = exact global rank, buckets ranked in
+    * parallel. Every shuffle is bounded; survives 100× the dim. */
   private val winNtilePctrank: QFn = (s, d) => {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, d)
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pr", round(percent_rank().over(w), 6))
-      .withColumn("cd", round(cume_dist().over(w), 6))
+    val cust = Tables.customer(s, d)
+    val nDf = cust.agg(count(lit(1)).as("n"))
+    val fracs = (1 until 32).map(i => i / 32.0).mkString(", ")
+    val bounds = cust.agg(
+      expr(s"percentile_approx(c_acctbal, array($fracs), 100)").as("bs"))
+    val bucketed = cust.crossJoin(broadcast(bounds))
+      // monotone in c_acctbal and equal values share a bucket, so
+      // (bkt, c_acctbal, c_custkey) ordering == global ordering
+      .withColumn("bkt", expr("size(filter(bs, b -> b <= c_acctbal))"))
+      .drop("bs")
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    bucketed
+      .join(broadcast(offs), "bkt")
+      .withColumn("r", row_number().over(wIn).cast("long") + col("off"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("quartile", expr(
+        """CASE WHEN r <= (n % 4) * (n div 4 + 1)
+                THEN (r - 1) div (n div 4 + 1) + 1
+                ELSE (n % 4) + (r - (n % 4) * (n div 4 + 1) - 1) div (n div 4) + 1
+           END"""))
+      .withColumn("pr", round((col("r") - 1.0) / (col("n") - 1.0), 6))
+      .withColumn("cd", round(col("r").cast("double") / col("n"), 6))
       .select(col("c_custkey"), col("c_acctbal"), col("quartile"), col("pr"), col("cd"))
       .orderBy(col("c_custkey"))
   }
@@ -130,9 +167,9 @@ object Windows extends QueryGroup {
          ORDER BY event_id ASC NULLS FIRST""",
     "win_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate ASC, o_orderkey ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spent
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_spent
          FROM orders
          ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""",
     "win_sliding_avg" ->

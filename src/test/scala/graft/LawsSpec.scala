@@ -31,7 +31,10 @@ class LawsSpec extends AnyFunSuite {
     val lastPer = run.groupBy(col("o_custkey"))
       .agg(max(col("running_spent")).as("final_sum"))
     val direct = Tables.orders(spark, sf).groupBy(col("o_custkey"))
-      .agg(round(sum(col("o_totalprice")), 4).as("direct_sum"))
+      // same DECIMAL pre-cast as the operator so both sides round the
+      // identical exact sum
+      .agg(round(sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).cast("double"), 4)
+        .as("direct_sum"))
     val joined = lastPer.join(direct, "o_custkey")
       .filter(abs(col("final_sum") - col("direct_sum")) > 1e-6)
     assert(joined.count() == 0)
