@@ -72,21 +72,63 @@ object LlmVector extends QueryGroup {
       .limit(10)
   }
 
-  /** IVF-style ANN (approximate → no oracle; recall asserted vs brute
-    * force in LlmVectorSpec): cells = label, coarse centroids per cell,
-    * probe the 3 nearest cells, exact search inside. At scale this reads
-    * ~nprobe/ncells of the corpus instead of all of it. */
+  /** Persisted IVF index location for one sf dir: `cells/` holds the
+    * corpus partitioned by coarse cell (hive layout → partition-pruned
+    * probe reads), `centroids/` the k cell means. Deterministic content
+    * (kmeansFit is deterministic), built once per session+sf. */
+  private def annIndexPath(d: String): String =
+    s"${graft.Tables.scratchDir}/ann_index_v1_${new java.io.File(d).getName}"
+
+  /** Build the IVF index if absent: k=8 Lloyd cells over the corpus,
+    * postings written partitionBy(cell), centroids beside them. The
+    * build is the `sink_ann_index` query; the probe (`sim_knn_ivf`)
+    * calls this lazily so it stays self-contained for the driver. */
+  private[graft] def ensureAnnIndex(s: SparkSession, d: String): String = {
+    val path = annIndexPath(d)
+    val done = new java.io.File(s"$path/_DONE")
+    if (!done.exists()) {
+      val asg = kmeansFit(s, d, k = 8, iters = 2)
+      val e = Tables.embeddings(s, d)
+      asg.select(col("vec_id"), col("cid").as("cell"))
+        .join(e, "vec_id")
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      meanVector(asg, col("cid"), col("v"), "cell", "centroid")
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      done.createNewFile()
+    }
+    path
+  }
+
+  /** Index build as a declared sink query: per-cell posting counts.
+    * Iterative build → no SQL oracle (rows-only check, like sim_kmeans). */
+  private val sinkAnnIndex: QFn = (s, d) => {
+    val path = ensureAnnIndex(s, d)
+    s.read.parquet(s"$path/cells")
+      .groupBy(col("cell").cast(IntegerType).as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("cell"))
+  }
+
+  /** IVF ANN probe (approximate → no oracle; recall asserted vs brute
+    * force in VectorSpec): read the persisted index, rank the k=8
+    * centroids against the query vector, probe the 3 nearest cells —
+    * the cells scan is hive-partitioned on `cell`, so the probe reads
+    * only nprobe/ncells of the corpus from disk (runtime partition
+    * pruning via the broadcast join on the partition key; asserted in
+    * PlanSpec) — then exact cosine inside the probed cells. */
   private val simKnnIvf: QFn = (s, d) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
-    val cent = meanVector(e, col("label"), col("embedding"), "label", "centroid")
-    val probed = cent.crossJoin(broadcast(q))
-      .select(col("label"), cosine(col("centroid"), col("qe")).as("ccos"))
-      .orderBy(col("ccos").desc, col("label")).limit(3)
-      .select(col("label"))
-    e.filter(col("vec_id") =!= 0L)
-      .join(broadcast(probed), Seq("label"))
+    val path = ensureAnnIndex(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val probed = s.read.parquet(s"$path/centroids").crossJoin(broadcast(q))
+      .select(col("cell"), cosine(col("centroid"), col("qe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(3)
+      .select(col("cell"))
+    s.read.parquet(s"$path/cells")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(expr("cosine_f32(embedding, qe)"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -276,6 +318,7 @@ object LlmVector extends QueryGroup {
   val queries: Seq[(String, QFn)] = Seq(
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_knn" -> simKnn,
+    "sink_ann_index" -> sinkAnnIndex,
     "sim_knn_ivf" -> simKnnIvf,
     "sim_centroids" -> simCentroids,
     "sim_kmeans" -> simKmeans,

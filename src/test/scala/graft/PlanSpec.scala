@@ -50,6 +50,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("sim_knn_ivf probe partition-prunes the persisted cells scan") {
+    val p = plan("sim_knn_ivf")
+    // the cells read must carry a runtime partition filter on the cell
+    // key — only nprobe of ncells partitions are read from disk
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("sink_bucketed joins the bucketed tables without a shuffle exchange") {
     import org.apache.spark.sql.functions.col
     // materialize the bucketed tables (also runs the full oracled query)
