@@ -147,6 +147,33 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Sketch top-k terms: ONE merged count-min sketch over the token
+    * stream (constant memory, map-side partials — the scale path where
+    * the exact text_tokens groupBy would shuffle the full vocabulary),
+    * then point estimates for the distinct terms read from the
+    * broadcast sketch array in pure codegen (the md5-substring row
+    * hashes make the probe SQL-expressible). Approximate (one-sided
+    * overestimates) → no oracle; LawsSpec asserts est ≥ exact for every
+    * term and partition-invariance of the merged sketch. */
+  private val textTopkSketch: QFn = (s, d) => {
+    graft.functions.CountMinAgg.ensureRegistered(s)
+    import graft.functions.CountMinAgg.{DEPTH, WIDTH}
+    val t = tokens(s, d)
+    val sk = t.agg(expr("countmin(tok)").as("sk"))
+    val est = (0 until DEPTH).map { i =>
+      element_at(col("sk"),
+        (lit(i.toLong * WIDTH) +
+          conv(substring(md5(col("tok")), 1 + 8 * i, 8), 16, 10).cast(LongType) % WIDTH
+          + 1L).cast("int"))
+    }.reduce(least(_, _))
+    t.select(col("tok")).distinct()
+      .crossJoin(broadcast(sk))
+      .withColumn("est_tf", est)
+      .orderBy(col("est_tf").desc, col("tok"))
+      .limit(20)
+      .select(col("tok").as("term"), col("est_tf"))
+  }
+
   /** Exact dedup on normalized text; survivor = min doc_id. Grouping on
     * the md5 digest of the normalized text (not the text itself) keeps
     * the shuffle rows fixed-width, and min/count aggregate map-side —
@@ -291,6 +318,7 @@ object LlmText extends QueryGroup {
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
+    "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
     "dedup_simhash" -> dedupSimhash,

@@ -99,6 +99,30 @@ class LawsSpec extends AnyFunSuite {
     assert(got == allPairs, s"missed: ${allPairs.diff(got)}, extra: ${got.diff(allPairs)}")
   }
 
+  test("count-min estimates dominate exact counts; sketch is partition-invariant") {
+    graft.functions.CountMinAgg.ensureRegistered(spark)
+    import graft.functions.CountMinAgg.{DEPTH, WIDTH}
+    val t = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // merge order must not matter: same sketch under different partitioning
+    val sk2 = t.repartition(2).agg(expr("countmin(tok)")).collect()(0).getSeq[Long](0)
+    val sk16 = t.repartition(16).agg(expr("countmin(tok)")).collect()(0).getSeq[Long](0)
+    assert(sk2 == sk16)
+    // one-sided error: est >= exact tf for EVERY term (the CMS guarantee)
+    val sk = t.agg(expr("countmin(tok)").as("sk"))
+    val est = (0 until DEPTH).map { i =>
+      element_at(col("sk"),
+        (lit(i.toLong * WIDTH) +
+          conv(substring(md5(col("tok")), 1 + 8 * i, 8), 16, 10).cast("long") % WIDTH
+          + 1L).cast("int"))
+    }.reduce(least(_, _))
+    val bad = t.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(sk))
+      .withColumn("est", est)
+      .filter(col("est") < col("tf"))
+    assert(bad.count() == 0)
+  }
+
   test("kmeans inertia is monotonically non-increasing over Lloyd iterations") {
     def inertia(iters: Int): Double =
       operators.LlmVector.kmeansFit(spark, sf, k = 4, iters = iters)
