@@ -146,6 +146,24 @@ object Aggregates extends QueryGroup {
         col("q")(0).as("p50"), col("q")(1).as("p90"), col("q")(2).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Mergeable HLL sketches (Apache DataSketches via Spark's built-in
+    * hll_sketch_agg / hll_union_agg / hll_sketch_estimate): per-source
+    * user sketches plus the union-merged global estimate — the
+    * partitioned-rollup distinct-count shape, where the sketch (not raw
+    * keys) is what moves between rollup levels at 100 TB. Approximate →
+    * no oracle; LawsSpec asserts the union estimate equals the
+    * directly-built global sketch and both sit within 5% of exact. */
+  private val aggHllMerge: QFn = (s, d) => {
+    val per = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+           countDistinct(col("user_id")).as("exact_users"))
+    per.select(col("event_type"),
+        expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est_users"),
+        col("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -159,6 +177,7 @@ object Aggregates extends QueryGroup {
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
     "agg_approx_quantiles" -> aggApproxQuantiles,
+    "agg_hll_merge" -> aggHllMerge,
   )
 
   val oracles: Seq[(String, String)] = Seq(

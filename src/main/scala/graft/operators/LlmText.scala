@@ -147,6 +147,23 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Dictionary scrub (the PII-redaction pipeline shape): replace
+    * denylist tokens with a mask and count redactions. Token-level HOFs
+    * — no regex, so no cross-dialect regex hazards (§7.4) — and the
+    * whole row stays inside one codegen stage; at scale the denylist
+    * would be a broadcast join against a scrub-term table (the
+    * text_sentiment lexicon pattern) instead of an inline IN list. */
+  private val textScrub: QFn = (s, d) => {
+    val deny = Seq("fast", "slow", "dup", "value")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_join(transform(split(col("text"), " "),
+        t => when(t.isin(deny: _*), lit("[x]")).otherwise(t)), " ").as("scrubbed"),
+      size(filter(split(col("text"), " "), t => t.isin(deny: _*)))
+        .cast(LongType).as("n_redacted"),
+    ).orderBy(col("doc_id"))
+  }
+
   /** Sketch top-k terms: ONE merged count-min sketch over the token
     * stream (constant memory, map-side partials — the scale path where
     * the exact text_tokens groupBy would shuffle the full vocabulary),
@@ -318,6 +335,7 @@ object LlmText extends QueryGroup {
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
+    "text_scrub" -> textScrub,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
@@ -414,6 +432,14 @@ object LlmText extends QueryGroup {
            FROM (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
                  FROM documents) t) x
          WHERE rn = 1 ORDER BY doc_id ASC NULLS FIRST""",
+    "text_scrub" ->
+      """SELECT doc_id,
+                array_to_string(list_transform(string_split(text, ' '),
+                  t -> CASE WHEN t IN ('fast','slow','dup','value')
+                            THEN '[x]' ELSE t END), ' ') AS scrubbed,
+                CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('fast','slow','dup','value'))) AS BIGINT) AS n_redacted
+         FROM documents ORDER BY doc_id ASC NULLS FIRST""",
     "dedup_near_minhash" -> {
       // mirror of the Spark construction, generated from the same
       // constants: 16 minhashes (aᵢ=2i+3, bᵢ=7919i+13, mod P), 8 bands

@@ -302,6 +302,27 @@ object LlmVector extends QueryGroup {
                    + embedding[i*4+2] + embedding[i*4+3]) / 4.0, 6) + 0.0d)))""").as("pooled"))
       .orderBy(col("vec_id"))
 
+  /** Int8-style affine quantization of the embedding column — the
+    * 100 TB storage shape (4 bytes/dim f32 → 1 byte/dim + two scalars
+    * per vector). q_i = clamp(floor((x_i - lo)/scale + 0.5), 0, 255)
+    * with per-vector lo/hi; `floor(x + 0.5)` instead of `round` because
+    * Spark's round() goes through BigDecimal HALF_UP on the decimal
+    * string while DuckDB rounds the binary double — floor is identical
+    * IEEE on both. Quantized codes joined to one string (array-free
+    * checker contract); pure HOFs, single codegen stage. */
+  private val embedQuantize: QFn = (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("e", transform(col("embedding"), x => x.cast(DoubleType)))
+      .withColumn("lo", array_min(col("e")))
+      .withColumn("hi", array_max(col("e")))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        ((col("hi") - col("lo")) / 255.0).as("qscale"),
+        expr("""concat_ws(',', transform(e, x ->
+            CAST(CASE WHEN hi = lo THEN 0L
+                 ELSE least(255L, greatest(0L, floor((x - lo) / ((hi - lo) / 255.0D) + 0.5D))) END
+               AS STRING)))""").as("q"))
+      .orderBy(col("vec_id"))
+
   /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
     * embedding L2 norm per label. */
   private val multimodalJoin: QFn = (s, d) => {
@@ -323,6 +344,7 @@ object LlmVector extends QueryGroup {
     "sim_centroids" -> simCentroids,
     "sim_kmeans" -> simKmeans,
     "dedup_embcos" -> dedupEmbcos,
+    "embed_quantize" -> embedQuantize,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
@@ -383,6 +405,15 @@ object LlmVector extends QueryGroup {
           FROM (SELECT ia, ib, $duckPairCos AS c FROM p) t
           WHERE c > 0.4
           ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST""",
+    "embed_quantize" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+            m AS (SELECT vec_id, e, list_min(e) lo, list_max(e) hi FROM t)
+         SELECT vec_id, lo, hi, (hi - lo) / 255.0 AS qscale,
+                array_to_string(list_transform(e, x ->
+                  CAST(CASE WHEN hi = lo THEN 0
+                       ELSE least(255, greatest(0, CAST(floor((x - lo) / ((hi - lo) / 255.0) + 0.5) AS BIGINT))) END
+                     AS VARCHAR)), ',') AS q
+         FROM m ORDER BY vec_id ASC NULLS FIRST""",
     "multimodal_meta" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_bytes,

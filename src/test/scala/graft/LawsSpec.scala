@@ -99,6 +99,20 @@ class LawsSpec extends AnyFunSuite {
     assert(got == allPairs, s"missed: ${allPairs.diff(got)}, extra: ${got.diff(allPairs)}")
   }
 
+  test("hll union of per-group sketches equals the direct global sketch") {
+    val ev = Tables.events(spark, sf)
+    val viaUnion = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)"))
+      .collect()(0).getLong(0)
+    val direct = ev.agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT)"))
+      .collect()(0).getLong(0)
+    assert(viaUnion == direct) // merge transparency: union of partials == whole
+    val exact = ev.select(col("user_id")).distinct().count()
+    assert(math.abs(direct - exact).toDouble / exact <= 0.05,
+      s"est $direct vs exact $exact")
+  }
+
   test("count-min estimates dominate exact counts; sketch is partition-invariant") {
     graft.functions.CountMinAgg.ensureRegistered(spark)
     import graft.functions.CountMinAgg.{DEPTH, WIDTH}
