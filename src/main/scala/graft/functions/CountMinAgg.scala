@@ -40,11 +40,14 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val hex = CountMinAgg.md5Hex(v.asInstanceOf[UTF8String].getBytes)
+      // hex substring [8i, 8i+8) of the md5 == digest bytes 4i..4i+3
+      // big-endian unsigned — computed directly, no hex-string round trip
+      val dg = CountMinAgg.md5(v.asInstanceOf[UTF8String].getBytes)
       var i = 0
       while (i < DEPTH) {
-        val h = (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % WIDTH).toInt
-        buf(i * WIDTH + h) += 1L
+        val word = ((dg(4 * i) & 0xffL) << 24) | ((dg(4 * i + 1) & 0xffL) << 16) |
+          ((dg(4 * i + 2) & 0xffL) << 8) | (dg(4 * i + 3) & 0xffL)
+        buf(i * WIDTH + (word % WIDTH).toInt) += 1L
         i += 1
       }
     }
@@ -85,12 +88,17 @@ object CountMinAgg {
   val DEPTH = 4
   val WIDTH = 256
 
-  /** Same md5 the SQL surface sees: lowercase hex of the UTF-8 bytes. */
-  private[functions] def md5Hex(bytes: Array[Byte]): String = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+  /** Same md5 the SQL surface sees, raw digest bytes; the MessageDigest
+    * instance is reused per thread (per-row getInstance is the dominant
+    * allocation in the update path). */
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private[functions] def md5(bytes: Array[Byte]): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.digest(bytes)
   }
 
   /** Registers `countmin(tok)` returning the flattened DEPTH×WIDTH
