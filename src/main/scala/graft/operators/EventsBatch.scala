@@ -30,9 +30,21 @@ object EventsBatch extends QueryGroup {
               col("n_events"), col("sum_v"))
       .orderBy(col("user_id"), col("session_start_s"))
 
+  /** The stream-stream interval join run on the batch table — the SAME
+    * code path as the streaming operator (StreamingOps.purchaseClickJoin;
+    * watermarks are no-ops in batch), which makes the streaming
+    * semantics DuckDB-oracle-able here, not just batch-equivalence-
+    * tested in StreamingSpec. */
+  private val eventsIntervalJoin: QFn = (s, d) =>
+    graft.streaming.StreamingOps.purchaseClickJoin(Tables.events(s, d))
+      .select(col("p_id"), col("p_user"),
+              unix_micros(col("c_ts")).as("c_us"), col("c_value"))
+      .orderBy(col("p_id"), col("c_us"), col("c_value"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
+    "events_interval_join" -> eventsIntervalJoin,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -58,5 +70,15 @@ object EventsBatch extends QueryGroup {
                 count(*) AS n_events, round(sum(value), 6) AS sum_v
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id ASC NULLS FIRST, session_start_s ASC NULLS FIRST""",
+    "events_interval_join" ->
+      """WITH p AS (SELECT event_id p_id, user_id p_user, epoch_ns(ts) // 1000 AS p_us
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id c_user, epoch_ns(ts) // 1000 AS c_us, value c_value
+                  FROM events WHERE event_type = 'click')
+         SELECT p_id, p_user, c_us, c_value
+         FROM p JOIN c ON p_user = c_user
+                      AND c_us >= p_us - 3600000000 AND c_us < p_us
+         ORDER BY p_id ASC NULLS FIRST, c_us ASC NULLS FIRST,
+                  c_value ASC NULLS FIRST""",
   )
 }
