@@ -84,11 +84,23 @@ object GraftFunctions {
 }
 
 /** SparkSessionExtensions hook for users who load the library via
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — every graft
+  * custom function arrives with the session, no per-query registration. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineSimF32].getName, "cosine_f32"),
       GraftFunctions.builder))
+    e.injectFunction((
+      FunctionIdentifier("histogram10"),
+      new ExpressionInfo(classOf[HistogramAgg].getName, "histogram10"),
+      exprs => HistogramAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          exprs.head, org.apache.spark.sql.types.DoubleType), 10, 0.0, 500.0)))
+    e.injectFunction((
+      FunctionIdentifier("countmin"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "countmin"),
+      exprs => CountMinAgg(exprs.head)))
+  }
 }
