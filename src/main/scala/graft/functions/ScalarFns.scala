@@ -49,7 +49,11 @@ object ScalarFns extends QueryGroup {
   private val fnMath: QFn = (s, d) =>
     Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
-      round(col("l_extendedprice"), 1).as("price_r1"),
+      // floor(x·10 + 0.5)/10, not round(x, 1): Spark rounds doubles via
+      // BigDecimal HALF_UP on the decimal string, DuckDB rounds the
+      // binary double — they disagree whenever the binary value dips
+      // below a .x5 decimal boundary; the floor form is identical IEEE
+      (floor(col("l_extendedprice") * 10.0 + 0.5) / 10.0).as("price_r1"),
       floor(col("l_extendedprice")).as("price_fl"),
       ceil(col("l_extendedprice")).as("price_ce"),
       abs(col("l_discount") - lit(0.05)).as("disc_dev"),
@@ -195,7 +199,7 @@ object ScalarFns extends QueryGroup {
          FROM orders ORDER BY o_orderkey ASC NULLS FIRST""",
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
-                round(l_extendedprice, 1) AS price_r1,
+                floor(l_extendedprice * 10.0 + 0.5) / 10.0 AS price_r1,
                 CAST(floor(l_extendedprice) AS BIGINT) AS price_fl,
                 CAST(ceil(l_extendedprice) AS BIGINT) AS price_ce,
                 abs(l_discount - 0.05) AS disc_dev,
