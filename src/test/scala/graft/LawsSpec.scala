@@ -99,6 +99,23 @@ class LawsSpec extends AnyFunSuite {
     assert(got == allPairs, s"missed: ${allPairs.diff(got)}, extra: ${got.diff(allPairs)}")
   }
 
+  test("embed_quantize round-trip error is bounded by scale/2") {
+    val out = SparkEntry.queries("embed_quantize")(spark, sf)
+      .select(col("vec_id"), col("lo"), col("qscale"),
+        split(col("q"), ",").cast("array<double>").as("qs"))
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    // dequant = lo + q·scale must sit within half a quantization step of
+    // the original for every in-range dim (clamping only affects values
+    // outside [lo, hi], which cannot exist for per-vector lo/hi)
+    val bad = out.join(orig, "vec_id")
+      .withColumn("err", expr(
+        """aggregate(zip_with(qs, e, (qv, x) -> abs(lo + qv * qscale - x)),
+           0D, (m, v) -> greatest(m, v))"""))
+      .filter(col("err") > col("qscale") * 0.5 + lit(1e-12))
+    assert(bad.count() == 0)
+  }
+
   test("hll union of per-group sketches equals the direct global sketch") {
     val ev = Tables.events(spark, sf)
     val viaUnion = ev.groupBy(col("event_type"))

@@ -75,6 +75,39 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // thresholds scaled down so the fixture-sized hot key qualifies —
+      // the mechanism under test is the same one that splits a hot key's
+      // shuffle partition at 100 TB
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = spark.range(60000).select(lit(1L).as("k"), col("id").as("payload"))
+      val cold = spark.range(64).select((col("id") + 2L).as("k"), col("id").as("payload"))
+      val fact = hot.unionAll(cold)
+      val dim = spark.range(128).select(col("id").as("k"), col("id").as("dv"))
+      // no aggregation downstream: a consumer that required the join's
+      // hash partitioning would veto the split (splitting breaks the
+      // co-partitioning guarantee)
+      val j = fact.join(dim, "k").select(col("k"), col("payload"), col("dv"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
