@@ -171,6 +171,19 @@ class LawsSpec extends AnyFunSuite {
     assert(renorm.filter(col("again") =!= col("norm_text")).count() == 0)
   }
 
+  test("text_scrub is idempotent and never leaves denylist tokens") {
+    val out = SparkEntry.queries("text_scrub")(spark, sf)
+    val deny = Seq("fast", "slow", "dup", "value")
+    val leftover = out.filter(
+      size(filter(split(col("scrubbed"), " "), t => t.isin(deny: _*))) > 0)
+    assert(leftover.count() == 0)
+    // re-scrubbing scrubbed text changes nothing ('[x]' is not denylisted)
+    val rescrub = out.select(col("doc_id"), col("scrubbed"),
+      array_join(transform(split(col("scrubbed"), " "),
+        t => when(t.isin(deny: _*), lit("[x]")).otherwise(t)), " ").as("again"))
+    assert(rescrub.filter(col("again") =!= col("scrubbed")).count() == 0)
+  }
+
   test("intersect and except partition a distinct set") {
     val a = Tables.customer(spark, sf).select(col("c_custkey")).distinct()
     val b = Tables.orders(spark, sf).select(col("o_custkey").as("c_custkey")).distinct()
