@@ -98,13 +98,13 @@ def main():
             continue
         # Dtype parity: the driver hashes TYPED values, so int64 1234 vs
         # float64 1234.0 hash-differ even though == passes (bit round 1:
-        # fn_math floor/ceil LongType vs DuckDB DOUBLE). Compare pandas
-        # dtypes kind-wise (int vs float vs object vs datetime).
-        kinds_g = {c: got[c].dtype.kind for c in gc}
-        kinds_e = {c: exp[c].dtype.kind for c in ec}
+        # fn_math floor/ceil LongType vs DuckDB DOUBLE). Exact dtype
+        # compare, except the object/datetime pairing (Spark date32 →
+        # python date objects vs DuckDB DATE → datetime64, both date32
+        # at the arrow level).
         dkinds = {c for c in gc
-                  if kinds_g[c] != kinds_e[c]
-                  and {kinds_g[c], kinds_e[c]} != {"O", "M"}}
+                  if got[c].dtype != exp[c].dtype
+                  and {got[c].dtype.kind, exp[c].dtype.kind} != {"O", "M"}}
         if dkinds:
             print(f"FAIL {name}: dtype mismatch "
                   + ", ".join(f"{c}: spark={got[c].dtype} duck={exp[c].dtype}"

@@ -44,4 +44,13 @@ object Tables {
   /** Scratch dir for sink/ingest round-trip operators. Outside the repo,
     * recreated per use; never read as an oracle input. */
   val scratchDir = "/tmp/graft_scratch"
+
+  /** Content fingerprint (length ⊕ mtime) of a fixture table file. Keys
+    * derived scratch caches (ANN index, DPP layout) so a REGENERATED
+    * fixture can never be served stale derived data from a surviving
+    * /tmp — a bare _DONE marker alone would. */
+  def fingerprint(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 1000003L))
+  }
 }

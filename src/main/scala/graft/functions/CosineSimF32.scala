@@ -95,12 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("histogram10"),
       new ExpressionInfo(classOf[HistogramAgg].getName, "histogram10"),
-      exprs => HistogramAgg(
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          exprs.head, org.apache.spark.sql.types.DoubleType), 10, 0.0, 500.0)))
+      HistogramAgg.builder))
     e.injectFunction((
       FunctionIdentifier("countmin"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "countmin"),
-      exprs => CountMinAgg(exprs.head)))
+      CountMinAgg.builder))
   }
 }

@@ -35,6 +35,15 @@ case class CountMinAgg(
 
   import CountMinAgg.{DEPTH, WIDTH}
 
+  // fail at analysis, not with an executor-side ClassCastException,
+  // when a session-wide registration (GraftExtensions) is misused
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"countmin requires a STRING argument, got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](DEPTH * WIDTH)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
@@ -101,9 +110,13 @@ object CountMinAgg {
     md.digest(bytes)
   }
 
+  /** Single builder shared by ensureRegistered and GraftExtensions so
+    * the two registration paths cannot drift. */
+  val builder: Seq[Expression] => Expression = exprs => CountMinAgg(exprs.head)
+
   /** Registers `countmin(tok)` returning the flattened DEPTH×WIDTH
     * counter array. */
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "countmin", exprs => CountMinAgg(exprs.head), "built-in")
+      "countmin", builder, "built-in")
 }

@@ -75,12 +75,15 @@ case class HistogramAgg(
 }
 
 object HistogramAgg {
-  /** Registers `histogram10(x)`: 10 bins over [0, 500). The input is
-    * cast to double here (AbstractDataType/ImplicitCastInputTypes are
+  /** Single builder shared by ensureRegistered and GraftExtensions so
+    * the two registration paths cannot drift. The input is cast to
+    * double here (AbstractDataType/ImplicitCastInputTypes are
     * private[sql], so the cast replaces the implicit coercion). */
+  val builder: Seq[Expression] => Expression =
+    exprs => HistogramAgg(Cast(exprs.head, DoubleType), 10, 0.0, 500.0)
+
+  /** Registers `histogram10(x)`: 10 bins over [0, 500). */
   def ensureRegistered(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "histogram10",
-      exprs => HistogramAgg(Cast(exprs.head, DoubleType), 10, 0.0, 500.0),
-      "built-in")
+      "histogram10", builder, "built-in")
 }

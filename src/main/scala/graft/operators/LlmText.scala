@@ -109,6 +109,10 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Stopword list shared with Pipeline.pipeline_e2e's quality gate so
+    * the two can't silently drift. */
+  private[operators] val StopTokens = Seq("the", "a")
+
   /** Quality scoring: token/char counts, stopword ratio, log-length
     * score — the standard pre-training quality gates. */
   private val textQuality: QFn = (s, d) =>
@@ -120,7 +124,7 @@ object LlmText extends QueryGroup {
       round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
             size(split(col("text"), " ")).cast(DoubleType), 6).as("avg_tok_len"),
       round(size(filter(split(col("text"), " "),
-              x => x === "the" || x === "a")).cast(DoubleType) /
+              x => x.isin(StopTokens: _*))).cast(DoubleType) /
             size(split(col("text"), " ")).cast(DoubleType), 6).as("stop_ratio"),
     ).withColumn("quality",
         round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 6))
@@ -215,9 +219,16 @@ object LlmText extends QueryGroup {
     * recall at J≥0.8 (LawsSpec keeps the recall-vs-exact superset law;
     * a fixture pair banding misses would fail that test, not the
     * driver gate). */
+  /** One persisted shingle set per (session, sf dir): repeated
+    * invocations of dedup_near_minhash in one session (Verify → Bench →
+    * specs) reuse the same cached DataFrame instead of registering a
+    * fresh never-unpersisted copy each time. */
+  private val shCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
   private val dedupNearMinhash: QFn = (s, d) => {
     val P = 2147483647L
-    val sh = Tables.documents(s, d)
+    val sh = shCache.getOrElseUpdate((s, d), Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       // <3-token docs have no 3-shingles; without this filter
       // sequence(0, size-3) would DESCEND (default step -1) and fabricate
@@ -231,7 +242,7 @@ object LlmText extends QueryGroup {
       // persisted, the tokenize/explode/distinct pipeline runs once per
       // evaluation instead of three times (at 100 TB: checkpoint to the
       // cluster store instead)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hashed = sh.withColumn("hm", tokHash(col("s")) % P)
     // All 16 minhashes in ONE partial-aggregating groupBy (no 16× row
     // blow-up via a params crossJoin — that shape shuffles 16× the

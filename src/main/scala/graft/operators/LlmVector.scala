@@ -77,7 +77,8 @@ object LlmVector extends QueryGroup {
     * probe reads), `centroids/` the k cell means. Deterministic content
     * (kmeansFit is deterministic), built once per session+sf. */
   private def annIndexPath(d: String): String =
-    s"${graft.Tables.scratchDir}/ann_index_v1_${new java.io.File(d).getName}"
+    s"${graft.Tables.scratchDir}/ann_index_v1_${new java.io.File(d).getName}" +
+      s"_${graft.Tables.fingerprint(d, "embeddings")}"
 
   /** Build the IVF index if absent: k=8 Lloyd cells over the corpus,
     * postings written partitionBy(cell), centroids beside them. The

@@ -13,9 +13,11 @@ import org.apache.spark.sql.types._
   *   digest) → quality gate → join embeddings → per-language rollup.
   *
   * This is the "switch your pipeline to this library" demonstration:
-  * every stage is the same code shape a user would compose from the
-  * individual operators (text_normalize, dedup_exact, text_quality,
-  * multimodal_join), and the whole composition is DuckDB-oracled. At
+  * each stage follows the corresponding standalone operator's shape
+  * (text_normalize, dedup_exact, text_quality, multimodal_join) with
+  * the stopword list shared; the gate uses the UNROUNDED stop ratio
+  * (text_quality rounds its reported ratio for display) — and the
+  * whole composition is DuckDB-oracled. At
   * 100 TB each stage keeps its individual scale property — nothing in
   * the composition adds a shuffle the stages alone would not have. */
 object Pipeline extends QueryGroup {
@@ -37,7 +39,7 @@ object Pipeline extends QueryGroup {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("stop_ratio",
-        size(filter(col("toks"), t => t === "the" || t === "a")).cast(DoubleType) /
+        size(filter(col("toks"), t => t.isin(LlmText.StopTokens: _*))).cast(DoubleType) /
           size(col("toks")).cast(DoubleType))
       .withColumn("quality",
         log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")))

@@ -142,10 +142,12 @@ object Scans extends QueryGroup {
     * PartitionFilters), so at 100 TB only the surviving partitions are
     * ever read even though the fact side has no static predicate. */
   private val scanDpp: QFn = (s, d) => {
-    // materialized once per session+sf (path keyed by sf dir so a
-    // different scale factor can never reuse stale files) — the probe
-    // should pay for the pruned read, not for rebuilding the layout
-    val base = s"${Tables.scratchDir}/dpp_${new java.io.File(d).getName}"
+    // materialized once per session+sf (path keyed by sf dir AND the
+    // source file's content fingerprint, so neither a different scale
+    // factor nor a regenerated fixture can reuse stale files) — the
+    // probe should pay for the pruned read, not for rebuilding the layout
+    val base = s"${Tables.scratchDir}/dpp_${new java.io.File(d).getName}" +
+      s"_${Tables.fingerprint(d, "orders")}"
     val out = s"$base/orders"
     val dimOut = s"$base/status_dim"
     if (!new java.io.File(s"$base/_DONE").exists()) {
