@@ -20,6 +20,7 @@ object SparkEntry {
     operators.LlmVector,
     operators.EventsBatch,
     operators.Pipeline,
+    operators.Sampling,
     functions.Udx,
   )
 

@@ -151,6 +151,25 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram log-probability scoring (the CCNet-style perplexity-filter
+    * shape): token logprob under the corpus unigram model, mean per
+    * document — low scorers are boilerplate/outlier documents. Scale
+    * shape: the unigram table is vocabulary-sized (≪ corpus) and
+    * broadcast to the token stream, so the only shuffles are the two
+    * bounded aggregations (vocabulary, then per-doc). */
+  private val textUnigramLogprob: QFn = (s, d) => {
+    val t = tokens(s, d)
+    val tf = t.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val n = t.agg(count(lit(1)).cast(DoubleType).as("n_tok"))
+    t.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("lp", log(col("tf") / col("n_tok")))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("lp")) / count(lit(1)), 6).as("mean_logprob"),
+           count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dictionary scrub (the PII-redaction pipeline shape): replace
     * denylist tokens with a mask and count redactions. Token-level HOFs
     * — no regex, so no cross-dialect regex hazards (§7.4) — and the
@@ -347,6 +366,7 @@ object LlmText extends QueryGroup {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "text_scrub" -> textScrub,
+    "text_unigram_logprob" -> textUnigramLogprob,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
@@ -443,6 +463,16 @@ object LlmText extends QueryGroup {
            FROM (SELECT doc_id, regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm
                  FROM documents) t) x
          WHERE rn = 1 ORDER BY doc_id ASC NULLS FIRST""",
+    "text_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+            tf AS (SELECT tok, count(*) tf FROM toks GROUP BY tok),
+            n AS (SELECT CAST(count(*) AS DOUBLE) n_tok FROM toks)
+         SELECT doc_id,
+                round(sum(ln(tf / n_tok)) / count(*), 6) AS mean_logprob,
+                count(*) AS n_tokens
+         FROM toks JOIN tf USING (tok) CROSS JOIN n
+         GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
     "text_scrub" ->
       """SELECT doc_id,
                 array_to_string(list_transform(string_split(text, ' '),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic, reproducible sampling — the primitive every 100 TB
+  * training-data pipeline needs for subsetting and train/val splits.
+  * Spark's `sample()`/`sampleBy()` are seed-deterministic but engine-
+  * specific (not reproducible elsewhere, and row-order sensitive under
+  * re-partitioning), so both operators here key on the md5 of a stable
+  * row id: the sample membership of a row is a pure function of the
+  * row, independent of partitioning, executor count, or engine — the
+  * property that makes a sample re-derivable years later. Filters stay
+  * in codegen and push down; no shuffle is introduced at all. */
+object Sampling extends QueryGroup {
+
+  /** mod-bucket of the md5 of a stable id: 0..buckets-1, portable. */
+  private def hashBucket(c: org.apache.spark.sql.Column, buckets: Int) =
+    conv(substring(md5(c.cast(StringType)), 1, 12), 16, 10)
+      .cast(LongType) % buckets
+
+  /** Deterministic ~10% sample of orders: rows whose id-hash bucket is
+    * 0 of 10. Exactly reproducible on any engine with md5. */
+  private val sampleHash: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .filter(hashBucket(col("o_orderkey"), 10) === 0L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Deterministic 90/10 train/val split of documents, reported as
+    * per-(lang, split) counts — the split column is what a user would
+    * `partitionBy` on when writing the corpus. */
+  private val splitTrainVal: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(hashBucket(col("doc_id"), 10) === 9L, "val").otherwise("train"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "sample_hash" -> sampleHash,
+    "split_train_val" -> splitTrainVal,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT % 10 = 0
+         ORDER BY o_orderkey ASC NULLS FIRST""",
+    "split_train_val" ->
+      """SELECT lang,
+                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 9
+                     THEN 'val' ELSE 'train' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         GROUP BY 1, 2
+         ORDER BY lang ASC NULLS FIRST, split ASC NULLS FIRST""",
+  )
+}

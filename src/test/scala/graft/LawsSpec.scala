@@ -171,6 +171,12 @@ class LawsSpec extends AnyFunSuite {
     assert(renorm.filter(col("again") =!= col("norm_text")).count() == 0)
   }
 
+  test("hash split partitions the corpus exactly") {
+    val out = SparkEntry.queries("split_train_val")(spark, sf)
+    val total = out.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
   test("text_scrub is idempotent and never leaves denylist tokens") {
     val out = SparkEntry.queries("text_scrub")(spark, sf)
     val deny = Seq("fast", "slow", "dup", "value")
