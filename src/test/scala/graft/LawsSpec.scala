@@ -116,6 +116,32 @@ class LawsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("approx_count_distinct lands within its rsd of exact") {
+    val got = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rsd is 0.01; allow 3 standard deviations
+    for ((k, e) <- exact) {
+      val a = got(k)
+      assert(math.abs(a - e).toDouble / e <= 0.03, s"$k: approx $a exact $e")
+    }
+  }
+
+  test("approx quantiles bracket the exact neighborhood quantiles") {
+    val got = SparkEntry.queries("agg_approx_quantiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap // p50
+    val bounds = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.40)").as("lo"),
+           expr("percentile(value, 0.60)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((k, (lo, hi)) <- bounds) {
+      val p50 = got(k)
+      assert(p50 >= lo && p50 <= hi, s"$k: approx p50 $p50 outside [$lo, $hi]")
+    }
+  }
+
   test("hll union of per-group sketches equals the direct global sketch") {
     val ev = Tables.events(spark, sf)
     val viaUnion = ev.groupBy(col("event_type"))
