@@ -43,6 +43,24 @@ class DedupProps extends Properties("graft") {
       }
     }
 
+  property("ntile closed form matches the ceil/floor split for every n") =
+    Prop.forAll(Gen.choose(1, 200)) { n =>
+      // reference semantics: the first n%4 tiles get ceil(n/4) rows,
+      // the rest floor(n/4) — exactly what SQL ntile(4) assigns
+      val base = n / 4
+      val rem = n % 4
+      val tiles = (Seq.fill(rem)(base + 1) ++ Seq.fill(4 - rem)(base))
+        .zipWithIndex.flatMap { case (sz, i) => Seq.fill(sz)(i + 1) }
+      (1 to n).forall { r =>
+        // the win_ntile_pctrank closed form (Windows.scala); when
+        // base == 0 the first branch always applies, so no div by zero
+        val q =
+          if (r <= rem * (base + 1)) (r - 1) / (base + 1) + 1
+          else rem + (r - rem * (base + 1) - 1) / base + 1
+        q == tiles(r - 1)
+      }
+    }
+
   property("minhash of identical sets is identical (via md5 min)") =
     Prop.forAll(tokenGen) { a =>
       a.nonEmpty ==> {
