@@ -98,6 +98,36 @@ object Scans extends QueryGroup {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** ORC round-trip: write `supplier` as ORC, re-ingest, return the
+    * rows — proves the second columnar format's write/read path is
+    * lossless (DuckDB has no ORC reader, so the oracle reads the
+    * original parquet; equality IS the losslessness proof, the
+    * ingest_csv pattern). */
+  private val ingestOrc: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/ingest_orc"
+    Tables.supplier(s, d).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** zstd parquet sink: the storage-budget codec at 100 TB (better
+    * ratio than snappy at comparable scan speed). Write a projection
+    * zstd-compressed, read it back, aggregate — the oracle reads the
+    * original table, so equality proves the codec path is lossless. */
+  private val sinkZstd: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/sink_zstd"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").option("compression", "zstd").parquet(out)
+    s.read.parquet(out)
+      .groupBy((col("l_orderkey") % 10L).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast("double"), 4)
+             .as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Schema evolution: two parquet generations of the same table — the
     * second adds a column — read back together with mergeSchema; rows
     * from the old generation surface NULL for the new column. The
@@ -180,8 +210,10 @@ object Scans extends QueryGroup {
     "ingest_jsonl" -> ingestJsonl,
     "ingest_text" -> ingestText,
     "ingest_merge_schema" -> ingestMergeSchema,
+    "ingest_orc" -> ingestOrc,
     "sink_partitioned" -> sinkPartitioned,
     "sink_bucketed" -> sinkBucketed,
+    "sink_zstd" -> sinkZstd,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -212,6 +244,13 @@ object Scans extends QueryGroup {
          UNION ALL
          SELECT 'b' AS gen, count(*) AS n_rows, count(*) AS n_with_len FROM region
          ORDER BY gen ASC NULLS FIRST""",
+    "ingest_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         ORDER BY s_suppkey ASC NULLS FIRST""",
+    "sink_zstd" ->
+      """SELECT l_orderkey % 10 AS bucket, count(*) AS n,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price
+         FROM lineitem GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""",
     "sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n_orders FROM orders
          GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST""",
