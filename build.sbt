@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. Two rounds of BENCH parsed:null came from sbt's decoration:
+// forked output was logged with an `[info] ` prefix and followed by a
+// `[success] Total time: ...` trailer. StdoutOutput passes the forked
+// process's stdout through verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not another setting —
+// exclude it from lintUnused so every sbt invocation isn't prefixed with
+// a 6-line warning block.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
