@@ -32,6 +32,11 @@ object LlmVector extends QueryGroup {
         / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $a[i])), (x, y) -> x + y))
          * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
 
+  /** DuckDB-side squared L2 — same left fold order as [[l2sq]], so the
+    * per-(vector, centroid) distances are bit-identical across engines. */
+  private def duckL2sq(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"""
+
   /** Per-group mean vector: posexplode → per-dimension avg → rebuild the
     * array ordered by dimension (shared by the IVF and k-means coarse
     * quantizers — shuffles k×dim cells, never vectors). */
@@ -153,20 +158,75 @@ object LlmVector extends QueryGroup {
       .orderBy(col("vec_id"))
   }
 
+  /** Anchor fit for the SemDeDup cells: Lloyd k-means like [[kmeansFit]]
+    * but with every centroid coordinate rounded to 9 dp after each mean.
+    * The rounding is what makes the DuckDB oracle able to MIRROR the fit
+    * (per-dimension `avg` is an order-dependent double sum, so unrounded
+    * means would differ across engines in the last bits and could flip a
+    * later argmin); the per-(vector, centroid) distances themselves are
+    * bit-identical left folds on both sides. Deterministic: init =
+    * vectors 0..k-1, ties broken by min cid via struct ordering. */
+  private def anchorsFit(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val centSchema = StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("cv", ArrayType(DoubleType))))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val asg = e.crossJoin(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(l2sq(col("v"), col("cv")).as("d2"), col("cid"))).as("m"),
+             first(col("v")).as("v"))
+        .select(col("m.cid").as("cid"), col("v"))
+      val rows = asg.select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col")), 9).as("c"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), transform(col("pc"), x => x.getField("c")).as("cv"))
+        .collect()
+      cent = s.createDataFrame(java.util.Arrays.asList(rows: _*), centSchema)
+    }
+    cent
+  }
+
+  /** Persisted embcos anchor set for one sf dir, k = ⌈√n⌉ scaling with
+    * the corpus (the published IVF/SemDeDup recipe). Path keyed by sf
+    * name AND the embeddings file's content fingerprint — the
+    * [[ensureAnnIndex]] machinery — so a regenerated fixture can never
+    * be served stale anchors, and repeated evaluations in one session
+    * (Verify → Bench min-of-2 → specs) fit exactly once. */
+  private[graft] def ensureEmbcosAnchors(s: SparkSession, d: String): String = {
+    val base = s"${graft.Tables.scratchDir}/embcos_anchors_v1_${new java.io.File(d).getName}" +
+      s"_${graft.Tables.fingerprint(d, "embeddings")}"
+    val done = new java.io.File(s"$base/_DONE")
+    if (!done.exists()) {
+      val n = Tables.embeddings(s, d).count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      anchorsFit(s, d, k, iters = 2)
+        .write.mode("overwrite").parquet(s"$base/anchors")
+      done.createNewFile()
+    }
+    s"$base/anchors"
+  }
+
   /** Embedding near-dup, SemDeDup-shaped (Abbas et al. 2023,
     * arXiv:2303.09540): coarse-quantize every vector to its 2 nearest
-    * anchor cells (16 deterministic anchors — the embeddings of
-    * vec_id 0..15, standing in for persisted k-means centroids), then
-    * candidate pairs share ≥1 cell and are exact-cosine verified > 0.4.
-    * The oracle MIRRORS this construction in SQL, so parity holds by
-    * construction; VectorSpec separately measures recall vs the exact
-    * all-pairs answer (precision is 1 — every emitted pair is verified).
+    * anchor cells — anchors are persisted ⌈√n⌉ k-means centroids from
+    * [[anchorsFit]], so cell count GROWS with the corpus and the
+    * per-cell pair product stays ~constant per cell (the round-2
+    * hardcoded 16-anchor set made it O(n²/16)) — then candidate pairs
+    * share ≥1 cell and are exact-cosine verified > 0.4.
+    * The oracle MIRRORS this construction in SQL — including the
+    * 2-iteration anchor fit, unrolled as CTEs with the same 9-dp-rounded
+    * means — so parity holds by construction; VectorSpec separately
+    * measures recall vs the exact all-pairs answer (precision is 1 —
+    * every emitted pair is verified).
     * Scale shape: no unconditioned self-join — the pair product is
     * partitioned by cell (Σ n_c² with 2× probe replication, cells
-    * processed independently after one shuffle on the cell key; at
-    * 100 TB ncells grows ~√n, the published IVF/SemDeDup recipe, and
-    * anchors come from kmeansFit instead of row samples). The round-1
-    * uncapped O(n²) self-join was the one §4 anti-pattern in the repo.
+    * processed independently after one shuffle on the cell key).
     * At this corpus's dedup threshold (0.4 ≈ 66° — near the random-pair
     * angle in 64-dim) sign-random-projection banding cannot separate
     * true pairs from background, so cell partitioning, not bit-LSH, is
@@ -174,12 +234,12 @@ object LlmVector extends QueryGroup {
   private val dedupEmbcos: QFn = (s, d) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
-    val anchors = e.filter(col("vec_id") < 16L)
-      .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val anchors = s.read.parquet(ensureEmbcosAnchors(s, d))
+      .select(col("cid").cast(LongType).as("a_id"), col("cv").as("av"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("acos").desc, col("a_id"))
     val cells = e.crossJoin(broadcast(anchors))
-      .select(col("vec_id"), col("a_id"), expr("cosine_f32(embedding, av)").as("acos"))
+      .select(col("vec_id"), col("a_id"), cosine(col("embedding"), col("av")).as("acos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .select(col("vec_id"), col("a_id").as("cell"))
@@ -384,12 +444,31 @@ object LlmVector extends QueryGroup {
           FROM terms t JOIN cent c ON t.label = c.label AND t.pos = c.pos
           GROUP BY t.vec_id, t.label
           ORDER BY t.vec_id ASC NULLS FIRST""",
-    "dedup_embcos" ->
-      s"""WITH a AS (SELECT vec_id a_id, CAST(embedding AS DOUBLE[]) av
-                     FROM embeddings WHERE vec_id < 16),
-            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
-            sc AS (SELECT e.vec_id, a.a_id, ${duckCos("ev", "av")} AS acos
-                   FROM e CROSS JOIN a),
+    "dedup_embcos" -> {
+      // one unrolled Lloyd iteration: assign to nearest centroid
+      // (bit-identical l2sq fold, ties by min cid), then 9-dp-rounded
+      // per-dimension means — the exact anchorsFit construction
+      def lloyd(prevCent: String, i: Int): String =
+        s"""a$i AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${duckL2sq("e.ev", "c.cv")} ASC, c.cid ASC) AS rn
+                     FROM e CROSS JOIN $prevCent c) t
+                   WHERE rn = 1),
+            t$i AS (SELECT a$i.cid, CAST(unnest(range(len(e.ev))) AS BIGINT) AS pos,
+                           unnest(e.ev) AS val
+                    FROM a$i JOIN e USING (vec_id)),
+            c$i AS (SELECT cid, list(c ORDER BY pos ASC) AS cv
+                    FROM (SELECT cid, pos, round(avg(val), 9) AS c
+                          FROM t$i GROUP BY cid, pos) g
+                    GROUP BY cid)"""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, ev AS cv FROM e
+                   WHERE vec_id < (SELECT ceil(sqrt(count(*))) FROM e)),
+            ${lloyd("c0", 1)},
+            ${lloyd("c1", 2)},
+            sc AS (SELECT e.vec_id, c.cid AS a_id, ${duckCos("e.ev", "c.cv")} AS acos
+                   FROM e CROSS JOIN c2 c),
             cells AS (SELECT vec_id, a_id AS cell FROM (
                         SELECT vec_id, a_id,
                                row_number() OVER (PARTITION BY vec_id
@@ -405,7 +484,8 @@ object LlmVector extends QueryGroup {
           SELECT ia, ib, round(c, 6) AS cos_sim
           FROM (SELECT ia, ib, $duckPairCos AS c FROM p) t
           WHERE c > 0.4
-          ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST""",
+          ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST"""
+    },
     "embed_quantize" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
             m AS (SELECT vec_id, e, list_min(e) lo, list_max(e) hi FROM t)
