@@ -76,6 +76,29 @@ class LawsSpec extends AnyFunSuite {
     assert(exact == got, s"missed: ${exact.diff(got)}, extra: ${got.diff(exact)}")
   }
 
+  test("dedup_clusters: 4 label-prop rounds are a fixed point; clusters tile the pair graph") {
+    val pairs = operators.LlmText.minhashPairs(spark, sf)
+      .select(col("da"), col("db")).persist()
+    val sym = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    def labels(iters: Int): Set[(Long, Long)] =
+      operators.LlmText.labelProp(sym, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l4 = labels(4)
+    // convergence certificate: the declared 4 rounds already reached the
+    // true connected components (one more round changes nothing)
+    assert(labels(5) == l4)
+    // every edge is intra-cluster, every survivor is its cluster's min
+    val lab = l4.toMap
+    pairs.collect().foreach { r =>
+      assert(lab(r.getLong(0)) == lab(r.getLong(1)))
+    }
+    l4.groupBy(_._2).foreach { case (survivor, members) =>
+      assert(members.map(_._1).min == survivor)
+    }
+    pairs.unpersist()
+  }
+
   test("simhash chunk buckets have recall 1 vs all-pairs hamming (pigeonhole)") {
     // recompute the 60-bit signatures exactly as the operator does, then
     // compare its bucketed candidate pairs with the O(n²) reference
