@@ -436,7 +436,7 @@ object LlmText extends QueryGroup {
     * of r=2, exact-Jaccard verify ≥ 0.8), shared by the
     * dedup_near_minhash and dedup_clusters oracles so the two cannot
     * drift apart. */
-  private val duckMinhashPairsCtes: String = {
+  private[operators] val duckMinhashPairsCtes: String = {
     val P = 2147483647L
     val mins = (0 until 16)
       .map(i => s"min((hm * ${2 * i + 3} + ${7919 * i + 13}) % $P) AS mh$i")

@@ -10,16 +10,25 @@ import org.apache.spark.sql.types._
   * width digests, broadcast-free doc↔embedding join on the shared key):
   *
   *   documents → normalize → exact-dedup (min-doc_id survivor per md5
-  *   digest) → quality gate → join embeddings → per-language rollup.
+  *   digest) → minhash near-dup drop (anti-join against the larger
+  *   member of every verified pair — the transitive-closure variant is
+  *   dedup_clusters) → quality gate → deterministic train/val split →
+  *   join embeddings → per-(language, split) rollup.
   *
   * This is the "switch your pipeline to this library" demonstration:
   * each stage follows the corresponding standalone operator's shape
-  * (text_normalize, dedup_exact, text_quality, multimodal_join) with
-  * the stopword list shared; the gate uses the UNROUNDED stop ratio
-  * (text_quality rounds its reported ratio for display) — and the
-  * whole composition is DuckDB-oracled. At
-  * 100 TB each stage keeps its individual scale property — nothing in
-  * the composition adds a shuffle the stages alone would not have. */
+  * (text_normalize, dedup_exact, dedup_near_minhash, text_quality,
+  * split_train_val, multimodal_join) with the stopword list, minhash
+  * constants, and hash-bucket split shared with those operators so the
+  * composition cannot silently drift from them — and the whole flow is
+  * DuckDB-oracled. The quality gate compares the 6-dp-ROUNDED score
+  * (`round(quality, 6) > 2.0`): both engines quantize before the
+  * comparison, so a cross-engine ln() ULP difference can no longer flip
+  * the gate for a doc sitting exactly at the boundary. At 100 TB each
+  * stage keeps its individual scale property — the near-dup drop is an
+  * anti-join on doc_id (shuffle on the key, no pair re-verification),
+  * the split adds no shuffle at all (pure row hash), and nothing in the
+  * composition adds a shuffle the stages alone would not have. */
 object Pipeline extends QueryGroup {
 
   private val pipelineE2e: QFn = (s, d) => {
@@ -35,7 +44,13 @@ object Pipeline extends QueryGroup {
       .select(col("doc_id"), md5(col("norm_text")).as("nh"))
       .groupBy(col("nh")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
+    // near-dup drop: every doc that is the larger member of a verified
+    // minhash pair is dropped via LEFT ANTI on the key — at scale this
+    // moves doc_ids, never documents or shingles
+    val nearDropped = LlmText.minhashPairs(s, d)
+      .select(col("db").as("doc_id")).distinct()
     val gated = norm.join(survIds, Seq("doc_id"))
+      .join(nearDropped, Seq("doc_id"), "left_anti")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("stop_ratio",
@@ -43,17 +58,20 @@ object Pipeline extends QueryGroup {
           size(col("toks")).cast(DoubleType))
       .withColumn("quality",
         log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")))
-      .filter(col("quality") > 2.0)
+      .filter(round(col("quality"), 6) > 2.0)
+      .withColumn("split",
+        when(Sampling.hashBucket(col("doc_id"), 10) === 9L, "val")
+          .otherwise("train"))
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       sqrt(aggregate(transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
         lit(0.0), (a, v) => a + v)).as("l2"))
     gated.join(e, gated("doc_id") === e("vec_id"))
-      .groupBy(col("lang"))
+      .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tokens")).as("total_tokens"),
            round(avg(col("quality")), 6).as("avg_quality"),
            round(avg(col("l2")), 6).as("avg_l2"))
-      .orderBy(col("lang"))
+      .orderBy(col("lang"), col("split"))
   }
 
   val queries: Seq[(String, QFn)] = Seq(
@@ -62,7 +80,8 @@ object Pipeline extends QueryGroup {
 
   val oracles: Seq[(String, String)] = Seq(
     "pipeline_e2e" ->
-      """WITH norm AS (
+      s"""WITH ${LlmText.duckMinhashPairsCtes},
+         norm AS (
            SELECT doc_id, lang, text,
                   regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
                                  ' +', ' ', 'g') AS norm_text
@@ -71,6 +90,7 @@ object Pipeline extends QueryGroup {
            SELECT min(doc_id) AS doc_id
            FROM (SELECT doc_id, md5(norm_text) AS nh FROM norm) t
            GROUP BY nh),
+         near_dropped AS (SELECT DISTINCT db AS doc_id FROM pairs),
          gated AS (
            SELECT n.doc_id, n.lang,
                   CAST(len(string_split(n.text, ' ')) AS BIGINT) AS n_tokens,
@@ -78,19 +98,23 @@ object Pipeline extends QueryGroup {
                     * (1.0 - CAST(len(list_filter(string_split(n.text, ' '),
                                 t -> t = 'the' OR t = 'a')) AS DOUBLE)
                              / len(string_split(n.text, ' '))) AS quality
-           FROM norm n JOIN surv s ON n.doc_id = s.doc_id),
-         q AS (SELECT * FROM gated WHERE quality > 2.0),
+           FROM norm n JOIN surv s ON n.doc_id = s.doc_id
+           WHERE n.doc_id NOT IN (SELECT doc_id FROM near_dropped)),
+         q AS (SELECT gated.*,
+                      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 9
+                           THEN 'val' ELSE 'train' END AS split
+               FROM gated WHERE round(quality, 6) > 2.0),
          e AS (SELECT vec_id,
                       sqrt(list_reduce(list_prepend(0.0,
                              list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
                            (a, b) -> a + b)) AS l2
                FROM embeddings)
-         SELECT lang, count(*) AS n_docs,
+         SELECT lang, split, count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                 round(avg(quality), 6) AS avg_quality,
                 round(avg(l2), 6) AS avg_l2
          FROM q JOIN e ON q.doc_id = e.vec_id
-         GROUP BY lang
-         ORDER BY lang ASC NULLS FIRST""",
+         GROUP BY lang, split
+         ORDER BY lang ASC NULLS FIRST, split ASC NULLS FIRST""",
   )
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * in codegen and push down; no shuffle is introduced at all. */
 object Sampling extends QueryGroup {
 
-  /** mod-bucket of the md5 of a stable id: 0..buckets-1, portable. */
-  private def hashBucket(c: org.apache.spark.sql.Column, buckets: Int) =
+  /** mod-bucket of the md5 of a stable id: 0..buckets-1, portable.
+    * Shared with Pipeline.pipeline_e2e's split stage so the two can't
+    * drift (the StopTokens pattern). */
+  private[operators] def hashBucket(c: org.apache.spark.sql.Column, buckets: Int) =
     conv(substring(md5(c.cast(StringType)), 1, 12), 16, 10)
       .cast(LongType) % buckets
 
