@@ -166,6 +166,41 @@ object Scans extends QueryGroup {
            sum(size(split(col("value"), " "))).as("total_tokens"))
   }
 
+  /** Incremental (base + delta) ingestion — the CDC shape a production
+    * ingester hits first: a base generation plus a later delta
+    * generation carrying updated rows for a subset of keys, read back
+    * TOGETHER as one hive-partitioned dataset (`gen=` directories, the
+    * ingest_merge_schema generation trick), with per-key dedup
+    * preferring the newest generation. The merge is one groupBy on the
+    * key with a max-of-struct aggregate (gen first) — map-side partial
+    * max, fixed-width rows, a single shuffle on the key; at 100 TB this
+    * is the standard merge-on-read compaction plan. The oracle computes
+    * the expected current state independently from the original table,
+    * so equality proves the generation-merge semantics, not just the
+    * round-trip. */
+  private val ingestIncremental: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/ingest_incremental"
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    c.write.mode("overwrite").parquet(s"$out/gen=0")
+    // the delta: every 10th key gets a new balance
+    c.filter(col("c_custkey") % 10L === 0L)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    val merged = s.read.parquet(out)
+      .groupBy(col("c_custkey"))
+      .agg(max(struct(col("gen"), col("c_nationkey").as("nk"),
+                      col("c_acctbal").as("bal"))).as("m"))
+      .select(col("c_custkey"), col("m.gen").as("gen"),
+              col("m.nk").as("c_nationkey"), col("m.bal").as("c_acctbal"))
+    merged.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_updated"),
+           round(sum(expr("CAST(c_acctbal AS DECIMAL(18,6))")).cast("double"), 4)
+             .as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Dynamic partition pruning: a hive-partitioned fact joined to a
     * selectively-filtered dim — Catalyst injects a runtime partition
     * filter from the broadcast dim (PlanSpec asserts dynamicpruning in
@@ -210,6 +245,7 @@ object Scans extends QueryGroup {
     "ingest_jsonl" -> ingestJsonl,
     "ingest_text" -> ingestText,
     "ingest_merge_schema" -> ingestMergeSchema,
+    "ingest_incremental" -> ingestIncremental,
     "ingest_orc" -> ingestOrc,
     "sink_partitioned" -> sinkPartitioned,
     "sink_bucketed" -> sinkBucketed,
@@ -247,6 +283,18 @@ object Scans extends QueryGroup {
     "ingest_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey ASC NULLS FIRST""",
+    "ingest_incremental" ->
+      """WITH cur AS (
+           SELECT c_custkey, c_nationkey,
+                  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0
+                       ELSE c_acctbal END AS bal,
+                  CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS upd
+           FROM customer)
+         SELECT c_nationkey, count(*) AS n_customers,
+                CAST(sum(upd) AS BIGINT) AS n_updated,
+                round(CAST(sum(CAST(bal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_bal
+         FROM cur GROUP BY c_nationkey
+         ORDER BY c_nationkey ASC NULLS FIRST""",
     "sink_zstd" ->
       """SELECT l_orderkey % 10 AS bucket, count(*) AS n,
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price
