@@ -57,6 +57,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("dedup family never plans a quadratic join") {
+    // locks in the round-2/3 scale fixes: candidate generation must stay
+    // an equality-bucket shuffle (minhash bands, simhash chunks, anchor
+    // cells, label-prop rounds) — a regression to an unconditioned pair
+    // product shows up as CartesianProduct or an unexpected
+    // BroadcastNestedLoopJoin
+    for (q <- Seq("dedup_exact", "dedup_near_minhash", "dedup_simhash",
+                  "dedup_clusters")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+    // dedup_embcos legitimately broadcasts the bounded ⌈√n⌉-row anchor
+    // set as a nested-loop product (cells assignment, once per side of
+    // the pair lineage); anything beyond that count is a regression, and
+    // a CartesianProduct is never acceptable
+    val p = plan("dedup_embcos")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"dedup_embcos has $bnlj BroadcastNestedLoopJoins:\n$p")
+  }
+
   test("sink_bucketed joins the bucketed tables without a shuffle exchange") {
     import org.apache.spark.sql.functions.col
     // materialize the bucketed tables (also runs the full oracled query)
