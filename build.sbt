@@ -37,5 +37,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // keep catalog state (saveAsTable data defaults, derby metastore) out
+  // of the repo tree — sink_bucketed otherwise drops spark-warehouse/
+  // into the project root
+  "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
+  "-Dderby.system.home=/tmp/graft_derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

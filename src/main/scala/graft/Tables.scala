@@ -45,12 +45,25 @@ object Tables {
     * recreated per use; never read as an oracle input. */
   val scratchDir = "/tmp/graft_scratch"
 
-  /** Content fingerprint (length ⊕ mtime) of a fixture table file. Keys
-    * derived scratch caches (ANN index, DPP layout) so a REGENERATED
-    * fixture can never be served stale derived data from a surviving
-    * /tmp — a bare _DONE marker alone would. */
+  /** Content fingerprint (length ⊕ mtime ⊕ head/tail byte sample) of a
+    * fixture table file. Keys derived scratch caches (ANN index, DPP
+    * layout, embcos anchors) so a REGENERATED fixture can never be
+    * served stale derived data from a surviving /tmp — a bare _DONE
+    * marker alone would. The 16-byte sample (parquet footer bytes
+    * change with content) covers the corner a same-length rewrite
+    * within one mtime tick would otherwise slip through; a missing
+    * fixture fails fast instead of fingerprinting as "0". */
   def fingerprint(d: String, table: String): String = {
     val f = new java.io.File(s"$d/$table.parquet")
-    java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 1000003L))
+    require(f.exists(), s"fixture not found: $f")
+    val raf = new java.io.RandomAccessFile(f, "r")
+    val sample = try {
+      val bytes = new Array[Byte](16)
+      raf.readFully(bytes, 0, 8)
+      raf.seek(math.max(0L, f.length() - 8))
+      raf.readFully(bytes, 8, 8)
+      bytes.foldLeft(-3750763034362895579L) { (h, b) => (h ^ b) * 1099511628211L }
+    } finally raf.close()
+    java.lang.Long.toHexString(f.length() ^ (f.lastModified() * 1000003L) ^ sample)
   }
 }

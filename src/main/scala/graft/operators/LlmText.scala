@@ -238,12 +238,16 @@ object LlmText extends QueryGroup {
     * recall at J≥0.8 (LawsSpec keeps the recall-vs-exact superset law;
     * a fixture pair banding misses would fail that test, not the
     * driver gate). */
-  /** One persisted shingle set per (session, sf dir): repeated
-    * invocations of dedup_near_minhash in one session (Verify → Bench →
-    * specs) reuse the same cached DataFrame instead of registering a
-    * fresh never-unpersisted copy each time. */
+  /** One persisted shingle set per (session, sf dir, fixture
+    * fingerprint): repeated invocations of dedup_near_minhash in one
+    * session (Verify → Bench → specs) reuse the same cached DataFrame
+    * instead of registering a fresh never-unpersisted copy each time,
+    * and the fingerprint key means a fixture regenerated mid-session
+    * gets a fresh entry instead of stale shingles (the scratch-cache
+    * policy). Entries live for the JVM — bounded by the handful of
+    * (session, sf) combos a process ever sees. */
   private val shCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
   /** Verified minhash near-dup pairs (da < db, unrounded jaccard ≥ 0.8)
     * — the shared pair graph consumed by both the pair-listing query
@@ -251,7 +255,8 @@ object LlmText extends QueryGroup {
     * (dedup_clusters). */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val P = 2147483647L
-    val sh = shCache.getOrElseUpdate((s, d), Tables.documents(s, d)
+    val sh = shCache.getOrElseUpdate((s, d, Tables.fingerprint(d, "documents")),
+      Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       // <3-token docs have no 3-shingles; without this filter
       // sequence(0, size-3) would DESCEND (default step -1) and fabricate
@@ -309,7 +314,7 @@ object LlmText extends QueryGroup {
     * iteration, and without caching each reference would re-derive the
     * whole minhash pipeline (the round-1 reuse-pessimization lesson). */
   private val pairCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
   /** Bounded min-label propagation: lab₀(v) = v; labₜ₊₁(v) =
     * min(labₜ(v), min over neighbors labₜ(u)). After `iters` rounds every
@@ -340,9 +345,10 @@ object LlmText extends QueryGroup {
     * closure the pair list alone doesn't give (A~B and B~C put A, C in
     * one cluster even when A~C itself fell below the threshold). */
   private val dedupClusters: QFn = (s, d) => {
-    val pairs = pairCache.getOrElseUpdate((s, d), minhashPairs(s, d)
-      .select(col("da"), col("db"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = pairCache.getOrElseUpdate((s, d, Tables.fingerprint(d, "documents")),
+      minhashPairs(s, d)
+        .select(col("da"), col("db"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sym = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
     labelProp(sym, iters = 4)
