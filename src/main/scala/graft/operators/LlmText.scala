@@ -322,18 +322,28 @@ object LlmText extends QueryGroup {
     * iters carry their minimum doc_id everywhere (LawsSpec certifies the
     * fixture converges: one extra round is a fixed point). All-integer
     * min is order-independent, so the oracle mirror is exact regardless
-    * of join/aggregation order. Scale shape: each round is one shuffle
-    * of the edge list + one of the label table (the standard iterative
-    * connected-components recipe; at 100 TB you would checkpoint labels
-    * between rounds instead of unrolling the lineage). */
+    * of join/aggregation order.
+    *
+    * Implementation note: the round is computed as a min over
+    * self ∪ neighbors by adding a SELF-LOOP per vertex to the edge set —
+    * identical labels to the least(own, neighbor-min) form the oracle
+    * spells out, but the label table is referenced exactly ONCE per
+    * round. Referencing it twice (once for `own`, once under the
+    * neighbor join) doubles the unrolled lineage every iteration —
+    * measured 12-25 s at sf0.1 from 2⁴ replicated subtrees; the
+    * self-loop form is linear in `iters`. Scale shape: each round is one
+    * equality join on dst + one aggregation shuffle on src (the standard
+    * iterative connected-components recipe; at 100 TB you would
+    * checkpoint labels between rounds instead of unrolling the
+    * lineage). */
   private[graft] def labelProp(sym: DataFrame, iters: Int): DataFrame = {
+    val edges = sym.union(sym.select(col("src"), col("src").as("dst")).distinct())
     var lab = sym.select(col("src").as("v")).distinct().withColumn("lab", col("v"))
     for (_ <- 1 to iters) {
-      val nmin = sym.join(lab.select(col("v").as("dst"), col("lab").as("nlab")), "dst")
-        .groupBy(col("src")).agg(min(col("nlab")).as("nlab"))
-      // inner join: every vertex came from an edge, so it has ≥1 neighbor
-      lab = lab.join(nmin.select(col("src").as("v"), col("nlab")), "v")
-        .select(col("v"), least(col("lab"), col("nlab")).as("lab"))
+      lab = edges
+        .join(lab.select(col("v").as("dst"), col("lab").as("nlab")), "dst")
+        .groupBy(col("src")).agg(min(col("nlab")).as("lab"))
+        .select(col("src").as("v"), col("lab"))
     }
     lab
   }
