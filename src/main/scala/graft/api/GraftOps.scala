@@ -1,0 +1,137 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The library surface for ARBITRARY DataFrames — what "switch your
+  * pipeline to this library" means in practice. The declared queries in
+  * [[graft.SparkEntry]] are fixture-bound so the driver can oracle them;
+  * each function here is the SAME construction parameterized over the
+  * caller's columns, and ApiSpec asserts result equality against the
+  * corresponding declared query on the fixtures, so the DuckDB-verified
+  * semantics transfer to user data unchanged.
+  *
+  * Everything stays in codegen-friendly Column expressions (no UDFs) and
+  * keeps the declared queries' scale shapes: digest-keyed dedup shuffles,
+  * equality-bucket LSH candidate joins, single-reference label
+  * propagation, pure-row-function sampling.
+  */
+object GraftOps {
+
+  /** Lowercase, strip non-alnum, collapse whitespace — text_normalize. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(trim(regexp_replace(lower(text), "[^a-z0-9 ]", "")), " +", " ")
+
+  /** Log-length × (1 − stopword-ratio) quality score — text_quality's
+    * `quality` column (unrounded; gate on round(…, 6) like pipeline_e2e
+    * if the threshold must be engine-portable). */
+  def qualityScore(text: Column, stopTokens: Seq[String]): Column = {
+    val toks = split(text, " ")
+    val stopRatio = size(filter(toks, t => t.isin(stopTokens: _*))).cast(DoubleType) /
+      size(toks).cast(DoubleType)
+    log(lit(1.0) + size(toks).cast(LongType)) * (lit(1.0) - stopRatio)
+  }
+
+  /** Portable md5 mod-bucket in 0..buckets-1 — sample_hash /
+    * split_train_val membership: a pure function of the row id,
+    * independent of partitioning, executor count, or engine. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 12), 16, 10)
+      .cast(LongType) % buckets
+
+  /** Exact double cosine via the zip_with/aggregate left fold — the
+    * SQL-expressible twin of the codegen'd `cosine_f32` expression
+    * (bit-identical numerics, asserted in VectorSpec). */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact-dedup survivors — dedup_exact: one row per distinct
+    * normalized text, `(id, n_copies)` with survivor = min id. The
+    * shuffle carries 16-byte digests, not documents. */
+  def dedupExact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("gid"),
+        md5(regexp_replace(trim(lower(text)), " +", " ")).as("nh"))
+      .groupBy(col("nh"))
+      .agg(min(col("gid")).as("id"), count(lit(1)).as("n_copies"))
+      .select(col("id"), col("n_copies"))
+
+  /** MinHash-LSH verified near-dup pairs — dedup_near_minhash: distinct
+    * 3-token shingles → 16 portable minhashes in one partial-aggregating
+    * groupBy → 8 bands of r=2 → equality-bucket candidates →
+    * exact-Jaccard verify ≥ threshold. Returns `(ida, idb, jaccard)`
+    * with ida < idb and unrounded jaccard. Persist `df` (or its shingle
+    * projection) before calling if you evaluate the result repeatedly. */
+  def minhashNearDupPairs(df: DataFrame, id: Column, text: Column,
+                          threshold: Double = 0.8): DataFrame = {
+    val P = 2147483647L
+    val sh = df
+      .select(id.as("gid"), split(text, " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("gid"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct()
+    val hashed = sh.withColumn("hm",
+      conv(substring(md5(col("s")), 1, 12), 16, 10).cast(LongType) % P)
+    val mins = (0 until 16).map { i =>
+      min((col("hm") * (2L * i + 3L) + (7919L * i + 13L)) % P).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col("gid")).agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("gid"), explode(array((0 until 8).map { j =>
+        struct(lit(j).as("band"), col(s"mh${2 * j}").as("s0"), col(s"mh${2 * j + 1}").as("s1"))
+      }: _*)).as("b"))
+      .select(col("gid"), col("b.band").as("band"), col("b.s0").as("s0"), col("b.s1").as("s1"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.s0") === col("y.s0") && col("x.s1") === col("y.s1") &&
+        col("x.gid") < col("y.gid"))
+      .select(col("x.gid").as("ida"), col("y.gid").as("idb"))
+      .distinct()
+    val cnt = sh.groupBy(col("gid")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("gid").as("ida"), col("s")), "ida")
+      .join(sh.select(col("gid").as("idb"), col("s")), Seq("idb", "s"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("gid").as("ida"), col("n").as("na")), "ida")
+      .join(cnt.select(col("gid").as("idb"), col("n").as("nb")), "idb")
+      .withColumn("jaccard", col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** Connected components over an undirected pair list — dedup_clusters'
+    * clustering step: bounded min-label propagation (single-reference
+    * self-loop form, linear lineage in `rounds`). Returns `(v, lab)` —
+    * every vertex of the pair graph with its component label (= the
+    * component's minimum id once `rounds` ≥ the component diameter).
+    * Persist `pairs` before calling: each round references the edge
+    * list. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          rounds: Int = 4): DataFrame = {
+    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    graft.operators.LlmText.labelProp(sym, rounds)
+  }
+
+  /** Per-vector int8 affine quantization — embed_quantize's storage
+    * shape: `struct(lo, hi, qscale, q: array<bigint>)` with
+    * qᵢ = clamp(floor((xᵢ − lo)/scale + 0.5), 0, 255). floor-form
+    * rounding for cross-engine IEEE parity. */
+  def int8Quantize(vec: Column): Column = {
+    val e = transform(vec, x => x.cast(DoubleType))
+    val lo = array_min(e)
+    val hi = array_max(e)
+    val scale = (hi - lo) / 255.0
+    val q = transform(e, x =>
+      when(hi === lo, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((x - lo) / scale + 0.5).cast(LongType)))))
+    struct(lo.as("lo"), hi.as("hi"), scale.as("qscale"), q.as("q"))
+  }
+}

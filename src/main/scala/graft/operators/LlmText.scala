@@ -111,10 +111,14 @@ object LlmText extends QueryGroup {
 
   /** Stopword list shared with Pipeline.pipeline_e2e's quality gate so
     * the two can't silently drift. */
-  private[operators] val StopTokens = Seq("the", "a")
+  private[graft] val StopTokens = Seq("the", "a")
 
   /** Quality scoring: token/char counts, stopword ratio, log-length
-    * score — the standard pre-training quality gates. */
+    * score — the standard pre-training quality gates. `quality` is
+    * computed from the UNROUNDED stop ratio (the same semantic the
+    * pipeline_e2e gate and api.GraftOps.qualityScore use — ApiSpec
+    * asserts the three agree); the reported stop_ratio column is
+    * rounded for display only. */
   private val textQuality: QFn = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
@@ -123,11 +127,13 @@ object LlmText extends QueryGroup {
       col("n_chars").as("meta_chars"),
       round(length(regexp_replace(col("text"), " ", "")).cast(DoubleType) /
             size(split(col("text"), " ")).cast(DoubleType), 6).as("avg_tok_len"),
-      round(size(filter(split(col("text"), " "),
+      (size(filter(split(col("text"), " "),
               x => x.isin(StopTokens: _*))).cast(DoubleType) /
-            size(split(col("text"), " ")).cast(DoubleType), 6).as("stop_ratio"),
+            size(split(col("text"), " ")).cast(DoubleType)).as("stop_ratio_raw"),
     ).withColumn("quality",
-        round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 6))
+        round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio_raw")), 6))
+     .withColumn("stop_ratio", round(col("stop_ratio_raw"), 6))
+     .drop("stop_ratio_raw")
      .orderBy(col("doc_id"))
 
   /** Token counting: whitespace split vs BPE-ish regex tokenizer. */
@@ -541,12 +547,13 @@ object LlmText extends QueryGroup {
                   n_chars AS meta_chars,
                   round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                         / len(string_split(text, ' ')), 6) AS avg_tok_len,
-                  round(CAST(len(list_filter(string_split(text, ' '),
+                  CAST(len(list_filter(string_split(text, ' '),
                           x -> x = 'the' OR x = 'a')) AS DOUBLE)
-                        / len(string_split(text, ' ')), 6) AS stop_ratio
+                        / len(string_split(text, ' ')) AS stop_ratio_raw
            FROM documents)
-         SELECT doc_id, n_tokens, len_chars, meta_chars, avg_tok_len, stop_ratio,
-                round(ln(1.0 + n_tokens) * (1.0 - stop_ratio), 6) AS quality
+         SELECT doc_id, n_tokens, len_chars, meta_chars, avg_tok_len,
+                round(ln(1.0 + n_tokens) * (1.0 - stop_ratio_raw), 6) AS quality,
+                round(stop_ratio_raw, 6) AS stop_ratio
          FROM q ORDER BY doc_id ASC NULLS FIRST""",
     "text_token_count" ->
       """SELECT doc_id,
