@@ -141,6 +141,31 @@ object LlmVector extends QueryGroup {
       .limit(10)
   }
 
+  /** Batch kNN — the shape a pipeline actually runs (embed a batch,
+    * retrieve for every query at once, e.g. dedup-against-index or
+    * RAG-style retrieval): ONE corpus pass against a broadcast query
+    * set, per-query top-5 via a rank window partitioned by query id.
+    * Scale: corpus × |queries| stays a broadcast nested-loop over a
+    * bounded query batch (never corpus × corpus); the window
+    * partitions by query id, so no single-partition global sort. The
+    * IVF variant composes the same way over the pruned cells scan. */
+  private val simKnnBatch: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), expr("cosine_f32(embedding, qe)").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Per-label centroid (posexplode → per-dimension avg → rebuild) +
     * each vector's L2 distance to its own centroid. */
   private val simCentroids: QFn = (s, d) => {
@@ -400,6 +425,7 @@ object LlmVector extends QueryGroup {
   val queries: Seq[(String, QFn)] = Seq(
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_knn" -> simKnn,
+    "sim_knn_batch" -> simKnnBatch,
     "sink_ann_index" -> sinkAnnIndex,
     "sim_knn_ivf" -> simKnnIvf,
     "sim_centroids" -> simCentroids,
@@ -433,6 +459,19 @@ object LlmVector extends QueryGroup {
           SELECT vec_id, cos_sim FROM sc
           ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
           LIMIT 10""",
+    "sim_knn_batch" ->
+      s"""WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) eb FROM embeddings
+                     WHERE vec_id < 10),
+           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ea FROM embeddings),
+           sc AS (SELECT qid, vec_id, $duckPairCos AS c
+                  FROM e CROSS JOIN q WHERE vec_id <> qid),
+           r AS (SELECT qid, vec_id, c,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY c DESC NULLS LAST, vec_id ASC) AS rank
+                 FROM sc)
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, round(c, 6) AS cos_sim
+          FROM r WHERE rank <= 5
+          ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST""",
     "sim_centroids" ->
       """WITH terms AS (
             SELECT vec_id, label,
