@@ -383,7 +383,10 @@ object LlmText extends QueryGroup {
     * and 15-bit chunk keys give 32768 buckets per chunk, so bucket
     * population stays sparse as the corpus grows (the round-1 8-bit/256
     * buckets degenerated O(n²/256) at scale). */
-  private val dedupSimhash: QFn = (s, d) => {
+  /** Verified simhash near-dup pairs (da < db, hamming ≤ 3) — shared by
+    * the pair-listing query (dedup_simhash) and the cross-source
+    * clustering (dedup_clusters_all). */
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val h = tokens(s, d).select(col("doc_id"),
       conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType).as("hv"))
     val votes = (0 until 60).map { b =>
@@ -406,7 +409,29 @@ object LlmText extends QueryGroup {
     cand.withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("hamming") <= 3L)
       .select(col("da"), col("db"), col("hamming"))
-      .orderBy(col("da"), col("db"))
+  }
+
+  private val dedupSimhash: QFn = (s, d) =>
+    simhashPairs(s, d).orderBy(col("da"), col("db"))
+
+  /** Cross-source clustering: connected components over the UNION of the
+    * minhash and simhash verified pair graphs — two detectors with
+    * different blind spots (token-shingle Jaccard vs bit-vote hamming)
+    * feeding one duplicate-cluster map, the way a production dedup pass
+    * composes its signals. Same bounded label propagation as
+    * dedup_clusters; the union is one distinct over (da, db) edges. */
+  private val dedupClustersAll: QFn = (s, d) => {
+    val pairs = pairCache.getOrElseUpdate((s, s"$d#all", Tables.fingerprint(d, "documents")),
+      minhashPairs(s, d).select(col("da"), col("db"))
+        .union(simhashPairs(s, d).select(col("da"), col("db")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sym = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    labelProp(sym, iters = 4)
+      .groupBy(col("lab").as("survivor"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("survivor"))
   }
 
   /** Exact character-5-gram Jaccard pairs ≥ 0.55 among the first 150
@@ -448,6 +473,7 @@ object LlmText extends QueryGroup {
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_all" -> dedupClustersAll,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
   )
@@ -488,6 +514,26 @@ object LlmText extends QueryGroup {
                                JOIN cnt cb ON cb.doc_id = db) t
                   WHERE j >= 0.8)"""
   }
+
+  /** The simhash pair construction as DuckDB CTEs ending in
+    * `simpairs(da, db, hamming)` — the all-pairs form (equal to the
+    * Spark chunk-bucket construction because pigeonhole recall is
+    * exactly 1; LawsSpec asserts it), `sx_`-prefixed so it composes
+    * with [[duckMinhashPairsCtes]] in one WITH clause. */
+  private[operators] val duckSimhashPairsCtes: String =
+    """sx_toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+       sx_h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT hv FROM sx_toks),
+       sx_bv AS (SELECT doc_id, b.bit,
+                        CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END c
+                 FROM sx_h CROSS JOIN (SELECT unnest(range(60)) AS bit) b),
+       sx_sc AS (SELECT doc_id, bit, sum(c) sc FROM sx_bv GROUP BY 1, 2),
+       sx_sig AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN sc > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
+                  FROM sx_sc GROUP BY doc_id),
+       simpairs AS (SELECT a.doc_id da, b.doc_id db,
+                           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+                    FROM sx_sig a JOIN sx_sig b ON a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.sig, b.sig)) <= 3)"""
 
   val oracles: Seq[(String, String)] = Seq(
     "text_normalize" ->
@@ -620,20 +666,28 @@ object LlmText extends QueryGroup {
          ORDER BY survivor ASC NULLS FIRST"""
     },
     "dedup_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
-            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT hv FROM toks),
-            bv AS (SELECT doc_id, b.bit,
-                          CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END c
-                   FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) b),
-            sc AS (SELECT doc_id, bit, sum(c) sc FROM bv GROUP BY 1, 2),
-            sig AS (SELECT doc_id,
-                           CAST(sum(CASE WHEN sc > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
-                    FROM sc GROUP BY doc_id)
-         SELECT a.doc_id da, b.doc_id db,
-                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      s"""WITH $duckSimhashPairsCtes
+         SELECT da, db, hamming FROM simpairs
          ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
+    "dedup_clusters_all" -> {
+      def round(i: Int): String =
+        s"""l${i + 1} AS (SELECT l.v, least(l.lab, min(n.lab)) AS lab
+                          FROM l$i l JOIN sym e ON e.src = l.v
+                                     JOIN l$i n ON n.v = e.dst
+                          GROUP BY l.v, l.lab)"""
+      s"""WITH $duckMinhashPairsCtes,
+            $duckSimhashPairsCtes,
+            allpairs AS (SELECT da, db FROM pairs
+                         UNION SELECT da, db FROM simpairs),
+            sym AS (SELECT da AS src, db AS dst FROM allpairs
+                    UNION ALL SELECT db, da FROM allpairs),
+            l0 AS (SELECT v, v AS lab FROM
+                     (SELECT DISTINCT src AS v FROM sym) t),
+            ${round(0)}, ${round(1)}, ${round(2)}, ${round(3)}
+         SELECT lab AS survivor, count(*) AS n_members
+         FROM l4 GROUP BY lab
+         ORDER BY survivor ASC NULLS FIRST"""
+    },
     "dedup_ngram_jaccard" ->
       """WITH g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS s
                     FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150) d,

@@ -76,8 +76,14 @@ class LawsSpec extends AnyFunSuite {
     assert(exact == got, s"missed: ${exact.diff(got)}, extra: ${got.diff(exact)}")
   }
 
-  test("dedup_clusters: 4 label-prop rounds are a fixed point; clusters tile the pair graph") {
-    val pairs = operators.LlmText.minhashPairs(spark, sf)
+  for ((graphName, pairsOf) <- Seq(
+    "minhash" -> (() => operators.LlmText.minhashPairs(spark, sf)),
+    "minhash∪simhash" -> (() => operators.LlmText.minhashPairs(spark, sf)
+      .select(col("da"), col("db"))
+      .union(operators.LlmText.simhashPairs(spark, sf).select(col("da"), col("db")))
+      .distinct())))
+  test(s"dedup_clusters($graphName): 4 label-prop rounds are a fixed point; clusters tile the pair graph") {
+    val pairs = pairsOf()
       .select(col("da"), col("db")).persist()
     val sym = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))

@@ -64,7 +64,7 @@ class PlanSpec extends AnyFunSuite {
     // product shows up as CartesianProduct or an unexpected
     // BroadcastNestedLoopJoin
     for (q <- Seq("dedup_exact", "dedup_near_minhash", "dedup_simhash",
-                  "dedup_clusters")) {
+                  "dedup_clusters", "dedup_clusters_all")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
