@@ -59,6 +59,31 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
+  /** Composed streaming ingest pipeline — the pipeline_e2e shape running
+    * on a document stream: normalize → exact-dedup on the normalized
+    * digest within the watermark horizon (first arrival survives; fed in
+    * doc_id order that is the batch min-survivor rule) → quality gate on
+    * the 6-dp-rounded score. Append mode: emits the cleaned corpus as it
+    * arrives; dedup state is bounded by watermark horizon × distinct
+    * digests. The same code path runs on a bounded batch frame
+    * (StreamingSpec asserts equivalence against the dedup_exact +
+    * text_quality batch construction). */
+  def docPipeline(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopRatio =
+      size(filter(toks, t => t.isin(graft.operators.LlmText.StopTokens: _*)))
+        .cast("double") / size(toks).cast("double")
+    docs
+      .withColumn("nh", md5(regexp_replace(
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")), " +", " ")))
+      .withWatermark("ts_us", "10 minutes")
+      .dropDuplicatesWithinWatermark("nh")
+      .withColumn("quality",
+        log(lit(1.0) + size(toks).cast("long")) * (lit(1.0) - stopRatio))
+      .filter(round(col("quality"), 6) > 2.0)
+      .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the hour before it. Watermarks on BOTH sides plus the
     * two-sided time bound let Spark evict join state — without them a
@@ -79,6 +104,8 @@ object StreamingOps {
         col("c_ts") < col("p_ts"))
       .select(col("p_id"), col("p_user"), col("c_ts"), col("c_value"))
   }
+
+  case class Doc(doc_id: Long, ts_us: java.sql.Timestamp, lang: String, text: String)
 
   case class Ev(event_id: Long, ts_us: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)

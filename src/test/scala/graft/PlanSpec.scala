@@ -97,6 +97,37 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom filter is injected for a selective fact-dim shuffle join") {
+    import org.apache.spark.sql.functions._
+    // the row-level complement to scan_dpp's partition-level pruning: when
+    // the dim side of a shuffle join is selective, InjectRuntimeFilter
+    // builds a bloom filter from it and applies might_contain on the fact
+    // scan, so non-matching fact rows die before the shuffle. Thresholds
+    // scaled down for fixture-sized sides — the mechanism is the one that
+    // fires at 100 TB sizes with the defaults.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.lineitem(spark, TestSpark.sf)
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val dim = Tables.supplier(spark, TestSpark.sf)
+        .filter(col("s_acctbal") > 9000.0)
+        .select(col("s_suppkey"))
+      val j = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import org.apache.spark.sql.functions._
     val saved = Seq(

@@ -225,6 +225,49 @@ class StreamingSpec extends AnyFunSuite {
       == evs.map(_.event_id).sum)
   }
 
+  test("streaming doc pipeline equals the batch dedup+quality construction") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.Doc
+    // fixture docs with synthetic event times, fed in doc_id order so the
+    // stream's first-arrival dedup survivor IS the batch min-doc_id rule
+    val base = 1700000000000L
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => Doc(r.getLong(0),
+        new java.sql.Timestamp(base + r.getLong(0) * 1000L),
+        r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id).toSeq
+    val in = MemoryStream[Doc]
+    val q = graft.streaming.StreamingOps.docPipeline(in.toDF())
+      .writeStream.format("memory").queryName("st_docpipe")
+      .outputMode("append").start()
+    in.addData(docs.take(docs.length / 2)); q.processAllAvailable()
+    in.addData(docs.drop(docs.length / 2)); q.processAllAvailable()
+    // batch twin: strip-normalize digest → min-doc_id survivor → same
+    // rounded quality gate (the pipeline_e2e stages)
+    val norm = Tables.documents(spark, TestSpark.sf).select(
+      col("doc_id"), col("lang"), col("text"),
+      md5(regexp_replace(
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")), " +", " ")).as("nh"))
+    val surv = norm.groupBy(col("nh")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val toks = split(col("text"), " ")
+    val expected = norm.join(surv, Seq("doc_id"))
+      .withColumn("quality",
+        log(lit(1.0) + size(toks).cast("long")) *
+          (lit(1.0) - size(filter(toks,
+              t => t.isin(operators.LlmText.StopTokens: _*))).cast("double") /
+            size(toks).cast("double")))
+      .filter(round(col("quality"), 6) > 2.0)
+      .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+    val got = spark.table("st_docpipe")
+    assert(got.count() == expected.count(), "row count")
+    assertEquivalent(got, expected, Seq("doc_id", "lang"), Seq("quality"))
+    q.stop()
+  }
+
   test("stream_stateful running per-user totals equal batch aggregates") {
     val sp = spark
     import sp.implicits._
