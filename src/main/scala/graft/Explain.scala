@@ -12,7 +12,8 @@ object Explain {
     "scan_pruned", "join_broadcast", "join_shuffle", "agg_pricing_summary",
     "topk_global", "win_running_sum", "win_ntile_pctrank", "dedup_exact",
     "dedup_near_minhash", "dedup_simhash", "dedup_embcos", "dedup_clusters",
-    "sim_knn", "sim_knn_ivf", "events_tumbling", "pipeline_e2e")
+    "sim_knn", "sim_knn_batch", "sim_knn_ivf", "ingest_incremental",
+    "events_tumbling", "pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

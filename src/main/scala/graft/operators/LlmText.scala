@@ -342,9 +342,16 @@ object LlmText extends QueryGroup {
     * iterative connected-components recipe; at 100 TB you would
     * checkpoint labels between rounds instead of unrolling the
     * lineage). */
-  private[graft] def labelProp(sym: DataFrame, iters: Int): DataFrame = {
-    val edges = sym.union(sym.select(col("src"), col("src").as("dst")).distinct())
-    var lab = sym.select(col("src").as("v")).distinct().withColumn("lab", col("v"))
+  private[graft] def labelProp(sym: DataFrame, iters: Int): DataFrame =
+    labelPropEdges(
+      sym.union(sym.select(col("src"), col("src").as("dst")).distinct()), iters)
+
+  /** [[labelProp]] over an edge list that ALREADY contains a self-loop
+    * per vertex — callers that evaluate repeatedly cache this edge list
+    * (one persisted DataFrame read per round, instead of re-deriving the
+    * self-loop distinct from the pair list four times per evaluation). */
+  private[graft] def labelPropEdges(edges: DataFrame, iters: Int): DataFrame = {
+    var lab = edges.select(col("src").as("v")).distinct().withColumn("lab", col("v"))
     for (_ <- 1 to iters) {
       lab = edges
         .join(lab.select(col("v").as("dst"), col("lab").as("nlab")), "dst")
@@ -360,14 +367,18 @@ object LlmText extends QueryGroup {
     * output a training pipeline actually consumes — the transitive
     * closure the pair list alone doesn't give (A~B and B~C put A, C in
     * one cluster even when A~C itself fell below the threshold). */
-  private val dedupClusters: QFn = (s, d) => {
-    val pairs = pairCache.getOrElseUpdate((s, d, Tables.fingerprint(d, "documents")),
-      minhashPairs(s, d)
-        .select(col("da"), col("db"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** Pairs → persisted self-loop edge list (the labelPropEdges input). */
+  private def symEdges(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("da").as("src"), col("db").as("dst"))
       .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-    labelProp(sym, iters = 4)
+    sym.union(sym.select(col("src"), col("src").as("dst")).distinct())
+  }
+
+  private val dedupClusters: QFn = (s, d) => {
+    val edges = pairCache.getOrElseUpdate((s, d, Tables.fingerprint(d, "documents")),
+      symEdges(minhashPairs(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    labelPropEdges(edges, iters = 4)
       .groupBy(col("lab").as("survivor"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("survivor"))
@@ -421,14 +432,12 @@ object LlmText extends QueryGroup {
     * composes its signals. Same bounded label propagation as
     * dedup_clusters; the union is one distinct over (da, db) edges. */
   private val dedupClustersAll: QFn = (s, d) => {
-    val pairs = pairCache.getOrElseUpdate((s, s"$d#all", Tables.fingerprint(d, "documents")),
-      minhashPairs(s, d).select(col("da"), col("db"))
-        .union(simhashPairs(s, d).select(col("da"), col("db")))
-        .distinct()
+    val edges = pairCache.getOrElseUpdate((s, s"$d#all", Tables.fingerprint(d, "documents")),
+      symEdges(minhashPairs(s, d).select(col("da"), col("db"))
+          .union(simhashPairs(s, d).select(col("da"), col("db")))
+          .distinct())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sym = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-    labelProp(sym, iters = 4)
+    labelPropEdges(edges, iters = 4)
       .groupBy(col("lab").as("survivor"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("survivor"))
