@@ -30,6 +30,8 @@ class DeterminismSpec extends AnyFunSuite {
     "text_unigram_logprob",// per-doc double log sums
     "join_outer_left",     // decimal total_spent
     "pipeline_e2e",        // composed flow: ln()-derived gate + double avgs
+    "ingest_incremental",  // decimal balance totals over the merged state
+    "dedup_clusters",      // all-integer min labels — hard-deterministic
   )
 
   private def rows(name: String, parts: String): Seq[String] = {
