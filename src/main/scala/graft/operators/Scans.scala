@@ -166,6 +166,32 @@ object Scans extends QueryGroup {
            sum(size(split(col("value"), " "))).as("total_tokens"))
   }
 
+  /** Range-partitioned, within-partition-sorted parquet layout — the
+    * zone-map / row-group-skipping storage shape at 100 TB:
+    * repartitionByRange on the sort key gives each output file a
+    * globally disjoint key range, and sortWithinPartitions makes the
+    * parquet row-group min/max stats tight, so a key-range predicate at
+    * read time skips whole files and row groups instead of scanning
+    * them. The read-back applies a one-year range and rolls up monthly;
+    * the oracle computes the same from the original table, so equality
+    * proves the layout is lossless and the pruned read correct. */
+  private val sinkSorted: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/sink_sorted"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampNTZType) &&
+              col("l_shipdate") <  lit("1996-01-01").cast(TimestampNTZType))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+             .as("sum_qty"))
+      .orderBy(col("month"))
+  }
+
   /** Incremental (base + delta) ingestion — the CDC shape a production
     * ingester hits first: a base generation plus a later delta
     * generation carrying updated rows for a subset of keys, read back
@@ -249,6 +275,7 @@ object Scans extends QueryGroup {
     "ingest_orc" -> ingestOrc,
     "sink_partitioned" -> sinkPartitioned,
     "sink_bucketed" -> sinkBucketed,
+    "sink_sorted" -> sinkSorted,
     "sink_zstd" -> sinkZstd,
   )
 
@@ -295,6 +322,12 @@ object Scans extends QueryGroup {
                 round(CAST(sum(CAST(bal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_bal
          FROM cur GROUP BY c_nationkey
          ORDER BY c_nationkey ASC NULLS FIRST""",
+    "sink_sorted" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1 ORDER BY month ASC NULLS FIRST""",
     "sink_zstd" ->
       """SELECT l_orderkey % 10 AS bucket, count(*) AS n,
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price
