@@ -42,5 +42,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // into the project root
   "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
   "-Dderby.system.home=/tmp/graft_derby",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench evaluates ~115 queries × 2 in one JVM; at 8g
+  // the accumulated session state (persisted dedup caches, codegen
+  // classes, broadcast blocks) left GC headroom so thin that individual
+  // queries absorbed multi-second pauses under host load (driver r3
+  // recorded fn_json=15.8 s vs 1.2 s steady-state)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -134,6 +134,44 @@ object ScalarFns extends QueryGroup {
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("col").as("token"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Regex family: extract-all, match-count, rlike/like/ilike,
+    * split_part, reverse/left — the text-wrangling surface a corpus
+    * cleaning pass leans on. All POSIX-safe patterns (SURVEY.md §7.4)
+    * so both engines' regex dialects agree. */
+  private val fnRegex: QFn = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      concat_ws(",", regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)))
+        .as("all_words"),
+      expr("regexp_count(p_name, '[a-z]+')").cast(LongType).as("n_words"),
+      col("p_name").rlike("o[lr]").as("has_olr"),
+      col("p_name").like("%ring%").as("like_ring"),
+      col("p_brand").ilike("brand%").as("ilike_brand"),
+      split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+      reverse(col("p_name")).as("rev_name"),
+      expr("left(p_name, 5)").as("l5"),
+    ).orderBy(col("p_partkey"))
+
+  /** Struct (nested-row) family: nested construction, dotted field
+    * access, and lexicographic struct comparison — the row-valued
+    * building blocks the argmax aggregate (agg_argmax) and max-of-
+    * struct CDC merge (ingest_incremental) rely on. */
+  private val fnStruct: QFn = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      struct(
+        col("o_orderstatus").as("st"),
+        struct(col("o_totalprice").as("tp"), col("o_custkey").as("ck")).as("inner"),
+      ).as("meta"),
+    ).select(
+      col("o_orderkey"),
+      col("meta.st").as("status"),
+      col("meta.inner.tp").as("price"),
+      col("meta.inner.ck").as("cust"),
+      (struct(col("meta.inner.tp"), col("meta.inner.ck")) >
+        struct(lit(300000.0), lit(0L))).as("gt_300k"),
+    ).orderBy(col("o_orderkey"))
+
   /** Bitwise family over keys: shifts, and/or/xor, bit_count. */
   private val fnBitwise: QFn = (s, d) =>
     Tables.orders(s, d)
@@ -158,6 +196,8 @@ object ScalarFns extends QueryGroup {
     "fn_json" -> fnJson,
     "fn_explode" -> fnExplode,
     "fn_bitwise" -> fnBitwise,
+    "fn_regex" -> fnRegex,
+    "fn_struct" -> fnStruct,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -251,6 +291,24 @@ object ScalarFns extends QueryGroup {
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str_path,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
          FROM events ORDER BY event_id ASC NULLS FIRST""",
+    "fn_regex" ->
+      """SELECT p_partkey,
+                array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS all_words,
+                CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+                regexp_matches(p_name, 'o[lr]') AS has_olr,
+                p_name LIKE '%ring%' AS like_ring,
+                p_brand ILIKE 'brand%' AS ilike_brand,
+                split_part(p_type, ' ', 1) AS type_head,
+                reverse(p_name) AS rev_name,
+                left(p_name, 5) AS l5
+         FROM part ORDER BY p_partkey ASC NULLS FIRST""",
+    "fn_struct" ->
+      """SELECT o_orderkey,
+                o_orderstatus AS status,
+                o_totalprice AS price,
+                o_custkey AS cust,
+                (o_totalprice, o_custkey) > (300000.0, CAST(0 AS BIGINT)) AS gt_300k
+         FROM orders ORDER BY o_orderkey ASC NULLS FIRST""",
     "fn_explode" ->
       """SELECT doc_id,
                 CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos,

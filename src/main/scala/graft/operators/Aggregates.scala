@@ -164,6 +164,90 @@ object Aggregates extends QueryGroup {
       .orderBy(col("event_type"))
   }
 
+  /** Conditional aggregation (the FILTER-clause family): count_if and
+    * filtered sums computed in ONE pass over the table — the shape that
+    * replaces N self-joins with one scan at 100 TB (the same rewrite
+    * agg_pivot's oracle uses). Money sums through DECIMAL pre-casts. */
+  private val aggFiltered: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        expr("count_if(o_totalprice > 300000.0)").as("n_big"),
+        expr("count_if(o_orderstatus = 'O')").as("n_open"),
+        round(sum(when(col("o_totalprice") > 300000.0,
+            expr("CAST(o_totalprice AS DECIMAL(18,6))")))
+          .cast("double"), 4).as("big_total"),
+      ).orderBy(col("o_orderpriority"))
+
+  /** Argmax without a join-back: max-of-struct per group picks the row
+    * with the highest price (ties → highest orderkey) in a single hash
+    * aggregate. The standard two-pass alternative (groupBy max + equi-
+    * join back) scans and shuffles twice; this shape shuffles one
+    * fixed-width struct per group. The oracle derives the same winner
+    * with a window row_number (DESC price, DESC key) — an independent
+    * formulation of the same argmax. */
+  private val aggArgmax: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"),
+           count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+              col("m.o_totalprice").as("best_price"),
+              col("m.o_orderkey").as("best_order"),
+              col("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  /** Deterministic mode per group: most frequent quantity, ties broken
+    * toward the smallest value (plain `mode()` leaves ties undefined in
+    * both engines). Two bounded aggregations — value-counts then a
+    * per-group top-1 window over at most 50 distinct quantities. */
+  private val aggMode: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Skewness / excess kurtosis per group — computed from EXACT integer
+    * power sums (quantities are integral 1..50, so Σq..Σq⁴ fit BIGINT
+    * exactly: 50⁴·6e5 ≈ 3.8e12), then folded to central moments in
+    * double with the identical expression tree on both engines. This
+    * sidesteps two cross-engine traps at once: built-in skewness/
+    * kurtosis use DIFFERENT definitions (population vs sample-corrected)
+    * in Spark vs DuckDB, and raw double power sums would be
+    * accumulation-order dependent. m2^1.5 is written m2·sqrt(m2) —
+    * sqrt is IEEE-correctly-rounded on both engines, pow is not. */
+  private val aggMoments: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("q", col("l_quantity").cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+           sum(col("q") * col("q")).as("s2"),
+           sum(col("q") * col("q") * col("q")).as("s3"),
+           sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        expr("""round((s3/CAST(n AS DOUBLE)
+                        - 3.0*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
+                        + 2.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
+                      / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
+                         * sqrt(s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))), 6)""")
+          .as("skew"),
+        expr("""round((s4/CAST(n AS DOUBLE)
+                        - 4.0*(s1/CAST(n AS DOUBLE))*(s3/CAST(n AS DOUBLE))
+                        + 6.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
+                        - 3.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
+                      / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
+                         * (s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))) - 3.0, 6)""")
+          .as("ex_kurt"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -178,6 +262,10 @@ object Aggregates extends QueryGroup {
     "agg_percentile" -> aggPercentile,
     "agg_approx_quantiles" -> aggApproxQuantiles,
     "agg_hll_merge" -> aggHllMerge,
+    "agg_filtered" -> aggFiltered,
+    "agg_argmax" -> aggArgmax,
+    "agg_mode" -> aggMode,
+    "agg_moments" -> aggMoments,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -246,6 +334,51 @@ object Aggregates extends QueryGroup {
                 count(*) AS n
          FROM events GROUP BY event_type
          ORDER BY event_type ASC NULLS FIRST""",
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_total,
+                count(*) FILTER (WHERE o_totalprice > 300000.0) AS n_big,
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                           FILTER (WHERE o_totalprice > 300000.0) AS DOUBLE), 4) AS big_total
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
+    "agg_argmax" ->
+      """SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_order, n_orders
+         FROM (SELECT o_custkey, o_totalprice, o_orderkey,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn,
+                      count(*) OVER (PARTITION BY o_custkey) AS n_orders
+               FROM orders) t
+         WHERE rn = 1 ORDER BY o_custkey ASC NULLS FIRST""",
+    "agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt
+         FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt,
+                      row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY count(*) DESC, l_quantity ASC) AS rn
+               FROM lineitem GROUP BY l_returnflag, l_quantity) t
+         WHERE rn = 1 ORDER BY l_returnflag ASC NULLS FIRST""",
+    "agg_moments" ->
+      """WITH ps AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+                  CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+                  CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+                  CAST(sum(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                round((s3/CAST(n AS DOUBLE)
+                        - 3.0*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
+                        + 2.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
+                      / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
+                         * sqrt(s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))), 6) AS skew,
+                round((s4/CAST(n AS DOUBLE)
+                        - 4.0*(s1/CAST(n AS DOUBLE))*(s3/CAST(n AS DOUBLE))
+                        + 6.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
+                        - 3.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
+                      / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
+                         * (s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))) - 3.0, 6) AS ex_kurt
+         FROM ps ORDER BY l_returnflag ASC NULLS FIRST""",
     "agg_percentile" ->
       """SELECT lang,
                 round(quantile_cont(n_chars, 0.5), 6) AS p50,

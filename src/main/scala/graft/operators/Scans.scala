@@ -227,6 +227,70 @@ object Scans extends QueryGroup {
       .orderBy(col("c_nationkey"))
   }
 
+  /** SCD2 (slowly-changing-dimension type-2) history assembly — the
+    * other half of the CDC story next to [[ingestIncremental]]: instead
+    * of keeping only the newest row per key, keep EVERY version with its
+    * validity interval. Three generations land as hive `gen=` partitions
+    * (base, then two deltas touching overlapping key subsets); the
+    * history read assigns `valid_to_gen = lead(gen)` per key — one
+    * shuffle on the key, and the per-key window is bounded by the number
+    * of generations a key appears in (3 here, small in any real CDC
+    * feed), so the plan holds at 100 TB where per-key version counts
+    * stay bounded even as the key count grows. The oracle rebuilds the
+    * same generation rows from the original table with CASE arithmetic
+    * and applies DuckDB's own lead() — an independent check of the
+    * interval assembly, not a mirror of Spark's window code. */
+  private val ingestCdcScd2: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val out = s"${Tables.scratchDir}/ingest_cdc_scd2"
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    c.write.mode("overwrite").parquet(s"$out/gen=0")
+    c.filter(col("c_custkey") % 10L === 0L)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    c.filter(col("c_custkey") % 20L === 0L)
+      .withColumn("c_acctbal", col("c_acctbal") + 1500.0)
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("gen"))
+    s.read.parquet(out)
+      .withColumn("gen", col("gen").cast(IntegerType))
+      .withColumn("valid_to_gen", lead(col("gen"), 1).over(w))
+      .withColumn("is_current", col("valid_to_gen").isNull)
+      // keys with %10==0 have ≥2 versions — the interesting history rows
+      .filter(col("c_custkey") % 10L === 0L)
+      .select(col("c_custkey"), col("gen"), col("c_acctbal"),
+              col("valid_to_gen"), col("is_current"))
+      .orderBy(col("c_custkey"), col("gen"))
+  }
+
+  /** Small-file compaction — the maintenance job every long-lived 100 TB
+    * dataset needs: streaming/incremental writers leave thousands of
+    * small files per partition, and scan throughput collapses under
+    * per-file open cost. Write a deliberately fragmented layout (64
+    * files), then compact with coalesce — a NARROW dependency: tasks
+    * concatenate input splits with no shuffle, which is the correct
+    * plan when no new global order is required (repartition would pay a
+    * full shuffle of the table for nothing). The query aggregates the
+    * compacted output; the oracle computes the same from the original
+    * table, so equality proves compaction is lossless. PlanSpec asserts
+    * the file count actually dropped. */
+  private val sinkCompact: QFn = (s, d) => {
+    val frag = s"${Tables.scratchDir}/sink_compact/fragmented"
+    val compact = s"${Tables.scratchDir}/sink_compact/compacted"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag).coalesce(4)
+      .write.mode("overwrite").parquet(compact)
+    s.read.parquet(compact)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast("double"), 4)
+             .as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Dynamic partition pruning: a hive-partitioned fact joined to a
     * selectively-filtered dim — Catalyst injects a runtime partition
     * filter from the broadcast dim (PlanSpec asserts dynamicpruning in
@@ -272,7 +336,9 @@ object Scans extends QueryGroup {
     "ingest_text" -> ingestText,
     "ingest_merge_schema" -> ingestMergeSchema,
     "ingest_incremental" -> ingestIncremental,
+    "ingest_cdc_scd2" -> ingestCdcScd2,
     "ingest_orc" -> ingestOrc,
+    "sink_compact" -> sinkCompact,
     "sink_partitioned" -> sinkPartitioned,
     "sink_bucketed" -> sinkBucketed,
     "sink_sorted" -> sinkSorted,
@@ -322,6 +388,25 @@ object Scans extends QueryGroup {
                 round(CAST(sum(CAST(bal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_bal
          FROM cur GROUP BY c_nationkey
          ORDER BY c_nationkey ASC NULLS FIRST""",
+    "ingest_cdc_scd2" ->
+      """WITH gens AS (
+           SELECT c_custkey, 0 AS gen, c_acctbal FROM customer
+           UNION ALL
+           SELECT c_custkey, 1 AS gen, c_acctbal + 1000.0 AS c_acctbal FROM customer
+           WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey, 2 AS gen, c_acctbal + 1500.0 AS c_acctbal FROM customer
+           WHERE c_custkey % 20 = 0)
+         SELECT c_custkey, gen, c_acctbal,
+                lead(gen) OVER (PARTITION BY c_custkey ORDER BY gen) AS valid_to_gen,
+                (lead(gen) OVER (PARTITION BY c_custkey ORDER BY gen) IS NULL) AS is_current
+         FROM gens WHERE c_custkey % 10 = 0
+         ORDER BY c_custkey ASC NULLS FIRST, gen ASC NULLS FIRST""",
+    "sink_compact" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_price
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS FIRST""",
     "sink_sorted" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n,
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty

@@ -137,6 +137,28 @@ object Windows extends QueryGroup {
       .orderBy(col("c_custkey"))
   }
 
+  /** Event-time RANGE frame — the per-entity sliding rate counter
+    * (burst detection / rate limiting): for every event, how many
+    * events and how much value this user produced in the trailing 10
+    * minutes. The frame is bounded by TIME (600e9 ns on the raw bigint
+    * ns timestamp), not row count, so it holds under irregular event
+    * spacing; per-user partitions shuffle once and each frame is a
+    * value-bounded scan of an already-sorted run. The value sum goes
+    * through a DECIMAL pre-cast: events sharing a timestamp make the
+    * frame's accumulation order partition-dependent, and decimal
+    * addition is order-free. */
+  private val winTimeRange: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"))
+      .rangeBetween(-600000000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("sum_10m",
+        round(sum(expr("CAST(value AS DECIMAL(18,6))")).over(w).cast("double"), 4))
+      .select(col("event_id"), col("user_id"), col("n_10m"), col("sum_10m"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
@@ -145,6 +167,7 @@ object Windows extends QueryGroup {
     "win_range_frame" -> winRangeFrame,
     "win_first_last" -> winFirstLast,
     "win_ntile_pctrank" -> winNtilePctrank,
+    "win_time_range" -> winTimeRange,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -195,6 +218,14 @@ object Windows extends QueryGroup {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY user_id ASC NULLS FIRST""",
+    "win_time_range" ->
+      """SELECT event_id, user_id,
+                count(*) OVER w AS n_10m,
+                round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS sum_10m
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                      RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id ASC NULLS FIRST""",
     "win_ntile_pctrank" ->
       """SELECT c_custkey, c_acctbal,
                 ntile(4) OVER w AS quartile,
