@@ -176,6 +176,35 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model scoring — the stronger perplexity filter
+    * next to [[textUnigramLogprob]]: mean ln P(w_i | w_{i-1}) per doc
+    * under the corpus bigram model, P(w2|w1) = c(w1,w2)/c(w1·) with
+    * c(w1·) = bigram-left occurrences (all observed, so no smoothing
+    * term is needed for scoring the training corpus itself). Bigrams
+    * are generated IN-ROW (transform over sequence — no token self-join
+    * on position), the bigram and left-context tables are
+    * vocabulary-sized and broadcast, so like the unigram model the only
+    * shuffles are the bounded count aggregations. The size≥2 guard
+    * keeps sequence() ascending (it DESCENDS when end < start). */
+  private val textBigramLm: QFn = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    bg.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("lp", log(col("c12") / col("c1")))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("lp")) / count(lit(1)), 6).as("mean_bigram_lp"),
+           count(lit(1)).as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dictionary scrub (the PII-redaction pipeline shape): replace
     * denylist tokens with a mask and count redactions. Token-level HOFs
     * — no regex, so no cross-dialect regex hazards (§7.4) — and the
@@ -478,6 +507,7 @@ object LlmText extends QueryGroup {
     "text_fingerprint" -> textFingerprint,
     "text_scrub" -> textScrub,
     "text_unigram_logprob" -> textUnigramLogprob,
+    "text_bigram_lm" -> textBigramLm,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
@@ -642,6 +672,19 @@ object LlmText extends QueryGroup {
                 round(sum(ln(tf / n_tok)) / count(*), 6) AS mean_logprob,
                 count(*) AS n_tokens
          FROM toks JOIN tf USING (tok) CROSS JOIN n
+         GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+            bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                   FROM t, unnest(range(1, len(toks))) AS u(i)),
+            bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1)
+         SELECT doc_id,
+                round(sum(ln(c12 / c1)) / count(*), 6) AS mean_bigram_lp,
+                count(*) AS n_bigrams
+         FROM bg JOIN bc USING (w1, w2) JOIN c1 USING (w1)
          GROUP BY doc_id
          ORDER BY doc_id ASC NULLS FIRST""",
     "text_scrub" ->

@@ -409,6 +409,27 @@ object LlmVector extends QueryGroup {
                AS STRING)))""").as("q"))
       .orderBy(col("vec_id"))
 
+  /** L2 normalization — the prep step every cosine-based retrieval /
+    * clustering stage wants done ONCE at ingest rather than per query
+    * (normalized vectors turn cosine into a plain dot product, which is
+    * what the ANN index and dedup_embcos consume). Pure HOFs over the
+    * array column, one codegen stage, no shuffle; the unit-scaled head
+    * dims are emitted as %.6f strings (array-free checker contract) and
+    * the division uses the UNROUNDED norm so the text is a faithful
+    * sample of what a normalized sink would store. */
+  private val embedNorm: QFn = (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (a, v) => a + v)))
+      .select(col("vec_id"),
+        round(col("nrm"), 6).as("l2_norm"),
+        concat_ws(",", transform(slice(col("embedding"), 1, 4),
+          x => format_string("%.6f",
+            round(x.cast(DoubleType) / col("nrm"), 6) + lit(0.0))))
+          .as("head4_unit"))
+      .orderBy(col("vec_id"))
+
   /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
     * embedding L2 norm per label. */
   private val multimodalJoin: QFn = (s, d) => {
@@ -432,6 +453,7 @@ object LlmVector extends QueryGroup {
     "sim_kmeans" -> simKmeans,
     "dedup_embcos" -> dedupEmbcos,
     "embed_quantize" -> embedQuantize,
+    "embed_norm" -> embedNorm,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
@@ -533,6 +555,17 @@ object LlmVector extends QueryGroup {
                   CAST(CASE WHEN hi = lo THEN 0
                        ELSE least(255, greatest(0, CAST(floor((x - lo) / ((hi - lo) / 255.0) + 0.5) AS BIGINT))) END
                      AS VARCHAR)), ',') AS q
+         FROM m ORDER BY vec_id ASC NULLS FIRST""",
+    "embed_norm" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         sqrt(list_reduce(list_prepend(0.0,
+                                list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+                  FROM t)
+         SELECT vec_id,
+                round(nrm, 6) AS l2_norm,
+                array_to_string(list_transform(e[1:4],
+                  x -> printf('%.6f', round(x / nrm, 6) + 0.0)), ',') AS head4_unit
          FROM m ORDER BY vec_id ASC NULLS FIRST""",
     "multimodal_meta" ->
       """SELECT doc_id,
