@@ -430,6 +430,73 @@ object LlmVector extends QueryGroup {
           .as("head4_unit"))
       .orderBy(col("vec_id"))
 
+  /** Top principal component of the embedding corpus — the dimension-
+    * reduction / whitening prep a training pipeline runs before
+    * quantization or coarse clustering. Plan shape built for 100 TB:
+    *
+    *  1. per-dimension means: one posexplode + 64-group partial agg;
+    *  2. scatter matrix C: each row expands IN-ROW to its d² centered
+    *     products (codegen, no join, no corpus shuffle) and partial
+    *     aggregation collapses every task to ≤d²=4096 groups before the
+    *     only shuffle — the classic distributed-covariance shape;
+    *  3. power iteration on the d×d matrix: 3 matvec+normalize rounds
+    *     on a driver-local 4096-row relation (k×d-style collect, the
+    *     kmeansFit precedent — the corpus is never touched again).
+    *
+    * Oracle mirrors the construction exactly (unrolled CTEs): every
+    * aggregate is rounded to 9 dp on both sides before reuse, so
+    * accumulation-order drift can never compound (the kmeans-mirror
+    * technique); the deterministic all-0.125 init fixes the sign. */
+  /** The corpus-touching stage of [[embedPca]]: centered d² scatter
+    * sums. Package-visible so PlanSpec can assert the partial-aggregate
+    * shuffle shape (the returned query's own plan is the already-
+    * collected local eigenvector). */
+  private[graft] def pcaScatter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val t = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+    val means = t
+      .select(posexplode(col("e")).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(round(avg(col("xi")), 9).as("mi"))
+    // means as one sorted array row, broadcast to make centering in-row
+    val mrow = means
+      .agg(array_sort(collect_list(struct(col("i"), col("mi")))).as("ms"))
+      .select(expr("transform(ms, s -> s.mi)").as("ms"))
+    t.crossJoin(broadcast(mrow))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), i -> transform(sequence(0, 63), j ->
+             struct(i AS i, j AS j, (e[i] - ms[i]) * (e[j] - ms[j]) AS p))))""")).as("z"))
+      .groupBy(col("z.i").as("i"), col("z.j").as("j"))
+      .agg(round(sum(col("z.p")), 9).as("cv"))
+  }
+
+  private val embedPca: QFn = (s, d) => {
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
+    val c = pcaScatter(s, d)
+    val wSchema = StructType(Seq(
+      StructField("jj", IntegerType), StructField("wj", DoubleType)))
+    def localW(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), wSchema)
+    // C is tiny (4096 rows) — pin it locally so each matvec is a short
+    // driver-local plan instead of re-deriving the corpus scatter
+    val cLocal = c.cache()
+    var w = localW((0 until 64).map(j =>
+      org.apache.spark.sql.Row(j, 0.125)).toArray)
+    for (_ <- 1 to 3) {
+      val u = cLocal.join(broadcast(w), col("j") === col("jj")).drop("jj")
+        .groupBy(col("i"))
+        .agg(round(sum(col("cv") * col("wj")), 9).as("ui"))
+      val n = u.agg(sqrt(sum(col("ui") * col("ui"))).as("nn"))
+      w = localW(u.crossJoin(broadcast(n))
+        .select(col("i").as("jj"), round(col("ui") / col("nn"), 9).as("wj"))
+        .collect())
+    }
+    val res = w.select(col("jj").as("dim"), round(col("wj"), 6).as("loading"))
+      .orderBy(col("dim"))
+    cLocal.unpersist()
+    res
+  }
+
   /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
     * embedding L2 norm per label. */
   private val multimodalJoin: QFn = (s, d) => {
@@ -454,6 +521,7 @@ object LlmVector extends QueryGroup {
     "dedup_embcos" -> dedupEmbcos,
     "embed_quantize" -> embedQuantize,
     "embed_norm" -> embedNorm,
+    "embed_pca" -> embedPca,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
@@ -556,6 +624,28 @@ object LlmVector extends QueryGroup {
                        ELSE least(255, greatest(0, CAST(floor((x - lo) / ((hi - lo) / 255.0) + 0.5) AS BIGINT))) END
                      AS VARCHAR)), ',') AS q
          FROM m ORDER BY vec_id ASC NULLS FIRST""",
+    "embed_pca" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+            x AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i, unnest(e) AS xi FROM t),
+            m AS (SELECT i, round(avg(xi), 9) AS mi FROM x GROUP BY i),
+            xc AS (SELECT vec_id, i, xi - mi AS xc FROM x JOIN m USING (i)),
+            c AS (SELECT a.i AS i, b.i AS j, round(sum(a.xc * b.xc), 9) AS cv
+                  FROM xc a JOIN xc b USING (vec_id) GROUP BY a.i, b.i),
+            w0 AS (SELECT i AS j, 0.125 AS wj FROM range(64) r(i)),
+            u1 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
+                   FROM c JOIN w0 ON c.j = w0.j GROUP BY c.i),
+            n1 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u1),
+            w1 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u1 CROSS JOIN n1),
+            u2 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
+                   FROM c JOIN w1 ON c.j = w1.j GROUP BY c.i),
+            n2 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u2),
+            w2 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u2 CROSS JOIN n2),
+            u3 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
+                   FROM c JOIN w2 ON c.j = w2.j GROUP BY c.i),
+            n3 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u3),
+            w3 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u3 CROSS JOIN n3)
+         SELECT CAST(j AS INTEGER) AS dim, round(wj, 6) AS loading
+         FROM w3 ORDER BY dim ASC NULLS FIRST""",
     "embed_norm" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
             m AS (SELECT vec_id, e,

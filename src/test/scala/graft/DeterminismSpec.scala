@@ -32,6 +32,12 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_e2e",        // composed flow: ln()-derived gate + double avgs
     "ingest_incremental",  // decimal balance totals over the merged state
     "dedup_clusters",      // all-integer min labels — hard-deterministic
+    "agg_moments",         // exact BIGINT power sums → double folds — hard-deterministic
+    "agg_argmax",          // max-of-struct: total order on (price, key) — hard
+    "win_time_range",      // decimal frame sums over tie-prone event times
+    "text_bigram_lm",      // per-doc double log sums (post-rounding, like unigram)
+    "ingest_cdc_scd2",     // lead() over per-key integer generations — hard
+    "embed_pca",           // every aggregate 9-dp-rounded before reuse (kmeans-mirror technique)
   )
 
   private def rows(name: String, parts: String): Seq[String] = {

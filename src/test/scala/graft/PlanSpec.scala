@@ -161,6 +161,61 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sink_compact actually reduces the file count, without a shuffle") {
+    // run the query (writes both layouts), then check the directories:
+    // coalesce must have concatenated the 64 fragments into ≤4 files
+    SparkEntry.queries("sink_compact")(spark, TestSpark.sf).collect()
+    def parquetFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val frag = parquetFiles(s"${Tables.scratchDir}/sink_compact/fragmented")
+    val comp = parquetFiles(s"${Tables.scratchDir}/sink_compact/compacted")
+    assert(frag == 64, s"expected 64 fragmented files, got $frag")
+    assert(comp <= 4 && comp >= 1, s"expected <=4 compacted files, got $comp")
+    // the compaction read→write itself must be narrow: no Exchange in the
+    // coalesced write plan
+    val rewrite = spark.read.parquet(s"${Tables.scratchDir}/sink_compact/fragmented")
+      .coalesce(4)
+    assert(!rewrite.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("agg_argmax is a single aggregate — no join-back to the base table") {
+    val p = plan("agg_argmax")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("text_bigram_lm broadcasts the vocabulary-sized count tables") {
+    val p = plan("text_bigram_lm")
+    // both model joins (bigram counts, left-context counts) must be
+    // broadcasts — a sort-merge join here would shuffle the full token
+    // stream twice at 100 TB
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("embed_norm stays in one codegen stage with no shuffle before the sort") {
+    val p = plan("embed_norm")
+    // the normalization itself is shuffle-free: the only Exchange allowed
+    // is the rangepartitioning for the final ORDER BY
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("embed_pca scatter stage partial-aggregates before its only shuffle") {
+    // the d² expansion must collapse map-side: a partial HashAggregate on
+    // (i, j) ahead of the exchange keeps the shuffle at tasks×4096 rows
+    // regardless of corpus size; the 1-row means broadcast is the only
+    // nested-loop join allowed, and a CartesianProduct never is
+    // (the declared query's own plan is just the collected eigenvector —
+    // assert on the corpus-touching scatter stage directly)
+    val p = operators.LlmVector.pcaScatter(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
