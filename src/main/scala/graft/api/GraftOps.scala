@@ -119,6 +119,34 @@ object GraftOps {
     graft.operators.LlmText.labelProp(sym, rounds)
   }
 
+  /** L2 normalization — embed_norm's prep shape: scale the vector to
+    * unit length so cosine becomes a plain dot product downstream.
+    * Stays in one codegen stage; division by the unrounded norm. */
+  def l2Normalize(vec: Column): Column = {
+    val e = transform(vec, x => x.cast(DoubleType))
+    val nrm = sqrt(aggregate(transform(e, x => x * x), lit(0.0), (a, v) => a + v))
+    transform(e, x => x / nrm)
+  }
+
+  /** Argmax aggregate — agg_argmax's shape: use inside .agg(...) to get
+    * the payload of the row maximizing `ord` (ties → max payload) in a
+    * single hash aggregate, no join-back. Read fields off the returned
+    * struct: `.agg(argmax(price, key).as("m")) … col("m.<payload>")`. */
+  def argmax(ord: Column, payload: Column): Column =
+    max(struct(ord, payload))
+
+  /** SCD2 validity intervals — ingest_cdc_scd2's assembly step: given
+    * one row per (key, version), attach `valid_to` (= next version, NULL
+    * while current) and `is_current`. The per-key window is bounded by
+    * the key's version count — the CDC feed invariant that keeps this
+    * shape flat at 100 TB. */
+  def scd2History(df: DataFrame, key: Column, version: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(version)
+    df.withColumn("valid_to", lead(version, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Per-vector int8 affine quantization — embed_quantize's storage
     * shape: `struct(lo, hi, qscale, q: array<bigint>)` with
     * qᵢ = clamp(floor((xᵢ − lo)/scale + 0.5), 0, 255). floor-form

@@ -79,6 +79,47 @@ class ApiSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("l2Normalize matches embed_norm's unit-scaled dims") {
+    val api = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), GraftOps.l2Normalize(col("embedding")).as("u"),
+        col("embedding"))
+      .select(col("vec_id"),
+        round(sqrt(aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v)), 6).as("l2_norm"),
+        concat_ws(",", expr(
+          "transform(slice(u, 1, 4), x -> format_string('%.6f', round(x, 6) + 0.0d))"))
+          .as("head4_unit"))
+    assert(rows(api) == rows(SparkEntry.queries("embed_norm")(spark, sf)))
+  }
+
+  test("argmax matches agg_argmax") {
+    val api = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(GraftOps.argmax(col("o_totalprice"), col("o_orderkey")).as("m"),
+           count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("m.o_totalprice").as("best_price"),
+              col("m.o_orderkey").as("best_order"), col("n_orders"))
+    assert(rows(api) == rows(SparkEntry.queries("agg_argmax")(spark, sf)))
+  }
+
+  test("scd2History matches ingest_cdc_scd2's interval assembly") {
+    import org.apache.spark.sql.types.IntegerType
+    val c = Tables.customer(spark, sf).select(col("c_custkey"), col("c_acctbal"))
+    val gens = c.withColumn("gen", lit(0).cast(IntegerType))
+      .unionByName(c.filter(col("c_custkey") % 10L === 0L)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("gen", lit(1).cast(IntegerType)))
+      .unionByName(c.filter(col("c_custkey") % 20L === 0L)
+        .withColumn("c_acctbal", col("c_acctbal") + 1500.0)
+        .withColumn("gen", lit(2).cast(IntegerType)))
+    val api = GraftOps.scd2History(gens, col("c_custkey"), col("gen"))
+      .filter(col("c_custkey") % 10L === 0L)
+      .select(col("c_custkey"), col("gen"), col("c_acctbal"),
+              col("valid_to").as("valid_to_gen"), col("is_current"))
+    assert(rows(api) == rows(SparkEntry.queries("ingest_cdc_scd2")(spark, sf)))
+  }
+
   test("int8Quantize matches embed_quantize") {
     val api = Tables.embeddings(spark, sf)
       .select(col("vec_id"), GraftOps.int8Quantize(col("embedding")).as("z"))
