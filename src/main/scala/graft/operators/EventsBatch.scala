@@ -41,10 +41,35 @@ object EventsBatch extends QueryGroup {
               unix_micros(col("c_ts")).as("c_us"), col("c_value"))
       .orderBy(col("p_id"), col("c_us"), col("c_value"))
 
+  /** Conversion funnel signup → click → purchase: each step's timestamp
+    * must follow the previous step's (first-touch attribution). Three
+    * keyed min-aggregations chained by co-partitioned user_id joins —
+    * every shuffle is on the user key and each stage's cardinality only
+    * shrinks, so the funnel holds its shape at 100 TB event volumes.
+    * Step deltas stay in exact BIGINT ns until the final division. */
+  private val eventsFunnel: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(s3.agg(
+        count(lit(1)).as("n_purchase_after"),
+        round((sum(col("t3") - col("t1")).cast("double")
+          / count(lit(1))) / 1e9, 3).as("avg_signup_to_purchase_s")))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
     "events_interval_join" -> eventsIntervalJoin,
+    "events_funnel" -> eventsFunnel,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -70,6 +95,22 @@ object EventsBatch extends QueryGroup {
                 count(*) AS n_events, round(sum(value), 6) AS sum_v
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id ASC NULLS FIRST, session_start_s ASC NULLS FIRST""",
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2, min(s1.t1) AS t1
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3, min(s2.t1) AS t1
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t2
+                   GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM s1) AS n_signup,
+                (SELECT count(*) FROM s2) AS n_click_after,
+                (SELECT count(*) FROM s3) AS n_purchase_after,
+                (SELECT round((CAST(CAST(sum(t3 - t1) AS BIGINT) AS DOUBLE)
+                               / count(*)) / 1e9, 3) FROM s3) AS avg_signup_to_purchase_s""",
     "events_interval_join" ->
       """WITH p AS (SELECT event_id p_id, user_id p_user, epoch_ns(ts) // 1000 AS p_us
                     FROM events WHERE event_type = 'purchase'),

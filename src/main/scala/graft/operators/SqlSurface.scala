@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL entry path: the same engine driven through
+  * `spark.sql(...)` over registered views instead of the DataFrame DSL —
+  * proof that a SQL-first user of the reference's query surface can run
+  * unchanged ANSI SQL here. Catalyst compiles both surfaces to the same
+  * plans, so every DataFrame-side scale property (pushdown, broadcast,
+  * partial aggregation) carries over for free; PlanSpec asserts the Q3
+  * plan keeps the selective-dim broadcast + partial-agg shape.
+  */
+object SqlSurface extends QueryGroup {
+
+  /** TPC-H Q3 analog (shipping-priority revenue): selective customer
+    * segment dim → orders → lineitem, revenue per urgent order, top 10.
+    * The date literals split the fixture's 1995-2001 range; revenue goes
+    * through the per-element DECIMAL cast (§7.4) and the ORDER BY is
+    * fully tie-broken so LIMIT 10 is deterministic. */
+  private val sqlQ3: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
+    s.sql("""
+      SELECT l_orderkey,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+             CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+      FROM graft_customer_v
+      JOIN graft_orders_v ON c_custkey = o_custkey
+      JOIN graft_lineitem_v ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP_NTZ)
+        AND l_shipdate > CAST('1997-01-01' AS TIMESTAMP_NTZ)
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      ORDER BY revenue DESC, o_date ASC, l_orderkey ASC
+      LIMIT 10""")
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "sql_q3" -> sqlQ3,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "sql_q3" ->
+      """SELECT l_orderkey,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+                CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         ORDER BY revenue DESC, o_date ASC, l_orderkey ASC
+         LIMIT 10""",
+  )
+}

@@ -216,6 +216,17 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("sql_q3 plans the selective segment dim as a broadcast with partial aggregation") {
+    // the SQL surface must compile to the same scale shapes as the DSL:
+    // filtered customer dim broadcast into the fact join, revenue
+    // aggregated map-side before the group-key shuffle, top-10 as
+    // TakeOrderedAndProject rather than a global sort
+    val p = plan("sql_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
