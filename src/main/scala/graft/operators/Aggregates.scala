@@ -248,6 +248,20 @@ object Aggregates extends QueryGroup {
           .as("ex_kurt"))
       .orderBy(col("l_returnflag"))
 
+  /** Correlation / covariance per group — the feature-relationship
+    * profile a dataset report computes (does discount move with
+    * quantity?). Built-in corr/covar_samp/covar_pop on both engines
+    * share the standard sample/population definitions; accumulation
+    * order sensitivity handled like agg_stats: round 6 both sides. */
+  private val aggCorr: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+           round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"),
+           round(covar_pop(col("l_discount"), col("l_tax")), 6).as("covp_disc_tax"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -263,6 +277,7 @@ object Aggregates extends QueryGroup {
     "agg_approx_quantiles" -> aggApproxQuantiles,
     "agg_hll_merge" -> aggHllMerge,
     "agg_filtered" -> aggFiltered,
+    "agg_corr" -> aggCorr,
     "agg_argmax" -> aggArgmax,
     "agg_mode" -> aggMode,
     "agg_moments" -> aggMoments,
@@ -343,6 +358,13 @@ object Aggregates extends QueryGroup {
                            FILTER (WHERE o_totalprice > 300000.0) AS DOUBLE), 4) AS big_total
          FROM orders GROUP BY o_orderpriority
          ORDER BY o_orderpriority ASC NULLS FIRST""",
+    "agg_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
+                round(covar_pop(l_discount, l_tax), 6) AS covp_disc_tax
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS FIRST""",
     "agg_argmax" ->
       """SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_order, n_orders
          FROM (SELECT o_custkey, o_totalprice, o_orderkey,

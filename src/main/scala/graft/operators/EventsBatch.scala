@@ -65,11 +65,34 @@ object EventsBatch extends QueryGroup {
           / count(lit(1))) / 1e9, 3).as("avg_signup_to_purchase_s")))
   }
 
+  /** Weekly cohort retention — the engagement matrix every product
+    * pipeline materializes: users bucketed by first-activity week
+    * (cohort), then counted per (cohort, week-offset) they were active
+    * in. Two user-keyed aggregations plus one bounded (cohort, offset)
+    * rollup; all week math stays in exact BIGINT ns integer division.
+    * At 100 TB the cohort assignment is a single min-aggregation on the
+    * user key and the matrix is tiny — nothing here scales with event
+    * count except the linear scans. */
+  private val eventsRetention: QFn = (s, d) => {
+    val W = 604800000000000L // one week in ns
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr(s"ts div $W").as("week"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+              (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
     "events_interval_join" -> eventsIntervalJoin,
     "events_funnel" -> eventsFunnel,
+    "events_retention" -> eventsRetention,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -95,6 +118,15 @@ object EventsBatch extends QueryGroup {
                 count(*) AS n_events, round(sum(value), 6) AS sum_v
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id ASC NULLS FIRST, session_start_s ASC NULLS FIRST""",
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week FROM events),
+            c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+            a AS (SELECT DISTINCT e.user_id, c.cohort_week,
+                         e.week - c.cohort_week AS week_offset
+                  FROM e JOIN c ON e.user_id = c.user_id)
+         SELECT cohort_week, week_offset, count(*) AS n_active
+         FROM a GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week ASC NULLS FIRST, week_offset ASC NULLS FIRST""",
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY user_id),

@@ -42,9 +42,30 @@ object Sampling extends QueryGroup {
            sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** Stratified deterministic sampling — re-balance a corpus by
+    * stratum (the language-rebalancing move every multilingual training
+    * mix makes): per-lang keep rates expressed as hash-bucket
+    * membership ('en' keeps 5 of 10 buckets, everything else 2 of 10),
+    * so each stratum's sample is reproducible independently and the
+    * rates can be re-tuned without reshuffling anything — membership
+    * stays a pure row function, no shuffle, full pushdown. Reported as
+    * per-lang kept/total counts plus the realized rate. */
+  private val sampleStratified: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bkt", hashBucket(col("doc_id"), 10))
+      .withColumn("keep",
+        when(col("lang") === "en", col("bkt") < 5L).otherwise(col("bkt") < 2L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+           round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
+             / count(lit(1)), 6).as("rate"))
+      .orderBy(col("lang"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "sample_hash" -> sampleHash,
     "split_train_val" -> splitTrainVal,
+    "sample_stratified" -> sampleStratified,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -53,6 +74,19 @@ object Sampling extends QueryGroup {
          FROM orders
          WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT % 10 = 0
          ORDER BY o_orderkey ASC NULLS FIRST""",
+    "sample_stratified" ->
+      """WITH t AS (
+           SELECT lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 AS bkt
+           FROM documents)
+         SELECT lang, count(*) AS n_total,
+                CAST(sum(CASE WHEN (lang = 'en' AND bkt < 5) OR (lang <> 'en' AND bkt < 2)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(CAST(sum(CASE WHEN (lang = 'en' AND bkt < 5) OR (lang <> 'en' AND bkt < 2)
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                      / CAST(count(*) AS DOUBLE), 6) AS rate
+         FROM t GROUP BY lang
+         ORDER BY lang ASC NULLS FIRST""",
     "split_train_val" ->
       """SELECT lang,
                 CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10 = 9
