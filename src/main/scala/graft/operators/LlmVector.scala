@@ -462,39 +462,50 @@ object LlmVector extends QueryGroup {
     val mrow = means
       .agg(array_sort(collect_list(struct(col("i"), col("mi")))).as("ms"))
       .select(expr("transform(ms, s -> s.mi)").as("ms"))
+    // center once per row (64-element HOF — cheap), then expand to the
+    // d² products with two CHAINED posexplode generators: generators run
+    // inside whole-stage codegen as nested loops, where an equivalent
+    // per-row transform() building 4096 structs would be interpreted
+    // (HOFs are CodegenFallback) — measured 3× slower. Partial
+    // aggregation still collapses every task to ≤4096 groups before the
+    // only shuffle.
     t.crossJoin(broadcast(mrow))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, 63), i -> transform(sequence(0, 63), j ->
-             struct(i AS i, j AS j, (e[i] - ms[i]) * (e[j] - ms[j]) AS p))))""")).as("z"))
-      .groupBy(col("z.i").as("i"), col("z.j").as("j"))
-      .agg(round(sum(col("z.p")), 9).as("cv"))
+      .select(col("vec_id"), expr("transform(e, (x, k) -> x - ms[k])").as("ec"))
+      .select(col("ec"), posexplode(col("ec")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("ec")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("xi") * col("xj")), 9).as("cv"))
   }
 
   private val embedPca: QFn = (s, d) => {
     import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
-    val c = pcaScatter(s, d)
-    val wSchema = StructType(Seq(
-      StructField("jj", IntegerType), StructField("wj", DoubleType)))
-    def localW(rows: Array[org.apache.spark.sql.Row]): DataFrame =
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), wSchema)
-    // C is tiny (4096 rows) — pin it locally so each matvec is a short
-    // driver-local plan instead of re-deriving the corpus scatter
-    val cLocal = c.cache()
-    var w = localW((0 until 64).map(j =>
-      org.apache.spark.sql.Row(j, 0.125)).toArray)
-    for (_ <- 1 to 3) {
-      val u = cLocal.join(broadcast(w), col("j") === col("jj")).drop("jj")
-        .groupBy(col("i"))
-        .agg(round(sum(col("cv") * col("wj")), 9).as("ui"))
-      val n = u.agg(sqrt(sum(col("ui") * col("ui"))).as("nn"))
-      w = localW(u.crossJoin(broadcast(n))
-        .select(col("i").as("jj"), round(col("ui") / col("nn"), 9).as("wj"))
-        .collect())
+    // the corpus-touching work ends here: collect the 64×64 scatter to
+    // the driver (k×dim-collect precedent, kmeansFit) and run the power
+    // iteration locally — 3 DataFrame matvec rounds cost ~15 scheduler
+    // round-trips for arithmetic on 4096 doubles
+    val cm = Array.ofDim[Double](64, 64)
+    pcaScatter(s, d).collect().foreach { r =>
+      cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
     }
-    val res = w.select(col("jj").as("dim"), round(col("wj"), 6).as("loading"))
+    // identical numerics to the former DataFrame loop and to the DuckDB
+    // mirror: Spark's round(x, n) is BigDecimal HALF_UP — replicate it
+    // exactly so the collected path cannot drift from the oracle
+    def rnd(x: Double, sc: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
+    var w = Array.fill(64)(0.125)
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(64) { i =>
+        rnd((0 until 64).map(j => cm(i)(j) * w(j)).sum, 9)
+      }
+      val nn = math.sqrt(u.map(x => x * x).sum)
+      w = u.map(x => rnd(x / nn, 9))
+    }
+    val wSchema = StructType(Seq(
+      StructField("dim", IntegerType), StructField("loading", DoubleType)))
+    val rows = (0 until 64).map(i => org.apache.spark.sql.Row(i, rnd(w(i), 6)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), wSchema)
       .orderBy(col("dim"))
-    cLocal.unpersist()
-    res
   }
 
   /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
