@@ -251,6 +251,27 @@ class LawsSpec extends AnyFunSuite {
     assert(a.intersect(b).count() + a.except(b).count() == a.count())
   }
 
+  test("embed_pca: unit eigenvector, Rayleigh quotient non-decreasing under power iteration") {
+    // collect the scatter once; check (a) the declared loadings are a
+    // unit vector (up to output rounding), (b) power iteration improved
+    // the Rayleigh quotient over the flat init — the mathematical
+    // guarantee of the method for a symmetric PSD scatter matrix
+    val cm = Array.ofDim[Double](64, 64)
+    operators.LlmVector.pcaScatter(spark, sf).collect()
+      .foreach(r => cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    def rayleigh(v: Array[Double]): Double = {
+      val cv = Array.tabulate(64)(i => (0 until 64).map(j => cm(i)(j) * v(j)).sum)
+      (0 until 64).map(i => v(i) * cv(i)).sum / v.map(x => x * x).sum
+    }
+    val w = SparkEntry.queries("embed_pca")(spark, sf)
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val norm = math.sqrt(w.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"norm $norm")
+    val w0 = Array.fill(64)(0.125)
+    assert(rayleigh(w) >= rayleigh(w0) - 1e-9,
+      s"rayleigh(w3)=${rayleigh(w)} < rayleigh(w0)=${rayleigh(w0)}")
+  }
+
   test("geomean aggregator matches exp(avg(ln)) closed form") {
     val got = SparkEntry.queries("udaf_geomean")(spark, sf)
     val expected = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
