@@ -38,6 +38,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bigram_lm",      // per-doc double log sums (post-rounding, like unigram)
     "ingest_cdc_scd2",     // lead() over per-key integer generations — hard
     "embed_pca",           // every aggregate 9-dp-rounded before reuse (kmeans-mirror technique)
+    "agg_corr",            // corr/covar accumulation (post-rounding, like agg_stats)
   )
 
   private def rows(name: String, parts: String): Seq[String] = {
