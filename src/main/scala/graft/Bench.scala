@@ -31,9 +31,16 @@ object Bench {
       // ~60 s of transient noise to three sub-2 s queries) or a one-time
       // cached build (ANN index, DPP layout — paid on run 1 of whichever
       // query hits a cold scratch dir) can no longer distort the record.
+      // If BOTH runs exceed 3 s a host-load stall may have covered the
+      // whole pair (r3 driver recorded fn_json=15.8 s min-of-2 vs 1.2 s
+      // steady state), so buy one more sample — bounded extra cost, only
+      // for the handful of queries legitimately above 3 s.
       // A failed query must be visible, not blend in: -1, excluded from
       // the total.
-      val t = try math.min(once(), once()) catch { case _: Throwable => -1.0 }
+      val t = try {
+        val m2 = math.min(once(), once())
+        if (m2 > 3.0) math.min(m2, once()) else m2
+      } catch { case _: Throwable => -1.0 }
       name -> t
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a

@@ -291,6 +291,39 @@ object Scans extends QueryGroup {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Malformed-record handling — the ingestion concern every 100 TB
+    * feed hits: some fraction of a JSONL drop is broken, and the reader
+    * must quarantine it without failing the job or silently dropping
+    * counts. Every 5th nation row is written as deliberately truncated
+    * JSON; the PERMISSIVE read lands those rows in `_corrupt_record`
+    * (good columns NULL), and a second DROPMALFORMED read proves the
+    * drop-path count. (Spark's corrupt-column restriction only bites
+    * when a query references NOTHING but `_corrupt_record`; this
+    * aggregate reads data columns too, so no defensive cache is
+    * needed.) The oracle derives all four outputs from the
+    * construction rule. */
+  private val ingestCorrupt: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/ingest_corrupt"
+    Tables.nation(s, d)
+      .select(when(col("n_nationkey") % 5 === 0,
+          concat(lit("{\"n_nationkey\":"), col("n_nationkey"), lit(",")))
+        .otherwise(to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType), StructField("_corrupt_record", StringType)))
+    val parsed = s.read.schema(schema).option("mode", "PERMISSIVE").json(out)
+    val dropped = s.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(out)
+    parsed.agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(col("n_regionkey")).cast(LongType).as("sum_region"))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropmode")))
+  }
+
   /** Dynamic partition pruning: a hive-partitioned fact joined to a
     * selectively-filtered dim — Catalyst injects a runtime partition
     * filter from the broadcast dim (PlanSpec asserts dynamicpruning in
@@ -337,6 +370,7 @@ object Scans extends QueryGroup {
     "ingest_merge_schema" -> ingestMergeSchema,
     "ingest_incremental" -> ingestIncremental,
     "ingest_cdc_scd2" -> ingestCdcScd2,
+    "ingest_corrupt" -> ingestCorrupt,
     "ingest_orc" -> ingestOrc,
     "sink_compact" -> sinkCompact,
     "sink_partitioned" -> sinkPartitioned,
@@ -388,6 +422,12 @@ object Scans extends QueryGroup {
                 round(CAST(sum(CAST(bal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_bal
          FROM cur GROUP BY c_nationkey
          ORDER BY c_nationkey ASC NULLS FIRST""",
+    "ingest_corrupt" ->
+      """SELECT CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+                CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+                CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_regionkey ELSE 0 END) AS BIGINT) AS sum_region,
+                CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropmode
+         FROM nation""",
     "ingest_cdc_scd2" ->
       """WITH gens AS (
            SELECT c_custkey, 0 AS gen, c_acctbal FROM customer
