@@ -147,6 +147,40 @@ object GraftOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Stratified keep decision — sample_stratified's membership rule
+    * parameterized over the caller's strata: per-stratum keep rates in
+    * tenths (buckets 0..9 kept below the rate), falling back to
+    * `defaultOf10` for unlisted strata. Still a pure row function: the
+    * sample can be re-derived or re-tuned per stratum without any
+    * shuffle. */
+  def stratifiedKeep(id: Column, stratum: Column,
+                     keepOf10: Map[String, Int], defaultOf10: Int): Column = {
+    val b = hashBucket(id, 10)
+    keepOf10.toSeq
+      .foldLeft(Option.empty[Column]) { case (acc, (k, n)) =>
+        Some(acc.fold(when(stratum === k, b < n))(_.when(stratum === k, b < n)))
+      }
+      .fold(b < defaultOf10: Column)(_.otherwise(b < defaultOf10))
+  }
+
+  /** Near-dup deduplicated corpus in one call — the composition a
+    * training pipeline actually wants: minhash pair graph → connected
+    * components → drop every non-survivor cluster member (survivor =
+    * minimum id per component), keeping the caller's full row. The
+    * drop set moves only ids (LEFT ANTI on the key); the pair graph is
+    * persisted internally because label propagation references it once
+    * per round (session-bounded, the shingle-cache practice). */
+  def dedupCorpus(df: DataFrame, id: Column, text: Column,
+                  threshold: Double = 0.8, rounds: Int = 4): DataFrame = {
+    val pairs = minhashNearDupPairs(df, id, text, threshold)
+      .select(col("ida"), col("idb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = connectedComponents(pairs, "ida", "idb", rounds)
+      .filter(col("v") =!= col("lab"))
+      .select(col("v").as("__graft_drop"))
+    df.join(drops, id === col("__graft_drop"), "left_anti")
+  }
+
   /** Per-vector int8 affine quantization — embed_quantize's storage
     * shape: `struct(lo, hi, qscale, q: array<bigint>)` with
     * qᵢ = clamp(floor((xᵢ − lo)/scale + 0.5), 0, 255). floor-form

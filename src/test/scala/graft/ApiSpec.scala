@@ -120,6 +120,32 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("ingest_cdc_scd2")(spark, sf)))
   }
 
+  test("stratifiedKeep reproduces sample_stratified's per-lang counts") {
+    val api = Tables.documents(spark, sf)
+      .withColumn("keep",
+        GraftOps.stratifiedKeep(col("doc_id"), col("lang"), Map("en" -> 5), 2))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+           round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
+             / count(lit(1)), 6).as("rate"))
+    assert(rows(api) == rows(SparkEntry.queries("sample_stratified")(spark, sf)))
+  }
+
+  test("dedupCorpus drops exactly the non-survivor cluster members") {
+    val docs = Tables.documents(spark, sf)
+    val kept = GraftOps.dedupCorpus(docs, col("doc_id"), col("text"))
+    // dedup_clusters reports (survivor, n_members) per duplicate cluster:
+    // the deduplicated corpus keeps one member per cluster, so the drop
+    // count is Σ(n_members − 1); survivors themselves must all remain
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+    val dropped = clusters.map(_.getLong(1) - 1).sum
+    assert(kept.count() == docs.count() - dropped)
+    val survivorIds = clusters.map(_.getLong(0)).toSet
+    val keptIds = kept.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(survivorIds.subsetOf(keptIds))
+  }
+
   test("int8Quantize matches embed_quantize") {
     val api = Tables.embeddings(spark, sf)
       .select(col("vec_id"), GraftOps.int8Quantize(col("embedding")).as("z"))
