@@ -46,6 +46,24 @@ object ScalarFns extends QueryGroup {
       unix_timestamp(col("o_orderdate").cast(TimestampType)).as("epoch_s"),
     ).orderBy(col("o_orderkey"))
 
+  /** Calendar-arithmetic family beyond [[fnDatetime]]: quarter/day-of-
+    * year/ISO week extraction, month-end (last_day), month arithmetic
+    * with end-clamping (add_months ↔ +INTERVAL MONTH — both engines
+    * clamp Jan 31 + 1m to Feb end), day arithmetic, quarter truncation
+    * and strftime-style formatting. */
+  private val fnDatetime2: QFn = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      quarter(col("o_orderdate")).cast(LongType).as("q"),
+      dayofyear(col("o_orderdate")).cast(LongType).as("doy"),
+      weekofyear(col("o_orderdate")).cast(LongType).as("iso_week"),
+      last_day(col("o_orderdate").cast(DateType)).as("month_end"),
+      add_months(col("o_orderdate").cast(DateType), 2).as("plus_2m"),
+      date_sub(col("o_orderdate").cast(DateType), 7).as("minus_7d"),
+      date_trunc("quarter", col("o_orderdate")).cast(DateType).as("q_start"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_str"),
+    ).orderBy(col("o_orderkey"))
+
   private val fnMath: QFn = (s, d) =>
     Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
@@ -189,6 +207,7 @@ object ScalarFns extends QueryGroup {
   val queries: Seq[(String, QFn)] = Seq(
     "fn_string" -> fnString,
     "fn_datetime" -> fnDatetime,
+    "fn_datetime2" -> fnDatetime2,
     "fn_math" -> fnMath,
     "fn_cond" -> fnCond,
     "fn_array" -> fnArray,
@@ -236,6 +255,17 @@ object ScalarFns extends QueryGroup {
                 CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
                 CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS month_index,
                 CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey ASC NULLS FIRST""",
+    "fn_datetime2" ->
+      """SELECT o_orderkey,
+                CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+                CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+                CAST(o_orderdate AS DATE) - 7 AS minus_7d,
+                CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+                strftime(o_orderdate, '%Y-%m-%d') AS iso_str
          FROM orders ORDER BY o_orderkey ASC NULLS FIRST""",
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,

@@ -79,6 +79,18 @@ object Joins extends QueryGroup {
       .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
   }
 
+  /** RIGHT OUTER — the mirrored preserve-side: a filtered orders slice
+    * right-joined to customer keeps every customer row; planner-wise
+    * Spark canonicalizes this to the left-outer with sides swapped, so
+    * the scale properties of join_outer_left carry over unchanged. */
+  private val joinOuterRight: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 350000.0)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
   /** EXISTS — customers having ≥1 urgent order over 250k. */
   private val joinSemi: QFn = (s, d) => {
     val c = Tables.customer(s, d)
@@ -202,6 +214,7 @@ object Joins extends QueryGroup {
     "join_broadcast" -> joinBroadcast,
     "join_shuffle" -> joinShuffle,
     "join_outer_left" -> joinOuterLeft,
+    "join_outer_right" -> joinOuterRight,
     "join_outer_full" -> joinOuterFull,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
@@ -235,6 +248,11 @@ object Joins extends QueryGroup {
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey
          ORDER BY c_custkey ASC NULLS FIRST""",
+    "join_outer_right" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+         RIGHT JOIN customer ON o_custkey = c_custkey
+         ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""",
     "join_outer_full" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
          FROM customer
