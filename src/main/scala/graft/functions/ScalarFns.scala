@@ -64,6 +64,23 @@ object ScalarFns extends QueryGroup {
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_str"),
     ).orderBy(col("o_orderkey"))
 
+  /** Portable digest family — the content-addressing primitives the
+    * dedup/sampling operators build on, exposed directly: md5 and
+    * sha2-256 hex digests (both engines emit lowercase hex), plus the
+    * md5-prefix→BIGINT bucket hash (sample_hash's membership function)
+    * shown as a first-class scalar. Engine-specific hashes (xxhash64,
+    * crc32) are deliberately absent: a content address that cannot be
+    * recomputed elsewhere is a liability at 100 TB. */
+  private val fnHash: QFn = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("md5_hex"),
+      sha2(col("text"), 256).as("sha256_hex"),
+      conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType).as("bucket_hash"),
+      (conv(substring(md5(col("text")), 1, 12), 16, 10).cast(LongType) % 1024L)
+        .as("shard_1k"),
+    ).orderBy(col("doc_id"))
+
   private val fnMath: QFn = (s, d) =>
     Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
@@ -208,6 +225,7 @@ object ScalarFns extends QueryGroup {
     "fn_string" -> fnString,
     "fn_datetime" -> fnDatetime,
     "fn_datetime2" -> fnDatetime2,
+    "fn_hash" -> fnHash,
     "fn_math" -> fnMath,
     "fn_cond" -> fnCond,
     "fn_array" -> fnArray,
@@ -267,6 +285,13 @@ object ScalarFns extends QueryGroup {
                 CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
                 strftime(o_orderdate, '%Y-%m-%d') AS iso_str
          FROM orders ORDER BY o_orderkey ASC NULLS FIRST""",
+    "fn_hash" ->
+      """SELECT doc_id,
+                md5(text) AS md5_hex,
+                sha256(text) AS sha256_hex,
+                ('0x' || substr(md5(text), 1, 12))::BIGINT AS bucket_hash,
+                ('0x' || substr(md5(text), 1, 12))::BIGINT % 1024 AS shard_1k
+         FROM documents ORDER BY doc_id ASC NULLS FIRST""",
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
                 floor(l_extendedprice * 10.0 + 0.5) / 10.0 AS price_r1,
