@@ -262,6 +262,18 @@ object Aggregates extends QueryGroup {
            round(covar_pop(col("l_discount"), col("l_tax")), 6).as("covp_disc_tax"))
       .orderBy(col("l_returnflag"))
 
+  /** Boolean aggregation (bool_and / bool_or — ALL / ANY): data-quality
+    * invariant checks aggregated per group in one pass, the assert-at-
+    * scale shape ("does every row satisfy X? does any violate Y?"). */
+  private val aggBool: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("bool_and(o_totalprice > 0.0)").as("all_positive"),
+           expr("bool_or(o_totalprice > 500000.0)").as("any_over_500k"),
+           expr("bool_and(o_orderstatus IN ('O','F','P'))").as("all_valid_status"),
+           count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -278,6 +290,7 @@ object Aggregates extends QueryGroup {
     "agg_hll_merge" -> aggHllMerge,
     "agg_filtered" -> aggFiltered,
     "agg_corr" -> aggCorr,
+    "agg_bool" -> aggBool,
     "agg_argmax" -> aggArgmax,
     "agg_mode" -> aggMode,
     "agg_moments" -> aggMoments,
@@ -365,6 +378,14 @@ object Aggregates extends QueryGroup {
                 round(covar_pop(l_discount, l_tax), 6) AS covp_disc_tax
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag ASC NULLS FIRST""",
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+                bool_and(o_totalprice > 0.0) AS all_positive,
+                bool_or(o_totalprice > 500000.0) AS any_over_500k,
+                bool_and(o_orderstatus IN ('O','F','P')) AS all_valid_status,
+                count(*) AS n
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
     "agg_argmax" ->
       """SELECT o_custkey, o_totalprice AS best_price, o_orderkey AS best_order, n_orders
          FROM (SELECT o_custkey, o_totalprice, o_orderkey,

@@ -91,6 +91,27 @@ object Joins extends QueryGroup {
       .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): both sides
+    * derive a nullable key — negative-balance customers and every-7th
+    * nation lose theirs — and the null-safe join matches the NULL
+    * group too (each NULL customer pairs with each NULL dim row).
+    * Plans as a regular hash join on the null-safe-canonicalized key,
+    * so the scale shape equals a plain equi-join; the alternative
+    * (OR-of-IS-NULL predicates) would degenerate to a nested loop. */
+  private val joinNullsafe: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+      .withColumn("nk", when(col("c_acctbal") >= 0.0, col("c_nationkey")))
+    val dim = Tables.nation(s, d)
+      .withColumn("nk", when(col("n_nationkey") % 7 =!= 0, col("n_nationkey")))
+      .select(col("nk"), col("n_name"))
+    c.join(dim, c("nk") <=> dim("nk"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(expr("CAST(c_acctbal AS DECIMAL(18,6))")).cast("double"), 4)
+             .as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
   /** EXISTS — customers having ≥1 urgent order over 250k. */
   private val joinSemi: QFn = (s, d) => {
     val c = Tables.customer(s, d)
@@ -216,6 +237,7 @@ object Joins extends QueryGroup {
     "join_outer_left" -> joinOuterLeft,
     "join_outer_right" -> joinOuterRight,
     "join_outer_full" -> joinOuterFull,
+    "join_nullsafe" -> joinNullsafe,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_cross" -> joinCross,
@@ -248,6 +270,18 @@ object Joins extends QueryGroup {
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey
          ORDER BY c_custkey ASC NULLS FIRST""",
+    "join_nullsafe" ->
+      """WITH c AS (SELECT c_acctbal,
+                           CASE WHEN c_acctbal >= 0.0 THEN c_nationkey END AS nk
+                    FROM customer),
+            dim AS (SELECT CASE WHEN n_nationkey % 7 <> 0 THEN n_nationkey END AS nk,
+                           n_name
+                    FROM nation)
+         SELECT n_name, count(*) AS n_customers,
+                round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_bal
+         FROM c JOIN dim ON c.nk IS NOT DISTINCT FROM dim.nk
+         GROUP BY n_name
+         ORDER BY n_name ASC NULLS FIRST""",
     "join_outer_right" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
          FROM (SELECT * FROM orders WHERE o_totalprice > 350000.0) o

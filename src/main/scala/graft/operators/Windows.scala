@@ -159,6 +159,21 @@ object Windows extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** nth_value over the full per-user frame: the 2nd and 3rd event type
+    * in each user's timeline (tie-broken by event_id) — one row per
+    * user via distinct, the win_first_last shape extended to arbitrary
+    * ordinals. NULL where the user has fewer events. */
+  private val winNthValue: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("et2", nth_value(col("event_type"), 2).over(w))
+      .withColumn("et3", nth_value(col("event_type"), 3).over(w))
+      .select(col("user_id"), col("et2"), col("et3")).distinct()
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
@@ -168,6 +183,7 @@ object Windows extends QueryGroup {
     "win_first_last" -> winFirstLast,
     "win_ntile_pctrank" -> winNtilePctrank,
     "win_time_range" -> winTimeRange,
+    "win_nth_value" -> winNthValue,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -216,6 +232,14 @@ object Windows extends QueryGroup {
                 last_value(event_type) OVER w AS last_et
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id ASC NULLS FIRST""",
+    "win_nth_value" ->
+      """SELECT DISTINCT user_id,
+                nth_value(event_type, 2) OVER w AS et2,
+                nth_value(event_type, 3) OVER w AS et3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY user_id ASC NULLS FIRST""",
     "win_time_range" ->
