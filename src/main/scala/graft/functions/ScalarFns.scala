@@ -102,6 +102,24 @@ object ScalarFns extends QueryGroup {
       least(col("l_tax"), col("l_discount")).as("min_rate"),
     ).orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Trigonometric / angular family. sin/cos/atan2 are libm functions
+    * that are NOT IEEE-correctly-rounded, so cross-engine last-bit
+    * differences are possible — every output is rounded to 6 dp on both
+    * sides (the ln/exp policy from fn_math); degrees/radians are plain
+    * multiplications by the same double constant and stay exact. */
+  private val fnTrig: QFn = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      round(sin(col("p_retailprice") / 100.0), 6).as("sin_p"),
+      round(cos(col("p_retailprice") / 100.0), 6).as("cos_p"),
+      round(tan(col("p_size").cast(DoubleType) / 10.0), 6).as("tan_s"),
+      round(atan2(col("p_size").cast(DoubleType), col("p_retailprice")), 6).as("atan2_sp"),
+      round(degrees(col("p_size").cast(DoubleType) / 10.0), 6).as("deg_s"),
+      round(radians(col("p_size").cast(DoubleType)), 6).as("rad_s"),
+      round(asin(col("p_size").cast(DoubleType) / 100.0), 6).as("asin_s"),
+      round(acos(col("p_size").cast(DoubleType) / 100.0), 6).as("acos_s"),
+    ).orderBy(col("p_partkey"))
+
   private val fnCond: QFn = (s, d) =>
     Tables.orders(s, d).select(
       col("o_orderkey"),
@@ -227,6 +245,7 @@ object ScalarFns extends QueryGroup {
     "fn_datetime2" -> fnDatetime2,
     "fn_hash" -> fnHash,
     "fn_math" -> fnMath,
+    "fn_trig" -> fnTrig,
     "fn_cond" -> fnCond,
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
@@ -307,6 +326,17 @@ object ScalarFns extends QueryGroup {
                 greatest(l_tax, l_discount) AS max_rate,
                 least(l_tax, l_discount) AS min_rate
          FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""",
+    "fn_trig" ->
+      """SELECT p_partkey,
+                round(sin(p_retailprice / 100.0), 6) AS sin_p,
+                round(cos(p_retailprice / 100.0), 6) AS cos_p,
+                round(tan(CAST(p_size AS DOUBLE) / 10.0), 6) AS tan_s,
+                round(atan2(CAST(p_size AS DOUBLE), p_retailprice), 6) AS atan2_sp,
+                round(degrees(CAST(p_size AS DOUBLE) / 10.0), 6) AS deg_s,
+                round(radians(CAST(p_size AS DOUBLE)), 6) AS rad_s,
+                round(asin(CAST(p_size AS DOUBLE) / 100.0), 6) AS asin_s,
+                round(acos(CAST(p_size AS DOUBLE) / 100.0), 6) AS acos_s
+         FROM part ORDER BY p_partkey ASC NULLS FIRST""",
     "fn_cond" ->
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice > 400000.0 THEN 'high'

@@ -227,6 +227,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("join_nullsafe plans as a hash join, not a nested loop") {
+    // <=> must canonicalize into the join key (knownfloatingpointnormalized
+    // coalesce form); an OR-of-IS-NULL rewrite would fall back to
+    // BroadcastNestedLoopJoin and die at scale
+    val p = plan("join_nullsafe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
