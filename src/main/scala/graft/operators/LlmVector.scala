@@ -508,6 +508,46 @@ object LlmVector extends QueryGroup {
       .orderBy(col("dim"))
   }
 
+  /** Perceptual-hash analog over the opaque blob (the image-dedup shape:
+    * pHash buckets before any pairwise compare): split each blob into 16
+    * equal byte blocks, bit b = (block-b mean byte > whole-blob mean
+    * byte), giving a 16-bit content signature that is robust to local
+    * edits the way a cryptographic digest is not; docs sharing a
+    * signature form a candidate bucket (the LSH-equality shape — a
+    * verify pass would run inside buckets only, never all-pairs). Mean
+    * comparisons are exact-integer-sum ÷ count on both engines. Like
+    * the other multimodal ops the byte access is a decode stub over the
+    * text column (container has no codecs); the Spark shape — bounded
+    * in-row HOFs, one signature groupBy — is the real thing. The bit
+    * rule is the exact-integer cross-multiplication
+    * block_sum·n > total_sum·block_len (no doubles anywhere), so the
+    * signature is portable by construction. */
+  private val multimodalPhash: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val sig = Tables.documents(s, d)
+      .filter(length(col("text")) >= 16L)
+      .select(col("doc_id"),
+        split(col("text"), "").as("ch"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("ts", expr(
+        """aggregate(transform(ch, c -> CAST(ascii(c) AS BIGINT)),
+                     CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc +
+             IF(aggregate(
+                  transform(
+                    slice(ch, CAST(b * n div 16 AS INT) + 1,
+                          CAST((b + 1) * n div 16 - b * n div 16 AS INT)),
+                    c -> CAST(ascii(c) AS BIGINT)),
+                  CAST(0 AS BIGINT), (a, x) -> a + x) * n
+                > ts * ((b + 1) * n div 16 - b * n div 16),
+                shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""").as("sig"))
+    sig.withColumn("n_same_sig",
+        count(lit(1)).over(Window.partitionBy(col("sig"))))
+      .select(col("doc_id"), col("sig"), col("n_same_sig"))
+      .orderBy(col("doc_id"))
+  }
+
   /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
     * embedding L2 norm per label. */
   private val multimodalJoin: QFn = (s, d) => {
@@ -536,6 +576,7 @@ object LlmVector extends QueryGroup {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
+    "multimodal_phash" -> multimodalPhash,
     "multimodal_join" -> multimodalJoin,
   )
 
@@ -678,6 +719,24 @@ object LlmVector extends QueryGroup {
                 CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
                 CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte
          FROM documents ORDER BY doc_id ASC NULLS FIRST""",
+    "multimodal_phash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, '') AS ch,
+                           CAST(length(text) AS BIGINT) AS n
+                    FROM documents WHERE length(text) >= 16),
+            ts AS (SELECT doc_id, ch, n,
+                          CAST(list_reduce(list_prepend(0, list_transform(ch, c -> ascii(c))),
+                                           (a, b) -> a + b) AS BIGINT) AS ts
+                   FROM t),
+            sg AS (SELECT doc_id,
+                          CAST(list_reduce(list_prepend(0, list_transform(range(0, 16), b ->
+                            CASE WHEN CAST(list_reduce(list_prepend(0, list_transform(
+                                          ch[(b*n)//16+1 : ((b+1)*n)//16], c -> ascii(c))),
+                                        (a, x) -> a + x) AS BIGINT) * n
+                                      > ts * (((b+1)*n)//16 - (b*n)//16)
+                                 THEN 1 << b ELSE 0 END)), (a, x) -> a + x) AS BIGINT) AS sig
+                   FROM ts)
+         SELECT doc_id, sig, count(*) OVER (PARTITION BY sig) AS n_same_sig
+         FROM sg ORDER BY doc_id ASC NULLS FIRST""",
     "multimodal_frames" ->
       """WITH f AS (
            SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
