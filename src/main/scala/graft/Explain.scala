@@ -14,7 +14,8 @@ object Explain {
     "dedup_near_minhash", "dedup_simhash", "dedup_embcos", "dedup_clusters",
     "sim_knn", "sim_knn_batch", "sim_knn_ivf", "ingest_incremental",
     "events_tumbling", "pipeline_e2e", "sql_q3", "ingest_cdc_scd2",
-    "agg_argmax", "win_time_range", "text_bigram_lm", "events_funnel")
+    "agg_argmax", "win_time_range", "text_bigram_lm", "events_funnel",
+    "join_nullsafe", "multimodal_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
