@@ -205,6 +205,24 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition removal — the intra-doc half of dedup
+    * (crawled pages repeat nav/boilerplate tokens; corpus-level dedup
+    * never sees it): keep each token's FIRST occurrence, preserving
+    * order. Pure in-row HOFs via the index lambda
+    * (`array_position(toks, t) == i+1` ⟺ first occurrence), one codegen
+    * stage, no shuffle — at 100 TB this runs inside the scan like
+    * text_normalize. */
+  private val textDedupInline: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("uniq",
+        expr("filter(toks, (t, i) -> array_position(toks, t) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(col("uniq")).cast(LongType).as("n_unique"),
+        array_join(col("uniq"), " ").as("dedup_text"))
+      .orderBy(col("doc_id"))
+
   /** Dictionary scrub (the PII-redaction pipeline shape): replace
     * denylist tokens with a mask and count redactions. Token-level HOFs
     * — no regex, so no cross-dialect regex hazards (§7.4) — and the
@@ -508,6 +526,7 @@ object LlmText extends QueryGroup {
     "text_scrub" -> textScrub,
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_bigram_lm" -> textBigramLm,
+    "text_dedup_inline" -> textDedupInline,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
@@ -686,6 +705,15 @@ object LlmText extends QueryGroup {
                 count(*) AS n_bigrams
          FROM bg JOIN bc USING (w1, w2) JOIN c1 USING (w1)
          GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
+    "text_dedup_inline" ->
+      """SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(u) AS BIGINT) AS n_unique,
+                array_to_string(u, ' ') AS dedup_text
+         FROM (SELECT doc_id, toks,
+                      list_filter(toks, (t, i) -> list_position(toks, t) = i) AS u
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a) b
          ORDER BY doc_id ASC NULLS FIRST""",
     "text_scrub" ->
       """SELECT doc_id,
