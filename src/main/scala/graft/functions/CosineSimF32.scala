@@ -100,5 +100,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("countmin"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "countmin"),
       CountMinAgg.builder))
+    e.injectFunction((
+      FunctionIdentifier("topk5"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk5"),
+      TopKAgg.builder))
   }
 }

@@ -69,10 +69,28 @@ object Udx extends QueryGroup {
       .orderBy(col("event_type"))
   }
 
+  /** Custom TypedImperativeAggregate (TopKAgg): bounded top-5 orders by
+    * price per priority — the map-side-partial top-k shape whose shuffle
+    * carries k pairs per (task, group) instead of every row (contrast
+    * topk_per_group's window, which must move the whole table). */
+  private val udafTopk: QFn = (s, d) => {
+    graft.functions.TopKAgg.ensureRegistered(s)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("topk5(o_totalprice, o_orderkey)").as("tk"))
+      .select(col("o_orderpriority"), posexplode(col("tk")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.ord").as("o_totalprice"),
+        col("col.payload").as("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "udf_jaccard" -> udfJaccard,
     "udaf_geomean" -> udafGeomean,
     "udaf_histogram" -> udafHistogram,
+    "udaf_topk" -> udafTopk,
     "udtf_ngrams" -> udtfNgrams,
   )
 
@@ -89,6 +107,14 @@ object Udx extends QueryGroup {
          FROM g LEFT JOIN c USING (event_type, bin)
          GROUP BY event_type
          ORDER BY event_type ASC NULLS FIRST""",
+    "udaf_topk" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_totalprice, o_orderkey
+         FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+               FROM orders) t
+         WHERE rn <= 5
+         ORDER BY o_orderpriority ASC NULLS FIRST, rank ASC NULLS FIRST""",
     "udf_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) toks FROM documents),
             b AS (SELECT toks AS toks0 FROM t WHERE doc_id = 0)

@@ -39,6 +39,7 @@ class DeterminismSpec extends AnyFunSuite {
     "ingest_cdc_scd2",     // lead() over per-key integer generations — hard
     "embed_pca",           // every aggregate 9-dp-rounded before reuse (kmeans-mirror technique)
     "agg_corr",            // corr/covar accumulation (post-rounding, like agg_stats)
+    "udaf_topk",           // bounded-heap partial/merge — lexicographic, hard-deterministic
   )
 
   private def rows(name: String, parts: String): Seq[String] = {
