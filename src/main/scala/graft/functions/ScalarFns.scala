@@ -110,9 +110,11 @@ object ScalarFns extends QueryGroup {
   private val fnTrig: QFn = (s, d) =>
     Tables.part(s, d).select(
       col("p_partkey"),
-      round(sin(col("p_retailprice") / 100.0), 6).as("sin_p"),
-      round(cos(col("p_retailprice") / 100.0), 6).as("cos_p"),
-      round(tan(col("p_size").cast(DoubleType) / 10.0), 6).as("tan_s"),
+      // + 0.0 folds -0.0: DuckDB round of a tiny negative emits -0.0,
+      // Spark's BigDecimal round emits +0.0 — hash-differs at parity
+      (round(sin(col("p_retailprice") / 100.0), 6) + lit(0.0)).as("sin_p"),
+      (round(cos(col("p_retailprice") / 100.0), 6) + lit(0.0)).as("cos_p"),
+      (round(tan(col("p_size").cast(DoubleType) / 10.0), 6) + lit(0.0)).as("tan_s"),
       round(atan2(col("p_size").cast(DoubleType), col("p_retailprice")), 6).as("atan2_sp"),
       round(degrees(col("p_size").cast(DoubleType) / 10.0), 6).as("deg_s"),
       round(radians(col("p_size").cast(DoubleType)), 6).as("rad_s"),
@@ -328,9 +330,9 @@ object ScalarFns extends QueryGroup {
          FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""",
     "fn_trig" ->
       """SELECT p_partkey,
-                round(sin(p_retailprice / 100.0), 6) AS sin_p,
-                round(cos(p_retailprice / 100.0), 6) AS cos_p,
-                round(tan(CAST(p_size AS DOUBLE) / 10.0), 6) AS tan_s,
+                round(sin(p_retailprice / 100.0), 6) + 0.0 AS sin_p,
+                round(cos(p_retailprice / 100.0), 6) + 0.0 AS cos_p,
+                round(tan(CAST(p_size AS DOUBLE) / 10.0), 6) + 0.0 AS tan_s,
                 round(atan2(CAST(p_size AS DOUBLE), p_retailprice), 6) AS atan2_sp,
                 round(degrees(CAST(p_size AS DOUBLE) / 10.0), 6) AS deg_s,
                 round(radians(CAST(p_size AS DOUBLE)), 6) AS rad_s,

@@ -237,14 +237,14 @@ object Aggregates extends QueryGroup {
                         - 3.0*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
                         + 2.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
                       / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
-                         * sqrt(s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))), 6)""")
+                         * sqrt(s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))), 6) + 0.0""")
           .as("skew"),
         expr("""round((s4/CAST(n AS DOUBLE)
                         - 4.0*(s1/CAST(n AS DOUBLE))*(s3/CAST(n AS DOUBLE))
                         + 6.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
                         - 3.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
                       / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
-                         * (s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))) - 3.0, 6)""")
+                         * (s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))) - 3.0, 6) + 0.0""")
           .as("ex_kurt"))
       .orderBy(col("l_returnflag"))
 
@@ -252,14 +252,17 @@ object Aggregates extends QueryGroup {
     * profile a dataset report computes (does discount move with
     * quantity?). Built-in corr/covar_samp/covar_pop on both engines
     * share the standard sample/population definitions; accumulation
-    * order sensitivity handled like agg_stats: round 6 both sides. */
+    * order sensitivity handled like agg_stats: round 6 both sides.
+    * `+ 0.0` folds -0.0 → +0.0: DuckDB's round can return -0.0 for a
+    * tiny negative covariance while Spark's (BigDecimal) returns +0.0,
+    * which hash-differs despite comparing equal. */
   private val aggCorr: QFn = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-           round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_disc_tax"),
-           round(covar_pop(col("l_discount"), col("l_tax")), 6).as("covp_disc_tax"))
+           (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("corr_qty_price"),
+           (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("cov_disc_tax"),
+           (round(covar_pop(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("covp_disc_tax"))
       .orderBy(col("l_returnflag"))
 
   /** Boolean aggregation (bool_and / bool_or — ALL / ANY): data-quality
@@ -373,9 +376,9 @@ object Aggregates extends QueryGroup {
          ORDER BY o_orderpriority ASC NULLS FIRST""",
     "agg_corr" ->
       """SELECT l_returnflag, count(*) AS n,
-                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-                round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax,
-                round(covar_pop(l_discount, l_tax), 6) AS covp_disc_tax
+                round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+                round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax,
+                round(covar_pop(l_discount, l_tax), 6) + 0.0 AS covp_disc_tax
          FROM lineitem GROUP BY l_returnflag
          ORDER BY l_returnflag ASC NULLS FIRST""",
     "agg_bool" ->
@@ -414,13 +417,13 @@ object Aggregates extends QueryGroup {
                         - 3.0*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
                         + 2.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
                       / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
-                         * sqrt(s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))), 6) AS skew,
+                         * sqrt(s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))), 6) + 0.0 AS skew,
                 round((s4/CAST(n AS DOUBLE)
                         - 4.0*(s1/CAST(n AS DOUBLE))*(s3/CAST(n AS DOUBLE))
                         + 6.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
                         - 3.0*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
                       / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
-                         * (s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))) - 3.0, 6) AS ex_kurt
+                         * (s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))) - 3.0, 6) + 0.0 AS ex_kurt
          FROM ps ORDER BY l_returnflag ASC NULLS FIRST""",
     "agg_percentile" ->
       """SELECT lang,

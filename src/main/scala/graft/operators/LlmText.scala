@@ -90,7 +90,8 @@ object LlmText extends QueryGroup {
       .agg((sum(col("score")) / count(lit(1))).as("doc_sent"))
     docScore.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_scored_docs"),
-           round(avg(col("doc_sent")), 6).as("mean_sent"))
+           // + 0.0 folds DuckDB's -0.0 (sentiment mean can straddle zero)
+           (round(avg(col("doc_sent")), 6) + lit(0.0)).as("mean_sent"))
       .orderBy(col("lang"))
   }
 
@@ -630,7 +631,7 @@ object LlmText extends QueryGroup {
             toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) tok FROM documents),
             ds AS (SELECT doc_id, lang, sum(score) / count(*) AS doc_sent
                    FROM toks JOIN lex USING (tok) GROUP BY doc_id, lang)
-         SELECT lang, count(*) AS n_scored_docs, round(avg(doc_sent), 6) AS mean_sent
+         SELECT lang, count(*) AS n_scored_docs, round(avg(doc_sent), 6) + 0.0 AS mean_sent
          FROM ds GROUP BY lang ORDER BY lang ASC NULLS FIRST""",
     "text_langid" ->
       """WITH r AS (

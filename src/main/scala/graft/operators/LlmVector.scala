@@ -72,7 +72,8 @@ object LlmVector extends QueryGroup {
     val q = e.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
     e.filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(expr("cosine_f32(embedding, qe)"), 6).as("cos_sim"))
+      .select(col("vec_id"),
+        (round(expr("cosine_f32(embedding, qe)"), 6) + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -162,7 +163,7 @@ object LlmVector extends QueryGroup {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),
-        col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+        col("vec_id"), (round(col("cos"), 6) + lit(0.0)).as("cos_sim"))
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -557,7 +558,9 @@ object LlmVector extends QueryGroup {
       .select(col("label"), length(col("text")).cast(DoubleType).as("tlen"),
               sqrt(dot(col("embedding"), col("embedding"))).as("l2"))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), round(corr(col("tlen"), col("l2")), 6).as("len_norm_corr"))
+      .agg(count(lit(1)).as("n"),
+           // + 0.0 folds DuckDB's -0.0 when corr rounds to zero from below
+           (round(corr(col("tlen"), col("l2")), 6) + lit(0.0)).as("len_norm_corr"))
       .orderBy(col("label"))
   }
 
@@ -595,7 +598,7 @@ object LlmVector extends QueryGroup {
           ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST""",
     "sim_knn" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) eb FROM embeddings WHERE vec_id = 0),
-           sc AS (SELECT vec_id, round($duckPairCos, 6) AS cos_sim
+           sc AS (SELECT vec_id, round($duckPairCos, 6) + 0.0 AS cos_sim
                   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) ea FROM embeddings
                         WHERE vec_id <> 0) e CROSS JOIN q)
           SELECT vec_id, cos_sim FROM sc
@@ -611,7 +614,7 @@ object LlmVector extends QueryGroup {
                         row_number() OVER (PARTITION BY qid
                           ORDER BY c DESC NULLS LAST, vec_id ASC) AS rank
                  FROM sc)
-          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, round(c, 6) AS cos_sim
+          SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, round(c, 6) + 0.0 AS cos_sim
           FROM r WHERE rank <= 5
           ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST""",
     "sim_centroids" ->
@@ -696,7 +699,7 @@ object LlmVector extends QueryGroup {
                    FROM c JOIN w2 ON c.j = w2.j GROUP BY c.i),
             n3 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u3),
             w3 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u3 CROSS JOIN n3)
-         SELECT CAST(j AS INTEGER) AS dim, round(wj, 6) AS loading
+         SELECT CAST(j AS INTEGER) AS dim, round(wj, 6) + 0.0 AS loading
          FROM w3 ORDER BY dim ASC NULLS FIRST""",
     "embed_norm" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
