@@ -511,40 +511,51 @@ object LlmVector extends QueryGroup {
 
   /** Perceptual-hash analog over the opaque blob (the image-dedup shape:
     * pHash buckets before any pairwise compare): split each blob into 16
-    * equal byte blocks, bit b = (block-b mean byte > whole-blob mean
-    * byte), giving a 16-bit content signature that is robust to local
-    * edits the way a cryptographic digest is not; docs sharing a
-    * signature form a candidate bucket (the LSH-equality shape — a
-    * verify pass would run inside buckets only, never all-pairs). Mean
-    * comparisons are exact-integer-sum ÷ count on both engines. Like
-    * the other multimodal ops the byte access is a decode stub over the
-    * text column (container has no codecs); the Spark shape — bounded
-    * in-row HOFs, one signature groupBy — is the real thing. The bit
-    * rule is the exact-integer cross-multiplication
-    * block_sum·n > total_sum·block_len (no doubles anywhere), so the
-    * signature is portable by construction. */
+    * equal byte blocks (byte at offset p belongs to block p·16 div n —
+    * the direct inverse, so a generator can derive it per byte), bit b =
+    * (block-b mean byte > whole-blob mean byte), giving a 16-bit content
+    * signature that is robust to local edits the way a cryptographic
+    * digest is not; docs sharing a signature form a candidate bucket
+    * (the LSH-equality shape — a verify pass would run inside buckets
+    * only, never all-pairs). The bit rule is the exact-integer
+    * cross-multiplication block_sum·n > total_sum·block_len (no doubles
+    * anywhere), so the signature is portable by construction. Like the
+    * other multimodal ops the byte access is a decode stub over the text
+    * column (container has no codecs).
+    *
+    * Shape (the embed_pca lesson, r4 commit 1509d1a): higher-order
+    * functions are CodegenFallback, so the former per-block
+    * aggregate(transform(slice(…))) signature was the suite's slowest
+    * query (~5 s). Now ONE posexplode generator (codegen'd nested loop)
+    * → partial-aggregating groupBy(doc, block) that collapses each doc
+    * to ≤16 rows before the only data-sized shuffle; the total is the
+    * sum OF THE BLOCK SUMS (no second array pass), and the remaining
+    * HOF folds a 16-element struct list. Bucket sizes come from a
+    * groupBy(sig)+broadcast-join rather than a count-over window — no
+    * sort, and a dominant signature can't skew a window partition;
+    * ReuseExchange dedupes the shared per-doc aggregate under both
+    * branches. */
   private val multimodalPhash: QFn = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val sig = Tables.documents(s, d)
+    val blocks = Tables.documents(s, d)
       .filter(length(col("text")) >= 16L)
-      .select(col("doc_id"),
-        split(col("text"), "").as("ch"),
-        length(col("text")).cast("long").as("n"))
-      .withColumn("ts", expr(
-        """aggregate(transform(ch, c -> CAST(ascii(c) AS BIGINT)),
-                     CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        posexplode(split(col("text"), "")))
+      .select(col("doc_id"), col("n"),
+        expr("CAST(pos AS BIGINT) * 16 div n").as("block"),
+        ascii(col("col")).cast("long").as("v"))
+      .groupBy(col("doc_id"), col("n"), col("block"))
+      .agg(sum(col("v")).as("bsum"), count(lit(1)).as("blen"))
+    val sig = blocks
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("bsum")).as("ts"),
+           collect_list(struct(col("block"), col("bsum"), col("blen"))).as("bl"))
       .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc +
-             IF(aggregate(
-                  transform(
-                    slice(ch, CAST(b * n div 16 AS INT) + 1,
-                          CAST((b + 1) * n div 16 - b * n div 16 AS INT)),
-                    c -> CAST(ascii(c) AS BIGINT)),
-                  CAST(0 AS BIGINT), (a, x) -> a + x) * n
-                > ts * ((b + 1) * n div 16 - b * n div 16),
-                shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""").as("sig"))
-    sig.withColumn("n_same_sig",
-        count(lit(1)).over(Window.partitionBy(col("sig"))))
+        """aggregate(bl, CAST(0 AS BIGINT), (acc, s) ->
+             acc + IF(s.bsum * n > ts * s.blen,
+                      shiftleft(CAST(1 AS BIGINT), CAST(s.block AS INT)),
+                      CAST(0 AS BIGINT)))""").as("sig"))
+    val counts = sig.groupBy(col("sig")).agg(count(lit(1)).as("n_same_sig"))
+    sig.join(broadcast(counts), "sig")
       .select(col("doc_id"), col("sig"), col("n_same_sig"))
       .orderBy(col("doc_id"))
   }
@@ -726,18 +737,21 @@ object LlmVector extends QueryGroup {
       """WITH t AS (SELECT doc_id, string_split(text, '') AS ch,
                            CAST(length(text) AS BIGINT) AS n
                     FROM documents WHERE length(text) >= 16),
-            ts AS (SELECT doc_id, ch, n,
-                          CAST(list_reduce(list_prepend(0, list_transform(ch, c -> ascii(c))),
-                                           (a, b) -> a + b) AS BIGINT) AS ts
-                   FROM t),
-            sg AS (SELECT doc_id,
-                          CAST(list_reduce(list_prepend(0, list_transform(range(0, 16), b ->
-                            CASE WHEN CAST(list_reduce(list_prepend(0, list_transform(
-                                          ch[(b*n)//16+1 : ((b+1)*n)//16], c -> ascii(c))),
-                                        (a, x) -> a + x) AS BIGINT) * n
-                                      > ts * (((b+1)*n)//16 - (b*n)//16)
-                                 THEN 1 << b ELSE 0 END)), (a, x) -> a + x) AS BIGINT) AS sig
-                   FROM ts)
+            x AS (SELECT doc_id, n,
+                         CAST(unnest(range(len(ch))) AS BIGINT) AS pos,
+                         ascii(unnest(ch)) AS v
+                  FROM t),
+            blk AS (SELECT doc_id, n, (pos * 16) // n AS block,
+                           CAST(sum(v) AS BIGINT) AS bsum,
+                           count(*) AS blen
+                    FROM x GROUP BY doc_id, n, (pos * 16) // n),
+            tot AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS ts
+                    FROM blk GROUP BY doc_id),
+            sg AS (SELECT blk.doc_id,
+                          CAST(sum(CASE WHEN bsum * n > ts * blen
+                                        THEN 1 << block ELSE 0 END) AS BIGINT) AS sig
+                   FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+                   GROUP BY blk.doc_id)
          SELECT doc_id, sig, count(*) OVER (PARTITION BY sig) AS n_same_sig
          FROM sg ORDER BY doc_id ASC NULLS FIRST""",
     "multimodal_frames" ->
