@@ -358,17 +358,35 @@ object LlmText extends QueryGroup {
       .select(col("da"), col("db"), col("j"))
   }
 
-  private val dedupNearMinhash: QFn = (s, d) =>
-    minhashPairs(s, d)
-      .select(col("da"), col("db"), round(col("j"), 6).as("jaccard"))
-      .orderBy(col("da"), col("db"))
-
-  /** One persisted verified-pair graph per (session, sf dir): the
-    * label-propagation loop references the edge set once per unrolled
-    * iteration, and without caching each reference would re-derive the
-    * whole minhash pipeline (the round-1 reuse-pessimization lesson). */
+  /** One persisted DataFrame per derived pair graph / edge list per
+    * (session, sf dir, fixture fingerprint): the label-propagation loop
+    * references the edge set once per unrolled iteration, and without
+    * caching each reference would re-derive the whole minhash pipeline
+    * (the round-1 reuse-pessimization lesson). Key suffixes: `#mhp`
+    * minhash pairs, `#shp` simhash pairs, bare = minhash cluster edges,
+    * `#all` = union cluster edges. */
   private val pairCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  /** THE minhash pair graph — every consumer (pair listing, single- and
+    * cross-source clustering) reads this one persisted lineage, so per
+    * (session, sf, fingerprint) the banding + verify pipeline runs once,
+    * not once per consumer. */
+  private[graft] def minhashPairsCached(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate((s, s"$d#mhp", Tables.fingerprint(d, "documents")),
+      minhashPairs(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** THE simhash pair graph (see [[minhashPairsCached]]). */
+  private[graft] def simhashPairsCached(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate((s, s"$d#shp", Tables.fingerprint(d, "documents")),
+      simhashPairs(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val dedupNearMinhash: QFn = (s, d) =>
+    minhashPairsCached(s, d)
+      .select(col("da"), col("db"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("da"), col("db"))
 
   /** Bounded min-label propagation: lab₀(v) = v; labₜ₊₁(v) =
     * min(labₜ(v), min over neighbors labₜ(u)). After `iters` rounds every
@@ -424,7 +442,7 @@ object LlmText extends QueryGroup {
 
   private val dedupClusters: QFn = (s, d) => {
     val edges = pairCache.getOrElseUpdate((s, d, Tables.fingerprint(d, "documents")),
-      symEdges(minhashPairs(s, d))
+      symEdges(minhashPairsCached(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     labelPropEdges(edges, iters = 4)
       .groupBy(col("lab").as("survivor"))
@@ -471,18 +489,20 @@ object LlmText extends QueryGroup {
   }
 
   private val dedupSimhash: QFn = (s, d) =>
-    simhashPairs(s, d).orderBy(col("da"), col("db"))
+    simhashPairsCached(s, d).orderBy(col("da"), col("db"))
 
   /** Cross-source clustering: connected components over the UNION of the
     * minhash and simhash verified pair graphs — two detectors with
     * different blind spots (token-shingle Jaccard vs bit-vote hamming)
     * feeding one duplicate-cluster map, the way a production dedup pass
     * composes its signals. Same bounded label propagation as
-    * dedup_clusters; the union is one distinct over (da, db) edges. */
+    * dedup_clusters; the union is one distinct over (da, db) edges,
+    * built from the SAME persisted pair graphs the individual queries
+    * read — the union never re-derives either detector pipeline. */
   private val dedupClustersAll: QFn = (s, d) => {
     val edges = pairCache.getOrElseUpdate((s, s"$d#all", Tables.fingerprint(d, "documents")),
-      symEdges(minhashPairs(s, d).select(col("da"), col("db"))
-          .union(simhashPairs(s, d).select(col("da"), col("db")))
+      symEdges(minhashPairsCached(s, d).select(col("da"), col("db"))
+          .union(simhashPairsCached(s, d).select(col("da"), col("db")))
           .distinct())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     labelPropEdges(edges, iters = 4)

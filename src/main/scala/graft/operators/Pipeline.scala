@@ -47,7 +47,7 @@ object Pipeline extends QueryGroup {
     // near-dup drop: every doc that is the larger member of a verified
     // minhash pair is dropped via LEFT ANTI on the key — at scale this
     // moves doc_ids, never documents or shingles
-    val nearDropped = LlmText.minhashPairs(s, d)
+    val nearDropped = LlmText.minhashPairsCached(s, d)
       .select(col("db").as("doc_id")).distinct()
     val gated = norm.join(survIds, Seq("doc_id"))
       .join(nearDropped, Seq("doc_id"), "left_anti")
