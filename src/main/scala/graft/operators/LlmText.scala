@@ -405,9 +405,9 @@ object LlmText extends QueryGroup {
     * measured 12-25 s at sf0.1 from 2⁴ replicated subtrees; the
     * self-loop form is linear in `iters`. Scale shape: each round is one
     * equality join on dst + one aggregation shuffle on src (the standard
-    * iterative connected-components recipe; at 100 TB you would
-    * checkpoint labels between rounds instead of unrolling the
-    * lineage). */
+    * iterative connected-components recipe; at 100 TB — or whenever the
+    * diameter isn't certified ≤ iters — use [[labelPropUntilFixed]],
+    * which checkpoints per round and stops at the fixed point). */
   private[graft] def labelProp(sym: DataFrame, iters: Int): DataFrame =
     labelPropEdges(
       sym.union(sym.select(col("src"), col("src").as("dst")).distinct()), iters)
@@ -423,6 +423,42 @@ object LlmText extends QueryGroup {
         .join(lab.select(col("v").as("dst"), col("lab").as("nlab")), "dst")
         .groupBy(col("src")).agg(min(col("nlab")).as("lab"))
         .select(col("src").as("v"), col("lab"))
+    }
+    lab
+  }
+
+  /** Convergence-guarded [[labelPropEdges]] — the 100 TB shape for
+    * graphs whose diameter is NOT known to be ≤ 4: iterate min-label
+    * rounds with a `localCheckpoint()` after each (truncating the
+    * lineage, so the plan never unrolls and each round is exactly one
+    * join + one aggregation regardless of round count), and stop when a
+    * round changes zero labels — min-label propagation is monotone
+    * non-increasing per vertex, so an unchanged round is THE fixed
+    * point (true connected components), not a plateau. The change check
+    * is one cheap count over the checkpointed old/new label join per
+    * round. The oracled queries keep the unrolled 4-round form (their
+    * fixture graphs are certified diameter ≤ 4 by LawsSpec, and the
+    * unrolled form stays a single declarative plan); LawsSpec asserts
+    * this variant agrees with it there. On a real cluster swap
+    * localCheckpoint for checkpoint(reliable) so executor loss can't
+    * lose rounds. */
+  private[graft] def labelPropUntilFixed(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    var lab = edges.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val next = edges
+        .join(lab.select(col("v").as("dst"), col("lab").as("nlab")), "dst")
+        .groupBy(col("src")).agg(min(col("nlab")).as("lab"))
+        .select(col("src").as("v"), col("lab"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(lab.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lab") =!= col("o.lab"))
+        .count()
+      lab = next
+      it += 1
     }
     lab
   }

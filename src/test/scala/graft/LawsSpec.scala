@@ -105,6 +105,39 @@ class LawsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("labelPropUntilFixed agrees with the unrolled form on the fixture graph") {
+    val pairs = operators.LlmText.minhashPairs(spark, sf)
+      .select(col("da"), col("db")).persist()
+    val sym = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val edges = sym.union(sym.select(col("src"), col("src").as("dst")).distinct())
+      .persist()
+    val unrolled = operators.LlmText.labelPropEdges(edges, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = operators.LlmText.labelPropUntilFixed(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed == unrolled)
+    pairs.unpersist(); edges.unpersist()
+  }
+
+  test("labelPropUntilFixed converges on a diameter-10 chain the 4-round unroll cannot") {
+    // 0-1-2-…-10: min label 0 needs 10 hops to reach vertex 10; the
+    // bounded form stops early by design, the guarded form must not
+    import spark.implicits._
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("da", "db").persist()
+    val sym = chain.select(col("da").as("src"), col("db").as("dst"))
+      .union(chain.select(col("db").as("src"), col("da").as("dst")))
+    val edges = sym.union(sym.select(col("src"), col("src").as("dst")).distinct())
+      .persist()
+    val fixed = operators.LlmText.labelPropUntilFixed(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed == (0L to 10L).map(v => (v, 0L)).toSet)
+    val bounded = operators.LlmText.labelPropEdges(edges, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded != fixed) // the gap the convergence guard closes
+    chain.unpersist(); edges.unpersist()
+  }
+
   test("simhash chunk buckets have recall 1 vs all-pairs hamming (pigeonhole)") {
     // recompute the 60-bit signatures exactly as the operator does, then
     // compare its bucketed candidate pairs with the O(n²) reference
