@@ -227,6 +227,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("sql_ddl catalog-table read plans like the path read: pushdown + pruning") {
+    // a table created via CREATE TABLE ... USING parquet must scan with
+    // the same FileScan shape as a direct path/view read — the p_size
+    // predicate pushed to parquet, ReadSchema pruned to the 3 referenced
+    // columns — or the catalog indirection would cost at scale
+    val p = plan("sql_ddl")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(p_size,25)"), p)
+    assert(p.contains("ReadSchema: struct<p_brand:string,p_size:int,p_retailprice:double"), p)
+  }
+
   test("join_nullsafe plans as a hash join, not a nested loop") {
     // <=> must canonicalize into the join key (knownfloatingpointnormalized
     // coalesce form); an OR-of-IS-NULL rewrite would fall back to
