@@ -119,13 +119,30 @@ object GraftOps {
     graft.operators.LlmText.labelProp(sym, rounds)
   }
 
+  /** [[connectedComponents]] with NO diameter bound — the shape for
+    * graphs whose diameter isn't known ≤ rounds (the 100 TB default):
+    * checkpoint-per-round min-label propagation that stops when a round
+    * changes zero labels, i.e. at the true fixed point. LawsSpec
+    * certifies agreement with the bounded form where both converge. */
+  def connectedComponentsUntilFixed(pairs: DataFrame, a: String, b: String,
+                                    maxRounds: Int = 64): DataFrame = {
+    val sym = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    graft.operators.LlmText.labelPropUntilFixed(
+      sym.union(sym.select(col("src"), col("src").as("dst")).distinct()),
+      maxRounds)
+  }
+
   /** L2 normalization — embed_norm's prep shape: scale the vector to
     * unit length so cosine becomes a plain dot product downstream.
-    * Stays in one codegen stage; division by the unrounded norm. */
+    * Stays in one codegen stage; division by the unrounded norm.
+    * A zero-norm vector passes through as the zero vector (explicitly —
+    * Spark's divide-by-zero→NULL would otherwise silently null every
+    * element and corrupt downstream dot products). */
   def l2Normalize(vec: Column): Column = {
     val e = transform(vec, x => x.cast(DoubleType))
     val nrm = sqrt(aggregate(transform(e, x => x * x), lit(0.0), (a, v) => a + v))
-    transform(e, x => x / nrm)
+    transform(e, x => when(nrm =!= 0.0, x / nrm).otherwise(lit(0.0)))
   }
 
   /** Argmax aggregate — agg_argmax's shape: use inside .agg(...) to get
@@ -141,6 +158,13 @@ object GraftOps {
     * the key's version count — the CDC feed invariant that keeps this
     * shape flat at 100 TB. */
   def scd2History(df: DataFrame, key: Column, version: Column): DataFrame = {
+    // fail fast instead of silently replacing caller columns: withColumn
+    // overwrites same-named columns, which would corrupt an input that
+    // already carries history fields
+    val clash = df.columns.toSet.intersect(Set("valid_to", "is_current"))
+    require(clash.isEmpty,
+      s"scd2History writes columns valid_to/is_current, but the input " +
+        s"already has ${clash.mkString(", ")} — rename or drop them first")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(key).orderBy(version)
     df.withColumn("valid_to", lead(version, 1).over(w))
@@ -167,18 +191,23 @@ object GraftOps {
     * training pipeline actually wants: minhash pair graph → connected
     * components → drop every non-survivor cluster member (survivor =
     * minimum id per component), keeping the caller's full row. The
-    * drop set moves only ids (LEFT ANTI on the key); the pair graph is
-    * persisted internally because label propagation references it once
-    * per round (session-bounded, the shingle-cache practice). */
+    * drop set moves only ids (LEFT ANTI on the key). The pair graph is
+    * persisted only DURING the call: label propagation references it
+    * once per round, then the drop set (ids only) is materialized via
+    * localCheckpoint and the pair cache is released — repeated
+    * per-dataset calls leak nothing. */
   def dedupCorpus(df: DataFrame, id: Column, text: Column,
                   threshold: Double = 0.8, rounds: Int = 4): DataFrame = {
     val pairs = minhashNearDupPairs(df, id, text, threshold)
       .select(col("ida"), col("idb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val drops = connectedComponents(pairs, "ida", "idb", rounds)
-      .filter(col("v") =!= col("lab"))
-      .select(col("v").as("__graft_drop"))
-    df.join(drops, id === col("__graft_drop"), "left_anti")
+    try {
+      val drops = connectedComponents(pairs, "ida", "idb", rounds)
+        .filter(col("v") =!= col("lab"))
+        .select(col("v").as("__graft_drop"))
+        .localCheckpoint() // eager: drop ids are computed before unpersist
+      df.join(drops, id === col("__graft_drop"), "left_anti")
+    } finally { pairs.unpersist(); () }
   }
 
   /** Per-vector int8 affine quantization — embed_quantize's storage

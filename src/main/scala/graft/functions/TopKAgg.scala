@@ -103,9 +103,21 @@ case class TopKAgg(
 
 object TopKAgg {
   /** Single builder shared by ensureRegistered and GraftExtensions so
-    * the two registration paths cannot drift. */
-  val builder: Seq[Expression] => Expression =
-    exprs => TopKAgg(Cast(exprs.head, DoubleType), Cast(exprs(1), LongType), 5)
+    * the two registration paths cannot drift. Arity-checked here so a
+    * wrong call site fails analysis with the expected signature instead
+    * of an IndexOutOfBoundsException at plan time (and extra arguments
+    * are rejected rather than silently dropped). */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "topk5",
+          "expectedNum" -> "2 (topk5(ord, payload))",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> ""))
+    TopKAgg(Cast(exprs.head, DoubleType), Cast(exprs(1), LongType), 5)
+  }
 
   /** Registers `topk5(ord, payload)`: top-5 pairs per group. */
   def ensureRegistered(spark: SparkSession): Unit =

@@ -146,6 +146,44 @@ class ApiSpec extends AnyFunSuite {
     assert(survivorIds.subsetOf(keptIds))
   }
 
+  test("l2Normalize passes a zero vector through as the zero vector, not nulls") {
+    import spark.implicits._
+    val out = Seq(Seq(0.0f, 0.0f, 0.0f), Seq(3.0f, 0.0f, 4.0f)).toDF("v")
+      .select(GraftOps.l2Normalize(col("v")).as("u"))
+      .collect().map(_.getSeq[Double](0))
+    assert(out(0) == Seq(0.0, 0.0, 0.0)) // no divide-by-zero nulls
+    assert(out(1).map(x => math.rint(x * 10) / 10) == Seq(0.6, 0.0, 0.8))
+  }
+
+  test("scd2History fails fast when the input already has history columns") {
+    import spark.implicits._
+    val df = Seq((1L, 1, true)).toDF("k", "gen", "is_current")
+    val e = intercept[IllegalArgumentException] {
+      GraftOps.scd2History(df, col("k"), col("gen"))
+    }
+    assert(e.getMessage.contains("is_current"))
+  }
+
+  test("dedupCorpus releases its internal pair-graph cache") {
+    val docs = Tables.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    GraftOps.dedupCorpus(docs, col("doc_id"), col("text")).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // the only cache allowed to survive the call is the localCheckpoint
+    // backing the (ids-only) drop set — the pair graph must be gone
+    assert(after - before <= 1, s"leaked caches: before=$before after=$after")
+  }
+
+  test("connectedComponentsUntilFixed matches the bounded form on the fixture graph") {
+    val pairs = GraftOps.minhashNearDupPairs(
+        Tables.documents(spark, sf), col("doc_id"), col("text"))
+      .select(col("ida"), col("idb")).persist()
+    val bounded = rows(GraftOps.connectedComponents(pairs, "ida", "idb"))
+    val fixed = rows(GraftOps.connectedComponentsUntilFixed(pairs, "ida", "idb"))
+    assert(fixed == bounded)
+    pairs.unpersist()
+  }
+
   test("int8Quantize matches embed_quantize") {
     val api = Tables.embeddings(spark, sf)
       .select(col("vec_id"), GraftOps.int8Quantize(col("embedding")).as("z"))

@@ -105,6 +105,15 @@ class LawsSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("topk5 rejects wrong arity at analysis with the expected signature") {
+    graft.functions.TopKAgg.ensureRegistered(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk5(o_totalprice) FROM (SELECT 1.0 AS o_totalprice)")
+        .collect()
+    }
+    assert(e.getMessage.contains("topk5"), e.getMessage)
+  }
+
   test("labelPropUntilFixed agrees with the unrolled form on the fixture graph") {
     val pairs = operators.LlmText.minhashPairs(spark, sf)
       .select(col("da"), col("db")).persist()
