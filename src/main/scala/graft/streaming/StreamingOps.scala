@@ -226,7 +226,10 @@ object StreamingOps {
     * batchId — the production escape hatch for sinks Structured Streaming
     * lacks natively (JDBC upserts, multi-table writes). batchId makes the
     * write idempotent under retries: a replayed batch overwrites its own
-    * directory instead of duplicating rows. */
+    * directory instead of duplicating rows — exercised end-to-end by
+    * StreamingSpec's restart test, which kills the query inside the
+    * write-committed-but-checkpoint-uncommitted crash window and asserts
+    * the replayed batch leaves every row exactly once. */
   def sinkPerBatch(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events
       .writeStream

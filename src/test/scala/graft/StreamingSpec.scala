@@ -225,6 +225,57 @@ class StreamingSpec extends AnyFunSuite {
       == evs.map(_.event_id).sum)
   }
 
+  test("stream_foreach_batch restart from checkpoint loses and duplicates nothing") {
+    // the idempotent-sink claim, exercised through an actual crash window:
+    // a file source (replayable by offset) feeds the batchId-keyed parquet
+    // sink with a checkpoint; the query is stopped mid-stream and its LAST
+    // COMMIT MARKER deleted — exactly the state after dying between the
+    // sink write and the checkpoint commit — so the restart REPLAYS that
+    // batch into the sink before draining the rest. batchId-overwrite must
+    // absorb the replay: every row exactly once at the end.
+    val sp = spark
+    import sp.implicits._
+    val base = s"${Tables.scratchDir}/st_restart"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val srcDir = s"$base/src"; val out = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val chunks = evs.grouped(200).toSeq
+    def feed(cs: Seq[Seq[Ev]]): Unit = cs.foreach { c =>
+      spark.createDataset(c).coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def startQ() = StreamingOps.sinkPerBatch(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir),
+        out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    feed(chunks.take(3))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    // crash window: the sink holds this batch's rows but the commit never
+    // landed — restart must replay it
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val last = commits.maxBy(_.getName.toLong)
+    // the local FS checkpoint manager writes a .N.crc sibling; both must
+    // go or the replay's commit rename collides with the stale checksum
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    assert(last.delete())
+    feed(chunks.drop(3))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    val readBack = spark.read.parquet(out)
+    assert(readBack.count() == evs.length, "no lost, no duplicated rows")
+    assert(readBack.select(col("event_id")).distinct().count() == evs.length,
+      "every event exactly once")
+    assert(readBack.agg(sum(col("event_id"))).collect()(0).getLong(0)
+      == evs.map(_.event_id).sum)
+  }
+
   test("streaming doc pipeline equals the batch dedup+quality construction") {
     val sp = spark
     import sp.implicits._
