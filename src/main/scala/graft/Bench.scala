@@ -21,6 +21,7 @@ object Bench {
     try operators.LlmVector.ensureAnnIndex(spark, sfDir) catch { case _: Throwable => () }
     try operators.LlmVector.ensureEmbcosAnchors(spark, sfDir) catch { case _: Throwable => () }
     try operators.Scans.ensureDppLayout(spark, sfDir) catch { case _: Throwable => () }
+    try operators.LlmText.ensureMinhashIndex(spark, sfDir) catch { case _: Throwable => () }
     // Evaluate via the noop batch sink: every column of every row is
     // produced and handed to the writer, so the timing covers the actual
     // operator. (`count()` let Catalyst prune all columns and drop sorts,

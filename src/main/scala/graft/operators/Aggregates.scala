@@ -277,6 +277,24 @@ object Aggregates extends QueryGroup {
            count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** Weighted means per group — the reweighting shape every corpus
+    * pipeline needs (quality-weighted averages, token-weighted stats):
+    * ratio of two sums, each accumulated exactly via the per-element
+    * DECIMAL pre-cast so the division is performed on identical inputs
+    * on any engine/partitioning. */
+  private val aggWeighted: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(expr("CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))")).cast("double")
+          / sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 6)
+          .as("wavg_price"),
+        round(sum(expr("CAST(l_discount * l_quantity AS DECIMAL(18,6))")).cast("double")
+          / sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 6)
+          .as("wavg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -297,6 +315,7 @@ object Aggregates extends QueryGroup {
     "agg_argmax" -> aggArgmax,
     "agg_mode" -> aggMode,
     "agg_moments" -> aggMoments,
+    "agg_weighted" -> aggWeighted,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -425,6 +444,15 @@ object Aggregates extends QueryGroup {
                       / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
                          * (s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))) - 3.0, 6) + 0.0 AS ex_kurt
          FROM ps ORDER BY l_returnflag ASC NULLS FIRST""",
+    "agg_weighted" ->
+      """SELECT l_returnflag,
+                round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                      / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS wavg_price,
+                round(CAST(sum(CAST(l_discount * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                      / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS wavg_disc,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS FIRST""",
     "agg_percentile" ->
       """SELECT lang,
                 round(quantile_cont(n_chars, 0.5), 6) AS p50,

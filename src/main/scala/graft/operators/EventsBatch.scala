@@ -87,9 +87,37 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Hand-rolled sessionization — the lag + cumulative-flag idiom over
+    * plain windows instead of session_window(): the formulation you
+    * reach for when the gap rule is custom (per-user gaps, activity-type
+    * resets) and the built-in can't express it. Emits exactly the rows
+    * events_session emits (same 30-min gap on the same µs values), so
+    * the two formulations cross-check each other through the oracle.
+    * Scale shape: both windows partition by user_id — one shuffle, no
+    * global sort; state per partition is one row of look-behind. */
+  private val eventsSessionizeLag: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"), expr("ts div 1000").as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+             col("us") - lag(col("us"), 1).over(w) >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr("min(us) div 1000000").as("session_start_s"),
+           count(lit(1)).as("n_events"),
+           round(sum(col("value")), 6).as("sum_v"))
+      .select(col("user_id"), col("session_start_s"), col("n_events"), col("sum_v"))
+      .orderBy(col("user_id"), col("session_start_s"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
+    "events_sessionize_lag" -> eventsSessionizeLag,
     "events_interval_join" -> eventsIntervalJoin,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
@@ -103,6 +131,22 @@ object EventsBatch extends QueryGroup {
          GROUP BY 1, 2
          ORDER BY bucket_s ASC NULLS FIRST, event_type ASC NULLS FIRST""",
     "events_session" ->
+      """WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+            flagged AS (
+              SELECT user_id, value, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC)),
+            sess AS (
+              SELECT user_id, value, us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged)
+         SELECT user_id, min(us) // 1000000 AS session_start_s,
+                count(*) AS n_events, round(sum(value), 6) AS sum_v
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id ASC NULLS FIRST, session_start_s ASC NULLS FIRST""",
+    "events_sessionize_lag" ->
       """WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
             flagged AS (
               SELECT user_id, value, us,

@@ -231,6 +231,34 @@ object Joins extends QueryGroup {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Runtime bloom-filter join — Spark's row-level runtime filtering
+    * (the companion to scan_dpp's partition-level pruning): a bloom
+    * filter built from the selective creation side (urgent orders) is
+    * injected as a semi-join reduction on the fact scan, so most
+    * lineitem rows die AT THE SCAN instead of riding the shuffle to the
+    * join — on a 100 TB fact this is the difference between shuffling
+    * the table and shuffling the ~20% that can match. Runs in a FORKED
+    * session so the demo thresholds (broadcast off to force a shuffle
+    * join — broadcast joins don't need bloom filters; application-side
+    * threshold 0 so the small fixture qualifies) cannot leak into
+    * sibling queries: conf is read at optimization time, which happens
+    * at the caller's action. PlanSpec asserts might_contain reached the
+    * fact side. */
+  private val joinBloom: QFn = (s, d) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ord = Tables.orders(s2, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s2, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(revenueSum.as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "join_broadcast" -> joinBroadcast,
     "join_shuffle" -> joinShuffle,
@@ -246,6 +274,7 @@ object Joins extends QueryGroup {
     "join_asof" -> joinAsof,
     "join_salted" -> joinSalted,
     "join_star" -> joinStar,
+    "join_bloom" -> joinBloom,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -262,6 +291,14 @@ object Joins extends QueryGroup {
                 $revenueSumSql AS revenue,
                 count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
+    "join_bloom" ->
+      s"""SELECT o_orderpriority,
+                $revenueSumSql AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority ASC NULLS FIRST""",
     "join_outer_left" ->

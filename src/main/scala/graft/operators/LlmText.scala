@@ -547,6 +547,69 @@ object LlmText extends QueryGroup {
       .orderBy(col("survivor"))
   }
 
+  /** 16-minhash LSH bands (8 bands × r=2) for an arbitrary
+    * (doc_id, text) frame — the [[minhashPairs]] signature construction
+    * (identical constants) factored so it can run over a SUBSET: the
+    * incremental path signatures only the new batch, never the corpus. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val sh = docs
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct()
+    val hashed = sh.withColumn("hm", tokHash(col("s")) % P)
+    val mins = (0 until 16).map { i =>
+      min((col("hm") * (2L * i + 3L) + (7919L * i + 13L)) % P).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sig.select(col("doc_id"), explode(array((0 until 8).map { j =>
+        struct(lit(j).as("band"), col(s"mh${2 * j}").as("s0"), col(s"mh${2 * j + 1}").as("s1"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+              col("b.s0").as("s0"), col("b.s1").as("s1"))
+  }
+
+  /** Persisted banded minhash index of the "already-ingested" corpus
+    * slice (doc_id % 5 ≠ 0), hive-partitioned by band — the layout an
+    * incremental ingest keeps between runs so each new batch is deduped
+    * against the corpus WITHOUT re-reading or re-shingling corpus text.
+    * Fingerprint-keyed like the ANN index; built once per session+sf. */
+  private[graft] def ensureMinhashIndex(s: SparkSession, d: String): String = {
+    val path = s"${graft.Tables.scratchDir}/mh_index_${new java.io.File(d).getName}" +
+      s"_${Tables.fingerprint(d, "documents")}"
+    val done = new java.io.File(s"$path/_DONE")
+    if (!done.exists()) {
+      minhashBands(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      done.createNewFile()
+    }
+    path
+  }
+
+  /** Incremental near-dup candidates: the production ingest shape —
+    * signature the NEW batch (doc_id % 5 = 0, ~20%), equality-probe the
+    * persisted corpus band index, emit (corpus doc, new doc) candidate
+    * pairs. Cost scales with the BATCH, not the corpus: the index read
+    * is a columnar scan of fixed-width signature rows, the probe is an
+    * equality shuffle on (band, s0, s1), and corpus text is never
+    * touched. Candidates feed the same verify stage the batch path runs
+    * (dedup_near_minhash); the oracle mirrors the banding construction
+    * over the same split, so parity holds by construction. */
+  private val dedupIncremental: QFn = (s, d) => {
+    val path = ensureMinhashIndex(s, d)
+    val idx = s.read.parquet(s"$path/bands")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("s0"), col("s1"))
+    val delta = minhashBands(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id").as("new_id"), col("band"), col("s0"), col("s1"))
+    idx.join(delta, Seq("band", "s0", "s1"))
+      .select(col("corpus_id"), col("new_id")).distinct()
+      .orderBy(col("corpus_id"), col("new_id"))
+  }
+
   /** Exact character-5-gram Jaccard pairs ≥ 0.55 among the first 150
     * docs — the exact (capped) companion to the LSH paths. */
   private val dedupNgramJaccard: QFn = (s, d) => {
@@ -591,6 +654,7 @@ object LlmText extends QueryGroup {
     "dedup_clusters_all" -> dedupClustersAll,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_incremental" -> dedupIncremental,
   )
 
   /** The minhash pair construction as DuckDB CTEs ending in
@@ -784,6 +848,15 @@ object LlmText extends QueryGroup {
       s"""WITH $duckMinhashPairsCtes
          SELECT da, db, round(j, 6) AS jaccard FROM pairs
          ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
+    "dedup_incremental" ->
+      // same signature/band CTEs; the candidate join crosses the
+      // corpus (% 5 <> 0) × new-batch (% 5 = 0) split instead of da < db
+      s"""WITH $duckMinhashPairsCtes
+         SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS new_id
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+         WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+         ORDER BY corpus_id ASC NULLS FIRST, new_id ASC NULLS FIRST""",
     "dedup_clusters" -> {
       // mirror of labelProp: 4 unrolled min-label rounds over the same
       // pair graph; integer min is order-independent, so this is exact

@@ -227,6 +227,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("join_bloom injects a runtime bloom filter on the fact scan") {
+    // row-level runtime filtering, the companion to scan_dpp's
+    // partition-level pruning: the selective creation side aggregates a
+    // bloom_filter_agg, and the fact scan carries might_contain — rows
+    // die at the scan, not after the shuffle
+    val p = plan("join_bloom")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+  }
+
+  test("dedup_incremental probes the band index with an equality join only") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sql_ddl catalog-table read plans like the path read: pushdown + pruning") {
     // a table created via CREATE TABLE ... USING parquet must scan with
     // the same FileScan shape as a direct path/view read — the p_size
