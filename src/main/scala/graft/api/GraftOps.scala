@@ -210,6 +210,34 @@ object GraftOps {
     } finally { pairs.unpersist(); () }
   }
 
+  /** Banded minhash signatures for an arbitrary (id, text) frame —
+    * dedup_incremental's index/probe construction (identical constants
+    * to [[minhashNearDupPairs]]: 16 minhashes, 8 bands of r=2).
+    * Returns `(id, band, s0, s1)`; write it partitioned by `band` as a
+    * persistent dedup index, and probe a new batch by equality-joining
+    * its bands against the index on (band, s0, s1) — the incremental
+    * shape where per-ingest cost scales with the batch, not the corpus. */
+  def minhashBandSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val P = 2147483647L
+    val sh = df
+      .select(id.as("gid"), split(text, " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("gid"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct()
+      .withColumn("hm", conv(substring(md5(col("s")), 1, 12), 16, 10).cast(LongType) % P)
+    val mins = (0 until 16).map { i =>
+      min((col("hm") * (2L * i + 3L) + (7919L * i + 13L)) % P).as(s"mh$i")
+    }
+    val sig = sh.groupBy(col("gid")).agg(mins.head, mins.tail: _*)
+    sig.select(col("gid").as("id"), explode(array((0 until 8).map { j =>
+        struct(lit(j).as("band"), col(s"mh${2 * j}").as("s0"), col(s"mh${2 * j + 1}").as("s1"))
+      }: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"),
+              col("b.s0").as("s0"), col("b.s1").as("s1"))
+  }
+
   /** Per-vector int8 affine quantization — embed_quantize's storage
     * shape: `struct(lo, hi, qscale, q: array<bigint>)` with
     * qᵢ = clamp(floor((xᵢ − lo)/scale + 0.5), 0, 255). floor-form

@@ -110,6 +110,24 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature hashing (the hashing trick): tokens → fixed k=64 portable
+    * md5 buckets → per-doc bucketed term counts, summarized as the
+    * feature vector's stats (nnz / max / L2). Vocabulary-FREE — no
+    * dictionary fit, no vocabulary-sized shuffle, feature width fixed
+    * up front — which is why large-scale text featurization reaches for
+    * it before TF-IDF: at 100 TB the tf→df join disappears entirely.
+    * All counts are exact integers; L2 is sqrt of an exact BIGINT. */
+  private val textHashFeatures: QFn = (s, d) =>
+    tokens(s, d)
+      .withColumn("bkt",
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % 64L)
+      .groupBy(col("doc_id"), col("bkt")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("f_nnz"),
+           max(col("cnt")).as("f_max"),
+           round(sqrt(sum(col("cnt") * col("cnt")).cast(DoubleType)), 6).as("f_l2"))
+      .orderBy(col("doc_id"))
+
   /** Stopword list shared with Pipeline.pipeline_e2e's quality gate so
     * the two can't silently drift. */
   private[graft] val StopTokens = Seq("the", "a")
@@ -647,6 +665,7 @@ object LlmText extends QueryGroup {
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_bigram_lm" -> textBigramLm,
     "text_dedup_inline" -> textDedupInline,
+    "text_hash_features" -> textHashFeatures,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
@@ -835,6 +854,17 @@ object LlmText extends QueryGroup {
          FROM (SELECT doc_id, toks,
                       list_filter(toks, (t, i) -> list_position(toks, t) = i) AS u
                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) a) b
+         ORDER BY doc_id ASC NULLS FIRST""",
+    "text_hash_features" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            b AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 12))::BIGINT % 64 AS bkt,
+                         count(*) AS cnt
+                  FROM t GROUP BY doc_id, bkt)
+         SELECT doc_id, count(*) AS f_nnz,
+                CAST(max(cnt) AS BIGINT) AS f_max,
+                round(sqrt(CAST(sum(cnt * cnt) AS DOUBLE)), 6) AS f_l2
+         FROM b GROUP BY doc_id
          ORDER BY doc_id ASC NULLS FIRST""",
     "text_scrub" ->
       """SELECT doc_id,

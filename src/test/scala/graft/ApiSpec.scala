@@ -184,6 +184,19 @@ class ApiSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("minhashBandSignatures probe reproduces dedup_incremental") {
+    val docs = Tables.documents(spark, sf)
+    val idx = GraftOps.minhashBandSignatures(
+        docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"))
+      .select(col("id").as("corpus_id"), col("band"), col("s0"), col("s1"))
+    val delta = GraftOps.minhashBandSignatures(
+        docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"))
+      .select(col("id").as("new_id"), col("band"), col("s0"), col("s1"))
+    val api = idx.join(delta, Seq("band", "s0", "s1"))
+      .select(col("corpus_id"), col("new_id")).distinct()
+    assert(rows(api) == rows(SparkEntry.queries("dedup_incremental")(spark, sf)))
+  }
+
   test("int8Quantize matches embed_quantize") {
     val api = Tables.embeddings(spark, sf)
       .select(col("vec_id"), GraftOps.int8Quantize(col("embedding")).as("z"))

@@ -34,6 +34,8 @@ class DeterminismSpec extends AnyFunSuite {
     "ingest_cdc_scd2",     // lead() over per-key integer generations
     "embed_pca",           // every aggregate 9-dp-rounded before reuse (kmeans-mirror technique)
     "udaf_topk",           // bounded-heap partial/merge — lexicographic
+    "agg_weighted",        // ratios of exact decimal sums
+    "text_hash_features",  // exact integer bucket counts + sqrt of exact BIGINT
   )
 
   private val postRounded = Seq(
@@ -43,6 +45,7 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_e2e",        // composed flow: ln()-derived gate + double avgs
     "text_bigram_lm",      // per-doc double log sums (like unigram)
     "agg_corr",            // corr/covar accumulation (like agg_stats)
+    "events_sessionize_lag", // per-session double value sums (like events_session)
   )
 
   private def result(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
