@@ -295,6 +295,29 @@ object Aggregates extends QueryGroup {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Shannon entropy of each user's event-type distribution — the
+    * behavioral-diversity metric (its corpus twin scores topic/source
+    * diversity when mixing training data). Probabilities come from
+    * exact integer counts, so the p·ln p terms are identical doubles on
+    * both engines; the ≤|event types|-term sum is post-round tolerant
+    * like the other log-sum queries. `+ 0.0` folds the single-type
+    * case: p=1 gives -sum(+0.0) = -0.0, which both engines produce but
+    * round differently (the signed-zero convention). */
+  private val aggEntropy: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val cnt = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("user_id")).agg(sum(col("c")).as("tc"))
+    cnt.join(tot, "user_id")
+      .withColumn("plogp",
+        (col("c").cast("double") / col("tc")) *
+          log(col("c").cast("double") / col("tc")))
+      .groupBy(col("user_id"))
+      .agg((round(-sum(col("plogp")), 6) + lit(0.0)).as("entropy"),
+           count(lit(1)).as("n_types"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -316,6 +339,7 @@ object Aggregates extends QueryGroup {
     "agg_mode" -> aggMode,
     "agg_moments" -> aggMoments,
     "agg_weighted" -> aggWeighted,
+    "agg_entropy" -> aggEntropy,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -444,6 +468,18 @@ object Aggregates extends QueryGroup {
                       / ((s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))
                          * (s2/CAST(n AS DOUBLE) - (s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)))) - 3.0, 6) + 0.0 AS ex_kurt
          FROM ps ORDER BY l_returnflag ASC NULLS FIRST""",
+    "agg_entropy" ->
+      """WITH cnt AS (SELECT user_id, event_type, count(*) AS c
+                      FROM events GROUP BY user_id, event_type),
+            tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS tc
+                    FROM cnt GROUP BY user_id),
+            p AS (SELECT cnt.user_id,
+                         (CAST(c AS DOUBLE) / tc) * ln(CAST(c AS DOUBLE) / tc) AS plogp
+                  FROM cnt JOIN tot ON cnt.user_id = tot.user_id)
+         SELECT user_id, round(-sum(plogp), 6) + 0.0 AS entropy,
+                count(*) AS n_types
+         FROM p GROUP BY user_id
+         ORDER BY user_id ASC NULLS FIRST""",
     "agg_weighted" ->
       """SELECT l_returnflag,
                 round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)

@@ -114,6 +114,32 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("user_id"), col("session_start_s"))
   }
 
+  /** Z-score anomaly gate per event type — the telemetry-cleaning pass a
+    * training pipeline runs over behavioral logs: group stats from EXACT
+    * decimal sums (s1, s2 — so mean/sd are identical doubles on any
+    * engine/partitioning), broadcast back onto the rows, flag
+    * |z| beyond 3 through the quantized round(z,6) gate (the
+    * pipeline_e2e threshold pattern: both engines compare the same
+    * 6-dp value, so a boundary row can't flip between them). Shape:
+    * one partial-agg shuffle for stats, a broadcast join (stats are
+    * |event types| rows), one final agg — the fact rows ride one
+    * shuffle total. */
+  private val eventsAnomaly: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val st = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double").as("s1"),
+           sum(expr("CAST(value * value AS DECIMAL(18,6))")).cast("double").as("s2"))
+    e.join(broadcast(st), "event_type")
+      .withColumn("z", (col("value") - col("s1") / col("n")) /
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(round(col("z"), 6) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+           round(max(col("z")), 6).as("max_z"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -121,6 +147,7 @@ object EventsBatch extends QueryGroup {
     "events_interval_join" -> eventsIntervalJoin,
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
+    "events_anomaly" -> eventsAnomaly,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -197,5 +224,19 @@ object EventsBatch extends QueryGroup {
                       AND c_us >= p_us - 3600000000 AND c_us < p_us
          ORDER BY p_id ASC NULLS FIRST, c_us ASC NULLS FIRST,
                   c_value ASC NULLS FIRST""",
+    "events_anomaly" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+                            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                            CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+                     FROM events GROUP BY event_type),
+            z AS (SELECT e.event_type,
+                         (e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+                  FROM events e JOIN st ON e.event_type = st.event_type)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(CASE WHEN round(z, 6) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_outliers,
+                round(max(z), 6) AS max_z
+         FROM z GROUP BY event_type
+         ORDER BY event_type ASC NULLS FIRST""",
   )
 }

@@ -62,10 +62,33 @@ object Sampling extends QueryGroup {
              / count(lit(1)), 6).as("rate"))
       .orderBy(col("lang"))
 
+  /** Fixed-SIZE deterministic sample per stratum (the reservoir-sample
+    * use case, made reproducible): rank rows within each stratum by the
+    * md5 of their id and keep the k smallest — a uniform k-subset whose
+    * membership is stable under re-partitioning, engine moves, and
+    * corpus APPENDS limited to new ids (an id's hash rank only changes
+    * if ids are removed). Rate-based sampling (sample_hash) can't pin
+    * an exact per-group size; this can. One window partitioned by the
+    * stratum — no global sort; at 100 TB per-stratum top-k could also
+    * run as the udaf_topk bounded heap. */
+  private val sampleReservoir: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk").cast(LongType).as("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sample_hash" -> sampleHash,
     "split_train_val" -> splitTrainVal,
     "sample_stratified" -> sampleStratified,
+    "sample_reservoir" -> sampleReservoir,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -96,5 +119,13 @@ object Sampling extends QueryGroup {
          FROM documents
          GROUP BY 1, 2
          ORDER BY lang ASC NULLS FIRST, split ASC NULLS FIRST""",
+    "sample_reservoir" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+         FROM (SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+               FROM documents) t
+         WHERE rk <= 20
+         ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""",
   )
 }

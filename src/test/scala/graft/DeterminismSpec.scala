@@ -36,6 +36,8 @@ class DeterminismSpec extends AnyFunSuite {
     "udaf_topk",           // bounded-heap partial/merge — lexicographic
     "agg_weighted",        // ratios of exact decimal sums
     "text_hash_features",  // exact integer bucket counts + sqrt of exact BIGINT
+    "sample_reservoir",    // md5 string rank — pure function of ids
+    "events_anomaly",      // z from exact decimal s1/s2; max is order-free
   )
 
   private val postRounded = Seq(
@@ -46,6 +48,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bigram_lm",      // per-doc double log sums (like unigram)
     "agg_corr",            // corr/covar accumulation (like agg_stats)
     "events_sessionize_lag", // per-session double value sums (like events_session)
+    "agg_entropy",         // ≤|types|-term p·ln p sums (like the LM log sums)
   )
 
   private def result(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
