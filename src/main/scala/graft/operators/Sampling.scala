@@ -68,18 +68,27 @@ object Sampling extends QueryGroup {
     * membership is stable under re-partitioning, engine moves, and
     * corpus APPENDS limited to new ids (an id's hash rank only changes
     * if ids are removed). Rate-based sampling (sample_hash) can't pin
-    * an exact per-group size; this can. One window partitioned by the
-    * stratum — no global sort; at 100 TB per-stratum top-k could also
-    * run as the udaf_topk bounded heap. */
+    * an exact per-group size; this can.
+    *
+    * Scale shape: a window partitioned by the stratum alone would give
+    * one reducer per stratum (5 langs = 5 tasks no matter the cluster),
+    * so the top-k runs in two exact phases — per-(stratum, 64-way salt)
+    * top-k in parallel, then the final top-k over the ≤ 64·k per-stratum
+    * survivors (the global k smallest are necessarily among the per-salt
+    * k smallest; same recipe as win_ntile_pctrank's two-pass rank). */
   private val sampleReservoir: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang"))
+    val k = 20
+    val wSalt = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("h"), col("doc_id"))
+    val wLang = Window.partitionBy(col("lang"))
       .orderBy(col("h"), col("doc_id"))
     Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
         md5(col("doc_id").cast(StringType)).as("h"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 20)
+      .withColumn("salt", pmod(col("doc_id"), lit(64L)))
+      .withColumn("rs", row_number().over(wSalt)).filter(col("rs") <= k)
+      .withColumn("rk", row_number().over(wLang)).filter(col("rk") <= k)
       .select(col("lang"), col("rk").cast(LongType).as("rk"), col("doc_id"))
       .orderBy(col("lang"), col("rk"))
   }
