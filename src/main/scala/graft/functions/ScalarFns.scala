@@ -241,6 +241,28 @@ object ScalarFns extends QueryGroup {
         expr("CAST(bit_count(o_orderkey) AS INT)").as("popcount"),
       ).orderBy(col("o_orderkey"))
 
+  /** URL parsing — the log/clickstream-ingest scalar family. URLs are
+    * synthesized from order fields (scheme://host/path?query), then
+    * decomposed with POSIX-safe regexp_extract (SURVEY.md §7.4: no
+    * parse_url — it has no DuckDB twin; the regex recipes ARE the
+    * portable contract, and stay in codegen). */
+  private val fnUrl: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000L)
+      .withColumn("url", concat(
+        lit("https://shop-"), lower(split_part(col("o_orderpriority"), lit("-"), lit(2))),
+        lit(".example.com/order/"), col("o_orderkey").cast(StringType),
+        lit("?status="), col("o_orderstatus"),
+        lit("&cust="), col("o_custkey").cast(StringType)))
+      .select(
+        col("o_orderkey"), col("url"),
+        regexp_extract(col("url"), "^([a-z]+)://", 1).as("scheme"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?]*)", 1).as("path"),
+        regexp_extract(col("url"), "status=([A-Z])", 1).as("q_status"),
+        regexp_extract(col("url"), "cust=([0-9]+)", 1).as("q_cust"),
+      ).orderBy(col("o_orderkey"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "fn_string" -> fnString,
     "fn_datetime" -> fnDatetime,
@@ -256,6 +278,7 @@ object ScalarFns extends QueryGroup {
     "fn_bitwise" -> fnBitwise,
     "fn_regex" -> fnRegex,
     "fn_struct" -> fnStruct,
+    "fn_url" -> fnUrl,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -378,6 +401,21 @@ object ScalarFns extends QueryGroup {
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str_path,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
          FROM events ORDER BY event_id ASC NULLS FIRST""",
+    "fn_url" ->
+      """WITH u AS (
+           SELECT o_orderkey,
+                  'https://shop-' || lower(split_part(o_orderpriority, '-', 2))
+                    || '.example.com/order/' || CAST(o_orderkey AS VARCHAR)
+                    || '?status=' || o_orderstatus
+                    || '&cust=' || CAST(o_custkey AS VARCHAR) AS url
+           FROM orders WHERE o_orderkey < 2000)
+         SELECT o_orderkey, url,
+                regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+                regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+                regexp_extract(url, 'status=([A-Z])', 1) AS q_status,
+                regexp_extract(url, 'cust=([0-9]+)', 1) AS q_cust
+         FROM u ORDER BY o_orderkey ASC NULLS FIRST""",
     "fn_regex" ->
       """SELECT p_partkey,
                 array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS all_words,

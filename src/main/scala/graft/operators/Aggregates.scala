@@ -318,6 +318,39 @@ object Aggregates extends QueryGroup {
       .orderBy(col("user_id"))
   }
 
+  /** Per-group simple linear regression (price ~ quantity) — the
+    * drift/trend primitive analytics suites expose as REGR_SLOPE /
+    * REGR_INTERCEPT / REGR_R2. Built-in regr_* aggregates accumulate
+    * co-moments in engine-specific order, which is NOT bit-stable at
+    * 6 dp for slope/intercept magnitudes here, so the five raw sums
+    * (Σx, Σy, Σxy, Σx², Σy²) are accumulated exactly via the DECIMAL
+    * pre-cast (the agg_weighted pattern — one map-side-combining pass,
+    * portable across engines and partitionings) and the closed-form
+    * slope/intercept/r² are computed from those identical doubles with
+    * the identical operation order on both engines. */
+  private val aggLinreg: QFn = (s, d) => {
+    def dsum(e: String) = sum(expr(s"CAST($e AS DECIMAL(18,6))")).cast("double")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("nd"),
+           dsum("l_quantity").as("sx"),
+           dsum("l_extendedprice").as("sy"),
+           dsum("l_quantity * l_extendedprice").as("sxy"),
+           dsum("l_quantity * l_quantity").as("sxx"),
+           dsum("l_extendedprice * l_extendedprice").as("syy"))
+      .select(col("l_returnflag"), col("nd").cast("long").as("n"),
+        (round((col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (col("nd") * col("sxx") - col("sx") * col("sx")), 6) + lit(0.0)).as("slope"),
+        (round((col("sy") - (col("nd") * col("sxy") - col("sx") * col("sy"))
+            / (col("nd") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("nd"), 6)
+          + lit(0.0)).as("intercept"),
+        (round((col("nd") * col("sxy") - col("sx") * col("sy"))
+            * (col("nd") * col("sxy") - col("sx") * col("sy"))
+          / ((col("nd") * col("sxx") - col("sx") * col("sx"))
+            * (col("nd") * col("syy") - col("sy") * col("sy"))), 6) + lit(0.0)).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -340,6 +373,7 @@ object Aggregates extends QueryGroup {
     "agg_moments" -> aggMoments,
     "agg_weighted" -> aggWeighted,
     "agg_entropy" -> aggEntropy,
+    "agg_linreg" -> aggLinreg,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -495,5 +529,21 @@ object Aggregates extends QueryGroup {
                 round(quantile_cont(n_chars, 0.9), 6) AS p90
          FROM documents GROUP BY lang
          ORDER BY lang ASC NULLS FIRST""",
+    "agg_linreg" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+                round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) + 0.0 AS slope,
+                round((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd, 6) + 0.0 AS intercept,
+                round((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                      / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) + 0.0 AS r2
+         FROM m ORDER BY l_returnflag ASC NULLS FIRST""",
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.J batch twins — the same window()/session_window()
@@ -140,6 +141,55 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("event_type"))
   }
 
+  /** Time-series gap fill + forward fill — the resample-to-grid shape
+    * every metrics/feature pipeline needs (downstream models want a
+    * dense per-key hourly series, raw logs are sparse). Per user: the
+    * hourly grid spans [first, last] event hour via sequence+explode
+    * (bounded by span, never by corpus), missing hours join as n=0, and
+    * the last observed hourly sum is carried forward with
+    * last(ignoreNulls) over an hour-ordered window. Scale shape: the
+    * grid explode, the join, and the fill window all partition on
+    * user_id — one key-local pipeline, no global ordering anywhere.
+    * Restricted to user_id < 10 to keep the oracled output small; the
+    * construction is per-key and scales with keys × span. */
+  private val eventsGapFill: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(s, d)
+      .filter(col("user_id") < 10L)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hr"), col("value"))
+    val perHr = e.groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_v"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    grid.join(perHr, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_v"), ignoreNulls = true).over(w).as("filled_sum"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  /** First-order Markov transitions over each user's event stream — the
+    * behavioral n-gram (what follows what) that powers next-event
+    * features and funnel diagnostics. lead() over the per-user
+    * time-ordered window pairs each event with its successor; pair
+    * counts aggregate map-side; the transition probability divides two
+    * exact counts (n / row-total via a window over the ≤|types|² pair
+    * table), so it is the identical double on both engines. */
+  private val eventsMarkov: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tw = Window.partitionBy(col("from_type"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(tw), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -148,6 +198,8 @@ object EventsBatch extends QueryGroup {
     "events_funnel" -> eventsFunnel,
     "events_retention" -> eventsRetention,
     "events_anomaly" -> eventsAnomaly,
+    "events_gap_fill" -> eventsGapFill,
+    "events_markov" -> eventsMarkov,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -238,5 +290,30 @@ object EventsBatch extends QueryGroup {
                 round(max(z), 6) AS max_z
          FROM z GROUP BY event_type
          ORDER BY event_type ASC NULLS FIRST""",
+    "events_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr, value
+                    FROM events WHERE user_id < 10),
+            p AS (SELECT user_id, hr, count(*) AS n, round(sum(value), 6) AS sum_v
+                  FROM e GROUP BY user_id, hr),
+            b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY user_id),
+            g AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM b)
+         SELECT g.user_id, g.hr, CAST(coalesce(p.n, 0) AS BIGINT) AS n,
+                last_value(p.sum_v IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.hr ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+         FROM g LEFT JOIN p ON g.user_id = p.user_id AND g.hr = p.hr
+         ORDER BY g.user_id ASC NULLS FIRST, g.hr ASC NULLS FIRST""",
+    "events_markov" ->
+      """WITH s AS (SELECT user_id, event_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_ns(ts) ASC, event_id ASC) AS to_type
+                    FROM events),
+            c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+                  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                round(CAST(n AS DOUBLE)
+                      / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+         FROM c
+         ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST""",
   )
 }

@@ -651,6 +651,42 @@ object LlmText extends QueryGroup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Corpus-level collocation mining: top adjacent-bigram PMI — the
+    * phrase-detection pass (new-york, machine-learning) run before
+    * tokenizer training. Generator-chain shape (the multimodal_phash /
+    * embed_pca lesson): posexplode + lead, never per-row HOFs.
+    * Counts are word-keyed map-side-combining aggregations; the 1-row
+    * corpus totals ride broadcast nested-loop joins (the bounded-
+    * broadcast pattern). RANKING is by the exact rational
+    * (n_ab·N²)/(Np·n_a·n_b) — integer-valued products ≤ ~1e14
+    * represented exactly in double, so the DESC order and therefore
+    * the top-20 cutoff are bit-identical on both engines; ln() touches
+    * only the reported pmi, post-round. */
+  private val textCollocations: QFn = (s, d) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val nTot = toks.agg(count(lit(1)).as("nn"))
+    val pairs = toks
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val npTot = pairs.agg(sum(col("n_ab")).as("np"))
+    pairs.filter(col("n_ab") >= 3L)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(npTot))
+      .withColumn("score",
+        (col("n_ab") * col("nn") * col("nn")).cast("double")
+          / (col("np") * col("n_a") * col("n_b")).cast("double"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"), col("n_ab"),
+        (round(log(col("score")), 6) + lit(0.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "text_normalize" -> textNormalize,
     "text_tokens" -> textTokens,
@@ -666,6 +702,7 @@ object LlmText extends QueryGroup {
     "text_bigram_lm" -> textBigramLm,
     "text_dedup_inline" -> textDedupInline,
     "text_hash_features" -> textHashFeatures,
+    "text_collocations" -> textCollocations,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
@@ -734,6 +771,28 @@ object LlmText extends QueryGroup {
                     WHERE bit_count(xor(a.sig, b.sig)) <= 3)"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "text_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            un AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w, t[i + 1] AS w2
+                   FROM toks, unnest(range(1, len(t) + 1)) r(i)),
+            uni AS (SELECT w, count(*) AS n_w FROM un GROUP BY w),
+            nt AS (SELECT count(*) AS nn FROM un),
+            pr AS (SELECT w AS w1, w2, count(*) AS n_ab
+                   FROM un WHERE w2 IS NOT NULL GROUP BY 1, 2),
+            np AS (SELECT CAST(sum(n_ab) AS BIGINT) AS np FROM pr),
+            sc AS (SELECT w1, w2, n_ab,
+                          CAST(n_ab * nn * nn AS DOUBLE)
+                            / CAST(np.np * na.n_w * nb.n_w AS DOUBLE) AS score
+                   FROM pr
+                   JOIN uni na ON pr.w1 = na.w
+                   JOIN uni nb ON pr.w2 = nb.w
+                   CROSS JOIN nt CROSS JOIN np
+                   WHERE n_ab >= 3),
+            top AS (SELECT w1, w2, n_ab, score FROM sc
+                    ORDER BY score DESC, w1 ASC, w2 ASC LIMIT 20)
+         SELECT w1, w2, n_ab, round(ln(score), 6) + 0.0 AS pmi
+         FROM top
+         ORDER BY pmi DESC NULLS LAST, w1 ASC NULLS FIRST, w2 ASC NULLS FIRST""",
     "text_normalize" ->
       """SELECT doc_id,
                 regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),

@@ -93,11 +93,34 @@ object Sampling extends QueryGroup {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** WEIGHTED deterministic Bernoulli sampling — inclusion probability
+    * proportional to a row weight (here n_chars / 1024, the
+    * length-weighted corpus subsample every token-budgeted training mix
+    * uses). Membership is `u48 < n_chars · 2^38` where u48 is the
+    * 48-bit md5 uniform — ALL-INTEGER arithmetic (u48 < 2^48,
+    * n_chars·2^38 ≤ 553·2.7e11 ≈ 1.5e17, both well inside int64), so
+    * the comparison is exact on any engine: no float thresholds, no
+    * rounding seams, same pure-row-function scale properties as
+    * sample_hash. E[kept_chars] tracks the token budget by
+    * construction (P(keep) ∝ weight). */
+  private val sampleWeighted: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("u48",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
+          .cast(LongType))
+      .withColumn("keep", col("u48") < col("n_chars") * lit(274877906944L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "sample_hash" -> sampleHash,
     "split_train_val" -> splitTrainVal,
     "sample_stratified" -> sampleStratified,
     "sample_reservoir" -> sampleReservoir,
+    "sample_weighted" -> sampleWeighted,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -136,5 +159,17 @@ object Sampling extends QueryGroup {
                FROM documents) t
          WHERE rk <= 20
          ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""",
+    "sample_weighted" ->
+      """WITH t AS (
+           SELECT lang, n_chars,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u48
+           FROM documents)
+         SELECT lang, count(*) AS n_total,
+                CAST(sum(CASE WHEN u48 < n_chars * 274877906944 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN u48 < n_chars * 274877906944 THEN n_chars ELSE 0 END)
+                     AS BIGINT) AS kept_chars
+         FROM t GROUP BY lang
+         ORDER BY lang ASC NULLS FIRST""",
   )
 }

@@ -38,6 +38,10 @@ class DeterminismSpec extends AnyFunSuite {
     "text_hash_features",  // exact integer bucket counts + sqrt of exact BIGINT
     "sample_reservoir",    // md5 string rank — pure function of ids
     "events_anomaly",      // z from exact decimal s1/s2; max is order-free
+    "agg_linreg",          // closed form over exact decimal co-moment sums
+    "sample_weighted",     // all-integer hash-threshold membership + counts
+    "events_markov",       // exact integer pair counts, exact-int division
+    "text_collocations",   // integer counts; score/pmi from identical doubles
   )
 
   private val postRounded = Seq(
@@ -49,6 +53,7 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_corr",            // corr/covar accumulation (like agg_stats)
     "events_sessionize_lag", // per-session double value sums (like events_session)
     "agg_entropy",         // ≤|types|-term p·ln p sums (like the LM log sums)
+    "events_gap_fill",     // per-(user, hour) raw double sums (like events_session)
   )
 
   private def result(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
