@@ -19,6 +19,7 @@ object SparkEntry {
     operators.LlmText,
     operators.LlmVector,
     operators.EventsBatch,
+    operators.Graph,
     operators.SqlSurface,
     operators.Pipeline,
     operators.Sampling,

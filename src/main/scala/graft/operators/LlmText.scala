@@ -651,6 +651,34 @@ object LlmText extends QueryGroup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the quote/subset-inclusion
+    * detector Jaccard misses: C(a→b) = |A∩B| / |A| is high when doc a
+    * is substantially contained in doc b even if b is much longer
+    * (Jaccard divides by the union and dilutes). Same capped exact-
+    * companion posture as dedup_ngram_jaccard (doc_id < 150); the
+    * scale path remains the banded minhash index — containment is the
+    * verify stage you run on LSH candidates when subset-duplication
+    * matters (license boilerplate, embedded quotations). */
+  private val dedupContainment: QFn = (s, d) => {
+    val g = Tables.documents(s, d)
+      .filter(col("doc_id") < 150L && length(col("text")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
+        .as("sh"))
+      .distinct()
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = g.select(col("doc_id").as("da"), col("sh")).as("x")
+      .join(g.select(col("doc_id").as("db"), col("sh")).as("y"), Seq("sh"))
+      .filter(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .withColumn("c", col("ni").cast(DoubleType) / col("na"))
+      .filter(col("c") >= 0.8)
+      .select(col("da"), col("db"), round(col("c"), 6).as("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Corpus-level collocation mining: top adjacent-bigram PMI — the
     * phrase-detection pass (new-york, machine-learning) run before
     * tokenizer training. Generator-chain shape (the multimodal_phash /
@@ -710,6 +738,7 @@ object LlmText extends QueryGroup {
     "dedup_clusters_all" -> dedupClustersAll,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_incremental" -> dedupIncremental,
   )
 
@@ -999,6 +1028,19 @@ object LlmText extends QueryGroup {
            SELECT da, db, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS j
            FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db) t
          WHERE j >= 0.55
+         ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
+    "dedup_containment" ->
+      """WITH g AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+                    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 150) d,
+                         unnest(range(1, length(text) - 3)) r(i)),
+            cnt AS (SELECT doc_id, count(*) n FROM g GROUP BY doc_id),
+            inter AS (SELECT a.doc_id da, b.doc_id db, count(*) ni
+                      FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                      GROUP BY 1, 2)
+         SELECT da, db, round(c, 6) AS containment FROM (
+           SELECT da, db, CAST(ni AS DOUBLE) / ca.n AS c
+           FROM inter JOIN cnt ca ON ca.doc_id = da) t
+         WHERE c >= 0.8
          ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
   )
 }

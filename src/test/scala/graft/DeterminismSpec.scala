@@ -42,6 +42,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sample_weighted",     // all-integer hash-threshold membership + counts
     "events_markov",       // exact integer pair counts, exact-int division
     "text_collocations",   // integer counts; score/pmi from identical doubles
+    "graph_degree",        // exact integer edge counts/weights
+    "dedup_containment",   // exact integer shingle counts
   )
 
   private val postRounded = Seq(
@@ -54,6 +56,7 @@ class DeterminismSpec extends AnyFunSuite {
     "events_sessionize_lag", // per-session double value sums (like events_session)
     "agg_entropy",         // ≤|types|-term p·ln p sums (like the LM log sums)
     "events_gap_fill",     // per-(user, hour) raw double sums (like events_session)
+    "graph_pagerank",      // ≤V-term contribution sums, 9-dp re-round per iter
   )
 
   private def result(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
