@@ -133,6 +133,61 @@ object GraftOps {
       maxRounds)
   }
 
+  /** Weighted PageRank over an arbitrary edge list — graph_pagerank's
+    * construction parameterized over the caller's graph: rank ⋈ edges →
+    * groupBy(dst) per round (one bounded equality shuffle over EDGES,
+    * never the upstream joins that built them), per-round 9-dp re-round
+    * for engine/partitioning stability. The edge list is eagerly
+    * localCheckpointed so the `iterations` unrolled references re-read
+    * materialized rows, not the caller's lineage. `vertices` bounds the
+    * driver cost to one count(). */
+  def pageRank(edges: DataFrame, src: Column, dst: Column, weight: Column,
+               vertices: DataFrame, vid: Column,
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val nV = vertices.select(vid).distinct().count().toDouble
+    val e = edges.select(src.as("src"), dst.as("dst"), weight.as("w"))
+      .localCheckpoint()
+    val out = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val ew = e.join(out, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast(DoubleType) / col("outw")).as("p"))
+    val nodes = vertices.select(vid.as("id"))
+    var r = nodes.select(col("id"), (lit(1.0) / lit(nV)).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = ew.join(r, col("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("c"))
+      r = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          round(lit(1.0 - damping) / lit(nV)
+            + lit(damping) * coalesce(col("c"), lit(0.0)), 9).as("r"))
+    }
+    r.select(col("id"), (round(col("r"), 6) + lit(0.0)).as("pagerank"))
+  }
+
+  /** Resample-to-grid + forward fill — events_gap_fill's construction
+    * over caller columns: per `key`, a dense integer-`bucket` grid
+    * spanning [min, max] via sequence+explode (bounded by span, never
+    * corpus), missing buckets as n=0, last observed per-bucket sum
+    * carried forward. Every stage — grid explode, join, fill window —
+    * partitions on `key`; nothing global. */
+  def gapFillForward(df: DataFrame, key: Column, bucket: Column,
+                     value: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gf_key")).orderBy(col("gf_bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val base = df.select(key.as("gf_key"), bucket.as("gf_bucket"), value.as("gf_v"))
+    val per = base.groupBy(col("gf_key"), col("gf_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("gf_v")), 6).as("sum_v"))
+    val grid = base.groupBy(col("gf_key"))
+      .agg(min(col("gf_bucket")).as("h0"), max(col("gf_bucket")).as("h1"))
+      .select(col("gf_key"), explode(sequence(col("h0"), col("h1"))).as("gf_bucket"))
+    grid.join(per, Seq("gf_key", "gf_bucket"), "left")
+      .select(col("gf_key"), col("gf_bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_v"), ignoreNulls = true).over(w).as("filled_sum"))
+  }
+
   /** L2 normalization — embed_norm's prep shape: scale the vector to
     * unit length so cosine becomes a plain dot product downstream.
     * Stays in one codegen stage; division by the unrounded norm.

@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * arithmetic. */
 object Graph extends QueryGroup {
 
-  /** (src nation, dst nation, w = lineitem count) weighted edges. */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  /** (src nation, dst nation, w = lineitem count) weighted edges.
+    * `private[graft]` so ApiSpec can feed the same edges to
+    * GraftOps.pageRank and assert equality with the declared query. */
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))

@@ -197,6 +197,24 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("dedup_incremental")(spark, sf)))
   }
 
+  test("pageRank matches graph_pagerank on the trade graph") {
+    val e = operators.Graph.tradeEdges(spark, sf)
+    val api = GraftOps.pageRank(e, col("src"), col("dst"), col("w"),
+        Tables.nation(spark, sf), col("n_nationkey"))
+      .select(col("id").as("nationkey"), col("pagerank"))
+    assert(rows(api) == rows(SparkEntry.queries("graph_pagerank")(spark, sf)))
+  }
+
+  test("gapFillForward matches events_gap_fill") {
+    val api = GraftOps.gapFillForward(
+        Tables.events(spark, sf).filter(col("user_id") < 10L)
+          .select(col("user_id"), expr("ts div 3600000000000").as("hr"), col("value")),
+        col("user_id"), col("hr"), col("value"))
+      .select(col("gf_key").as("user_id"), col("gf_bucket").as("hr"),
+        col("n"), col("filled_sum"))
+    assert(rows(api) == rows(SparkEntry.queries("events_gap_fill")(spark, sf)))
+  }
+
   test("int8Quantize matches embed_quantize") {
     val api = Tables.embeddings(spark, sf)
       .select(col("vec_id"), GraftOps.int8Quantize(col("embedding")).as("z"))

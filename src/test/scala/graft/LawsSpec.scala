@@ -322,4 +322,17 @@ class LawsSpec extends AnyFunSuite {
       .filter(abs(col("geomean_price") - col("closed_form")) > 1e-6)
     assert(bad.count() == 0)
   }
+
+  test("pagerank mass: teleport floor per node; total in [(1-d), 1]") {
+    // every node keeps at least the teleport share (1-d)/n, so total
+    // mass is ≥ (1-d); it is ≤ 1, with equality only when no node is
+    // dangling (at sf0.001 most nations have no out-edges, so the leak
+    // is large and legitimate — the bounds must hold on ANY graph)
+    val r = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .agg(min(col("pagerank")).as("lo"), sum(col("pagerank")).as("mass"))
+      .head()
+    assert(r.getDouble(0) >= 0.15 / 25 - 1e-6, s"floor violated: ${r.getDouble(0)}")
+    assert(r.getDouble(1) <= 1.0 + 25 * 1e-6 && r.getDouble(1) >= 0.15 - 1e-4,
+      s"mass out of range: ${r.getDouble(1)}")
+  }
 }

@@ -264,6 +264,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("graph_pagerank iterates over the materialized edge table, not the facts") {
+    // the 3 unrolled rounds each reference the edge list; localCheckpoint
+    // must have truncated the lineage so the final plan re-reads ≤V²
+    // checkpointed rows — a lineitem scan here means the fact-fact edge
+    // build would re-run once per iteration (fatal at 100 TB)
+    val p = plan("graph_pagerank")
+    assert(!p.contains("lineitem"), p)
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
