@@ -72,9 +72,33 @@ object SqlSurface extends QueryGroup {
       ORDER BY p_brand ASC NULLS FIRST""")
   }
 
+  /** SQL WINDOW-clause surface: named windows + an inline running-sum
+    * frame in one statement — the third spelling of the SQL entry path
+    * (after the join/agg pipeline and the DDL path). The statement is
+    * dialect-shared: the SAME text runs on DuckDB as the oracle modulo
+    * the view name, which is the portability claim a SQL-first migrator
+    * cares about. Frame sums go through the per-element DECIMAL cast
+    * (§7.4) like every running sum in the repo. */
+  private val sqlWindow: QFn = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate ASC, o_orderkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE), 4) AS run_total
+      FROM graft_orders_v
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC)
+      ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
     "sql_ddl" -> sqlDdl,
+    "sql_window" -> sqlWindow,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -101,5 +125,17 @@ object SqlSurface extends QueryGroup {
          WHERE p_size >= 25
          GROUP BY p_brand
          ORDER BY p_brand ASC NULLS FIRST""",
+    "sql_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER w AS BIGINT) AS rn,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE), 4) AS run_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""",
   )
 }

@@ -174,6 +174,27 @@ object Windows extends QueryGroup {
       .orderBy(col("user_id"))
   }
 
+  /** Gaps-and-islands: per-user consecutive-day activity streaks. The
+    * classic `day − row_number()` trick — consecutive days share a
+    * constant difference, so the difference IS the island id and two
+    * cheap per-user aggregations replace any iterative reasoning.
+    * All-integer (day index from integer ns division), per-user windows
+    * only — scales as a pair of key-partitioned aggs. */
+  private val winStreak: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"),
+           count(lit(1)).as("n_streaks"),
+           sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
@@ -184,6 +205,7 @@ object Windows extends QueryGroup {
     "win_ntile_pctrank" -> winNtilePctrank,
     "win_time_range" -> winTimeRange,
     "win_nth_value" -> winNthValue,
+    "win_streak" -> winStreak,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -258,5 +280,19 @@ object Windows extends QueryGroup {
          FROM customer
          WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
          ORDER BY c_custkey ASC NULLS FIRST""",
+    "win_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+                       FROM events),
+            isl AS (SELECT user_id, day,
+                           day - row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY day ASC) AS grp
+                    FROM days),
+            st AS (SELECT user_id, grp, count(*) AS len
+                   FROM isl GROUP BY user_id, grp)
+         SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+                count(*) AS n_streaks,
+                CAST(sum(len) AS BIGINT) AS n_active_days
+         FROM st GROUP BY user_id
+         ORDER BY user_id ASC NULLS FIRST""",
   )
 }

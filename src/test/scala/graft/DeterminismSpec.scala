@@ -44,6 +44,8 @@ class DeterminismSpec extends AnyFunSuite {
     "text_collocations",   // integer counts; score/pmi from identical doubles
     "graph_degree",        // exact integer edge counts/weights
     "dedup_containment",   // exact integer shingle counts
+    "win_streak",          // all-integer island ids and counts
+    "sql_window",          // decimal frame sums through the SQL surface
   )
 
   private val postRounded = Seq(
