@@ -104,5 +104,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk5"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk5"),
       TopKAgg.builder))
+    // whole-operator extension: plans graft.plans.RangeJoinPlan into the
+    // per-key sliding-window sweep (RangeJoinExec)
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

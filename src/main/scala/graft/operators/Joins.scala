@@ -171,6 +171,27 @@ object Joins extends QueryGroup {
       .orderBy(col("a_event_id"))
   }
 
+  /** The custom whole-operator band join (graft.plans.RangeJoinExec —
+    * logical node + Strategy + physical sweep, SURVEY §4 ladder rung c)
+    * driven through the declared surface: same semantics as
+    * join_range_time's band but INNER, executed by the per-key
+    * sliding-window sweep instead of SMJ + post-join filter. The oracle
+    * is plain SQL; PlanSpec asserts the physical node is present and
+    * LawsSpec asserts row equality with the builtin composition. */
+  private val joinRangeExec: QFn = (s, d) => {
+    val hourNs = 3600L * 1000L * 1000L * 1000L
+    val a = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_event_id"), col("user_id").as("a_user_id"),
+              col("ts").as("a_ts"))
+    val b = Tables.events(s, d)
+      .select(col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+    graft.plans.RangeJoin.rangeJoin(a, b,
+        "a_user_id", "b_user_id", "a_ts", "b_ts", 0L, hourNs)
+      .groupBy(col("a_event_id"))
+      .agg(count(lit(1)).as("n_next_hour"))
+      .orderBy(col("a_event_id"))
+  }
+
   /** As-of join (backward): for each purchase, the value of the same
     * user's most recent click strictly before it. Implemented without a
     * quadratic join: single window over the event stream with an
@@ -271,6 +292,7 @@ object Joins extends QueryGroup {
     "join_cross" -> joinCross,
     "join_theta" -> joinTheta,
     "join_range_time" -> joinRangeTime,
+    "join_range_exec" -> joinRangeExec,
     "join_asof" -> joinAsof,
     "join_salted" -> joinSalted,
     "join_star" -> joinStar,
@@ -356,6 +378,15 @@ object Joins extends QueryGroup {
       """SELECT a.event_id AS a_event_id, count(b.ts) AS n_next_hour
          FROM (SELECT * FROM events WHERE event_type = 'purchase') a
          LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND epoch_ns(b.ts) > epoch_ns(a.ts)
+          AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
+         GROUP BY a.event_id
+         ORDER BY a_event_id ASC NULLS FIRST""",
+    "join_range_exec" ->
+      """SELECT a.event_id AS a_event_id, count(*) AS n_next_hour
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+         JOIN events b
            ON a.user_id = b.user_id
           AND epoch_ns(b.ts) > epoch_ns(a.ts)
           AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000

@@ -46,6 +46,7 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_containment",   // exact integer shingle counts
     "win_streak",          // all-integer island ids and counts
     "sql_window",          // decimal frame sums through the SQL surface
+    "join_range_exec",     // custom sweep: exact integer band counts
   )
 
   private val postRounded = Seq(

@@ -323,6 +323,26 @@ class LawsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("RangeJoinExec sweep emits exactly the builtin band-join pairs") {
+    // the custom operator vs Spark's own planning of the same predicate
+    // (SMJ on key + post-join band filter) — bag equality on full rows
+    val hourNs = 3600L * 1000L * 1000L * 1000L
+    val a = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_event_id"), col("user_id").as("a_user_id"),
+        col("ts").as("a_ts"))
+    val b = Tables.events(spark, sf)
+      .select(col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+    val custom = graft.plans.RangeJoin.rangeJoin(a, b,
+      "a_user_id", "b_user_id", "a_ts", "b_ts", 0L, hourNs)
+    val builtin = a.join(b,
+      col("a_user_id") === col("b_user_id") &&
+        col("b_ts") > col("a_ts") && col("b_ts") <= col("a_ts") + lit(hourNs))
+      .select(custom.columns.map(col).toSeq: _*)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+    assert(bag(custom) == bag(builtin))
+  }
+
   test("pagerank mass: teleport floor per node; total in [(1-d), 1]") {
     // every node keeps at least the teleport share (1-d)/n, so total
     // mass is ≥ (1-d); it is ≤ 1, with equality only when no node is

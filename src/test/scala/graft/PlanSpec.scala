@@ -274,6 +274,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
   }
 
+  test("join_range_exec plans the custom RangeJoinExec sweep, one exchange per side") {
+    val p = plan("join_range_exec")
+    assert(p.contains("RangeJoin "), p) // RangeJoinExec renders sans "Exec"
+    // the band must NOT be a post-join filter over an SMJ pair blow-up
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
