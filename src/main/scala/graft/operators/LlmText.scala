@@ -679,6 +679,47 @@ object LlmText extends QueryGroup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Detector-quality evaluation — the measurement loop every dedup
+    * deployment needs before trusting an LSH config at scale: the
+    * emitted minhash pair set (banding + verify, the production path)
+    * scored against exact all-pairs ≥0.8 word-3-gram Jaccard ground
+    * truth on the capped range. Precision is 1 by construction (the
+    * verify stage re-checks exact Jaccard); recall measures what the
+    * 8-band/2-row banding misses — the number this query exists to
+    * watch when retuning bands/rows. All counts are exact integers and
+    * both ratios divide them, so the single output row is engine- and
+    * partitioning-exact. */
+  private val dedupEval: QFn = (s, d) => {
+    val cap = 150L
+    val emitted = minhashPairsCached(s, d)
+      .filter(col("da") < cap && col("db") < cap)
+      .select(col("da"), col("db"), lit(1L).as("e"))
+    val g = Tables.documents(s, d).filter(col("doc_id") < cap)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("s"))
+      .distinct()
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = g.select(col("doc_id").as("da"), col("s"))
+      .join(g.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")) >= 0.8)
+      .select(col("da"), col("db"), lit(1L).as("t"))
+    emitted.join(truth, Seq("da", "db"), "full")
+      .agg(sum(coalesce(col("e"), lit(0L))).as("n_emitted"),
+           sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+           sum(when(col("e").isNotNull && col("t").isNotNull, 1L).otherwise(0L))
+             .as("n_hit"))
+      .select(col("n_emitted"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_emitted")).as("precision"),
+        (col("n_hit").cast(DoubleType) / col("n_truth")).as("recall"))
+  }
+
   /** Corpus-level collocation mining: top adjacent-bigram PMI — the
     * phrase-detection pass (new-york, machine-learning) run before
     * tokenizer training. Generator-chain shape (the multimodal_phash /
@@ -739,6 +780,7 @@ object LlmText extends QueryGroup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
+    "dedup_eval" -> dedupEval,
     "dedup_incremental" -> dedupIncremental,
   )
 
@@ -1042,5 +1084,31 @@ object LlmText extends QueryGroup {
            FROM inter JOIN cnt ca ON ca.doc_id = da) t
          WHERE c >= 0.8
          ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
+    "dedup_eval" ->
+      s"""WITH $duckMinhashPairsCtes,
+            em AS (SELECT da, db FROM pairs WHERE da < 150 AND db < 150),
+            g2 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                   FROM (SELECT doc_id, string_split(text, ' ') t FROM documents
+                         WHERE doc_id < 150) d2,
+                        unnest(range(1, len(t) - 1)) r(i)),
+            cnt2 AS (SELECT doc_id, count(*) n FROM g2 GROUP BY doc_id),
+            tr AS (SELECT da, db FROM (
+                     SELECT a.doc_id da, b.doc_id db, count(*) ni
+                     FROM g2 a JOIN g2 b ON a.s = b.s AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2) i
+                   JOIN cnt2 ca ON ca.doc_id = i.da
+                   JOIN cnt2 cb ON cb.doc_id = i.db
+                   WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.8),
+            f AS (SELECT CASE WHEN em.da IS NOT NULL THEN 1 ELSE 0 END e,
+                         CASE WHEN tr.da IS NOT NULL THEN 1 ELSE 0 END t
+                  FROM em FULL JOIN tr ON em.da = tr.da AND em.db = tr.db)
+         SELECT CAST(sum(e) AS BIGINT) AS n_emitted,
+                CAST(sum(t) AS BIGINT) AS n_truth,
+                CAST(sum(e * t) AS BIGINT) AS n_hit,
+                CAST(CAST(sum(e * t) AS BIGINT) AS DOUBLE)
+                  / CAST(sum(e) AS BIGINT) AS precision,
+                CAST(CAST(sum(e * t) AS BIGINT) AS DOUBLE)
+                  / CAST(sum(t) AS BIGINT) AS recall
+         FROM f""",
   )
 }

@@ -47,6 +47,7 @@ class DeterminismSpec extends AnyFunSuite {
     "win_streak",          // all-integer island ids and counts
     "sql_window",          // decimal frame sums through the SQL surface
     "join_range_exec",     // custom sweep: exact integer band counts
+    "dedup_eval",          // exact integer hit/truth counts and ratios
   )
 
   private val postRounded = Seq(
