@@ -210,6 +210,30 @@ object Joins extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** The as-of mode of the custom RangeJoinExec sweep (pickLatest):
+    * for each purchase, the most recent click strictly before it within
+    * a 10-year lag window — join_asof's semantics on these fixtures
+    * (INNER: purchases with no prior click drop; (user_id, ts) is
+    * unique in the events fixture, so "latest" is unambiguous — with
+    * tied timestamps the sweep's pick follows the child sort, and a
+    * caller needing a total order should disambiguate the time column
+    * first). Same oracle rows as the window composition restricted to
+    * non-null matches; LawsSpec asserts that equality directly. */
+  private val joinAsofExec: QFn = (s, d) => {
+    val tenYearsNs = 10L * 366 * 24 * 3600 * 1000 * 1000 * 1000
+    val a = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_event_id"), col("user_id").as("a_user_id"),
+              col("ts").as("a_ts"))
+    val b = Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("b_user_id"), col("ts").as("b_ts"),
+              col("value").as("b_value"))
+    graft.plans.RangeJoin.asofJoin(a, b,
+        "a_user_id", "b_user_id", "a_ts", "b_ts", tenYearsNs)
+      .select(col("a_event_id").as("event_id"), col("a_user_id").as("user_id"),
+              col("b_value").as("prev_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Star join over the full dimension chain: lineitem⨝supplier⨝nation⨝
     * region, revenue per region — the fact table streams through three
     * broadcast-hash joins with no shuffle until the final aggregation
@@ -294,6 +318,7 @@ object Joins extends QueryGroup {
     "join_range_time" -> joinRangeTime,
     "join_range_exec" -> joinRangeExec,
     "join_asof" -> joinAsof,
+    "join_asof_exec" -> joinAsofExec,
     "join_salted" -> joinSalted,
     "join_star" -> joinStar,
     "join_bloom" -> joinBloom,
@@ -392,6 +417,21 @@ object Joins extends QueryGroup {
           AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
          GROUP BY a.event_id
          ORDER BY a_event_id ASC NULLS FIRST""",
+    "join_asof_exec" ->
+      """WITH a AS (SELECT event_id, user_id, epoch_ns(ts) AS at
+                    FROM events WHERE event_type = 'purchase'),
+            b AS (SELECT user_id, epoch_ns(ts) AS bt, value
+                  FROM events WHERE event_type = 'click'),
+            m AS (SELECT a.event_id, a.user_id, b.value,
+                         row_number() OVER (PARTITION BY a.event_id
+                                            ORDER BY b.bt DESC) AS rn
+                  FROM a JOIN b
+                    ON a.user_id = b.user_id
+                   AND b.bt < a.at
+                   AND b.bt >= a.at - 316224000000000000)
+         SELECT event_id, user_id, value AS prev_click_value
+         FROM m WHERE rn = 1
+         ORDER BY event_id ASC NULLS FIRST""",
     "join_asof" ->
       """SELECT event_id, user_id, prev_click_value FROM (
            SELECT event_id, user_id, event_type,

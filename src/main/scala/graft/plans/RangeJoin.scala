@@ -37,7 +37,8 @@ import org.apache.spark.sql.types.LongType
 case class RangeJoinPlan(left: LogicalPlan, right: LogicalPlan,
                          keyL: Attribute, keyR: Attribute,
                          timeL: Attribute, timeR: Attribute,
-                         lo: Long, hi: Long) extends BinaryNode {
+                         lo: Long, hi: Long,
+                         pickLatest: Boolean = false) extends BinaryNode {
   // the key/time Attributes are constructor fields, so QueryPlan derives
   // `expressions`/`references` from them automatically — which is what
   // keeps ColumnPruning from stripping them out of the children
@@ -52,15 +53,15 @@ case class RangeJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * or the GraftExtensions SparkSessionExtensions hook. */
 object RangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoinPlan(l, r, kl, kr, tl, tr, lo, hi) =>
-      RangeJoinExec(kl, kr, tl, tr, lo, hi, planLater(l), planLater(r)) :: Nil
+    case RangeJoinPlan(l, r, kl, kr, tl, tr, lo, hi, latest) =>
+      RangeJoinExec(kl, kr, tl, tr, lo, hi, latest, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class RangeJoinExec(keyL: Attribute, keyR: Attribute,
                          timeL: Attribute, timeR: Attribute,
-                         lo: Long, hi: Long,
+                         lo: Long, hi: Long, pickLatest: Boolean,
                          left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -144,7 +145,11 @@ case class RangeJoinExec(keyL: Attribute, keyR: Attribute,
             while (winStart < rTimes.length && rTimes(winStart) <= lTime + loB) winStart += 1
             var end = winStart
             while (end < rTimes.length && rTimes(end) <= lTime + hiB) end += 1
-            if (end > winStart) { matchIdx = winStart; matchEnd = end; return true }
+            if (end > winStart) {
+              // as-of mode: only the latest in-band right row matches
+              matchIdx = if (pickLatest) end - 1 else winStart
+              matchEnd = end; return true
+            }
           }
           false
         }
@@ -178,9 +183,26 @@ object RangeJoin {
   /** User-facing constructor: band join `left ⋈ right` on key equality
     * with `rTime ∈ (lTime + lo, lTime + hi]`. Key/time columns must be
     * LongType and named distinctly across the two sides. */
+  /** As-of (backward) variant through the same physical operator: for
+    * each left row, ONLY the most recent right row with
+    * `rTime ∈ [lTime − maxLag, lTime)` (inner — rows with no match in
+    * the lag window drop; compose with a left join for the outer
+    * spelling). The sweep picks the last in-band index, so cost is
+    * identical to the plain band join. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyL: String, keyR: String, timeL: String, timeR: String,
+               maxLag: Long): DataFrame =
+    build(left, right, keyL, keyR, timeL, timeR,
+      lo = -maxLag - 1L, hi = -1L, pickLatest = true)
+
   def rangeJoin(left: DataFrame, right: DataFrame,
                 keyL: String, keyR: String, timeL: String, timeR: String,
-                lo: Long, hi: Long): DataFrame = {
+                lo: Long, hi: Long): DataFrame =
+    build(left, right, keyL, keyR, timeL, timeR, lo, hi, pickLatest = false)
+
+  private def build(left: DataFrame, right: DataFrame,
+                    keyL: String, keyR: String, timeL: String, timeR: String,
+                    lo: Long, hi: Long, pickLatest: Boolean): DataFrame = {
     val s = left.sparkSession
     ensureRegistered(s)
     val lp = left.queryExecution.analyzed
@@ -195,6 +217,6 @@ object RangeJoin {
       "rangeJoin: column names must be distinct across sides")
     org.apache.spark.sql.GraftBridge.ofRows(s,
       RangeJoinPlan(lp, rp, att(lp, keyL), att(rp, keyR),
-        att(lp, timeL), att(rp, timeR), lo, hi))
+        att(lp, timeL), att(rp, timeR), lo, hi, pickLatest))
   }
 }

@@ -48,6 +48,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_window",          // decimal frame sums through the SQL surface
     "join_range_exec",     // custom sweep: exact integer band counts
     "dedup_eval",          // exact integer hit/truth counts and ratios
+    "join_asof_exec",      // unique (key, time) → unambiguous latest pick
   )
 
   private val postRounded = Seq(

@@ -343,6 +343,14 @@ class LawsSpec extends AnyFunSuite {
     assert(bag(custom) == bag(builtin))
   }
 
+  test("asof sweep equals the window composition on matched rows") {
+    val viaExec = SparkEntry.queries("join_asof_exec")(spark, sf)
+    val viaWindow = SparkEntry.queries("join_asof")(spark, sf)
+      .filter(col("prev_click_value").isNotNull)
+    assert(viaExec.collect().map(_.toString).sorted.toSeq ==
+      viaWindow.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("pagerank mass: teleport floor per node; total in [(1-d), 1]") {
     // every node keeps at least the teleport share (1-d)/n, so total
     // mass is ≥ (1-d); it is ≤ 1, with equality only when no node is
