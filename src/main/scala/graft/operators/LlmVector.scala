@@ -377,6 +377,41 @@ object LlmVector extends QueryGroup {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** Audio-style energy profile over the opaque blob: 256-byte frames →
+    * per-frame RMS energy and a silence gate — the
+    * silence-trim/segmentation pass an audio ingest runs before
+    * transcription (the decode stub convention: deterministic byte
+    * arithmetic stands in for PCM samples). The generator chain
+    * (ascii transform → posexplode → integer frame sums) keeps it in
+    * codegen — the multimodal_phash lesson; the silence decision is the
+    * ALL-INTEGER compare ssq < τ²·len (no float threshold can flip
+    * between engines), and per-frame RMS is quantized to integer
+    * micro-units via floor(x·1e6 + 0.5) — identical IEEE on both
+    * engines (the embed_quantize recipe; a DECIMAL cast here is NOT
+    * portable: Spark rounds the decimal string HALF_UP, DuckDB rounds
+    * the binary double) — so the per-doc fold sums exact integers. */
+  private val multimodalAudioRms: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+        .as(Seq("pos", "b")))
+      .withColumn("frame", expr("pos div 256"))
+      .groupBy(col("doc_id"), col("frame"))
+      .agg(count(lit(1)).as("flen"),
+           sum((col("b") - 128L) * (col("b") - 128L)).as("ssq"))
+      .withColumn("urms", floor(
+        sqrt(col("ssq").cast(DoubleType) / col("flen")) * 1e6 + 0.5).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(when(col("ssq") < lit(1225L) * col("flen"), 1L).otherwise(0L))
+             .as("n_silent"),
+           // mean stays in integer micro-units until the final exact
+           // division: round() here would land on .5 decimal boundaries
+           // (odd µ-sum / 2) where the engines' rounding modes diverge
+           (floor(sum(col("urms")).cast(DoubleType) / count(lit(1)) + 0.5)
+             .cast(LongType) / lit(1000000L)).as("mean_rms"))
+      .orderBy(col("doc_id"))
+
   /** "Resize" for vector payloads: average-pool the 64-dim embedding down
     * to 16 dims (4→1). Pure HOF — stays in codegen, no UDF. */
   private val multimodalResize: QFn = (s, d) =>
@@ -589,6 +624,7 @@ object LlmVector extends QueryGroup {
     "embed_pca" -> embedPca,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_audio_rms" -> multimodalAudioRms,
     "multimodal_resize" -> multimodalResize,
     "multimodal_phash" -> multimodalPhash,
     "multimodal_join" -> multimodalJoin,
@@ -733,6 +769,22 @@ object LlmVector extends QueryGroup {
                 CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
                 CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte
          FROM documents ORDER BY doc_id ASC NULLS FIRST""",
+    "multimodal_audio_rms" ->
+      """WITH ch AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                            CAST(ascii(substr(text, i, 1)) AS BIGINT) AS b
+                     FROM documents, unnest(range(1, length(text) + 1)) r(i)),
+            fr AS (SELECT doc_id, pos // 256 AS frame, count(*) AS flen,
+                          CAST(sum((b - 128) * (b - 128)) AS BIGINT) AS ssq
+                   FROM ch GROUP BY doc_id, pos // 256)
+         SELECT doc_id, count(*) AS n_frames,
+                CAST(sum(CASE WHEN ssq < 1225 * flen THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_silent,
+                CAST(floor(CAST(CAST(sum(CAST(floor(sqrt(CAST(ssq AS DOUBLE) / flen)
+                                                    * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                                AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+                  / 1000000.0 AS mean_rms
+         FROM fr GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
     "multimodal_phash" ->
       """WITH t AS (SELECT doc_id, string_split(text, '') AS ch,
                            CAST(length(text) AS BIGINT) AS n
