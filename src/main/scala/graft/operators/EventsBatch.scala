@@ -190,6 +190,42 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Market-basket co-occurrence over behavioral sessions: which event
+    * types appear together in the same session (the association shape —
+    * its corpus twin mines tag/topic co-occurrence when curating
+    * training mixes). Sessions come from the same 30-minute-gap lag
+    * construction as events_sessionize_lag; items are DISTINCT types
+    * per session (presence, not frequency); pair support counts via the
+    * a<b self-join on the session key. Output is ≤ |types|² rows;
+    * the self-join shuffles on the (user, session) key — bounded by
+    * session sizes, never corpus-quadratic. */
+  private val eventsBasket: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val items = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+             col("us") - lag(col("us"), 1).over(w) >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    // 1-row session total rides a broadcast (the textCollocations
+    // pattern) — no driver action, stays one lazy plan
+    val nSess = items.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    items.as("x")
+      .join(items.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.sid") === col("y.sid") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nSess))
+      .select(col("ta"), col("tb"), col("support"),
+        (col("support").cast("double") / col("n_sessions")).as("support_frac"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -200,6 +236,7 @@ object EventsBatch extends QueryGroup {
     "events_anomaly" -> eventsAnomaly,
     "events_gap_fill" -> eventsGapFill,
     "events_markov" -> eventsMarkov,
+    "events_basket" -> eventsBasket,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -315,5 +352,29 @@ object EventsBatch extends QueryGroup {
                       / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
          FROM c
          ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST""",
+    "events_basket" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+            flagged AS (
+              SELECT user_id, event_type, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC)),
+            sess AS (
+              SELECT user_id, event_type,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged),
+            items AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+            ns AS (SELECT count(*) AS n_sessions
+                   FROM (SELECT DISTINCT user_id, sid FROM items)),
+            sup AS (SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS support
+                    FROM items x JOIN items y
+                      ON x.user_id = y.user_id AND x.sid = y.sid
+                     AND x.event_type < y.event_type
+                    GROUP BY 1, 2)
+         SELECT ta, tb, support,
+                CAST(support AS DOUBLE) / n_sessions AS support_frac
+         FROM sup CROSS JOIN ns
+         ORDER BY ta ASC NULLS FIRST, tb ASC NULLS FIRST""",
   )
 }

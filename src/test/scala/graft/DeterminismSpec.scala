@@ -50,6 +50,7 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_eval",          // exact integer hit/truth counts and ratios
     "join_asof_exec",      // unique (key, time) → unambiguous latest pick
     "multimodal_audio_rms", // integer frame sums; µ-unit mean, no round()
+    "events_basket",       // integer session ids, pair counts, exact ratio
   )
 
   private val postRounded = Seq(
