@@ -133,6 +133,37 @@ object GraftOps {
       maxRounds)
   }
 
+  /** Weighted Bernoulli keep decision — sample_weighted's membership
+    * rule over caller columns: P(keep) = weight / cap via the
+    * ALL-INTEGER compare `u48 < weight · (2^48 / cap)` on the 48-bit
+    * md5 uniform (cap must be a power of two ≤ 2^48). A pure row
+    * function: no float thresholds, no shuffle, reproducible on any
+    * engine with md5. */
+  def weightedKeep(id: Column, weight: Column, cap: Long = 1024L): Column = {
+    require(cap > 0 && (cap & (cap - 1)) == 0 && cap <= (1L << 48),
+      s"cap must be a power of two in [1, 2^48], was $cap")
+    val u48 = conv(substring(md5(id.cast(StringType)), 1, 12), 16, 10)
+      .cast(LongType)
+    u48 < weight * lit((1L << 48) / cap)
+  }
+
+  /** Gaps-and-islands streak statistics — win_streak's construction
+    * over caller columns: per `key`, consecutive-`day` runs via the
+    * day − row_number island id, reduced to max/count/total. All
+    * integer; two key-partitioned aggregations. */
+  def streakStats(df: DataFrame, key: Column, day: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sk_key")).orderBy(col("sk_day"))
+    df.select(key.as("sk_key"), day.as("sk_day")).distinct()
+      .withColumn("grp", col("sk_day") - row_number().over(w))
+      .groupBy(col("sk_key"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("sk_key"))
+      .agg(max(col("len")).as("max_streak"),
+           count(lit(1)).as("n_streaks"),
+           sum(col("len")).as("n_active_days"))
+  }
+
   /** Weighted PageRank over an arbitrary edge list — graph_pagerank's
     * construction parameterized over the caller's graph: rank ⋈ edges →
     * groupBy(dst) per round (one bounded equality shuffle over EDGES,

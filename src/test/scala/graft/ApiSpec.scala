@@ -215,6 +215,26 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("events_gap_fill")(spark, sf)))
   }
 
+  test("weightedKeep reproduces sample_weighted membership") {
+    val api = Tables.documents(spark, sf)
+      .withColumn("keep", GraftOps.weightedKeep(col("doc_id"), col("n_chars")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+    assert(rows(api) == rows(SparkEntry.queries("sample_weighted")(spark, sf)))
+  }
+
+  test("streakStats matches win_streak") {
+    val api = GraftOps.streakStats(
+        Tables.events(spark, sf).select(col("user_id"),
+          expr("ts div 86400000000000").as("day")),
+        col("user_id"), col("day"))
+      .select(col("sk_key").as("user_id"), col("max_streak"),
+        col("n_streaks"), col("n_active_days"))
+    assert(rows(api) == rows(SparkEntry.queries("win_streak")(spark, sf)))
+  }
+
   test("int8Quantize matches embed_quantize") {
     val api = Tables.embeddings(spark, sf)
       .select(col("vec_id"), GraftOps.int8Quantize(col("embedding")).as("z"))
