@@ -195,6 +195,35 @@ object Windows extends QueryGroup {
       .orderBy(col("user_id"))
   }
 
+  /** Bounded-horizon EWMA (α = 0.3, 10 terms) per user — the smoothing
+    * primitive time-series feature pipelines run over metrics streams.
+    * True EWMA is recursive (unbounded lookback); the 10-term
+    * truncation bounds the dropped tail by (1−α)^10 ≈ 2.8% of the
+    * weight mass and makes the operator a pure windowed expression:
+    * TEN EXPLICIT lag() terms summed left-to-right — a FIXED
+    * floating-point operation order on both engines (an aggregate/HOF
+    * fold would be at the mercy of list construction), with the weight
+    * constants α(1−α)^k embedded as 17-significant-digit literals so
+    * both engines parse the identical double. Partial head windows use
+    * the adjusted form (Σwᵢxᵢ / Σwᵢ over present terms). */
+  private val winEwma: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val alpha = 0.3
+    val weights = (0 until 10).map(k => alpha * math.pow(1 - alpha, k))
+    val terms = weights.zipWithIndex.map { case (wt, k) =>
+      val x = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      (coalesce(x * lit(wt), lit(0.0)),
+       when(x.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / den, 6))
+      .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
@@ -206,6 +235,7 @@ object Windows extends QueryGroup {
     "win_time_range" -> winTimeRange,
     "win_nth_value" -> winNthValue,
     "win_streak" -> winStreak,
+    "win_ewma" -> winEwma,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -280,6 +310,26 @@ object Windows extends QueryGroup {
          FROM customer
          WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
          ORDER BY c_custkey ASC NULLS FIRST""",
+    "win_ewma" -> {
+      // the SAME doubles the Spark side uses, as 17-sig-digit literals
+      // CAST: DuckDB parses fixed-point literals as DECIMAL; the cast
+      // pins the identical double the Spark lit() holds
+      val ws = (0 until 10).map(k => "CAST(" + String.format(java.util.Locale.ROOT,
+        "%.17g", Double.box(0.3 * math.pow(0.7, k))) + " AS DOUBLE)")
+      val num = ws.zipWithIndex.map { case (wt, k) =>
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"coalesce($x * $wt, 0.0)"
+      }.mkString(" + ")
+      val den = ws.zipWithIndex.map { case (wt, k) =>
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"(CASE WHEN $x IS NOT NULL THEN $wt ELSE 0.0 END)"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id, value,
+                round(($num) / ($den), 6) AS ewma
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)
+         ORDER BY event_id ASC NULLS FIRST"""
+    },
     "win_streak" ->
       """WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
                        FROM events),

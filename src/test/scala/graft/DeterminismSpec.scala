@@ -51,6 +51,7 @@ class DeterminismSpec extends AnyFunSuite {
     "join_asof_exec",      // unique (key, time) → unambiguous latest pick
     "multimodal_audio_rms", // integer frame sums; µ-unit mean, no round()
     "events_basket",       // integer session ids, pair counts, exact ratio
+    "win_ewma",            // fixed-order 10-term sum, no shuffle-order exposure
   )
 
   private val postRounded = Seq(
