@@ -347,6 +347,58 @@ object LlmVector extends QueryGroup {
     assign(cent)
   }
 
+  /** Product quantization fit — the ANN-compression shape beyond
+    * embed_quantize's scalar affine codes: the 64-dim vector splits
+    * into 4×16-dim subspaces, each with its own k=16 codebook fit by 2
+    * Lloyd iterations, so a vector stores as 4 bytes of codes (16
+    * bytes/vector → 4; reconstruction = concatenated codewords). All
+    * four subspace fits run as ONE keyed k-means (subspace id joins the
+    * cluster key — one assign shuffle per iteration for all subspaces,
+    * not m sequential fits); driver materialization is the m·k×16
+    * codebook matrix per iteration (the kmeansFit posture). Returns
+    * (vec_id, j, vj, cid, d2). */
+  private[graft] def pqFit(s: SparkSession, d: String): DataFrame = {
+    val m = 4; val sub = 16; val k = 16; val iters = 2
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> struct(CAST(j AS INT) AS j, slice(v, j*$sub + 1, $sub) AS vj))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.j").as("j"), col("x.vj").as("vj"))
+    def assign(cent: DataFrame): DataFrame =
+      e.join(broadcast(cent), "j")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(struct(l2sq(col("vj"), col("cv")).as("d2"), col("cid"))).as("m"),
+             first(col("vj")).as("vj"))
+        .select(col("vec_id"), col("j"), col("vj"),
+          col("m.cid").as("cid"), col("m.d2").as("d2"))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("j"), col("vec_id").cast(IntegerType).as("cid"), col("vj").as("cv"))
+    val centSchema = StructType(Seq(
+      StructField("j", IntegerType),
+      StructField("cid", IntegerType),
+      StructField("cv", ArrayType(DoubleType))))
+    for (_ <- 1 to iters) {
+      val rows = meanVector(assign(cent),
+          struct(col("j"), col("cid")), col("vj"), "k2", "cv")
+        .select(col("k2.j").as("j"), col("k2.cid").as("cid"), col("cv"))
+        .collect()
+      cent = s.createDataFrame(java.util.Arrays.asList(rows: _*), centSchema)
+    }
+    assign(cent)
+  }
+
+  /** Declared PQ summary: per-(subspace, code) population + distortion.
+    * No oracle (iterative); LawsSpec asserts full code coverage, code
+    * range, and that PQ distortion beats the k=1 (global-mean) baseline. */
+  private val embedPq: QFn = (s, d) =>
+    pqFit(s, d)
+      .groupBy(col("j"), col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+           round(sum(col("d2")), 6).as("distortion"))
+      .orderBy(col("j"), col("cid"))
+
   /** The declared query: k=4, 3 iterations, per-cluster size + inertia.
     * No oracle (iterative); VectorSpec asserts the partition covers the
     * corpus, LawsSpec asserts inertia never increases per iteration. */
@@ -618,6 +670,7 @@ object LlmVector extends QueryGroup {
     "sim_knn_ivf" -> simKnnIvf,
     "sim_centroids" -> simCentroids,
     "sim_kmeans" -> simKmeans,
+    "embed_pq" -> embedPq,
     "dedup_embcos" -> dedupEmbcos,
     "embed_quantize" -> embedQuantize,
     "embed_norm" -> embedNorm,

@@ -343,6 +343,26 @@ class LawsSpec extends AnyFunSuite {
     assert(bag(custom) == bag(builtin))
   }
 
+  test("PQ codes cover every (vector, subspace) once, in range, beating the k=1 baseline") {
+    val fit = operators.LlmVector.pqFit(spark, sf).persist()
+    val nVec = Tables.embeddings(spark, sf).count()
+    // exactly one code per (vector, subspace); codes in [0, 16)
+    assert(fit.count() == nVec * 4)
+    assert(fit.filter(col("cid") < 0 || col("cid") >= 16).count() == 0)
+    // total distortion must beat quantizing every subvector to the
+    // global per-subspace mean (the k=1 codebook) — Lloyd can't be
+    // worse than the degenerate baseline it starts ahead of
+    val pqD = fit.agg(sum(col("d2"))).head().getDouble(0)
+    val base = fit.select(col("j"), col("vj"), posexplode(col("vj")))
+      .groupBy(col("j"), col("pos")).agg(avg(col("col")).as("mu"),
+        sum(col("col") * col("col")).as("ss"), count(lit(1)).as("n"))
+      // Σ(x−μ)² per (subspace, dim) = Σx² − n·μ²
+      .select((col("ss") - col("n") * col("mu") * col("mu")).as("v"))
+      .agg(sum(col("v"))).head().getDouble(0)
+    assert(pqD <= base + 1e-6, s"pq distortion $pqD worse than k=1 baseline $base")
+    fit.unpersist(); ()
+  }
+
   test("asof sweep equals the window composition on matched rows") {
     val viaExec = SparkEntry.queries("join_asof_exec")(spark, sf)
     val viaWindow = SparkEntry.queries("join_asof")(spark, sf)
