@@ -363,6 +363,25 @@ class LawsSpec extends AnyFunSuite {
     fit.unpersist(); ()
   }
 
+  test("PQ ADC obeys the triangle inequality through the reconstruction") {
+    // √‖q−v‖ ≤ √ADC(q,v) + √‖v−v̂‖ for EVERY vector — the metric-space
+    // guarantee that holds regardless of codebook quality
+    val fit = operators.LlmVector.pqFit(spark, sf).persist()
+    val q = fit.filter(col("vec_id") === 0L)
+      .select(col("j"), col("vj").as("qj"))
+    val per = fit.filter(col("vec_id") =!= 0L)
+      .join(broadcast(q), "j")
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(vj, qj, (a, b) -> (a - b) * (a - b)), 0D, (x, y) -> x + y)").as("ex"),
+        expr("aggregate(zip_with(cv, qj, (a, b) -> (a - b) * (a - b)), 0D, (x, y) -> x + y)").as("adc"),
+        col("d2"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("ex")).as("exact"), sum(col("adc")).as("adc"), sum(col("d2")).as("rec"))
+    val bad = per.filter(sqrt(col("exact")) > sqrt(col("adc")) + sqrt(col("rec")) + 1e-9)
+    assert(bad.count() == 0)
+    fit.unpersist(); ()
+  }
+
   test("asof sweep equals the window composition on matched rows") {
     val viaExec = SparkEntry.queries("join_asof_exec")(spark, sf)
     val viaWindow = SparkEntry.queries("join_asof")(spark, sf)
