@@ -33,7 +33,15 @@ import org.apache.spark.sql.types.LongType
   *
   * Scope guard: key and time must be LongType (ids and epoch-ns — the
   * repo's event schema); the API entry validates and fails analysis
-  * fast rather than planning a silently-wrong sweep. */
+  * fast rather than planning a silently-wrong sweep.
+  *
+  * Memory posture: the sweep buffers ONE key's right-side rows (the
+  * left side streams) — executor memory bounds the max per-key right
+  * cardinality, the same inner-buffer exposure SortMergeJoin has for
+  * same-key runs, minus its spilling. For a 100 TB deployment with a
+  * hot key, salt the key or pre-aggregate the right side first (the
+  * join_salted recipe); a spillable buffer is the next hardening step
+  * if profiles ever show it. */
 case class RangeJoinPlan(left: LogicalPlan, right: LogicalPlan,
                          keyL: Attribute, keyR: Attribute,
                          timeL: Attribute, timeR: Attribute,
