@@ -351,6 +351,30 @@ object Aggregates extends QueryGroup {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Gini coefficient of document length per language — the corpus-
+    * inequality diagnostic (a high-Gini language means a few huge docs
+    * dominate the token budget; mix curation watches this). Computed
+    * from the rank formulation G = (2·Σrᵢxᵢ − (n+1)·Σx) / (n·Σx) where
+    * ranks come from the (n_chars, doc_id)-total-ordered window —
+    * EVERY term is exact int64 (lengths are integers), so the single
+    * closing division is the only float op and is identical on any
+    * engine/partitioning. One window + one aggregation, both
+    * partitioned by the group key. */
+  private val aggGini: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_chars")).as("sx"),
+           sum(col("rk") * col("n_chars")).as("srx"))
+      .select(col("lang"), col("n"),
+        (round((lit(2L) * col("srx") - (col("n") + lit(1L)) * col("sx"))
+          .cast("double") / (col("n") * col("sx")), 6) + lit(0.0)).as("gini"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -374,6 +398,7 @@ object Aggregates extends QueryGroup {
     "agg_weighted" -> aggWeighted,
     "agg_entropy" -> aggEntropy,
     "agg_linreg" -> aggLinreg,
+    "agg_gini" -> aggGini,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -545,5 +570,18 @@ object Aggregates extends QueryGroup {
                 round((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
                       / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) + 0.0 AS r2
          FROM m ORDER BY l_returnflag ASC NULLS FIRST""",
+    "agg_gini" ->
+      """WITH r AS (SELECT lang, n_chars,
+                           CAST(row_number() OVER (PARTITION BY lang
+                             ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rk
+                    FROM documents),
+            a AS (SELECT lang, count(*) AS n,
+                         CAST(sum(n_chars) AS BIGINT) AS sx,
+                         CAST(sum(rk * n_chars) AS BIGINT) AS srx
+                  FROM r GROUP BY lang)
+         SELECT lang, n,
+                round(CAST(2 * srx - (n + 1) * sx AS DOUBLE) / (n * sx), 6) + 0.0
+                  AS gini
+         FROM a ORDER BY lang ASC NULLS FIRST""",
   )
 }

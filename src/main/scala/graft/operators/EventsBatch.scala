@@ -226,6 +226,35 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Linear multi-touch attribution: each purchase's credit splits
+    * equally across the same user's clicks in the preceding hour, and
+    * credit rolls up by the CLICK's hour-of-day — "which hours drive
+    * conversions". The per-purchase share 1/n is quantized to integer
+    * micro-credits (floor(1e6/n + 0.5), identical IEEE both engines) so
+    * the rollup sums exact int64 — the float-portability recipe for
+    * "distribute 1 across n rows then re-aggregate" shapes, which raw
+    * double shares would make shuffle-order-sensitive. */
+  private val eventsAttribution: QFn = (s, d) => {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("u"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("c_ts"))
+    val pairs = p.join(c, Seq("u"))
+      .filter(col("c_ts") > col("p_ts") - lit(hourNs) && col("c_ts") < col("p_ts"))
+    val shares = pairs
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))))
+      .withColumn("mc", floor(lit(1000000.0) / col("n") + 0.5).cast("long"))
+    shares
+      .withColumn("click_hod", expr("(c_ts div 3600000000000) % 24"))
+      .groupBy(col("click_hod"))
+      .agg(count(lit(1)).as("n_touches"),
+           (sum(col("mc")).cast("double") / lit(1000000L)).as("credit"))
+      .orderBy(col("click_hod"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -237,6 +266,7 @@ object EventsBatch extends QueryGroup {
     "events_gap_fill" -> eventsGapFill,
     "events_markov" -> eventsMarkov,
     "events_basket" -> eventsBasket,
+    "events_attribution" -> eventsAttribution,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -376,5 +406,22 @@ object EventsBatch extends QueryGroup {
                 CAST(support AS DOUBLE) / n_sessions AS support_frac
          FROM sup CROSS JOIN ns
          ORDER BY ta ASC NULLS FIRST, tb ASC NULLS FIRST""",
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS u, epoch_ns(ts) AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id AS u, epoch_ns(ts) AS c_ts
+                  FROM events WHERE event_type = 'click'),
+            pairs AS (SELECT p_id, c_ts
+                      FROM p JOIN c ON p.u = c.u
+                       AND c_ts > p_ts - 3600000000000 AND c_ts < p_ts),
+            sh AS (SELECT c_ts,
+                          CAST(floor(1000000.0 / (count(*) OVER (PARTITION BY p_id))
+                                     + 0.5) AS BIGINT) AS mc
+                   FROM pairs)
+         SELECT (c_ts // 3600000000000) % 24 AS click_hod,
+                count(*) AS n_touches,
+                CAST(CAST(sum(mc) AS BIGINT) AS DOUBLE) / 1000000 AS credit
+         FROM sh GROUP BY 1
+         ORDER BY click_hod ASC NULLS FIRST""",
   )
 }

@@ -52,6 +52,8 @@ class DeterminismSpec extends AnyFunSuite {
     "multimodal_audio_rms", // integer frame sums; µ-unit mean, no round()
     "events_basket",       // integer session ids, pair counts, exact ratio
     "win_ewma",            // fixed-order 10-term sum, no shuffle-order exposure
+    "agg_gini",            // all-int64 rank sums, single closing division
+    "events_attribution",  // integer micro-credits, exact rollup
   )
 
   private val postRounded = Seq(
