@@ -720,6 +720,45 @@ object LlmText extends QueryGroup {
         (col("n_hit").cast(DoubleType) / col("n_truth")).as("recall"))
   }
 
+  /** Jensen–Shannon divergence between per-source token distributions —
+    * the corpus-drift detector (is source B's language shifting away
+    * from source A's? should the mix rebalance?). Probabilities are
+    * exact-count fractions (identical doubles); each KL term
+    * p·ln(p/m) is quantized to integer PICO-units (floor(t·1e12+0.5),
+    * identical IEEE) before the vocabulary-wide sum, because a raw
+    * double sum over thousands of tokens is shuffle-order-sensitive —
+    * the micro-credit recipe at higher precision (quantization error
+    * ≤ vocab·5e-13, invisible at the 6-dp output). Term shuffles are
+    * token-keyed counts; the pair enumeration is |sources|², not data. */
+  private val textJsDivergence: QFn = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val cnt = tk.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val dist = cnt.join(tot, "source")
+      .select(col("source"), col("tok"), (col("c").cast(DoubleType) / col("n")).as("p"))
+    val srcs = dist.select(col("source")).distinct()
+    val prs = srcs.select(col("source").as("sa"))
+      .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+    val ja = prs.join(dist.select(col("source").as("sa"), col("tok"), col("p").as("pa")), Seq("sa"))
+    val jb = prs.join(dist.select(col("source").as("sb"), col("tok"), col("p").as("pb")), Seq("sb"))
+    ja.join(jb, Seq("sa", "sb", "tok"), "full")
+      .select(col("sa"), col("sb"),
+        coalesce(col("pa"), lit(0.0)).as("pa"), coalesce(col("pb"), lit(0.0)).as("pb"))
+      .withColumn("m", (col("pa") + col("pb")) / 2.0)
+      .withColumn("ta", when(col("pa") > 0.0,
+        floor(col("pa") * log(col("pa") / col("m")) * 1e12 + 0.5).cast(LongType))
+        .otherwise(0L))
+      .withColumn("tb", when(col("pb") > 0.0,
+        floor(col("pb") * log(col("pb") / col("m")) * 1e12 + 0.5).cast(LongType))
+        .otherwise(0L))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(when(col("pa") > 0.0 && col("pb") > 0.0, 1L).otherwise(0L)).as("n_common"),
+           (round((sum(col("ta")) + sum(col("tb"))).cast(DoubleType) / 2e12, 6)
+             + lit(0.0)).as("js"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   /** Corpus-level collocation mining: top adjacent-bigram PMI — the
     * phrase-detection pass (new-york, machine-learning) run before
     * tokenizer training. Generator-chain shape (the multimodal_phash /
@@ -772,6 +811,7 @@ object LlmText extends QueryGroup {
     "text_dedup_inline" -> textDedupInline,
     "text_hash_features" -> textHashFeatures,
     "text_collocations" -> textCollocations,
+    "text_js_divergence" -> textJsDivergence,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
@@ -842,6 +882,37 @@ object LlmText extends QueryGroup {
                     WHERE bit_count(xor(a.sig, b.sig)) <= 3)"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "text_js_divergence" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+            cnt AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+            dist AS (SELECT cnt.source, tok, CAST(c AS DOUBLE) / n AS p
+                     FROM cnt JOIN tot ON cnt.source = tot.source),
+            prs AS (SELECT a.source sa, b.source sb
+                    FROM (SELECT DISTINCT source FROM dist) a
+                    JOIN (SELECT DISTINCT source FROM dist) b ON a.source < b.source),
+            ja AS (SELECT sa, sb, tok, p AS pa FROM prs JOIN dist ON dist.source = prs.sa),
+            jb AS (SELECT sa, sb, tok, p AS pb FROM prs JOIN dist ON dist.source = prs.sb),
+            f AS (SELECT coalesce(ja.sa, jb.sa) AS sa, coalesce(ja.sb, jb.sb) AS sb,
+                         coalesce(pa, 0.0) AS pa, coalesce(pb, 0.0) AS pb
+                  FROM ja FULL JOIN jb
+                    ON ja.sa = jb.sa AND ja.sb = jb.sb AND ja.tok = jb.tok),
+            t AS (SELECT sa, sb, pa, pb, (pa + pb) / 2.0 AS m FROM f),
+            q AS (SELECT sa, sb, pa, pb,
+                         CASE WHEN pa > 0.0
+                              THEN CAST(floor(pa * ln(pa / m) * 1e12 + 0.5) AS BIGINT)
+                              ELSE 0 END AS ta,
+                         CASE WHEN pb > 0.0
+                              THEN CAST(floor(pb * ln(pb / m) * 1e12 + 0.5) AS BIGINT)
+                              ELSE 0 END AS tb
+                  FROM t)
+         SELECT sa, sb,
+                CAST(sum(CASE WHEN pa > 0.0 AND pb > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_common,
+                round(CAST(CAST(sum(ta) AS BIGINT) + CAST(sum(tb) AS BIGINT) AS DOUBLE)
+                      / 2e12, 6) + 0.0 AS js
+         FROM q GROUP BY sa, sb
+         ORDER BY sa ASC NULLS FIRST, sb ASC NULLS FIRST""",
     "text_collocations" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
             un AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w, t[i + 1] AS w2

@@ -54,6 +54,7 @@ class DeterminismSpec extends AnyFunSuite {
     "win_ewma",            // fixed-order 10-term sum, no shuffle-order exposure
     "agg_gini",            // all-int64 rank sums, single closing division
     "events_attribution",  // integer micro-credits, exact rollup
+    "text_js_divergence",  // pico-quantized KL terms, exact int64 fold
   )
 
   private val postRounded = Seq(
