@@ -375,6 +375,25 @@ object Aggregates extends QueryGroup {
       .orderBy(col("lang"))
   }
 
+  /** Herfindahl–Hirschman concentration index of user activity per
+    * event type — "is this event type driven by a few power users?"
+    * (the dominance diagnostic; its corpus twin flags a source whose
+    * token mass concentrates in few documents). HHI = Σcᵤ² / (Σcᵤ)²
+    * over integer counts — numerator and denominator are exact int64,
+    * the single division is the only float op. */
+  private val aggHhi: QFn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("c") * col("c")).as("ssq"),
+           sum(col("c")).as("tot"))
+      .select(col("event_type"), col("n_users"),
+        (round(col("ssq").cast("double") / (col("tot") * col("tot")), 6) + lit(0.0))
+          .as("hhi"))
+      .orderBy(col("event_type"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -399,6 +418,7 @@ object Aggregates extends QueryGroup {
     "agg_entropy" -> aggEntropy,
     "agg_linreg" -> aggLinreg,
     "agg_gini" -> aggGini,
+    "agg_hhi" -> aggHhi,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -583,5 +603,15 @@ object Aggregates extends QueryGroup {
                 round(CAST(2 * srx - (n + 1) * sx AS DOUBLE) / (n * sx), 6) + 0.0
                   AS gini
          FROM a ORDER BY lang ASC NULLS FIRST""",
+    "agg_hhi" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c
+                    FROM events GROUP BY 1, 2),
+            a AS (SELECT event_type, count(*) AS n_users,
+                         CAST(sum(c * c) AS BIGINT) AS ssq,
+                         CAST(sum(c) AS BIGINT) AS tot
+                  FROM c GROUP BY event_type)
+         SELECT event_type, n_users,
+                round(CAST(ssq AS DOUBLE) / (tot * tot), 6) + 0.0 AS hhi
+         FROM a ORDER BY event_type ASC NULLS FIRST""",
   )
 }

@@ -720,6 +720,20 @@ object LlmText extends QueryGroup {
         (col("n_hit").cast(DoubleType) / col("n_truth")).as("recall"))
   }
 
+  /** Type-token ratio per document — the lexical-diversity quality
+    * signal (low TTR = repetitive/template text; complements
+    * text_quality's stopword ratio and text_dedup_inline's repetition
+    * removal). Exact integer counts, one codegen stage, no shuffle
+    * beyond the final sort. */
+  private val textTtr: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType).as("n_types"))
+      .withColumn("ttr",
+        round(col("n_types").cast(DoubleType) / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
+
   /** Jensen–Shannon divergence between per-source token distributions —
     * the corpus-drift detector (is source B's language shifting away
     * from source A's? should the mix rebalance?). Probabilities are
@@ -812,6 +826,7 @@ object LlmText extends QueryGroup {
     "text_hash_features" -> textHashFeatures,
     "text_collocations" -> textCollocations,
     "text_js_divergence" -> textJsDivergence,
+    "text_ttr" -> textTtr,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
@@ -882,6 +897,13 @@ object LlmText extends QueryGroup {
                     WHERE bit_count(xor(a.sig, b.sig)) <= 3)"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "text_ttr" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 6) AS ttr
+         FROM documents ORDER BY doc_id ASC NULLS FIRST""",
     "text_js_divergence" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
             cnt AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),

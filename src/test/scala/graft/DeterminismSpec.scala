@@ -55,6 +55,8 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_gini",            // all-int64 rank sums, single closing division
     "events_attribution",  // integer micro-credits, exact rollup
     "text_js_divergence",  // pico-quantized KL terms, exact int64 fold
+    "agg_hhi",             // exact int64 squares, single closing division
+    "text_ttr",            // pure row function of the text
   )
 
   private val postRounded = Seq(
