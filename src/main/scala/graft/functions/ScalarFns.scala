@@ -263,6 +263,32 @@ object ScalarFns extends QueryGroup {
         regexp_extract(col("url"), "cust=([0-9]+)", 1).as("q_cust"),
       ).orderBy(col("o_orderkey"))
 
+  /** Geospatial scalar family: haversine great-circle distance between
+    * coordinates synthesized deterministically from keys (the fixture
+    * has no geo columns; the RECIPE is the deliverable — a logistics
+    * pipeline swaps in real lat/lon). The trig chain follows the
+    * fn_trig precedent: both engines' libm agree at the rounded output
+    * (4 dp on km — coarser than fn_trig's 6 dp because the chain
+    * composes 5 libm calls); the sub-expressions are written in one
+    * fixed order on both sides. */
+  private val fnGeo: QFn = (s, d) => {
+    def hav(latA: String, lonA: String, latB: String, lonB: String) =
+      s"""2.0 * 6371.0 * asin(sqrt(
+            sin(radians(($latB - $latA) / 2.0)) * sin(radians(($latB - $latA) / 2.0))
+            + cos(radians($latA)) * cos(radians($latB))
+              * sin(radians(($lonB - $lonA) / 2.0)) * sin(radians(($lonB - $lonA) / 2.0))))"""
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 500L)
+      .select(col("c_custkey"),
+        expr("CAST(c_custkey % 160 AS DOUBLE) - 80.0").as("lat_a"),
+        expr("CAST(c_custkey % 360 AS DOUBLE) - 180.0").as("lon_a"),
+        expr("CAST(c_nationkey * 6 AS DOUBLE) - 72.0").as("lat_b"),
+        expr("CAST(c_nationkey * 14 AS DOUBLE) - 168.0").as("lon_b"))
+      .withColumn("dist_km",
+        round(expr(hav("lat_a", "lon_a", "lat_b", "lon_b")), 4) + lit(0.0))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "fn_string" -> fnString,
     "fn_datetime" -> fnDatetime,
@@ -279,6 +305,7 @@ object ScalarFns extends QueryGroup {
     "fn_regex" -> fnRegex,
     "fn_struct" -> fnStruct,
     "fn_url" -> fnUrl,
+    "fn_geo" -> fnGeo,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -401,6 +428,21 @@ object ScalarFns extends QueryGroup {
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str_path,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
          FROM events ORDER BY event_id ASC NULLS FIRST""",
+    "fn_geo" ->
+      """WITH p AS (
+           SELECT c_custkey,
+                  CAST(c_custkey % 160 AS DOUBLE) - 80.0 AS lat_a,
+                  CAST(c_custkey % 360 AS DOUBLE) - 180.0 AS lon_a,
+                  CAST(c_nationkey * 6 AS DOUBLE) - 72.0 AS lat_b,
+                  CAST(c_nationkey * 14 AS DOUBLE) - 168.0 AS lon_b
+           FROM customer WHERE c_custkey < 500)
+         SELECT c_custkey, lat_a, lon_a, lat_b, lon_b,
+                round(2.0 * 6371.0 * asin(sqrt(
+                  sin(radians((lat_b - lat_a) / 2.0)) * sin(radians((lat_b - lat_a) / 2.0))
+                  + cos(radians(lat_a)) * cos(radians(lat_b))
+                    * sin(radians((lon_b - lon_a) / 2.0)) * sin(radians((lon_b - lon_a) / 2.0))
+                )), 4) + 0.0 AS dist_km
+         FROM p ORDER BY c_custkey ASC NULLS FIRST""",
     "fn_url" ->
       """WITH u AS (
            SELECT o_orderkey,

@@ -70,6 +70,7 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_entropy",         // ≤|types|-term p·ln p sums (like the LM log sums)
     "events_gap_fill",     // per-(user, hour) raw double sums (like events_session)
     "graph_pagerank",      // ≤V-term contribution sums, 9-dp re-round per iter
+    "fn_geo",              // 5-call libm chain, 4-dp rounded (fn_trig tier)
   )
 
   private def result(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
