@@ -255,6 +255,26 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("click_hod"))
   }
 
+  /** Inter-event latency profile per event type — the operational
+    * "time between consecutive user actions" distribution (median and
+    * tail) that rate models and staleness monitors read. Latencies are
+    * exact int64 ns diffs from lead() over the per-user timeline;
+    * percentile interpolation operates on those identical integers
+    * (the agg_percentile recipe), reported in seconds at 3 dp. */
+  private val eventsLatency: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("lat", col("next_ts") - col("ts"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(expr("percentile(lat, 0.5)") / 1e9, 3).as("p50_s"),
+           round(expr("percentile(lat, 0.95)") / 1e9, 3).as("p95_s"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -267,6 +287,7 @@ object EventsBatch extends QueryGroup {
     "events_markov" -> eventsMarkov,
     "events_basket" -> eventsBasket,
     "events_attribution" -> eventsAttribution,
+    "events_latency" -> eventsLatency,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -423,5 +444,17 @@ object EventsBatch extends QueryGroup {
                 CAST(CAST(sum(mc) AS BIGINT) AS DOUBLE) / 1000000 AS credit
          FROM sh GROUP BY 1
          ORDER BY click_hod ASC NULLS FIRST""",
+    "events_latency" ->
+      """WITH l AS (SELECT event_type,
+                           lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                             ORDER BY epoch_ns(ts) ASC, event_id ASC)
+                             - epoch_ns(ts) AS lat
+                    FROM events),
+            f AS (SELECT event_type, lat FROM l WHERE lat IS NOT NULL)
+         SELECT event_type, count(*) AS n,
+                round(quantile_cont(lat, 0.5) / 1e9, 3) AS p50_s,
+                round(quantile_cont(lat, 0.95) / 1e9, 3) AS p95_s
+         FROM f GROUP BY event_type
+         ORDER BY event_type ASC NULLS FIRST""",
   )
 }

@@ -57,6 +57,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_js_divergence",  // pico-quantized KL terms, exact int64 fold
     "agg_hhi",             // exact int64 squares, single closing division
     "text_ttr",            // pure row function of the text
+    "events_latency",      // int64 gaps; interpolation on identical ints
   )
 
   private val postRounded = Seq(
