@@ -720,6 +720,38 @@ object LlmText extends QueryGroup {
         (col("n_hit").cast(DoubleType) / col("n_truth")).as("recall"))
   }
 
+  /** Compression-ratio quality signal — the classic "gzip filter"
+    * (Gopher/CCNet lineage): highly repetitive or boilerplate text
+    * compresses far below natural prose, so deflated_size/raw_size is
+    * a cheap template detector. Deflate runs in mapPartitions (the
+    * multimodal decode-stub plumbing — per-row bounded, no UDF in a
+    * Column path); DEFLATE with fixed level is deterministic for a
+    * given input, but no SQL engine exposes it, so this is a
+    * no-oracle query: LawsSpec asserts the signal's semantics (ratios
+    * in (0, ~1], and the corpus's most repetitive tail compresses
+    * better than its most diverse tail by TTR). */
+  private val textCompressRatio: QFn = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          defl.reset(); defl.setInput(in); defl.finish()
+          var out = 0
+          while (!defl.finished()) out += defl.deflate(buf)
+          (id, in.length.toLong, out.toLong,
+            math.floor(out.toDouble / in.length * 1e6 + 0.5).toLong / 1e6)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated", "ratio")
+      .orderBy(col("doc_id"))
+  }
+
   /** Type-token ratio per document — the lexical-diversity quality
     * signal (low TTR = repetitive/template text; complements
     * text_quality's stopword ratio and text_dedup_inline's repetition
@@ -827,6 +859,7 @@ object LlmText extends QueryGroup {
     "text_collocations" -> textCollocations,
     "text_js_divergence" -> textJsDivergence,
     "text_ttr" -> textTtr,
+    "text_compress_ratio" -> textCompressRatio,
     "text_topk_sketch" -> textTopkSketch,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,

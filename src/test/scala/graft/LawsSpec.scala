@@ -390,6 +390,24 @@ class LawsSpec extends AnyFunSuite {
       viaWindow.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("compression ratio is a repetitiveness signal (bounded; tracks TTR)") {
+    val cr = SparkEntry.queries("text_compress_ratio")(spark, sf)
+      .select(col("doc_id"), col("ratio"))
+    // deflate's worst case is stored blocks + header — on the ~50-byte
+    // shortest docs that overhead can reach ~13%, never 50%
+    val r = cr.agg(min(col("ratio")).as("lo"), max(col("ratio")).as("hi")).head()
+    assert(r.getDouble(0) > 0.0 && r.getDouble(1) < 1.5, r.toString)
+    // semantic check: the 50 most-repetitive docs by TTR compress
+    // better on average than the 50 most-diverse
+    val ttr = SparkEntry.queries("text_ttr")(spark, sf)
+      .select(col("doc_id"), col("ttr"))
+    val j = cr.join(ttr, "doc_id").orderBy(col("ttr")).collect()
+    val low = j.take(50).map(_.getDouble(1))
+    val high = j.takeRight(50).map(_.getDouble(1))
+    assert(low.sum / low.length < high.sum / high.length,
+      s"repetitive docs should compress better: ${low.sum / low.length} vs ${high.sum / high.length}")
+  }
+
   test("pagerank mass: teleport floor per node; total in [(1-d), 1]") {
     // every node keeps at least the teleport share (1-d)/n, so total
     // mass is ≥ (1-d); it is ≤ 1, with equality only when no node is
