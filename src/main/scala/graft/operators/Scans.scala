@@ -166,6 +166,33 @@ object Scans extends QueryGroup {
            sum(size(split(col("value"), " "))).as("total_tokens"))
   }
 
+  /** Fixed-width record ingest — the legacy/mainframe feed shape
+    * (COBOL copybook exports, bank settlement files): records are
+    * synthesized from orders (lpad'd key, 1-char status, zero-padded
+    * integer CENTS — never %.2f, whose HALF_UP-vs-half-even rounding
+    * differs between Java and C — rpad'd priority), round-tripped
+    * through a real text file, and parsed back with pure substring/
+    * trim/cast recipes that stay in codegen and are identical in the
+    * oracle dialect. Equality with the source-derived oracle IS the
+    * losslessness proof (the ingest_orc pattern). */
+  private val ingestFixedWidth: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/ingest_fixed_width"
+    Tables.orders(s, d)
+      .select(concat(
+        lpad(col("o_orderkey").cast(StringType), 10, "0"),
+        col("o_orderstatus"),
+        lpad(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").cast(StringType), 12, "0"),
+        rpad(col("o_orderpriority"), 15, " ")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(
+        substring(col("value"), 1, 10).cast(LongType).as("o_orderkey"),
+        substring(col("value"), 11, 1).as("status"),
+        (substring(col("value"), 12, 12).cast(LongType) / lit(100L)).as("price"),
+        rtrim(substring(col("value"), 24, 15)).as("priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Range-partitioned, within-partition-sorted parquet layout — the
     * zone-map / row-group-skipping storage shape at 100 TB:
     * repartitionByRange on the sort key gives each output file a
@@ -373,6 +400,7 @@ object Scans extends QueryGroup {
     "ingest_csv" -> ingestCsv,
     "ingest_jsonl" -> ingestJsonl,
     "ingest_text" -> ingestText,
+    "ingest_fixed_width" -> ingestFixedWidth,
     "ingest_merge_schema" -> ingestMergeSchema,
     "ingest_incremental" -> ingestIncremental,
     "ingest_cdc_scd2" -> ingestCdcScd2,
@@ -386,6 +414,18 @@ object Scans extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "ingest_fixed_width" ->
+      """WITH rec AS (
+           SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+                  || o_orderstatus
+                  || lpad(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 12, '0')
+                  || rpad(o_orderpriority, 15, ' ') AS v
+           FROM orders)
+         SELECT CAST(substr(v, 1, 10) AS BIGINT) AS o_orderkey,
+                substr(v, 11, 1) AS status,
+                CAST(substr(v, 12, 12) AS BIGINT) / CAST(100 AS BIGINT) AS price,
+                rtrim(substr(v, 24, 15)) AS priority
+         FROM rec ORDER BY o_orderkey ASC NULLS FIRST""",
     "scan_parquet" ->
       "SELECT count(*) AS n_rows FROM lineitem",
     "scan_pruned" ->

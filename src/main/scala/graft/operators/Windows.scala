@@ -224,6 +224,23 @@ object Windows extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** Running maximum + drawdown per user — the peak-tracking shape
+    * (how far below its high-water mark is this series?) used for
+    * budget pacing and regression detection. max() over an expanding
+    * frame is order-insensitive (max is associative-commutative over
+    * the frame SET), and the drawdown subtraction operates on two
+    * identical doubles — deterministic without any quantization. */
+  private val winDrawdown: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("peak", max(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("value"), col("peak"),
+        round(col("peak") - col("value"), 6).as("drawdown"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
@@ -236,6 +253,7 @@ object Windows extends QueryGroup {
     "win_nth_value" -> winNthValue,
     "win_streak" -> winStreak,
     "win_ewma" -> winEwma,
+    "win_drawdown" -> winDrawdown,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -330,6 +348,14 @@ object Windows extends QueryGroup {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)
          ORDER BY event_id ASC NULLS FIRST"""
     },
+    "win_drawdown" ->
+      """SELECT event_id, user_id, value,
+                max(value) OVER w AS peak,
+                round(max(value) OVER w - value, 6) AS drawdown
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id ASC NULLS FIRST""",
     "win_streak" ->
       """WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
                        FROM events),

@@ -58,6 +58,8 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_hhi",             // exact int64 squares, single closing division
     "text_ttr",            // pure row function of the text
     "events_latency",      // int64 gaps; interpolation on identical ints
+    "win_drawdown",        // frame-set max; identical-double subtraction
+    "ingest_fixed_width",  // integer cents; pure string recipes
   )
 
   private val postRounded = Seq(
