@@ -394,6 +394,29 @@ object Aggregates extends QueryGroup {
           .as("hhi"))
       .orderBy(col("event_type"))
 
+  /** Benford first-digit screen over order totals — the forensic
+    * data-quality check (fabricated or truncated monetary data departs
+    * from the log-uniform first-digit law). The first significant
+    * digit comes from the INTEGER-CENTS string (never from double
+    * formatting, which differs across engines); observed shares are
+    * exact-count fractions and the Benford expectation ln(1+1/d)/ln(10)
+    * is the identical libm value on both engines. Per-digit rows — no
+    * cross-digit float fold anywhere. */
+  private val aggBenford: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .select(substring(
+        expr("CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(
+        Tables.orders(s, d).agg(count(lit(1)).as("n_total"))))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total"), 6).as("p_obs"),
+        (round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6)
+          + lit(0.0)).as("p_benford"))
+      .orderBy(col("digit"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -419,6 +442,7 @@ object Aggregates extends QueryGroup {
     "agg_linreg" -> aggLinreg,
     "agg_gini" -> aggGini,
     "agg_hhi" -> aggHhi,
+    "agg_benford" -> aggBenford,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -613,5 +637,17 @@ object Aggregates extends QueryGroup {
          SELECT event_type, n_users,
                 round(CAST(ssq AS DOUBLE) / (tot * tot), 6) + 0.0 AS hhi
          FROM a ORDER BY event_type ASC NULLS FIRST""",
+    "agg_benford" ->
+      """WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                     FROM orders),
+            c AS (SELECT digit, count(*) AS n_obs FROM dg GROUP BY digit),
+            t AS (SELECT count(*) AS n_total FROM orders)
+         SELECT digit, n_obs,
+                round(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs,
+                round(ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit)
+                      / ln(CAST(10.0 AS DOUBLE)), 6) + 0.0 AS p_benford
+         FROM c CROSS JOIN t
+         ORDER BY digit ASC NULLS FIRST""",
   )
 }

@@ -60,6 +60,7 @@ class DeterminismSpec extends AnyFunSuite {
     "events_latency",      // int64 gaps; interpolation on identical ints
     "win_drawdown",        // frame-set max; identical-double subtraction
     "ingest_fixed_width",  // integer cents; pure string recipes
+    "agg_benford",         // integer-cents digit; exact-count shares
   )
 
   private val postRounded = Seq(
