@@ -417,6 +417,34 @@ object Aggregates extends QueryGroup {
           + lit(0.0)).as("p_benford"))
       .orderBy(col("digit"))
 
+  /** Lag-1 autocorrelation of event values per type — the serial-
+    * dependence diagnostic (is this metric stream i.i.d. or trending/
+    * seasonal?). Pairs (xₜ, xₜ₊₁) come from lead() over the per-user
+    * timeline; the correlation is the agg_linreg closed form over
+    * exact DECIMAL co-moment sums of the paired series, so the output
+    * is identical on any engine/partitioning. */
+  private val aggAutocorr: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def dsum(e: String) = sum(expr(s"CAST($e AS DECIMAL(18,6))")).cast("double")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value").as("x"))
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("nd"),
+           dsum("x").as("sx"), dsum("y").as("sy"),
+           dsum("x * y").as("sxy"),
+           dsum("x * x").as("sxx"), dsum("y * y").as("syy"))
+      .select(col("event_type"), col("nd").cast("long").as("n_pairs"),
+        (round((col("nd") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("nd") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("nd") * col("syy") - col("sy") * col("sy"))), 6)
+          + lit(0.0)).as("autocorr_lag1"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -443,6 +471,7 @@ object Aggregates extends QueryGroup {
     "agg_gini" -> aggGini,
     "agg_hhi" -> aggHhi,
     "agg_benford" -> aggBenford,
+    "agg_autocorr" -> aggAutocorr,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -649,5 +678,24 @@ object Aggregates extends QueryGroup {
                       / ln(CAST(10.0 AS DOUBLE)), 6) + 0.0 AS p_benford
          FROM c CROSS JOIN t
          ORDER BY digit ASC NULLS FIRST""",
+    "agg_autocorr" ->
+      """WITH p AS (SELECT event_type, value AS x,
+                           lead(value) OVER (PARTITION BY user_id
+                             ORDER BY epoch_ns(ts) ASC, event_id ASC) AS y
+                    FROM events),
+            f AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL),
+            m AS (SELECT event_type,
+                         CAST(count(*) AS DOUBLE) AS nd,
+                         CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                         CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+                         CAST(sum(CAST(y * y AS DECIMAL(18,6))) AS DOUBLE) AS syy
+                  FROM f GROUP BY event_type)
+         SELECT event_type, CAST(nd AS BIGINT) AS n_pairs,
+                round((nd * sxy - sx * sy)
+                      / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6) + 0.0
+                  AS autocorr_lag1
+         FROM m ORDER BY event_type ASC NULLS FIRST""",
   )
 }

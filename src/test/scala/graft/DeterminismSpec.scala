@@ -61,6 +61,7 @@ class DeterminismSpec extends AnyFunSuite {
     "win_drawdown",        // frame-set max; identical-double subtraction
     "ingest_fixed_width",  // integer cents; pure string recipes
     "agg_benford",         // integer-cents digit; exact-count shares
+    "agg_autocorr",        // exact decimal co-moments, closed form
   )
 
   private val postRounded = Seq(
