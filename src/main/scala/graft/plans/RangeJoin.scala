@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy, SpillableRowBuffer}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
 /** The whole-operator extension rung (SURVEY §4 ladder step c): a
@@ -36,12 +37,17 @@ import org.apache.spark.sql.types.LongType
   * fast rather than planning a silently-wrong sweep.
   *
   * Memory posture: the sweep buffers ONE key's right-side rows (the
-  * left side streams) — executor memory bounds the max per-key right
-  * cardinality, the same inner-buffer exposure SortMergeJoin has for
-  * same-key runs, minus its spilling. For a 100 TB deployment with a
-  * hot key, salt the key or pre-aggregate the right side first (the
-  * join_salted recipe); a spillable buffer is the next hardening step
-  * if profiles ever show it. */
+  * left side streams) in an [[ExternalAppendOnlyUnsafeRowArray]] — the
+  * same spill-capable inner buffer SortMergeJoin uses for same-key
+  * runs, governed by the same three confs
+  * (`spark.sql.sortMergeJoinExec.buffer.{in.memory.threshold,
+  * spill.threshold, spill.size.threshold}`): a hot key larger than the
+  * thresholds spills to disk instead of OOMing the executor. The only
+  * residual per-key in-memory state is the right-side TIME axis, kept
+  * as a primitive Long array because the sweep needs random access to
+  * position the window — 8 bytes/row, ~30-100x smaller than the rows
+  * it indexes (a 10⁸-row hot key costs 0.8 GB of longs). Beyond that,
+  * salt the key (the join_salted recipe). */
 case class RangeJoinPlan(left: LogicalPlan, right: LogicalPlan,
                          keyL: Attribute, keyR: Attribute,
                          timeL: Attribute, timeR: Attribute,
@@ -96,23 +102,30 @@ case class RangeJoinExec(keyL: Attribute, keyR: Attribute,
     val triOrd = right.output.indexWhere(_.exprId == timeR.exprId)
     val outAtts = output
     val (loB, hiB) = (lo, hi)
+    // SMJ's own buffer confs, captured on the driver for the closure
+    val inMemThreshold = conf.sortMergeJoinExecBufferInMemoryThreshold
+    val spillThreshold = conf.sortMergeJoinExecBufferSpillThreshold
+    val spillSizeThreshold = conf.sortMergeJoinExecBufferSpillSizeThreshold
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       new Iterator[InternalRow] {
         private val proj = UnsafeProjection.create(outAtts, outAtts)
         private val joined = new JoinedRow
         private val lIt = li.buffered
         private val rIt = ri.buffered
-        // right rows of the key currently being swept (copied: the
-        // child iterator reuses its UnsafeRow)
+        // right rows of the key currently being swept; add() copies, and
+        // past the thresholds the rows spill to disk instead of OOMing
+        private val rBuf = new SpillableRowBuffer(
+          inMemThreshold, spillThreshold, spillSizeThreshold)
+        // the time axis stays a primitive array (random access positions
+        // the window) — 8 B/row, the documented residual
         private var rTimes: Array[Long] = Array.emptyLongArray
-        private var rRows: Array[InternalRow] = Array.empty
         private var curKey: Long = 0L
         private var haveKey = false
         private var lRow: InternalRow = _
         private var lTime = 0L
         private var winStart = 0 // advances monotonically per key
-        private var matchIdx = 0
-        private var matchEnd = 0
+        private var matchIter: Iterator[UnsafeRow] = Iterator.empty
+        private var remaining = 0
 
         /** Align both sides on the next key present in BOTH streams and
           * buffer that key's right rows. */
@@ -125,12 +138,15 @@ case class RangeJoinExec(keyL: Attribute, keyR: Attribute,
             else {
               curKey = lk
               val ts = scala.collection.mutable.ArrayBuilder.make[Long]
-              val rs = scala.collection.mutable.ArrayBuilder.make[InternalRow]
+              rBuf.clear()
               while (rIt.hasNext && rIt.head.getLong(kriOrd) == curKey) {
                 val r = rIt.next()
-                ts += r.getLong(triOrd); rs += r.copy()
+                ts += r.getLong(triOrd)
+                // sorted children emit UnsafeRows; add() copies into the
+                // in-memory buffer or the spill-capable sorter
+                rBuf.add(r.asInstanceOf[UnsafeRow])
               }
-              rTimes = ts.result(); rRows = rs.result()
+              rTimes = ts.result()
               winStart = 0; haveKey = true
               return true
             }
@@ -138,8 +154,11 @@ case class RangeJoinExec(keyL: Attribute, keyR: Attribute,
           false
         }
 
-        /** Position matchIdx/matchEnd on the band for the next left row
-          * with at least one match; returns false when exhausted. */
+        /** Position the match window for the next left row with at least
+          * one in-band right row; returns false when exhausted. lRow is
+          * NOT copied: the child iterator's reused row is only
+          * overwritten by the next lIt.head/next(), which happens after
+          * this row's matches are fully emitted. */
         private def advanceLeft(): Boolean = {
           while (true) {
             if (!haveKey && !advanceKey()) return false
@@ -147,7 +166,7 @@ case class RangeJoinExec(keyL: Attribute, keyR: Attribute,
               haveKey = false
               if (!advanceKey()) return false
             }
-            lRow = lIt.next().copy()
+            lRow = lIt.next()
             lTime = lRow.getLong(tliOrd)
             // left times ascend within the key → both bounds advance
             while (winStart < rTimes.length && rTimes(winStart) <= lTime + loB) winStart += 1
@@ -155,25 +174,20 @@ case class RangeJoinExec(keyL: Attribute, keyR: Attribute,
             while (end < rTimes.length && rTimes(end) <= lTime + hiB) end += 1
             if (end > winStart) {
               // as-of mode: only the latest in-band right row matches
-              matchIdx = if (pickLatest) end - 1 else winStart
-              matchEnd = end; return true
+              val from = if (pickLatest) end - 1 else winStart
+              matchIter = rBuf.iteratorFrom(from)
+              remaining = end - from
+              return true
             }
           }
           false
         }
 
-        private var ready = false
-        override def hasNext: Boolean = {
-          if (ready) return true
-          if (matchIdx < matchEnd) { ready = true; return true }
-          ready = advanceLeft()
-          ready
-        }
+        override def hasNext: Boolean = remaining > 0 || advanceLeft()
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
-          val out = proj(joined(lRow, rRows(matchIdx)))
-          matchIdx += 1
-          ready = matchIdx < matchEnd
+          val out = proj(joined(lRow, matchIter.next()))
+          remaining -= 1
           out
         }
       }
@@ -213,16 +227,27 @@ object RangeJoin {
                     lo: Long, hi: Long, pickLatest: Boolean): DataFrame = {
     val s = left.sparkSession
     ensureRegistered(s)
-    val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
-    def att(p: LogicalPlan, n: String): Attribute = {
-      val a = p.output.find(_.name == n).getOrElse(
+    def check(df: DataFrame, n: String): Unit = {
+      val f = df.schema.fields.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"rangeJoin: no column $n"))
-      require(a.dataType == LongType, s"rangeJoin: $n must be LongType, was ${a.dataType}")
-      a
+      require(f.dataType == LongType, s"rangeJoin: $n must be LongType, was ${f.dataType}")
     }
-    require(lp.output.map(_.name).intersect(rp.output.map(_.name)).isEmpty,
+    check(left, keyL); check(left, timeL); check(right, keyR); check(right, timeR)
+    require(left.columns.intersect(right.columns).isEmpty,
       "rangeJoin: column names must be distinct across sides")
+    // SQL join semantics: NULL keys/times never match. The sweep reads
+    // key/time with getLong, which would surface NULL storage as 0 and
+    // equi-match genuine key-0 rows — so nullable inputs get an
+    // isNotNull filter on both columns up front (inner/as-of inner
+    // semantics make dropping those rows exactly correct).
+    def dropNulls(df: DataFrame, k: String, t: String): DataFrame =
+      if (df.schema(k).nullable || df.schema(t).nullable)
+        df.filter(col(k).isNotNull && col(t).isNotNull)
+      else df
+    val lp = dropNulls(left, keyL, timeL).queryExecution.analyzed
+    val rp = dropNulls(right, keyR, timeR).queryExecution.analyzed
+    def att(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).get
     org.apache.spark.sql.GraftBridge.ofRows(s,
       RangeJoinPlan(lp, rp, att(lp, keyL), att(rp, keyR),
         att(lp, timeL), att(rp, timeR), lo, hi, pickLatest))

@@ -343,6 +343,68 @@ class LawsSpec extends AnyFunSuite {
     assert(bag(custom) == bag(builtin))
   }
 
+  test("RangeJoinExec hot key spills instead of OOM and stays exact") {
+    // one key with 4096 right rows under tiny SMJ buffer thresholds —
+    // the row-count threshold forces ExternalAppendOnlyUnsafeRowArray
+    // onto its spill path (a spill every 1024 adds), and the sweep must
+    // still emit exactly the builtin band-join pairs. Kept small on
+    // purpose: every per-left-row probe of a spilled buffer re-opens
+    // one ~1 MB reader per spill file (SMJ pays the same), so #files ×
+    // #probes bounds the test's allocation churn.
+    import spark.implicits._
+    val lhs = (0 until 50).map(i => (1L, i.toLong * 80, s"L$i"))
+      .toDF("lk", "lt", "lv")
+    val rhs = (0 until 4096).map(i => (1L, i.toLong, s"R$i"))
+      .toDF("rk", "rt", "rv")
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", 32)
+    spark.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", 1024)
+    try {
+      val custom = graft.plans.RangeJoin.rangeJoin(
+        lhs, rhs, "lk", "rk", "lt", "rt", 0L, 40L)
+      val builtin = lhs.join(rhs, col("lk") === col("rk") &&
+        col("rt") > col("lt") && col("rt") <= col("lt") + lit(40L))
+        .select(custom.columns.map(col).toSeq: _*)
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+      assert(bag(custom) == bag(builtin))
+      // as-of through the same spilled buffer: latest-only, one row per left
+      val asof = graft.plans.RangeJoin.asofJoin(
+        lhs, rhs, "lk", "rk", "lt", "rt", maxLag = 500L)
+      val expect = lhs.join(rhs, col("lk") === col("rk") &&
+          col("rt") >= col("lt") - lit(500L) && col("rt") < col("lt"))
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lk"), col("lt")).orderBy(col("rt").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .select(asof.columns.map(col).toSeq: _*)
+      assert(bag(asof) == bag(expect))
+    } finally {
+      spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.sortMergeJoinExec.buffer.spill.threshold")
+    }
+  }
+
+  test("RangeJoin drops NULL keys/times instead of matching them as 0") {
+    // SQL semantics: NULL never equi-matches — including genuine key-0
+    // rows on the other side (the getLong-reads-NULL-as-0 hazard)
+    import spark.implicits._
+    val lhs = Seq((Some(0L), Some(10L), "a"), (None: Option[Long], Some(20L), "b"),
+        (Some(0L), None: Option[Long], "c"), (Some(2L), Some(10L), "d"))
+      .toDF("lk", "lt", "lv")
+    val rhs = Seq((Some(0L), Some(15L), "x"), (None: Option[Long], Some(25L), "y"),
+        (Some(2L), Some(12L), "z"))
+      .toDF("rk", "rt", "rv")
+    val custom = graft.plans.RangeJoin.rangeJoin(
+      lhs, rhs, "lk", "rk", "lt", "rt", 0L, 50L)
+    val builtin = lhs.join(rhs, col("lk") === col("rk") &&
+      col("rt") > col("lt") && col("rt") <= col("lt") + lit(50L))
+      .select(custom.columns.map(col).toSeq: _*)
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+    assert(bag(custom) == bag(builtin))
+    // the NULL-key left row matched nothing
+    assert(custom.filter(col("lv") === "b" || col("lv") === "c").count() == 0)
+  }
+
   test("PQ codes cover every (vector, subspace) once, in range, beating the k=1 baseline") {
     val fit = operators.LlmVector.pqFit(spark, sf).persist()
     val nVec = Tables.embeddings(spark, sf).count()
