@@ -272,11 +272,15 @@ object ScalarFns extends QueryGroup {
     * composes 5 libm calls); the sub-expressions are written in one
     * fixed order on both sides. */
   private val fnGeo: QFn = (s, d) => {
+    // least(1.0, ·) clamps the operand before sqrt/asin: for antipodal
+    // pairs the sum can exceed 1 by a ulp, and NaN-vs-20015 km could
+    // then differ between Spark's Java Math and DuckDB's libm
+    // (standard haversine hardening, mirrored in the oracle)
     def hav(latA: String, lonA: String, latB: String, lonB: String) =
-      s"""2.0 * 6371.0 * asin(sqrt(
+      s"""2.0 * 6371.0 * asin(sqrt(least(1.0,
             sin(radians(($latB - $latA) / 2.0)) * sin(radians(($latB - $latA) / 2.0))
             + cos(radians($latA)) * cos(radians($latB))
-              * sin(radians(($lonB - $lonA) / 2.0)) * sin(radians(($lonB - $lonA) / 2.0))))"""
+              * sin(radians(($lonB - $lonA) / 2.0)) * sin(radians(($lonB - $lonA) / 2.0)))))"""
     Tables.customer(s, d)
       .filter(col("c_custkey") < 500L)
       .select(col("c_custkey"),
@@ -437,11 +441,11 @@ object ScalarFns extends QueryGroup {
                   CAST(c_nationkey * 14 AS DOUBLE) - 168.0 AS lon_b
            FROM customer WHERE c_custkey < 500)
          SELECT c_custkey, lat_a, lon_a, lat_b, lon_b,
-                round(2.0 * 6371.0 * asin(sqrt(
+                round(2.0 * 6371.0 * asin(sqrt(least(1.0,
                   sin(radians((lat_b - lat_a) / 2.0)) * sin(radians((lat_b - lat_a) / 2.0))
                   + cos(radians(lat_a)) * cos(radians(lat_b))
                     * sin(radians((lon_b - lon_a) / 2.0)) * sin(radians((lon_b - lon_a) / 2.0))
-                )), 4) + 0.0 AS dist_km
+                ))), 4) + 0.0 AS dist_km
          FROM p ORDER BY c_custkey ASC NULLS FIRST""",
     "fn_url" ->
       """WITH u AS (

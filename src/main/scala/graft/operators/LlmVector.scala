@@ -484,6 +484,10 @@ object LlmVector extends QueryGroup {
     * the binary double) — so the per-doc fold sums exact integers. */
   private val multimodalAudioRms: QFn = (s, d) =>
     Tables.documents(s, d)
+      // sequence(1, 0) DESCENDS and would fabricate two phantom rows for
+      // an empty doc (the textBigramLm/minhashPairs guard convention);
+      // the oracle's range(1, 1) is empty, so guard before exploding
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
         .as(Seq("pos", "b")))
