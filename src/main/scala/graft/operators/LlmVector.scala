@@ -142,6 +142,57 @@ object LlmVector extends QueryGroup {
       .limit(10)
   }
 
+  /** ANN recall@10 evaluation — the measurement loop a retrieval
+    * deployment runs before trusting an index config (dedup_eval's
+    * posture applied to the vector index): a 20-query capped set is
+    * retrieved BOTH exactly (full-corpus top-10, the ground truth)
+    * and through an IVF probe, and the per-query hit count is the
+    * output. The evaluated retriever is the sign-GRID coarse quantizer
+    * (cell = sign bits of dims 0-2 → 8 cells; probe = own cell + the 3
+    * Hamming-1 neighbours, nprobe 4 of 8) rather than the deployed
+    * k-means index: grid cells are a pure row function both engines
+    * compute identically, so the WHOLE eval — including the
+    * approximate side — is DuckDB-mirrorable and hash-oracled, where
+    * the k-means index's unrounded order-dependent means keep
+    * sim_knn_ivf itself no-oracle by design. The deployed index's own
+    * recall floor is law-asserted in VectorSpec (nprobe=4 ≥ 0.9).
+    * Scale: the exact side is 20 × corpus — the inherently capped
+    * ground-truth companion, like dedup_eval's all-pairs cap; the
+    * probe side is the production shape. */
+  private val ivfEval: QFn = (s, d) => {
+    def bit(c: Column, i: Int): Column =
+      when(c.getItem(i) >= 0.0, 1).otherwise(0)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        bit(col("embedding"), 0).as("b0"),
+        bit(col("embedding"), 1).as("b1"),
+        bit(col("embedding"), 2).as("b2"))
+    val q = e.filter(col("vec_id") < 20L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("b0").as("q0"), col("b1").as("q1"), col("b2").as("q2"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cs"),
+        (abs(col("b0") - col("q0")) + abs(col("b1") - col("q1"))
+          + abs(col("b2") - col("q2"))).as("ham"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+    val exact = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val approx = cand.filter(col("ham") <= 1)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / 10.0).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
   /** Batch kNN — the shape a pipeline actually runs (embed a batch,
     * retrieve for every query at once, e.g. dedup-against-index or
     * RAG-style retrieval): ONE corpus pass against a broadcast query
@@ -712,6 +763,7 @@ object LlmVector extends QueryGroup {
     "sim_knn_batch" -> simKnnBatch,
     "sink_ann_index" -> sinkAnnIndex,
     "sim_knn_ivf" -> simKnnIvf,
+    "ivf_eval" -> ivfEval,
     "sim_centroids" -> simCentroids,
     "sim_kmeans" -> simKmeans,
     "embed_pq" -> embedPq,
@@ -749,6 +801,34 @@ object LlmVector extends QueryGroup {
           SELECT vec_id, cos_sim FROM sc
           ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
           LIMIT 10""",
+    "ivf_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev,
+                     CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END b0,
+                     CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END b1,
+                     CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END b2
+              FROM embeddings),
+            q AS (SELECT vec_id qid, ev qe, b0 q0, b1 q1, b2 q2
+                  FROM e WHERE vec_id < 20),
+            c AS (SELECT qid, vec_id, ${duckCos("ev", "qe")} AS cs,
+                         abs(b0 - q0) + abs(b1 - q1) + abs(b2 - q2) AS ham
+                  FROM e CROSS JOIN q WHERE vec_id <> qid),
+            ex AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY cs DESC NULLS LAST, vec_id ASC) rn FROM c) t
+                   WHERE rn <= 10),
+            ap AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY cs DESC NULLS LAST, vec_id ASC) rn
+                     FROM c WHERE ham <= 1) t
+                   WHERE rn <= 10),
+            j AS (SELECT ex.qid,
+                         CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END hit
+                  FROM ex LEFT JOIN ap
+                    ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id)
+          SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(hit) AS BIGINT) AS n_hit,
+                 CAST(sum(hit) AS DOUBLE) / 10.0 AS recall_at_10
+          FROM j GROUP BY qid ORDER BY qid ASC NULLS FIRST""",
     "sim_knn_batch" ->
       s"""WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) eb FROM embeddings
                      WHERE vec_id < 10),

@@ -71,4 +71,53 @@ class VectorSpec extends AnyFunSuite {
     assert(ivf.size == 10)
     assert(knn.intersect(ivf).nonEmpty) // label cells ≠ learned clusters: partial recall
   }
+
+  test("deployed IVF index: recall@10 floors and nprobe monotonicity") {
+    // the executable version of the "by construction" ANN quality
+    // claim: 20 queries against the persisted k-means index, scored
+    // against exact full-corpus kNN across the nprobe ladder —
+    // measured floors (0.865/0.9+ on fixtures) plus the structural
+    // guarantee that probing more cells never loses recall
+    import org.apache.spark.sql.expressions.Window
+    val sf = TestSpark.sf
+    val path = operators.LlmVector.ensureAnnIndex(spark, sf)
+    def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def cosc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dotc(a, b) / (sqrt(dotc(a, a)) * sqrt(dotc(b, b)))
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+    val rankedCells = spark.read.parquet(s"$path/centroids").crossJoin(broadcast(q))
+      .select(col("qid"), col("cell"), cosc(col("centroid"), col("qe")).as("cc"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cc").desc, col("cell"))))
+    def topAt(nprobe: Int): Set[(Long, Long)] = {
+      val probed = rankedCells.filter(col("crn") <= nprobe)
+        .select(col("qid"), col("cell"))
+      spark.read.parquet(s"$path/cells")
+        .join(broadcast(probed), Seq("cell"))
+        .join(broadcast(q), Seq("qid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosc(col("embedding"), col("qe")).as("cs"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosc(col("embedding"), col("qe")).as("cs"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)]) = exact.intersect(s).size.toDouble / exact.size
+    val r4 = recall(topAt(4)); val r5 = recall(topAt(5)); val r8 = recall(topAt(8))
+    info(f"deployed-index recall@10: nprobe4=$r4%.3f nprobe5=$r5%.3f nprobe8=$r8%.3f")
+    assert(r4 >= 0.8, f"nprobe=4 recall $r4%.3f below 0.8 floor")
+    assert(r5 >= 0.85, f"nprobe=5 recall $r5%.3f below 0.85 floor")
+    assert(r5 >= r4 && r8 >= r5, "recall must be monotone in nprobe")
+    assert(r8 == 1.0, f"probing every cell must recover exact kNN, got $r8%.3f")
+  }
 }
