@@ -95,9 +95,48 @@ object SqlSurface extends QueryGroup {
       ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""")
   }
 
+  /** The catalog DML rung after CTAS: CREATE TABLE with an explicit
+    * schema (no AS SELECT — the empty-table DDL spelling), then two
+    * INSERT INTO … SELECT batches (initial load + a second append, the
+    * incremental-materialization workflow), then an aggregate read-back
+    * by catalog name with a pushable predicate. Each INSERT is a
+    * distributed parquet append — rows never visit the driver — and the
+    * post-insert read keeps the FileScan pushdown/pruning shape
+    * (PlanSpec), so the DML surface also costs nothing at scale.
+    * Deterministic rebuild per evaluation, the sqlDdl convention. */
+  private val sqlInsert: QFn = (s, d) => {
+    val loc = s"${Tables.scratchDir}/catalog/orders_ins"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    s.sql("DROP TABLE IF EXISTS graft_orders_ins")
+    rmrf(new java.io.File(loc))
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_src_v")
+    s.sql(s"""CREATE TABLE graft_orders_ins (
+                o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+              USING parquet LOCATION '$loc'""")
+    s.sql("""INSERT INTO graft_orders_ins
+             SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM graft_orders_src_v WHERE o_orderstatus = 'F'""")
+    s.sql("""INSERT INTO graft_orders_ins
+             SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM graft_orders_src_v WHERE o_orderstatus <> 'F'""")
+    s.sql("""
+      SELECT o_orderstatus,
+             count(*) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS total_price
+      FROM graft_orders_ins
+      WHERE o_totalprice >= 1000.0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus ASC NULLS FIRST""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
     "sql_ddl" -> sqlDdl,
+    "sql_insert" -> sqlInsert,
     "sql_window" -> sqlWindow,
   )
 
@@ -125,6 +164,15 @@ object SqlSurface extends QueryGroup {
          WHERE p_size >= 25
          GROUP BY p_brand
          ORDER BY p_brand ASC NULLS FIRST""",
+    "sql_insert" ->
+      """SELECT o_orderstatus,
+                count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS total_price
+         FROM orders
+         WHERE o_totalprice >= 1000.0
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus ASC NULLS FIRST""",
     "sql_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(row_number() OVER w AS BIGINT) AS rn,

@@ -49,6 +49,7 @@ class DeterminismSpec extends AnyFunSuite {
     "join_range_exec",     // custom sweep: exact integer band counts
     "dedup_eval",          // exact integer hit/truth counts and ratios
     "ivf_eval",            // exact integer hit counts; recall = n_hit/10
+    "sql_insert",          // decimal sums through the catalog DML path
     "join_asof_exec",      // unique (key, time) → unambiguous latest pick
     "multimodal_audio_rms", // integer frame sums; µ-unit mean, no round()
     "events_basket",       // integer session ids, pair counts, exact ratio

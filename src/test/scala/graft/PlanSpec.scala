@@ -254,6 +254,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<p_brand:string,p_size:int,p_retailprice:double"), p)
   }
 
+  test("sql_insert post-insert catalog read keeps pushdown + pruning") {
+    // after two INSERT INTO batches, the read-back by catalog name must
+    // still scan with the pushed o_totalprice predicate and a 2-column
+    // ReadSchema — appends must not degrade the scan shape
+    val p = plan("sql_insert")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(o_totalprice,1000.0)"), p)
+    assert(p.contains("ReadSchema: struct<o_orderstatus:string,o_totalprice:double"), p)
+  }
+
   test("join_nullsafe plans as a hash join, not a nested loop") {
     // <=> must canonicalize into the join key (knownfloatingpointnormalized
     // coalesce form); an OR-of-IS-NULL rewrite would fall back to
