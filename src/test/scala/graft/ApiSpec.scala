@@ -243,4 +243,33 @@ class ApiSpec extends AnyFunSuite {
         concat_ws(",", expr("transform(z.q, x -> CAST(x AS STRING))")).as("q"))
     assert(rows(api) == rows(SparkEntry.queries("embed_quantize")(spark, sf)))
   }
+
+  test("persisted indexes rebuild cleanly when the _DONE marker is lost") {
+    // the cache-poisoning failure mode of every persisted-artifact
+    // design: the marker is written only AFTER a successful build, so
+    // a lost marker — alone (torn build: stale partial data present)
+    // or with the whole directory gone — must trigger a rebuild that
+    // reproduces the original results exactly
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    // minhash band index (dedup_incremental's corpus artifact)
+    val mhBefore = rows(SparkEntry.queries("dedup_incremental")(spark, sf))
+    val mh = operators.LlmText.ensureMinhashIndex(spark, sf)
+    assert(new java.io.File(s"$mh/_DONE").delete(), "marker should exist")
+    val mhTorn = rows(SparkEntry.queries("dedup_incremental")(spark, sf))
+    assert(mhTorn == mhBefore, "rebuild over stale data diverged")
+    rmrf(new java.io.File(mh))
+    val mhCold = rows(SparkEntry.queries("dedup_incremental")(spark, sf))
+    assert(mhCold == mhBefore, "cold rebuild diverged")
+    assert(new java.io.File(s"$mh/_DONE").exists(), "marker not rewritten")
+    // IVF ANN index (sim_knn_ivf's persisted cells + centroids)
+    val ivfBefore = rows(SparkEntry.queries("sim_knn_ivf")(spark, sf))
+    val ann = operators.LlmVector.ensureAnnIndex(spark, sf)
+    rmrf(new java.io.File(ann))
+    val ivfCold = rows(SparkEntry.queries("sim_knn_ivf")(spark, sf))
+    assert(ivfCold == ivfBefore, "IVF cold rebuild diverged")
+    assert(new java.io.File(s"$ann/_DONE").exists(), "IVF marker not rewritten")
+  }
 }

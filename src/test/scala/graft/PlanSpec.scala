@@ -291,6 +291,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("RangeJoinExec's exchanges are AQE-managed (docstring claim executable)") {
+    // the operator declares SMJ's child contract precisely so
+    // EnsureRequirements inserts ordinary shuffle exchanges that AQE
+    // then re-plans at runtime; after execution the final adaptive plan
+    // must show materialized ShuffleQueryStages feeding the custom node
+    // through AQEShuffleRead (coalesced at this tiny SF) — proof the
+    // custom operator did NOT opt its inputs out of adaptive execution
+    val df = SparkEntry.queries("join_range_exec")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
+    assert(p.contains("RangeJoin "), p)
+    assert(p.contains("ShuffleQueryStage"), p)
+    assert(p.contains("AQEShuffleRead"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
