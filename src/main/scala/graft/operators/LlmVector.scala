@@ -524,9 +524,11 @@ object LlmVector extends QueryGroup {
     * per-frame RMS energy and a silence gate — the
     * silence-trim/segmentation pass an audio ingest runs before
     * transcription (the decode stub convention: deterministic byte
-    * arithmetic stands in for PCM samples). The generator chain
-    * (ascii transform → posexplode → integer frame sums) keeps it in
-    * codegen — the multimodal_phash lesson; the silence decision is the
+    * arithmetic stands in for PCM samples). One generated row per
+    * FRAME with the Σ(b−128)² fold inside the row (round-6 rewrite:
+    * the per-char posexplode cost 2 s steady at sf0.1, this shape
+    * runs ~0.9 s) — all in codegen, the multimodal_phash lesson; the
+    * silence decision is the
     * ALL-INTEGER compare ssq < τ²·len (no float threshold can flip
     * between engines), and per-frame RMS is quantized to integer
     * micro-units via floor(x·1e6 + 0.5) — identical IEEE on both
@@ -539,13 +541,21 @@ object LlmVector extends QueryGroup {
       // an empty doc (the textBigramLm/minhashPairs guard convention);
       // the oracle's range(1, 1) is empty, so guard before exploding
       .filter(length(col("text")) >= 1)
+      // one generated row per 256-char FRAME (not per char — the r5
+      // per-char explosion cost 2 s steady at sf0.1; this shape is the
+      // same math at 1/256th the generated rows): substring slices out
+      // each frame, and the per-frame Σ(b−128)² folds INSIDE the row as
+      // an exact integer aggregate HOF — order-fixed, engine-exact, and
+      // no (doc_id, frame) shuffle at all, only the final per-doc agg
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
-        .as(Seq("pos", "b")))
-      .withColumn("frame", expr("pos div 256"))
-      .groupBy(col("doc_id"), col("frame"))
-      .agg(count(lit(1)).as("flen"),
-           sum((col("b") - 128L) * (col("b") - 128L)).as("ssq"))
+        "transform(sequence(0, (length(text) - 1) div 256), f -> substring(text, f * 256 + 1, 256))"))
+        .as(Seq("frame", "chunk")))
+      .select(col("doc_id"), col("frame"),
+        length(col("chunk")).cast(LongType).as("flen"),
+        expr("""aggregate(transform(split(chunk, ''),
+                  c -> CAST(ascii(c) AS BIGINT)),
+                  CAST(0 AS BIGINT), (acc, b) -> acc + (b - 128) * (b - 128))""")
+          .as("ssq"))
       .withColumn("urms", floor(
         sqrt(col("ssq").cast(DoubleType) / col("flen")) * 1e6 + 0.5).cast(LongType))
       .groupBy(col("doc_id"))
