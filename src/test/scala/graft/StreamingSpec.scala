@@ -147,6 +147,42 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_join watermarks evict state: late rows on BOTH sides drop") {
+    // the state-cleanup contract of the symmetric watermarked join:
+    // once both watermarks pass an interval, a late CLICK and a late
+    // PURCHASE that would each have matched must join to nothing —
+    // while the identical rows in batch mode DO match, proving the
+    // difference is watermark eviction, not the join predicate
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, tMin: Long, user: Long, typ: String, v: Double): Ev =
+      Ev(id, new java.sql.Timestamp(tMin * 60000L), user, typ, v)
+    val onTime = Seq(ev(1, 10, 1, "click", 1.0), ev(2, 11, 1, "click", 2.0),
+      ev(3, 12, 1, "click", 3.0), ev(4, 30, 1, "purchase", 0.0))
+    // advances max event time to t=600 → watermark 540 on both sides
+    val advance = Seq(ev(5, 600, 2, "click", 9.0), ev(6, 600, 2, "purchase", 9.0))
+    // both would match on-time rows (click 29 ∈ purchase-4's hour;
+    // purchase 31's hour covers clicks 10-12 and 29) — but are late
+    val late = Seq(ev(7, 29, 1, "click", 4.0), ev(8, 31, 1, "purchase", 0.0))
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.purchaseClickJoin(in.toDF())
+      .writeStream.format("memory").queryName("st_join_late")
+      .outputMode("append").start()
+    try {
+      in.addData(onTime); q.processAllAvailable()
+      assert(spark.table("st_join_late").count() == 3)
+      in.addData(advance); q.processAllAvailable()
+      in.addData(late); q.processAllAvailable()
+      assert(spark.table("st_join_late").count() == 3,
+        "late rows must be dropped by the watermark, not joined")
+    } finally q.stop()
+    // the same rows in batch: late click matches purchase 4, late
+    // purchase matches clicks 1-3 + the late click → 3 + 1 + 4
+    val batch = StreamingOps.purchaseClickJoin(batchDf(onTime ++ advance ++ late))
+    assert(batch.count() == 8, "batch run must match all 8 pairs")
+  }
+
   test("stream_tws transformWithState running max equals batch max") {
     val sp = spark
     import sp.implicits._
