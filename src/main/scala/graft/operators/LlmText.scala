@@ -841,6 +841,79 @@ object LlmText extends QueryGroup {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** Gopher-style repetition screen: per-doc fraction of bigram mass
+    * held by the single most frequent bigram, and fraction of trigram
+    * occurrences belonging to a repeated trigram — the two cheapest
+    * repetition signals a pretraining filter runs (boilerplate and
+    * looping-generator text score high on both). The keep gate uses
+    * the published-style thresholds (top-2gram ≤ 0.18, dup-3gram
+    * ≤ 0.30). Per-row bounded HOF n-gram generation feeds two
+    * (doc_id, gram)-keyed map-side-combining counts; ratios divide
+    * exact integers so the doubles (and the keep booleans) are
+    * bit-identical cross-engine. Corpus-bytes-linear; no pairwise
+    * anything — the 100 TB shape. */
+  private val textRepetition: QFn = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val big = t.select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("n")).cast(DoubleType) / sum(col("n"))).as("tb"))
+    val tri = t.select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("n") > 1L, col("n")).otherwise(0L)).cast(DoubleType)
+              / sum(col("n"))).as("dt"))
+    big.join(tri, "doc_id")
+      .select(col("doc_id"),
+        (round(col("tb"), 6) + lit(0.0)).as("top_bigram_frac"),
+        (round(col("dt"), 6) + lit(0.0)).as("dup_trigram_frac"),
+        (col("tb") <= 0.18 && col("dt") <= 0.30).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Overlapping fixed-window chunking (width 64 chars, stride 48) —
+    * the RAG/embedding-prep splitter: every doc becomes
+    * ⌈len/stride⌉ windows, consecutive windows sharing a 16-char
+    * overlap so no boundary-spanning phrase is lost. Pure generator +
+    * substring per row (one output row per window, never a per-char
+    * intermediate — the multimodal_audio_rms per-frame lesson);
+    * corpus-bytes-linear with ~1.33× write amplification, trivially
+    * partition-parallel at 100 TB. */
+  private val textChunk: QFn = (s, d) => {
+    val t = Tables.documents(s, d).filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (length(text)-1) div 48)")).as("i"))
+    t.select(col("doc_id"), col("i").cast(LongType).as("chunk_id"),
+        expr("substring(text, i*48 + 1, 64)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast(LongType))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Quality eval for the langid heuristic against the corpus's true
+    * `lang` labels — the confusion matrix + per-true-class recall
+    * share a detector deployment reports before trusting the filter
+    * (dedup_eval's posture applied to language ID). Both the
+    * prediction and the eval are one aggregation pass each; the
+    * matrix is ≤ |langs|² rows. */
+  private val textLangidEval: QFn = (s, d) => {
+    val pred = tokens(s, d)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(when(col("tok") === "the", 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1))).as("the_ratio"))
+      .select(col("lang"),
+        when(col("the_ratio") > 0.0, "en").otherwise("unk").as("pred_lang"))
+    val cm = pred.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    cm.join(tot, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (round(col("n").cast(DoubleType) / col("n_true"), 6) + lit(0.0)).as("frac_of_true"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "text_normalize" -> textNormalize,
     "text_tokens" -> textTokens,
@@ -861,6 +934,9 @@ object LlmText extends QueryGroup {
     "text_ttr" -> textTtr,
     "text_compress_ratio" -> textCompressRatio,
     "text_topk_sketch" -> textTopkSketch,
+    "text_repetition" -> textRepetition,
+    "text_chunk" -> textChunk,
+    "text_langid_eval" -> textLangidEval,
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
     "dedup_clusters" -> dedupClusters,
@@ -1039,6 +1115,48 @@ object LlmText extends QueryGroup {
                 round(the_ratio, 6) AS the_ratio,
                 (CASE WHEN the_ratio > 0.0 THEN 'en' ELSE 'unk' END) = lang AS is_match
          FROM r ORDER BY doc_id ASC NULLS FIRST""",
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+            bg AS (SELECT doc_id, t[i+1] || ' ' || t[i+2] AS g
+                   FROM t, unnest(range(len(t) - 1)) r(i)),
+            bc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+            b  AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / sum(n) AS tb
+                   FROM bc GROUP BY doc_id),
+            tg AS (SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+                   FROM t, unnest(range(len(t) - 2)) r(i)),
+            tc AS (SELECT doc_id, g, count(*) AS n FROM tg GROUP BY 1, 2),
+            tr AS (SELECT doc_id,
+                          CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+                            / sum(n) AS dt
+                   FROM tc GROUP BY doc_id)
+         SELECT b.doc_id, round(tb, 6) AS top_bigram_frac,
+                round(dt, 6) AS dup_trigram_frac,
+                (tb <= 0.18 AND dt <= 0.30) AS keep
+         FROM b JOIN tr ON b.doc_id = tr.doc_id
+         ORDER BY b.doc_id ASC NULLS FIRST""",
+    "text_chunk" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                substring(text, CAST(i*48 + 1 AS INT), 64) AS chunk,
+                CAST(length(substring(text, CAST(i*48 + 1 AS INT), 64)) AS BIGINT) AS chunk_len
+         FROM documents, unnest(range(0, (length(text)-1)//48 + 1)) r(i)
+         WHERE length(text) >= 1
+         ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""",
+    "text_langid_eval" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+                  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS DOUBLE)
+                    / len(string_split(text, ' ')) AS the_ratio
+           FROM documents),
+            p AS (SELECT lang,
+                         CASE WHEN the_ratio > 0.0 THEN 'en' ELSE 'unk' END AS pred_lang
+                  FROM r),
+            cm AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+            t AS (SELECT lang, sum(n) AS n_true FROM cm GROUP BY lang)
+         SELECT cm.lang, cm.pred_lang, cm.n,
+                round(CAST(cm.n AS DOUBLE) / t.n_true, 6) AS frac_of_true
+         FROM cm JOIN t ON cm.lang = t.lang
+         ORDER BY cm.lang ASC NULLS FIRST, pred_lang ASC NULLS FIRST""",
     "text_quality" ->
       """WITH q AS (
            SELECT doc_id,
