@@ -445,6 +445,40 @@ object Aggregates extends QueryGroup {
       .orderBy(col("event_type"))
   }
 
+  /** Pearson chi-squared independence test between event type and a
+    * value bucket (floor(value/50) → 10 buckets) — the categorical-
+    * association screen (is the value distribution the same across
+    * event types?). Observed counts, row/column marginals, and N are
+    * one contingency pass (map-side-combining groupBy over ≤ r×c
+    * cells); expected = rowtot·coltot/N divides exact integers, so
+    * every per-cell (O−E)²/E double is engine-identical, and the cell
+    * terms are nano-quantized (⌊t·10⁹+0.5⌋, the text_js_divergence
+    * device) before the final sum so the unordered reduction is
+    * integer-exact on any partitioning. Output: one row — cells, dof,
+    * chi2. */
+  private val aggChisq: QFn = (s, d) => {
+    val o = Tables.events(s, d)
+      .select(col("event_type").as("et"),
+        floor(col("value") / lit(50.0)).cast("long").as("bkt"))
+      .groupBy(col("et"), col("bkt")).agg(count(lit(1)).as("o"))
+    val rt = o.groupBy(col("et")).agg(sum(col("o")).as("rt"))
+    val ct = o.groupBy(col("bkt")).agg(sum(col("o")).as("ct"))
+    val n = o.agg(sum(col("o")).as("n"))
+    o.join(broadcast(rt), "et").join(broadcast(ct), "bkt").crossJoin(broadcast(n))
+      // rt cast to double BEFORE the product: a long·long marginal
+      // product can overflow at petabyte row counts; double·long → double
+      // is the overflow-safe spelling and DuckDB mirrors it op-for-op
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      .withColumn("ti", floor(col("term") * lit(1e9) + lit(0.5)).cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+           (countDistinct(col("et")) - 1).as("dof_r"),
+           (countDistinct(col("bkt")) - 1).as("dof_c"),
+           sum(col("ti")).as("tsum"))
+      .select(col("n_cells"), (col("dof_r") * col("dof_c")).as("dof"),
+        (round(col("tsum").cast("double") / lit(1e9), 6) + lit(0.0)).as("chi2"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -472,6 +506,7 @@ object Aggregates extends QueryGroup {
     "agg_hhi" -> aggHhi,
     "agg_benford" -> aggBenford,
     "agg_autocorr" -> aggAutocorr,
+    "agg_chisq" -> aggChisq,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -697,5 +732,23 @@ object Aggregates extends QueryGroup {
                       / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6) + 0.0
                   AS autocorr_lag1
          FROM m ORDER BY event_type ASC NULLS FIRST""",
+    "agg_chisq" ->
+      """WITH o AS (SELECT event_type AS et,
+                           CAST(floor(value / 50.0) AS BIGINT) AS bkt,
+                           count(*) AS o
+                    FROM events GROUP BY 1, 2),
+            rt AS (SELECT et, sum(o) AS rt FROM o GROUP BY et),
+            ct AS (SELECT bkt, sum(o) AS ct FROM o GROUP BY bkt),
+            nn AS (SELECT sum(o) AS n FROM o),
+            cells AS (SELECT o.et, o.bkt, o.o,
+                             CAST(rt.rt AS DOUBLE) * ct.ct / nn.n AS e
+                      FROM o JOIN rt USING (et) JOIN ct USING (bkt) CROSS JOIN nn),
+            t AS (SELECT et, bkt,
+                         CAST(floor((o - e) * (o - e) / e * 1e9 + 0.5) AS BIGINT) AS ti
+                  FROM cells)
+         SELECT count(*) AS n_cells,
+                (count(DISTINCT et) - 1) * (count(DISTINCT bkt) - 1) AS dof,
+                round(CAST(sum(ti) AS DOUBLE) / 1e9, 6) + 0.0 AS chi2
+         FROM t""",
   )
 }

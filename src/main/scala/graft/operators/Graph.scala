@@ -89,9 +89,44 @@ object Graph extends QueryGroup {
       .orderBy(col("pagerank").desc, col("nationkey"))
   }
 
+  /** Per-node triangle participation over the undirected trade graph —
+    * the clustering/cohesion kernel (third classic after degree and
+    * PageRank). Edges are symmetrized to canonical u<v pairs (self
+    * loops dropped), and triangles enumerated a<b<c by the standard
+    * two-hop join: e(a,b)⋈e(b,c)⋈e(a,c) — each triangle counted
+    * exactly once, then exploded to its three corners. Scale shape:
+    * both joins are equality shuffles on the EDGE table (never facts);
+    * at real scale the same plan runs with degree-based edge
+    * orientation (orient toward the higher-(degree,id) endpoint)
+    * which bounds the wedge fan-out by arboricity — with |V|=25 the
+    * canonical id orientation is that plan. localCheckpoint: the edge
+    * build is referenced three times. */
+  private val graphTriangles: QFn = (s, d) => {
+    val ue = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val tri = ue.select(col("u").as("a"), col("v").as("b"))
+      .join(ue.select(col("u").as("b2"), col("v").as("c")), col("b") === col("b2"))
+      .join(ue.select(col("u").as("a2"), col("v").as("c2")),
+        col("a") === col("a2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("nationkey"))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n_triangles"))
+    Tables.nation(s, d).select(col("n_nationkey").as("nationkey"), col("n_name"))
+      .join(perNode, Seq("nationkey"), "left")
+      .select(col("nationkey"), col("n_name"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("nationkey"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "graph_degree" -> graphDegree,
     "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles,
   )
 
   private val edgeCte =
@@ -145,5 +180,19 @@ object Graph extends QueryGroup {
          SELECT id AS nationkey, round(r, 6) + 0.0 AS pagerank
          FROM r3
          ORDER BY pagerank DESC NULLS LAST, nationkey ASC NULLS FIRST""",
+    "graph_triangles" ->
+      s"""WITH $edgeCte,
+            ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                   FROM e WHERE src <> dst),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM ue e1
+                    JOIN ue e2 ON e1.v = e2.u
+                    JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v),
+            pn AS (SELECT unnest([a, b, c]) AS nationkey FROM tri),
+            pc AS (SELECT nationkey, count(*) AS n_triangles FROM pn GROUP BY 1)
+         SELECT n.n_nationkey AS nationkey, n.n_name,
+                CAST(coalesce(pc.n_triangles, 0) AS BIGINT) AS n_triangles
+         FROM nation n LEFT JOIN pc ON n.n_nationkey = pc.nationkey
+         ORDER BY nationkey ASC NULLS FIRST""",
   )
 }

@@ -133,10 +133,40 @@ object SqlSurface extends QueryGroup {
       ORDER BY o_orderstatus ASC NULLS FIRST""")
   }
 
+  /** The logical-view rung of the SQL surface: CREATE OR REPLACE
+    * TEMPORARY VIEW twice (a row-level enrichment view, then an
+    * aggregate view stacked on it) and a final query against the top
+    * view — the semantic-layer workflow where curated views, not
+    * tables, are the shared vocabulary. Views are pure catalog
+    * metadata: Catalyst inlines the stack at plan time, so the final
+    * plan is identical to the hand-fused query (filter still pushed to
+    * the scan, one partial agg) and the abstraction costs nothing at
+    * scale. Oracle = the equivalent single SELECT. */
+  private val sqlView: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_src_v")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_li_net_v AS
+             SELECT l_orderkey, l_quantity,
+                    l_extendedprice * (1.0 - l_discount) AS net
+             FROM graft_li_src_v
+             WHERE l_quantity > 10""")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_li_order_v AS
+             SELECT l_orderkey, count(*) AS n_items,
+                    round(CAST(sum(CAST(net AS DECIMAL(18,6))) AS DOUBLE), 4)
+                      AS net_total
+             FROM graft_li_net_v
+             GROUP BY l_orderkey""")
+    s.sql("""SELECT l_orderkey, CAST(n_items AS BIGINT) AS n_items, net_total
+             FROM graft_li_order_v
+             WHERE n_items >= 5
+             ORDER BY net_total DESC, l_orderkey ASC
+             LIMIT 20""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
     "sql_ddl" -> sqlDdl,
     "sql_insert" -> sqlInsert,
+    "sql_view" -> sqlView,
     "sql_window" -> sqlWindow,
   )
 
@@ -173,6 +203,22 @@ object SqlSurface extends QueryGroup {
          WHERE o_totalprice >= 1000.0
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus ASC NULLS FIRST""",
+    "sql_view" ->
+      """WITH net AS (
+           SELECT l_orderkey, l_quantity,
+                  l_extendedprice * (1.0 - l_discount) AS net
+           FROM lineitem
+           WHERE l_quantity > 10),
+            ord AS (
+           SELECT l_orderkey, count(*) AS n_items,
+                  round(CAST(sum(CAST(net AS DECIMAL(18,6))) AS DOUBLE), 4)
+                    AS net_total
+           FROM net GROUP BY l_orderkey)
+         SELECT l_orderkey, CAST(n_items AS BIGINT) AS n_items, net_total
+         FROM ord
+         WHERE n_items >= 5
+         ORDER BY net_total DESC, l_orderkey ASC
+         LIMIT 20""",
     "sql_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(row_number() OVER w AS BIGINT) AS rn,

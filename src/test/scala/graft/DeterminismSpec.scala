@@ -64,6 +64,12 @@ class DeterminismSpec extends AnyFunSuite {
     "ingest_fixed_width",  // integer cents; pure string recipes
     "agg_benford",         // integer-cents digit; exact-count shares
     "agg_autocorr",        // exact decimal co-moments, closed form
+    "text_repetition",     // exact int n-gram counts; identical-int divisions
+    "text_chunk",          // pure row function (substring slices)
+    "text_langid_eval",    // exact integer confusion counts
+    "agg_chisq",           // nano-quantized int64 cell terms, exact marginals
+    "graph_triangles",     // all-integer triangle corner counts
+    "sql_view",            // decimal sums through the inlined view stack
   )
 
   private val postRounded = Seq(
