@@ -479,6 +479,76 @@ object Aggregates extends QueryGroup {
         (round(col("tsum").cast("double") / lit(1e9), 6) + lit(0.0)).as("chi2"))
   }
 
+  /** Welch two-sample t-test between click and purchase values — the
+    * A/B-test / drift significance screen. Per-type Σx and Σx² go
+    * through the exact DECIMAL(18,6) cast (the agg_linreg device), the
+    * two type rows fold to one via conditional max (order-free), and
+    * mean/variance/t/Welch-Satterthwaite df are a closed form over
+    * those identical doubles — engine-identical, no quantization
+    * needed. One contingency-free aggregation pass; nothing but six
+    * numbers crosses the final stage. */
+  private val aggTtest: QFn = (s, d) => {
+    def dsum(e: String) = sum(expr(s"CAST($e AS DECIMAL(18,6))")).cast("double")
+    val m = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("nd"),
+           dsum("value").as("sx"),
+           dsum("value * value").as("sxx"))
+    def pick(c: String, et: String) =
+      max(when(col("event_type") === et, col(c))).as(s"${c}_$et")
+    m.agg(pick("nd", "click"), pick("sx", "click"), pick("sxx", "click"),
+          pick("nd", "purchase"), pick("sx", "purchase"), pick("sxx", "purchase"))
+      .withColumn("m1", col("sx_click") / col("nd_click"))
+      .withColumn("m2", col("sx_purchase") / col("nd_purchase"))
+      .withColumn("v1", (col("nd_click") * col("sxx_click") - col("sx_click") * col("sx_click"))
+        / (col("nd_click") * (col("nd_click") - lit(1.0))))
+      .withColumn("v2", (col("nd_purchase") * col("sxx_purchase") - col("sx_purchase") * col("sx_purchase"))
+        / (col("nd_purchase") * (col("nd_purchase") - lit(1.0))))
+      .withColumn("se2", col("v1") / col("nd_click") + col("v2") / col("nd_purchase"))
+      .select(
+        col("nd_click").cast("long").as("n_click"),
+        col("nd_purchase").cast("long").as("n_purchase"),
+        (round(col("m1") - col("m2"), 6) + lit(0.0)).as("mean_diff"),
+        (round((col("m1") - col("m2")) / sqrt(col("se2")), 6) + lit(0.0)).as("t_stat"),
+        (round(col("se2") * col("se2")
+          / ((col("v1") / col("nd_click")) * (col("v1") / col("nd_click")) / (col("nd_click") - lit(1.0))
+           + (col("v2") / col("nd_purchase")) * (col("v2") / col("nd_purchase")) / (col("nd_purchase") - lit(1.0))), 2)
+          + lit(0.0)).as("df_welch"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the click and
+    * purchase value distributions on a centi-unit grid — the
+    * distribution-drift screen (is this batch's value distribution the
+    * same as the reference batch's?). Values quantize to integer
+    * centi-buckets (⌊v·100⌋, ≤ ~60k grid points), per-bucket type
+    * counts come from ONE map-side-combining groupBy, and the CDF gap
+    * is the all-integer |c1·n2 − c2·n1| maximized over buckets — a
+    * single bounded-width window over the AGGREGATED grid (never the
+    * raw rows), then one closing division. Grid KS equals exact KS
+    * evaluated at grid boundaries; max error is the largest
+    * within-bucket probability mass (≤1e-2-quantile scale here).
+    * Every intermediate is int64, so any partitioning yields the
+    * identical answer. */
+  private val aggKs: QFn = (s, d) => {
+    val b = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(floor(col("value") * lit(100.0)).cast("long").as("bkt"), col("event_type"))
+      .groupBy(col("bkt"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt")).rowsBetween(Long.MinValue, 0)
+    val n = b.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    b.select(col("bkt"), sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))
+      .crossJoin(broadcast(n))
+      .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("dnum"),
+           max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"),
+        (round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double"), 6)
+          + lit(0.0)).as("ks_stat"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -507,6 +577,8 @@ object Aggregates extends QueryGroup {
     "agg_benford" -> aggBenford,
     "agg_autocorr" -> aggAutocorr,
     "agg_chisq" -> aggChisq,
+    "agg_ttest" -> aggTtest,
+    "agg_ks" -> aggKs,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -750,5 +822,61 @@ object Aggregates extends QueryGroup {
                 (count(DISTINCT et) - 1) * (count(DISTINCT bkt) - 1) AS dof,
                 round(CAST(sum(ti) AS DOUBLE) / 1e9, 6) + 0.0 AS chi2
          FROM t""",
+    "agg_ttest" ->
+      """WITH m AS (
+           SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY event_type),
+            p AS (
+           SELECT max(CASE WHEN event_type = 'click' THEN nd END) AS nd1,
+                  max(CASE WHEN event_type = 'click' THEN sx END) AS sx1,
+                  max(CASE WHEN event_type = 'click' THEN sxx END) AS sxx1,
+                  max(CASE WHEN event_type = 'purchase' THEN nd END) AS nd2,
+                  max(CASE WHEN event_type = 'purchase' THEN sx END) AS sx2,
+                  max(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx2
+           FROM m),
+            c AS (
+           SELECT nd1, nd2, sx1 / nd1 AS m1, sx2 / nd2 AS m2,
+                  (nd1 * sxx1 - sx1 * sx1) / (nd1 * (nd1 - 1.0)) AS v1,
+                  (nd2 * sxx2 - sx2 * sx2) / (nd2 * (nd2 - 1.0)) AS v2
+           FROM p),
+            e AS (SELECT nd1, nd2, m1, m2, v1, v2,
+                         v1 / nd1 + v2 / nd2 AS se2 FROM c)
+         SELECT CAST(nd1 AS BIGINT) AS n_click,
+                CAST(nd2 AS BIGINT) AS n_purchase,
+                round(m1 - m2, 6) + 0.0 AS mean_diff,
+                round((m1 - m2) / sqrt(se2), 6) + 0.0 AS t_stat,
+                round(se2 * se2 / ((v1 / nd1) * (v1 / nd1) / (nd1 - 1.0)
+                                 + (v2 / nd2) * (v2 / nd2) / (nd2 - 1.0)), 2)
+                  + 0.0 AS df_welch
+         FROM e""",
+    "agg_ks" ->
+      """WITH b AS (
+           SELECT CAST(floor(value * 100.0) AS BIGINT) AS bkt,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c2
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+            f AS (SELECT bkt,
+                         CAST(sum(c1) OVER (ORDER BY bkt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS f1,
+                         CAST(sum(c2) OVER (ORDER BY bkt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS f2
+                  FROM b),
+            n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2 FROM b)
+         SELECT n1, n2,
+                round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+                  + 0.0 AS ks_stat
+         FROM f CROSS JOIN n
+         GROUP BY n1, n2""",
   )
 }

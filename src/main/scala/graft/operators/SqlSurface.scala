@@ -162,10 +162,60 @@ object SqlSurface extends QueryGroup {
              LIMIT 20""")
   }
 
+  /** MERGE-INTO emulation for plain parquet — the upsert recipe every
+    * non-ACID parquet shop actually runs (no Delta/Iceberg in the
+    * sandbox, and none needed for the semantics): target snapshot
+    * (CTAS, customers with key%4≠0), an updates batch (even keys, bal
+    * +50 — covering matched-update, not-matched-insert, and untouched
+    * rows in one shot), staged merge (updates ∪ target ANTI JOIN
+    * updates — each side one equality shuffle, no driver rows), then
+    * `INSERT OVERWRITE` of the target from the STAGING table. The
+    * stage/overwrite split is the point: Spark (correctly) refuses to
+    * overwrite a table it is reading in the same statement, so the
+    * production shape is stage → atomic swap, and that is what a MERGE
+    * compiles to on file tables anyway. Oracle derives the expected
+    * post-merge state independently from `customer` (even → updated,
+    * odd → base, key%4=0∧odd → absent — vacuous — so all three MERGE
+    * branches are pinned). bal stays a raw double: both engines add
+    * the same two IEEE doubles, bit-identical without rounding. */
+  private val sqlMerge: QFn = (s, d) => {
+    val locT = s"${Tables.scratchDir}/catalog/cust_merge_t"
+    val locS = s"${Tables.scratchDir}/catalog/cust_merge_s"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    s.sql("DROP TABLE IF EXISTS graft_cust_merge_t")
+    s.sql("DROP TABLE IF EXISTS graft_cust_merge_s")
+    rmrf(new java.io.File(locT)); rmrf(new java.io.File(locS))
+    Tables.customer(s, d).createOrReplaceTempView("graft_cust_src_v")
+    s.sql(s"""CREATE TABLE graft_cust_merge_t
+              USING parquet LOCATION '$locT'
+              AS SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal
+                 FROM graft_cust_src_v WHERE c_custkey % 4 <> 0""")
+    s.sql(s"""CREATE TABLE graft_cust_merge_s
+              USING parquet LOCATION '$locS'
+              AS WITH upd AS (SELECT c_custkey AS key, c_name AS name,
+                                     c_acctbal + 50.0 AS bal
+                              FROM graft_cust_src_v WHERE c_custkey % 2 = 0)
+                 SELECT key, name, bal FROM upd
+                 UNION ALL
+                 SELECT t.key, t.name, t.bal
+                 FROM graft_cust_merge_t t
+                 LEFT ANTI JOIN upd ON t.key = upd.key""")
+    s.sql("""INSERT OVERWRITE TABLE graft_cust_merge_t
+             SELECT key, name, bal FROM graft_cust_merge_s""")
+    s.sql("""SELECT key, name, bal
+             FROM graft_cust_merge_t
+             WHERE key <= 300
+             ORDER BY key ASC NULLS FIRST""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
     "sql_ddl" -> sqlDdl,
     "sql_insert" -> sqlInsert,
+    "sql_merge" -> sqlMerge,
     "sql_view" -> sqlView,
     "sql_window" -> sqlWindow,
   )
@@ -203,6 +253,14 @@ object SqlSurface extends QueryGroup {
          WHERE o_totalprice >= 1000.0
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus ASC NULLS FIRST""",
+    "sql_merge" ->
+      """SELECT c_custkey AS key, c_name AS name,
+                CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 50.0
+                     ELSE c_acctbal END AS bal
+         FROM customer
+         WHERE (c_custkey % 2 = 0 OR c_custkey % 4 <> 0)
+           AND c_custkey <= 300
+         ORDER BY key ASC NULLS FIRST""",
     "sql_view" ->
       """WITH net AS (
            SELECT l_orderkey, l_quantity,

@@ -241,6 +241,29 @@ object Windows extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** Ratio-to-report + partitioned cume_dist: each order's share of its
+    * customer's total spend (the classic `ratio_to_report` spelling —
+    * partition-total via an unordered window sum over the DECIMAL cast,
+    * then one division) and its cumulative-distribution position within
+    * the customer under a fully tie-broken (price, orderkey) order.
+    * Both windows hash-partition by customer — no global ordering
+    * anywhere, so the shape scales with the key cardinality. Customer
+    * subset keeps the declared output bounded; the window math is
+    * identical for any slice. */
+  private val winShare: QFn = (s, d) => {
+    val src = Tables.orders(s, d).filter(col("o_custkey") <= 400)
+    val wTot = Window.partitionBy(col("o_custkey"))
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    src
+      .withColumn("tot",
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).over(wTot).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (round(col("o_totalprice") / col("tot"), 6) + lit(0.0)).as("share"),
+        (round(cume_dist().over(wOrd), 6) + lit(0.0)).as("cd"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "win_rank" -> winRank,
     "win_lag_lead" -> winLagLead,
@@ -254,6 +277,7 @@ object Windows extends QueryGroup {
     "win_streak" -> winStreak,
     "win_ewma" -> winEwma,
     "win_drawdown" -> winDrawdown,
+    "win_share" -> winShare,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -370,5 +394,17 @@ object Windows extends QueryGroup {
                 CAST(sum(len) AS BIGINT) AS n_active_days
          FROM st GROUP BY user_id
          ORDER BY user_id ASC NULLS FIRST""",
+    "win_share" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                round(o_totalprice /
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                           OVER (PARTITION BY o_custkey) AS DOUBLE), 6)
+                  + 0.0 AS share,
+                round(cume_dist() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice ASC, o_orderkey ASC), 6)
+                  + 0.0 AS cd
+         FROM orders
+         WHERE o_custkey <= 400
+         ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""",
   )
 }

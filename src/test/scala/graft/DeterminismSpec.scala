@@ -70,6 +70,10 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_chisq",           // nano-quantized int64 cell terms, exact marginals
     "graph_triangles",     // all-integer triangle corner counts
     "sql_view",            // decimal sums through the inlined view stack
+    "agg_ttest",           // exact decimal moments, closed-form Welch t
+    "agg_ks",              // all-int64 grid CDF gap, one closing division
+    "win_share",           // decimal partition totals; tie-broken cume_dist
+    "sql_merge",           // row-level merged state, IEEE-exact bal update
   )
 
   private val postRounded = Seq(
