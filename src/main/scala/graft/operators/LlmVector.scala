@@ -752,6 +752,55 @@ object LlmVector extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame-level near-dup detection ACROSS documents — the video/image
+    * segment-dedup shape (find the shared intro/boilerplate frames
+    * before paying for per-pair compares): each blob splits into
+    * non-overlapping 64-byte frames (ragged tail dropped so every
+    * frame is exactly 64 bytes), each frame gets a 32-bit perceptual
+    * signature (32 blocks of 2 bytes; bit = block sum above the frame
+    * mean, spelled as the all-integer cross-multiplication
+    * bsum·32 > ts — the multimodal_phash rule applied per frame), and
+    * frames sharing a signature across ≥2 distinct docs are dup
+    * candidates. Per-doc rollup: frame count, dup-frame count,
+    * dup fraction. Scale shape: ONE posexplode generator (codegen) →
+    * two partial-aggregating groupBys collapse chars → blocks →
+    * frames before any data-sized shuffle; the bucket join is an
+    * equality join on the signature (broadcast here — at corpus scale
+    * it shuffles on sig, the LSH-bucket shape, never all-pairs).
+    * Decode stub convention: text bytes stand in for pixels. */
+  private val multimodalFrameDedup: QFn = (s, d) => {
+    val blocks = Tables.documents(s, d)
+      .filter(length(col("text")) >= 64L)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        posexplode(split(col("text"), "")))
+      .filter(col("pos") < expr("(n div 64) * 64"))
+      .select(col("doc_id"),
+        expr("CAST(pos AS BIGINT) div 64").as("frame_no"),
+        expr("(CAST(pos AS BIGINT) % 64) div 2").as("blk"),
+        ascii(col("col")).cast("long").as("v"))
+      .groupBy(col("doc_id"), col("frame_no"), col("blk"))
+      .agg(sum(col("v")).as("bsum"))
+    val sig = blocks
+      .groupBy(col("doc_id"), col("frame_no"))
+      .agg(sum(col("bsum")).as("ts"),
+           collect_list(struct(col("blk"), col("bsum"))).as("bl"))
+      .select(col("doc_id"), col("frame_no"), expr(
+        """aggregate(bl, CAST(0 AS BIGINT), (acc, s) ->
+             acc + IF(s.bsum * 32 > ts,
+                      shiftleft(CAST(1 AS BIGINT), CAST(s.blk AS INT)),
+                      CAST(0 AS BIGINT)))""").as("sig"))
+    val buckets = sig.groupBy(col("sig"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    sig.join(broadcast(buckets), "sig")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).as("n_dup_frames"))
+      .select(col("doc_id"), col("n_frames"), col("n_dup_frames"),
+        (round(col("n_dup_frames").cast("double") / col("n_frames"), 6)
+          + lit(0.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** documents⨝embeddings (doc_id=vec_id): correlation of text length vs
     * embedding L2 norm per label. */
   private val multimodalJoin: QFn = (s, d) => {
@@ -787,6 +836,7 @@ object LlmVector extends QueryGroup {
     "multimodal_audio_rms" -> multimodalAudioRms,
     "multimodal_resize" -> multimodalResize,
     "multimodal_phash" -> multimodalPhash,
+    "multimodal_frame_dedup" -> multimodalFrameDedup,
     "multimodal_join" -> multimodalJoin,
   )
 
@@ -994,6 +1044,39 @@ object LlmVector extends QueryGroup {
                    GROUP BY blk.doc_id)
          SELECT doc_id, sig, count(*) OVER (PARTITION BY sig) AS n_same_sig
          FROM sg ORDER BY doc_id ASC NULLS FIRST""",
+    "multimodal_frame_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, '') AS ch,
+                           CAST(length(text) AS BIGINT) AS n
+                    FROM documents WHERE length(text) >= 64),
+            x AS (SELECT doc_id, n,
+                         CAST(unnest(range(len(ch))) AS BIGINT) AS pos,
+                         ascii(unnest(ch)) AS v
+                  FROM t),
+            blk AS (SELECT doc_id, pos // 64 AS frame_no,
+                           (pos % 64) // 2 AS blk,
+                           CAST(sum(v) AS BIGINT) AS bsum
+                    FROM x WHERE pos < (n // 64) * 64
+                    GROUP BY doc_id, pos // 64, (pos % 64) // 2),
+            fr AS (SELECT doc_id, frame_no, CAST(sum(bsum) AS BIGINT) AS ts
+                   FROM blk GROUP BY doc_id, frame_no),
+            sg AS (SELECT blk.doc_id, blk.frame_no,
+                          CAST(sum(CASE WHEN bsum * 32 > ts
+                                        THEN CAST(1 AS BIGINT) << blk
+                                        ELSE 0 END) AS BIGINT) AS sig
+                   FROM blk JOIN fr ON blk.doc_id = fr.doc_id
+                                   AND blk.frame_no = fr.frame_no
+                   GROUP BY blk.doc_id, blk.frame_no),
+            bu AS (SELECT sig, count(DISTINCT doc_id) AS n_docs
+                   FROM sg GROUP BY sig)
+         SELECT sg.doc_id,
+                count(*) AS n_frames,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_frames,
+                round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) + 0.0 AS dup_frac
+         FROM sg JOIN bu ON sg.sig = bu.sig
+         GROUP BY sg.doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
     "multimodal_frames" ->
       """WITH f AS (
            SELECT doc_id, CAST(i AS BIGINT) AS frame_no,

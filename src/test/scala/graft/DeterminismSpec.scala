@@ -74,6 +74,7 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_ks",              // all-int64 grid CDF gap, one closing division
     "win_share",           // decimal partition totals; tie-broken cume_dist
     "sql_merge",           // row-level merged state, IEEE-exact bal update
+    "multimodal_frame_dedup", // all-integer frame sigs and bucket counts
   )
 
   private val postRounded = Seq(
