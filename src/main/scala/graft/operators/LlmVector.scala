@@ -767,7 +767,16 @@ object LlmVector extends QueryGroup {
     * frames before any data-sized shuffle; the bucket join is an
     * equality join on the signature (broadcast here — at corpus scale
     * it shuffles on sig, the LSH-bucket shape, never all-pairs).
-    * Decode stub convention: text bytes stand in for pixels. */
+    * Decode stub convention: text bytes stand in for pixels.
+    *
+    * Measured negative result (round 6): the audio_rms per-frame
+    * generator rewrite (one row per frame, signature folded in-row via
+    * aggregate(sequence(0,31)) + element_at into a bytes array) ran
+    * 33 s steady vs this shape's 1.9 s at sf0.1 — CollapseProject
+    * inlines the bytes/ts projections into the CodegenFallback HOF, so
+    * transform(split(chunk)) re-evaluates per element_at, O(64²)
+    * interpreted work per frame. The explode→partial-agg pipeline
+    * stays in codegen and wins; do not "optimize" this back. */
   private val multimodalFrameDedup: QFn = (s, d) => {
     val blocks = Tables.documents(s, d)
       .filter(length(col("text")) >= 64L)
