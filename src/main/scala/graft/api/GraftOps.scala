@@ -339,4 +339,90 @@ object GraftOps {
           floor((x - lo) / scale + 0.5).cast(LongType)))))
     struct(lo.as("lo"), hi.as("hi"), scale.as("qscale"), q.as("q"))
   }
+
+  /** Two-sample grid Kolmogorov–Smirnov distance — agg_ks's
+    * construction over caller columns (the distribution-drift screen):
+    * `value` quantizes to an integer grid (⌊v·scale⌋), per-bucket class
+    * counts come from ONE map-side-combining pass, and the CDF gap is
+    * the all-int64 `max|c1·n2 − c2·n1|` over the AGGREGATED grid (a
+    * single bounded window, never the raw rows), then one closing
+    * division. One row: n1, n2, ks_stat. Grid KS equals exact KS at
+    * grid boundaries; max error is the largest within-bucket mass. */
+  def ksDistance(df: DataFrame, group: Column, value: Column,
+                 a: String, b: String, scale: Double = 100.0): DataFrame = {
+    val bkt = df.filter(group.isin(a, b))
+      .select(floor(value * lit(scale)).cast(LongType).as("bkt"), group.as("g"))
+      .groupBy(col("bkt"))
+      .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("c1"),
+           sum(when(col("g") === b, 1L).otherwise(0L)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt")).rowsBetween(Long.MinValue, 0)
+    val n = bkt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    bkt.select(col("bkt"),
+        sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))
+      .crossJoin(broadcast(n))
+      .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("dnum"),
+           max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"),
+        (round(col("dnum").cast(DoubleType)
+               / (col("n1") * col("n2")).cast(DoubleType), 6)
+          + lit(0.0)).as("ks_stat"))
+  }
+
+  /** Welch two-sample t-test — agg_ttest's construction over caller
+    * columns (the A/B / drift significance screen): per-class Σx, Σx²
+    * through the exact DECIMAL(18,6) cast, conditional-max fold to one
+    * row, closed-form t and Welch–Satterthwaite df on identical
+    * doubles. One row: n_a, n_b, mean_diff, t_stat, df_welch. */
+  def welchT(df: DataFrame, group: Column, value: Column,
+             a: String, b: String): DataFrame = {
+    val m = df.filter(group.isin(a, b))
+      .select(group.as("g"), value.cast(DoubleType).as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast(DoubleType).as("nd"),
+           sum(expr("CAST(x AS DECIMAL(18,6))")).cast(DoubleType).as("sx"),
+           sum(expr("CAST(x * x AS DECIMAL(18,6))")).cast(DoubleType).as("sxx"))
+    def pick(c: String, g: String, as: String) =
+      max(when(col("g") === g, col(c))).as(as)
+    m.agg(pick("nd", a, "nd1"), pick("sx", a, "sx1"), pick("sxx", a, "sxx1"),
+          pick("nd", b, "nd2"), pick("sx", b, "sx2"), pick("sxx", b, "sxx2"))
+      .withColumn("m1", col("sx1") / col("nd1"))
+      .withColumn("m2", col("sx2") / col("nd2"))
+      .withColumn("v1", (col("nd1") * col("sxx1") - col("sx1") * col("sx1"))
+        / (col("nd1") * (col("nd1") - lit(1.0))))
+      .withColumn("v2", (col("nd2") * col("sxx2") - col("sx2") * col("sx2"))
+        / (col("nd2") * (col("nd2") - lit(1.0))))
+      .withColumn("se2", col("v1") / col("nd1") + col("v2") / col("nd2"))
+      .select(
+        col("nd1").cast(LongType).as("n_a"),
+        col("nd2").cast(LongType).as("n_b"),
+        (round(col("m1") - col("m2"), 6) + lit(0.0)).as("mean_diff"),
+        (round((col("m1") - col("m2")) / sqrt(col("se2")), 6) + lit(0.0)).as("t_stat"),
+        (round(col("se2") * col("se2")
+          / ((col("v1") / col("nd1")) * (col("v1") / col("nd1")) / (col("nd1") - lit(1.0))
+           + (col("v2") / col("nd2")) * (col("v2") / col("nd2")) / (col("nd2") - lit(1.0))), 2)
+          + lit(0.0)).as("df_welch"))
+  }
+
+  /** Per-node triangle participation — graph_triangles' construction
+    * over an arbitrary edge list: symmetrize to canonical u<v pairs
+    * (self-loops dropped), enumerate a<b<c via the two-hop equality
+    * joins (each triangle once), explode to corners. Returns
+    * (node, n_triangles) for nodes in ≥1 triangle — left-join onto the
+    * vertex set for zero rows. Edge list localCheckpointed once (three
+    * references). */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val ue = edges.select(src.as("tc_s"), dst.as("tc_d"))
+      .filter(col("tc_s") =!= col("tc_d"))
+      .select(least(col("tc_s"), col("tc_d")).as("u"),
+              greatest(col("tc_s"), col("tc_d")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    ue.select(col("u").as("a"), col("v").as("b"))
+      .join(ue.select(col("u").as("b2"), col("v").as("c")), col("b") === col("b2"))
+      .join(ue.select(col("u").as("a2"), col("v").as("c2")),
+        col("a") === col("a2") && col("c") === col("c2"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -272,4 +272,28 @@ class ApiSpec extends AnyFunSuite {
     assert(ivfCold == ivfBefore, "IVF cold rebuild diverged")
     assert(new java.io.File(s"$ann/_DONE").exists(), "IVF marker not rewritten")
   }
+
+  test("ksDistance matches agg_ks on events") {
+    val api = GraftOps.ksDistance(Tables.events(spark, sf),
+      col("event_type"), col("value"), "click", "purchase")
+    assert(rows(api) == rows(SparkEntry.queries("agg_ks")(spark, sf)))
+  }
+
+  test("welchT matches agg_ttest on events") {
+    val api = GraftOps.welchT(Tables.events(spark, sf),
+      col("event_type"), col("value"), "click", "purchase")
+    assert(rows(api) == rows(SparkEntry.queries("agg_ttest")(spark, sf)))
+  }
+
+  test("triangleCounts matches graph_triangles on the trade graph") {
+    val e = operators.Graph.tradeEdges(spark, sf)
+    val api = Tables.nation(spark, sf)
+      .select(col("n_nationkey").as("nationkey"), col("n_name"))
+      .join(GraftOps.triangleCounts(e, col("src"), col("dst"))
+              .withColumnRenamed("node", "nationkey"),
+            Seq("nationkey"), "left")
+      .select(col("nationkey"), col("n_name"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    assert(rows(api) == rows(SparkEntry.queries("graph_triangles")(spark, sf)))
+  }
 }
