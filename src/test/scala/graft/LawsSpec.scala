@@ -482,4 +482,40 @@ class LawsSpec extends AnyFunSuite {
     assert(r.getDouble(1) <= 1.0 + 25 * 1e-6 && r.getDouble(1) >= 0.15 - 1e-4,
       s"mass out of range: ${r.getDouble(1)}")
   }
+
+  test("KS distance of a distribution against itself is exactly zero") {
+    // c1 == c2 in every grid bucket when both classes are the same
+    // label, so the all-integer CDF gap is identically 0 — any nonzero
+    // value would mean the fold itself leaks partitioning noise
+    val r = graft.api.GraftOps.ksDistance(Tables.events(spark, sf),
+      col("event_type"), col("value"), "click", "click").head()
+    assert(r.getDouble(2) == 0.0, r.toString)
+  }
+
+  test("triangle corner counts sum to a multiple of 3") {
+    // every triangle contributes exactly its 3 corners — a sum not
+    // divisible by 3 would mean a triangle was counted asymmetrically
+    val total = SparkEntry.queries("graph_triangles")(spark, sf)
+      .agg(sum(col("n_triangles"))).head().getLong(0)
+    assert(total % 3 == 0, s"corner sum $total not divisible by 3")
+  }
+
+  test("docs sharing an identical first frame are flagged as dup candidates") {
+    // the near-dup fixture docs share long prefixes: two docs with the
+    // same first 64 chars produce byte-identical frame 0 → identical
+    // signatures → that bucket spans >= 2 docs → BOTH docs must report
+    // n_dup_frames >= 1 (recall direction of the LSH-bucket contract;
+    // precision is the verify pass's job, not the bucketer's)
+    val twins = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 64)
+      .groupBy(substring(col("text"), 1, 64).as("p"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+    val fd = SparkEntry.queries("multimodal_frame_dedup")(spark, sf)
+    val covered = fd.join(twins, "doc_id").count()
+    val bad = fd.join(twins, "doc_id").filter(col("n_dup_frames") < 1).count()
+    assert(covered > 0, "fixture should contain prefix-twin docs >= 64 chars")
+    assert(bad == 0, s"$bad prefix-twin docs with zero flagged frames")
+  }
 }
