@@ -237,4 +237,46 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
+
+  /** Per-window population-stability-index drift monitor — the
+    * streaming twin of the agg_ks/agg_chisq batch screens and the shape
+    * a production ingest runs to catch distribution drift as data
+    * lands: values bucket to the coarse agg_chisq grid (⌊v/50⌋), ONE
+    * watermarked windowed count per (window, bucket), then a second
+    * stateful aggregation per window folds the buckets to
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) against the caller's reference
+    * distribution (chained event-time aggregations in append mode —
+    * the multiple-stateful-operator support added in Spark 3.4).
+    * `refProb` must be smoothed the same way the window side smooths
+    * ((n_b + ½)/(tot + ½k), Laplace) and cover the expected bucket
+    * domain — window mass in buckets outside it still counts in `tot`
+    * but contributes no term (document drift outside the reference
+    * domain shows up in the covered buckets' deficit). Every term is
+    * (p−q)ln(p/q) ≥ 0, so psi ≥ 0 by construction; the fold iterates
+    * the SORTED literal bucket array, so term order is fixed and the
+    * result engine/partitioning-deterministic. State per window is k
+    * bucket counts — bounded by watermark horizon × grid size. */
+  def driftPsi(events: DataFrame, refProb: Map[Long, Double]): DataFrame = {
+    val refKeys = refProb.keys.toSeq.sorted
+    val k = refKeys.length
+    require(k > 0, "reference distribution must be non-empty")
+    val refMap = map(refKeys.flatMap(b => Seq(lit(b), lit(refProb(b)))): _*)
+    val refArr = array(refKeys.map(lit(_)): _*)
+    events
+      .withWatermark("ts_us", "1 hour")
+      .select(col("ts_us"),
+        floor(col("value") / lit(50.0)).cast("long").as("bkt"))
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("w"))
+      .agg(sum(col("n")).as("tot"),
+           map_from_entries(collect_list(struct(col("bkt"), col("n")))).as("wm"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"), col("tot"),
+        (round(aggregate(refArr, lit(0.0), (acc, b) => {
+          val p = (coalesce(element_at(col("wm"), b), lit(0L)).cast("double")
+                    + lit(0.5)) / (col("tot").cast("double") + lit(0.5 * k))
+          val q = element_at(refMap, b)
+          acc + (p - q) * log(p / q)
+        }), 6) + lit(0.0)).as("psi"))
+  }
 }

@@ -375,4 +375,34 @@ class StreamingSpec extends AnyFunSuite {
     assertEquivalent(finals, exp, Seq("user_id", "n"), Seq("total"))
     q.stop()
   }
+
+  test("stream_drift per-window PSI equals batch and is non-negative") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference = the whole fixture's bucket distribution, smoothed the
+    // same way the window side smooths ((n+0.5)/(tot+0.5k))
+    val refCounts = batchDf(evs)
+      .select(floor(col("value") / 50.0).cast("long").as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = refCounts.values.sum.toDouble
+    val k = refCounts.size
+    val refProb = refCounts.map { case (b, n) => b -> (n + 0.5) / (tot + 0.5 * k) }
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.driftPsi(in.toDF(), refProb)
+      .writeStream.format("memory").queryName("st_drift")
+      .outputMode("append").start()
+    in.addData(evs.take(500)); q.processAllAvailable()
+    in.addData(evs.drop(500)); q.processAllAvailable()
+    // sentinel beyond every real window + watermark closes them all
+    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
+    in.addData(Seq(sentinel)); q.processAllAvailable()
+    val got = spark.table("st_drift")
+    val exp = StreamingOps.driftPsi(batchDf(evs), refProb)
+    assertEquivalent(got, exp, Seq("bucket_s", "tot"), Seq("psi"))
+    // PSI law: every term (p-q)ln(p/q) >= 0, so psi >= 0 always
+    assert(got.filter(col("psi") < 0.0).count() == 0, "negative PSI")
+    q.stop()
+  }
 }
