@@ -549,6 +549,41 @@ object Aggregates extends QueryGroup {
           + lit(0.0)).as("ks_stat"))
   }
 
+  /** Population stability index between the first and second time
+    * halves of the event stream — the batch spelling of the
+    * stream_drift monitor (and the third drift screen after agg_ks /
+    * agg_chisq; PSI is the one production scorecards actually track).
+    * The time split is the all-integer midpoint mn + (mx−mn) div 2
+    * (overflow-safe on ns epochs), bucket counts for both halves come
+    * from ONE map-side-combining groupBy with conditional sums, both
+    * sides Laplace-smooth identically ((c+½)/(tot+½k)), and each
+    * bucket's (p−q)·ln(p/q) term — nonnegative by construction — is
+    * pico-quantized (⌊t·10¹²+0.5⌋, the agg_chisq device) before the
+    * unordered fold so partitioning cannot reorder a float sum. */
+  private val aggPsi: QFn = (s, d) => {
+    val ev = Tables.events(s, d).select(col("ts"), col("value"))
+    val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val counts = ev.crossJoin(broadcast(mm))
+      .select(floor(col("value") / lit(50.0)).cast("long").as("bkt"),
+              (col("ts") < expr("mn + (mx - mn) div 2")).as("is_ref"))
+      .groupBy(col("bkt"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("rn"),
+           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cn"))
+    val tot = counts.agg(sum(col("rn")).as("nr"), sum(col("cn")).as("nc"),
+                         count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("cn").cast("double") + lit(0.5))
+        / (col("nc").cast("double") + lit(0.5) * col("k")))
+      .withColumn("q", (col("rn").cast("double") + lit(0.5))
+        / (col("nr").cast("double") + lit(0.5) * col("k")))
+      .withColumn("ti", floor((col("p") - col("q")) * log(col("p") / col("q"))
+        * lit(1e12) + lit(0.5)).cast("long"))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+           max(col("k")).as("n_buckets"), sum(col("ti")).as("tsum"))
+      .select(col("n_ref"), col("n_cur"), col("n_buckets"),
+        (round(col("tsum").cast("double") / lit(1e12), 6) + lit(0.0)).as("psi"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -579,6 +614,7 @@ object Aggregates extends QueryGroup {
     "agg_chisq" -> aggChisq,
     "agg_ttest" -> aggTtest,
     "agg_ks" -> aggKs,
+    "agg_psi" -> aggPsi,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -878,5 +914,33 @@ object Aggregates extends QueryGroup {
                   + 0.0 AS ks_stat
          FROM f CROSS JOIN n
          GROUP BY n1, n2""",
+    "agg_psi" ->
+      """WITH mm AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+                     FROM events),
+            b AS (SELECT CAST(floor(value / 50.0) AS BIGINT) AS bkt,
+                         (epoch_ns(ts) < mn + (mx - mn) // 2) AS is_ref
+                  FROM events CROSS JOIN mm),
+            c AS (SELECT bkt,
+                         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                              AS BIGINT) AS rn,
+                         CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                              AS BIGINT) AS cn
+                  FROM b GROUP BY bkt),
+            t AS (SELECT CAST(sum(rn) AS BIGINT) AS nr,
+                         CAST(sum(cn) AS BIGINT) AS nc,
+                         count(*) AS k FROM c),
+            x AS (SELECT nr, nc, k,
+                         (CAST(cn AS DOUBLE) + 0.5)
+                           / (CAST(nc AS DOUBLE) + 0.5 * k) AS p,
+                         (CAST(rn AS DOUBLE) + 0.5)
+                           / (CAST(nr AS DOUBLE) + 0.5 * k) AS q
+                  FROM c CROSS JOIN t),
+            y AS (SELECT nr, nc, k,
+                         CAST(floor((p - q) * ln(p / q) * 1e12 + 0.5)
+                              AS BIGINT) AS ti
+                  FROM x)
+         SELECT max(nr) AS n_ref, max(nc) AS n_cur, max(k) AS n_buckets,
+                round(CAST(sum(ti) AS DOUBLE) / 1e12, 6) + 0.0 AS psi
+         FROM y""",
   )
 }

@@ -75,6 +75,7 @@ class DeterminismSpec extends AnyFunSuite {
     "win_share",           // decimal partition totals; tie-broken cume_dist
     "sql_merge",           // row-level merged state, IEEE-exact bal update
     "multimodal_frame_dedup", // all-integer frame sigs and bucket counts
+    "agg_psi",             // pico-quantized int64 PSI terms, exact counts
   )
 
   private val postRounded = Seq(
