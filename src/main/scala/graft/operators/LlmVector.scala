@@ -107,6 +107,48 @@ object LlmVector extends QueryGroup {
     path
   }
 
+  /** Incremental ANN index maintenance — the dedup_incremental posture
+    * applied to the vector index (the production ingest shape: vectors
+    * keep arriving, the index must absorb them WITHOUT a refit): a new
+    * batch (synthesized deterministically — the first 50 corpus
+    * vectors, dim 0 shifted +0.25, re-keyed +1_000_000) is assigned to
+    * its nearest EXISTING persisted centroid via a broadcast of the
+    * bounded k×d fit, and appended as a delta cell store beside the
+    * base cells. Cost scales with the batch; the corpus is never
+    * re-read. Declared output: per-cell base/delta posting counts
+    * (full outer — an empty base or delta cell must still show).
+    * No oracle (depends on the iterative k-means fit); VectorSpec
+    * laws: an upserted vector is its own exact top-1 in the combined
+    * base∪delta index, and delta postings conserve the batch size. */
+  private val annUpsert: QFn = (s, d) => {
+    val path = ensureAnnIndex(s, d)
+    val batch = Tables.embeddings(s, d).filter(col("vec_id") < 50L)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, CAST(x + 0.25 AS FLOAT), x))")
+          .as("embedding"))
+    val cents = s.read.parquet(s"$path/centroids")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c").desc, col("cell"))
+    val assigned = batch.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("centroid"), col("embedding")).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/delta_cells")
+    val base = s.read.parquet(s"$path/cells")
+      .groupBy(col("cell").cast(IntegerType).as("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val delta = s.read.parquet(s"$path/delta_cells")
+      .groupBy(col("cell").cast(IntegerType).as("cell"))
+      .agg(count(lit(1)).as("n_new"))
+    base.join(delta, Seq("cell"), "full_outer")
+      .select(col("cell"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy(col("cell"))
+  }
+
   /** Index build as a declared sink query: per-cell posting counts.
     * Iterative build → no SQL oracle (rows-only check, like sim_kmeans). */
   private val sinkAnnIndex: QFn = (s, d) => {
@@ -831,6 +873,7 @@ object LlmVector extends QueryGroup {
     "sim_knn_batch" -> simKnnBatch,
     "sink_ann_index" -> sinkAnnIndex,
     "sim_knn_ivf" -> simKnnIvf,
+    "ann_upsert" -> annUpsert,
     "ivf_eval" -> ivfEval,
     "sim_centroids" -> simCentroids,
     "sim_kmeans" -> simKmeans,

@@ -120,4 +120,28 @@ class VectorSpec extends AnyFunSuite {
     assert(r5 >= r4 && r8 >= r5, "recall must be monotone in nprobe")
     assert(r8 == 1.0, f"probing every cell must recover exact kNN, got $r8%.3f")
   }
+
+  test("ann_upsert: delta conserves the batch and upserts are their own top-1") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sf = TestSpark.sf
+    val counts = SparkEntry.queries("ann_upsert")(spark, sf).collect()
+    // conservation: every one of the 50 batch vectors lands in exactly
+    // one delta cell
+    assert(counts.map(_.getLong(2)).sum == 50L, counts.mkString(","))
+    val path = operators.LlmVector.ensureAnnIndex(spark, sf)
+    val all = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("embedding"))
+      .union(spark.read.parquet(s"$path/delta_cells")
+        .select(col("vec_id"), col("embedding")))
+    // an upserted vector queried against the COMBINED index must return
+    // itself as exact top-1 (cos = 1 with itself; the +0.25 dim-0 shift
+    // breaks parallelism with its source vector)
+    val q = spark.read.parquet(s"$path/delta_cells")
+      .filter(col("vec_id") === 1000007L).select(col("embedding").as("qe"))
+    val top = all.crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("cosine_f32(embedding, qe)").as("c"))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(1).collect()
+    assert(top.head.getLong(0) == 1000007L, top.mkString(","))
+  }
 }
