@@ -76,6 +76,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_merge",           // row-level merged state, IEEE-exact bal update
     "multimodal_frame_dedup", // all-integer frame sigs and bucket counts
     "agg_psi",             // pico-quantized int64 PSI terms, exact counts
+    "graph_jaccard",       // exact integer neighbor counts, one division
   )
 
   private val postRounded = Seq(
