@@ -307,6 +307,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("AQEShuffleRead"), p)
   }
 
+  test("agg_ks windows over the aggregated grid, never the raw rows") {
+    // the single-partition window is safe ONLY because its input is the
+    // centi-bucket aggregate (≤ ~60k rows), not the event stream: a
+    // HashAggregate (the grid groupBy) must sit BELOW the Window
+    val df = SparkEntry.queries("agg_ks")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val wIdx = p.indexOf("Window")
+    assert(wIdx > 0, p)
+    assert(p.indexOf("HashAggregate", wIdx) > 0,
+      "no aggregate below the window:\n" + p)
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("multimodal_frame_dedup partial-aggregates chars before any exchange") {
+    // the per-char generator output must collapse map-side: the first
+    // Exchange above the Generate must sit above a HashAggregate, so
+    // only (doc, frame, block) partials — not raw chars — are shuffled
+    val p = plan("multimodal_frame_dedup")
+    val gIdx = p.lastIndexOf("Generate")
+    assert(gIdx > 0, p)
+    val before = p.substring(0, gIdx)
+    val exIdx = before.lastIndexOf("Exchange")
+    val aggIdx = before.lastIndexOf("HashAggregate")
+    assert(aggIdx > exIdx,
+      "raw generated rows reach an exchange before partial aggregation:\n" + p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
