@@ -483,6 +483,23 @@ class LawsSpec extends AnyFunSuite {
       s"mass out of range: ${r.getDouble(1)}")
   }
 
+  test("welchT is antisymmetric under class swap; ksDistance is symmetric") {
+    val ev = Tables.events(spark, sf)
+    val ab = graft.api.GraftOps.welchT(ev, col("event_type"), col("value"),
+      "click", "purchase").head()
+    val ba = graft.api.GraftOps.welchT(ev, col("event_type"), col("value"),
+      "purchase", "click").head()
+    assert(ab.getLong(0) == ba.getLong(1) && ab.getLong(1) == ba.getLong(0))
+    assert(math.abs(ab.getDouble(2) + ba.getDouble(2)) < 1e-9, "mean_diff")
+    assert(math.abs(ab.getDouble(3) + ba.getDouble(3)) < 1e-9, "t_stat")
+    assert(ab.getDouble(4) == ba.getDouble(4), "df invariant under swap")
+    val k1 = graft.api.GraftOps.ksDistance(ev, col("event_type"), col("value"),
+      "click", "purchase").head()
+    val k2 = graft.api.GraftOps.ksDistance(ev, col("event_type"), col("value"),
+      "purchase", "click").head()
+    assert(k1.getDouble(2) == k2.getDouble(2), "KS must be symmetric")
+  }
+
   test("KS distance of a distribution against itself is exactly zero") {
     // c1 == c2 in every grid bucket when both classes are the same
     // label, so the all-integer CDF gap is identically 0 — any nonzero
