@@ -565,6 +565,32 @@ object LlmText extends QueryGroup {
       .orderBy(col("survivor"))
   }
 
+  /** CROSS-MODAL near-dup clustering — closes the round-5 README gap
+    * ("folding in embcos pairs needs a doc_id↔vec_id bridge choice"):
+    * the bridge is the fixture's multimodal-join contract doc_id ==
+    * vec_id, so the minhash (token), simhash (char), AND
+    * embedding-cosine pair graphs union directly and the same 4-round
+    * bounded min-label-prop runs over the combined graph. A cluster can
+    * now form through ANY modality — two docs with no shingle overlap
+    * but near-identical embeddings merge, and a text-near pair pulls in
+    * its embedding-near neighbors transitively. All three detector
+    * pipelines are the shared per-(session, sf, fingerprint) cached
+    * pair graphs, so this query adds one union + label-prop on top of
+    * work its siblings already paid for. */
+  private val dedupClustersMultimodal: QFn = (s, d) => {
+    val edges = pairCache.getOrElseUpdate((s, s"$d#mm", Tables.fingerprint(d, "documents")),
+      symEdges(minhashPairsCached(s, d).select(col("da"), col("db"))
+          .union(simhashPairsCached(s, d).select(col("da"), col("db")))
+          .union(LlmVector.embcosPairsCached(s, d)
+            .select(col("ia").as("da"), col("ib").as("db")))
+          .distinct())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    labelPropEdges(edges, iters = 4)
+      .groupBy(col("lab").as("survivor"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("survivor"))
+  }
+
   /** 16-minhash LSH bands (8 bands × r=2) for an arbitrary
     * (doc_id, text) frame — the [[minhashPairs]] signature construction
     * (identical constants) factored so it can run over a SUBSET: the
@@ -941,6 +967,7 @@ object LlmText extends QueryGroup {
     "dedup_near_minhash" -> dedupNearMinhash,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_all" -> dedupClustersAll,
+    "dedup_clusters_multimodal" -> dedupClustersMultimodal,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
@@ -1293,6 +1320,27 @@ object LlmText extends QueryGroup {
             $duckSimhashPairsCtes,
             allpairs AS (SELECT da, db FROM pairs
                          UNION SELECT da, db FROM simpairs),
+            sym AS (SELECT da AS src, db AS dst FROM allpairs
+                    UNION ALL SELECT db, da FROM allpairs),
+            l0 AS (SELECT v, v AS lab FROM
+                     (SELECT DISTINCT src AS v FROM sym) t),
+            ${round(0)}, ${round(1)}, ${round(2)}, ${round(3)}
+         SELECT lab AS survivor, count(*) AS n_members
+         FROM l4 GROUP BY lab
+         ORDER BY survivor ASC NULLS FIRST"""
+    },
+    "dedup_clusters_multimodal" -> {
+      def round(i: Int): String =
+        s"""l${i + 1} AS (SELECT l.v, least(l.lab, min(n.lab)) AS lab
+                          FROM l$i l JOIN sym e ON e.src = l.v
+                                     JOIN l$i n ON n.v = e.dst
+                          GROUP BY l.v, l.lab)"""
+      s"""WITH $duckMinhashPairsCtes,
+            $duckSimhashPairsCtes,
+            ${LlmVector.duckEmbcosPairsCtes},
+            allpairs AS (SELECT da, db FROM pairs
+                         UNION SELECT da, db FROM simpairs
+                         UNION SELECT ia AS da, ib AS db FROM empairs),
             sym AS (SELECT da AS src, db AS dst FROM allpairs
                     UNION ALL SELECT db, da FROM allpairs),
             l0 AS (SELECT v, v AS lab FROM

@@ -350,30 +350,44 @@ object LlmVector extends QueryGroup {
     * angle in 64-dim) sign-random-projection banding cannot separate
     * true pairs from background, so cell partitioning, not bit-LSH, is
     * the honest bucketing. */
-  private val dedupEmbcos: QFn = (s, d) => {
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    val e = Tables.embeddings(s, d)
-    val anchors = s.read.parquet(ensureEmbcosAnchors(s, d))
-      .select(col("cid").cast(LongType).as("a_id"), col("cv").as("av"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("acos").desc, col("a_id"))
-    val cells = e.crossJoin(broadcast(anchors))
-      .select(col("vec_id"), col("a_id"), cosine(col("embedding"), col("av")).as("acos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-      .select(col("vec_id"), col("a_id").as("cell"))
-    val cand = cells.select(col("cell"), col("vec_id").as("ia"))
-      .join(cells.select(col("cell"), col("vec_id").as("ib")), Seq("cell"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib")).distinct()
-    cand
-      .join(e.select(col("vec_id").as("ia"), col("embedding").as("ea")), "ia")
-      .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")), "ib")
-      .withColumn("cos", expr("cosine_f32(ea, eb)"))
-      .filter(col("cos") > 0.4)
+  private val embPairCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  /** THE embedding near-dup pair graph (SemDeDup anchor cells + exact
+    * cosine verify > 0.4) — one persisted lineage per (session, sf,
+    * fingerprint), the eb3d12b pair-graph convention applied to the
+    * vector detector; consumers: dedup_embcos and the cross-modal
+    * clustering in LlmText. Returns (ia, ib, cos), ia < ib. */
+  private[graft] def embcosPairsCached(s: SparkSession, d: String): DataFrame =
+    embPairCache.getOrElseUpdate((s, s"$d#emb", Tables.fingerprint(d, "embeddings")), {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+      val anchors = s.read.parquet(ensureEmbcosAnchors(s, d))
+        .select(col("cid").cast(LongType).as("a_id"), col("cv").as("av"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("acos").desc, col("a_id"))
+      val cells = e.crossJoin(broadcast(anchors))
+        .select(col("vec_id"), col("a_id"), cosine(col("embedding"), col("av")).as("acos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id"), col("a_id").as("cell"))
+      val cand = cells.select(col("cell"), col("vec_id").as("ia"))
+        .join(cells.select(col("cell"), col("vec_id").as("ib")), Seq("cell"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib")).distinct()
+      cand
+        .join(e.select(col("vec_id").as("ia"), col("embedding").as("ea")), "ia")
+        .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")), "ib")
+        .withColumn("cos", expr("cosine_f32(ea, eb)"))
+        .filter(col("cos") > 0.4)
+        .select(col("ia"), col("ib"), col("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private val dedupEmbcos: QFn = (s, d) =>
+    embcosPairsCached(s, d)
       .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("ia"), col("ib"))
-  }
 
   /** Multimodal column plumbing: text → opaque binary, then a
     * partition-wise "decoder" producing typed metadata. The decode body
@@ -894,6 +908,53 @@ object LlmVector extends QueryGroup {
 
   private val duckPairCos = duckCos("ea", "eb")
 
+  /** The embcos candidate/verify pipeline as composable DuckDB CTEs —
+    * em-prefixed names so they co-exist with the minhash/simhash pair
+    * CTEs in ONE WITH clause (the dedup_clusters_multimodal oracle).
+    * Mirrors ensureEmbcosAnchors' persisted 2-Lloyd fit exactly (one
+    * unrolled assign per iteration: bit-identical l2sq fold, ties by
+    * min cid, 9-dp-rounded per-dimension means); ends at
+    * `empairs(ia, ib, c)` — verified cosine pairs above the 0.4
+    * near-dup threshold. */
+  private[operators] val duckEmbcosPairsCtes: String = {
+    def lloyd(prevCent: String, i: Int): String =
+      s"""ema$i AS (SELECT vec_id, cid FROM (
+                     SELECT e.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${duckL2sq("e.ev", "c.cv")} ASC, c.cid ASC) AS rn
+                     FROM eme e CROSS JOIN $prevCent c) t
+                   WHERE rn = 1),
+            emt$i AS (SELECT ema$i.cid, CAST(unnest(range(len(e.ev))) AS BIGINT) AS pos,
+                             unnest(e.ev) AS val
+                      FROM ema$i JOIN eme e USING (vec_id)),
+            emc$i AS (SELECT cid, list(c ORDER BY pos ASC) AS cv
+                      FROM (SELECT cid, pos, round(avg(val), 9) AS c
+                            FROM emt$i GROUP BY cid, pos) g
+                      GROUP BY cid)"""
+    s"""eme AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
+          emc0 AS (SELECT vec_id AS cid, ev AS cv FROM eme
+                   WHERE vec_id < (SELECT ceil(sqrt(count(*))) FROM eme)),
+          ${lloyd("emc0", 1)},
+          ${lloyd("emc1", 2)},
+          emsc AS (SELECT e.vec_id, c.cid AS a_id, ${duckCos("e.ev", "c.cv")} AS acos
+                   FROM eme e CROSS JOIN emc2 c),
+          emcells AS (SELECT vec_id, a_id AS cell FROM (
+                        SELECT vec_id, a_id,
+                               row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY acos DESC NULLS LAST, a_id ASC) AS rn
+                        FROM emsc) t
+                      WHERE rn <= 2),
+          emcand AS (SELECT DISTINCT x.vec_id ia, y.vec_id ib
+                     FROM emcells x JOIN emcells y
+                       ON x.cell = y.cell AND x.vec_id < y.vec_id),
+          emp AS (SELECT ia, ib, ea.ev ea, eb.ev eb
+                  FROM emcand JOIN eme ea ON ea.vec_id = ia
+                              JOIN eme eb ON eb.vec_id = ib),
+          empairs AS (SELECT ia, ib, c FROM
+                        (SELECT ia, ib, $duckPairCos AS c FROM emp) t
+                      WHERE c > 0.4)"""
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     "sim_cosine_pairs" ->
       s"""WITH p AS (
@@ -965,48 +1026,10 @@ object LlmVector extends QueryGroup {
           FROM terms t JOIN cent c ON t.label = c.label AND t.pos = c.pos
           GROUP BY t.vec_id, t.label
           ORDER BY t.vec_id ASC NULLS FIRST""",
-    "dedup_embcos" -> {
-      // one unrolled Lloyd iteration: assign to nearest centroid
-      // (bit-identical l2sq fold, ties by min cid), then 9-dp-rounded
-      // per-dimension means — the exact anchorsFit construction
-      def lloyd(prevCent: String, i: Int): String =
-        s"""a$i AS (SELECT vec_id, cid FROM (
-                     SELECT e.vec_id, c.cid,
-                            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY ${duckL2sq("e.ev", "c.cv")} ASC, c.cid ASC) AS rn
-                     FROM e CROSS JOIN $prevCent c) t
-                   WHERE rn = 1),
-            t$i AS (SELECT a$i.cid, CAST(unnest(range(len(e.ev))) AS BIGINT) AS pos,
-                           unnest(e.ev) AS val
-                    FROM a$i JOIN e USING (vec_id)),
-            c$i AS (SELECT cid, list(c ORDER BY pos ASC) AS cv
-                    FROM (SELECT cid, pos, round(avg(val), 9) AS c
-                          FROM t$i GROUP BY cid, pos) g
-                    GROUP BY cid)"""
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
-            c0 AS (SELECT vec_id AS cid, ev AS cv FROM e
-                   WHERE vec_id < (SELECT ceil(sqrt(count(*))) FROM e)),
-            ${lloyd("c0", 1)},
-            ${lloyd("c1", 2)},
-            sc AS (SELECT e.vec_id, c.cid AS a_id, ${duckCos("e.ev", "c.cv")} AS acos
-                   FROM e CROSS JOIN c2 c),
-            cells AS (SELECT vec_id, a_id AS cell FROM (
-                        SELECT vec_id, a_id,
-                               row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY acos DESC NULLS LAST, a_id ASC) AS rn
-                        FROM sc) t
-                      WHERE rn <= 2),
-            cand AS (SELECT DISTINCT x.vec_id ia, y.vec_id ib
-                     FROM cells x JOIN cells y
-                       ON x.cell = y.cell AND x.vec_id < y.vec_id),
-            p AS (SELECT ia, ib, ea.ev ea, eb.ev eb
-                  FROM cand JOIN e ea ON ea.vec_id = ia
-                            JOIN e eb ON eb.vec_id = ib)
-          SELECT ia, ib, round(c, 6) AS cos_sim
-          FROM (SELECT ia, ib, $duckPairCos AS c FROM p) t
-          WHERE c > 0.4
-          ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST"""
-    },
+    "dedup_embcos" ->
+      s"""WITH $duckEmbcosPairsCtes
+          SELECT ia, ib, round(c, 6) AS cos_sim FROM empairs
+          ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST""",
     "embed_quantize" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
             m AS (SELECT vec_id, e, list_min(e) lo, list_max(e) hi FROM t)

@@ -77,6 +77,7 @@ class DeterminismSpec extends AnyFunSuite {
     "multimodal_frame_dedup", // all-integer frame sigs and bucket counts
     "agg_psi",             // pico-quantized int64 PSI terms, exact counts
     "graph_jaccard",       // exact integer neighbor counts, one division
+    "dedup_clusters_multimodal", // all-integer min labels (3-detector graph)
   )
 
   private val postRounded = Seq(

@@ -483,6 +483,30 @@ class LawsSpec extends AnyFunSuite {
       s"mass out of range: ${r.getDouble(1)}")
   }
 
+  test("multimodal clustering: every detector pair lands in one converged cluster") {
+    // the defining property of the cross-modal union: at the label-prop
+    // FIXED POINT, both endpoints of every minhash, simhash, AND embcos
+    // pair carry the same label (4-round declared output is oracled
+    // separately; convergence is what makes the membership claim exact)
+    import graft.operators.{LlmText, LlmVector}
+    val mh = LlmText.minhashPairsCached(spark, sf).select(col("da"), col("db"))
+    val sh = LlmText.simhashPairsCached(spark, sf).select(col("da"), col("db"))
+    val em = LlmVector.embcosPairsCached(spark, sf)
+      .select(col("ia").as("da"), col("ib").as("db"))
+    val pairs = mh.union(sh).union(em).distinct()
+    // self-loops make the min-over-neighbors rule include the node's own
+    // label (monotone → true fixed point) — the symEdges construction
+    val sym0 = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+    val sym = sym0.union(sym0.select(col("src"), col("src").as("dst")).distinct())
+    val lab = LlmText.labelPropUntilFixed(sym)
+    val split = pairs
+      .join(lab.select(col("v").as("da"), col("lab").as("la")), "da")
+      .join(lab.select(col("v").as("db"), col("lab").as("lb")), "db")
+      .filter(col("la") =!= col("lb")).count()
+    assert(split == 0, s"$split pairs split across converged clusters")
+  }
+
   test("welchT is antisymmetric under class swap; ksDistance is symmetric") {
     val ev = Tables.events(spark, sf)
     val ab = graft.api.GraftOps.welchT(ev, col("event_type"), col("value"),
