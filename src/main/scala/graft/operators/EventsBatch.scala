@@ -275,6 +275,31 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("event_type"))
   }
 
+  /** Seasonal-naive forecast baseline + backtest MAE — the first model
+    * every volume-forecasting pipeline must beat, and the eval loop
+    * that proves it: hourly event counts per type (one map-side-
+    * combining groupBy), prediction for hour h = the observed count at
+    * h−24 (same type — the self-equality-join on the AGGREGATED hourly
+    * grid, never raw events), scored only where the 24h-back hour was
+    * observed. MAE stays exact: |n−pred| is an integer, the mean is one
+    * closing division of exact int64 sums. Output per type: scored
+    * hours, total absolute error, MAE. */
+  private val eventsForecast: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    hourly
+      .join(hourly.select(col("event_type"), (col("h") + 24L).as("h"),
+        col("n").as("pred")), Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(abs(col("n") - col("pred"))).as("total_abs_err"))
+      .select(col("event_type"), col("n_hours"), col("total_abs_err"),
+        (round(col("total_abs_err").cast("double") / col("n_hours"), 6)
+          + lit(0.0)).as("mae"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -288,6 +313,7 @@ object EventsBatch extends QueryGroup {
     "events_basket" -> eventsBasket,
     "events_attribution" -> eventsAttribution,
     "events_latency" -> eventsLatency,
+    "events_forecast" -> eventsForecast,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -455,6 +481,22 @@ object EventsBatch extends QueryGroup {
                 round(quantile_cont(lat, 0.5) / 1e9, 3) AS p50_s,
                 round(quantile_cont(lat, 0.95) / 1e9, 3) AS p95_s
          FROM f GROUP BY event_type
+         ORDER BY event_type ASC NULLS FIRST""",
+    "events_forecast" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+            scored AS (
+           SELECT a.event_type, a.n, p.n AS pred
+           FROM hourly a
+           JOIN hourly p ON p.event_type = a.event_type
+                        AND p.h + 24 = a.h)
+         SELECT event_type, count(*) AS n_hours,
+                CAST(sum(abs(n - pred)) AS BIGINT) AS total_abs_err,
+                round(CAST(sum(abs(n - pred)) AS DOUBLE) / count(*), 6) + 0.0
+                  AS mae
+         FROM scored GROUP BY event_type
          ORDER BY event_type ASC NULLS FIRST""",
   )
 }

@@ -78,6 +78,7 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_psi",             // pico-quantized int64 PSI terms, exact counts
     "graph_jaccard",       // exact integer neighbor counts, one division
     "dedup_clusters_multimodal", // all-integer min labels (3-detector graph)
+    "events_forecast",     // integer hourly counts and abs errors
   )
 
   private val postRounded = Seq(
