@@ -17,7 +17,8 @@ object Explain {
     "agg_argmax", "win_time_range", "text_bigram_lm", "events_funnel",
     "join_nullsafe", "multimodal_phash", "sql_ddl", "graph_pagerank",
     "text_collocations", "events_gap_fill", "agg_linreg", "join_range_exec",
-    "multimodal_frame_dedup", "agg_ks", "graph_triangles", "sql_merge")
+    "multimodal_frame_dedup", "agg_ks", "graph_triangles", "sql_merge",
+    "dedup_clusters_multimodal", "agg_psi", "graph_jaccard", "events_forecast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
