@@ -72,11 +72,17 @@ class PlanSpec extends AnyFunSuite {
     // dedup_embcos legitimately broadcasts the bounded ⌈√n⌉-row anchor
     // set as a nested-loop product (cells assignment, once per side of
     // the pair lineage); anything beyond that count is a regression, and
-    // a CartesianProduct is never acceptable
+    // a CartesianProduct is never acceptable. When another suite has
+    // already persisted the shared embcos pair graph (round 6: one
+    // cached lineage per session), the InMemoryRelation PRINTS its
+    // child subtree once more — a rendering artifact, not executed
+    // work (post-cache execution is an InMemoryTableScan) — so the
+    // ceiling is 3 with the cache populated, 2 without.
     val p = plan("dedup_embcos")
     assert(!p.contains("CartesianProduct"), p)
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj <= 2, s"dedup_embcos has $bnlj BroadcastNestedLoopJoins:\n$p")
+    val cap = if (p.contains("InMemoryTableScan")) 3 else 2
+    assert(bnlj <= cap, s"dedup_embcos has $bnlj BroadcastNestedLoopJoins:\n$p")
   }
 
   test("sink_bucketed joins the bucketed tables without a shuffle exchange") {
