@@ -27,6 +27,7 @@ object Bench {
     // row read 23 s cold vs 4.4 s steady in the round-6 run
     try operators.LlmText.minhashPairsCached(spark, sfDir).count() catch { case _: Throwable => () }
     try operators.LlmText.simhashPairsCached(spark, sfDir).count() catch { case _: Throwable => () }
+    try operators.LlmVector.embcosPairsCached(spark, sfDir).count() catch { case _: Throwable => () }
     // Evaluate via the noop batch sink: every column of every row is
     // produced and handed to the writer, so the timing covers the actual
     // operator. (`count()` let Catalyst prune all columns and drop sorts,
