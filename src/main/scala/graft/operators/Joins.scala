@@ -304,6 +304,27 @@ object Joins extends QueryGroup {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Fuzzy-match join — the entity-resolution screen (same product
+    * under two near-identical names): part-name pairs within
+    * Levenshtein distance 2 over an explicitly capped key range, the
+    * dedup_ngram_jaccard posture (an O(n²) EXACT companion whose
+    * ground truth calibrates the scaled detector). At corpus scale the
+    * same verify runs inside BLOCKS — candidates from a cheap blocking
+    * key (length bucket + sorted-token fingerprint, or the minhash
+    * bands already built for dedup) — never the raw cross product;
+    * the cap here IS the block. levenshtein() is codegen'd on both
+    * engines and the distance is an exact integer. */
+  private val joinFuzzy: QFn = (s, d) => {
+    val p = Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"))
+    p.select(col("pk").as("pa"), col("nm").as("na"))
+      .join(p.select(col("pk").as("pb"), col("nm").as("nb")), col("pa") < col("pb"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")))
+      .filter(col("dist") <= 2)
+      .select(col("pa"), col("pb"), col("dist").cast("long").as("dist"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "join_broadcast" -> joinBroadcast,
     "join_shuffle" -> joinShuffle,
@@ -322,6 +343,7 @@ object Joins extends QueryGroup {
     "join_salted" -> joinSalted,
     "join_star" -> joinStar,
     "join_bloom" -> joinBloom,
+    "join_fuzzy" -> joinFuzzy,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -460,5 +482,13 @@ object Joins extends QueryGroup {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus ASC NULLS FIRST""",
+    "join_fuzzy" ->
+      """WITH p AS (SELECT p_partkey AS pk, p_name AS nm FROM part
+                    WHERE p_partkey < 300)
+         SELECT a.pk AS pa, b.pk AS pb,
+                CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.pk < b.pk
+         WHERE levenshtein(a.nm, b.nm) <= 2
+         ORDER BY pa ASC NULLS FIRST, pb ASC NULLS FIRST""",
   )
 }

@@ -79,6 +79,7 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_jaccard",       // exact integer neighbor counts, one division
     "dedup_clusters_multimodal", // all-integer min labels (3-detector graph)
     "events_forecast",     // integer hourly counts and abs errors
+    "join_fuzzy",          // exact integer edit distances on a capped set
   )
 
   private val postRounded = Seq(
