@@ -28,6 +28,17 @@ object Bench {
     try operators.LlmText.minhashPairsCached(spark, sfDir).count() catch { case _: Throwable => () }
     try operators.LlmText.simhashPairsCached(spark, sfDir).count() catch { case _: Throwable => () }
     try operators.LlmVector.embcosPairsCached(spark, sfDir).count() catch { case _: Throwable => () }
+    // Second untimed warm-up wave (round-6 verdict item 4): `entry`
+    // exercises scan/join/agg codegen but NOT the window or
+    // expand-shaped (rollup/cube/grouping-sets) code paths, so the JIT
+    // cost of those generated classes was being absorbed by whichever
+    // alphabetically-early query touched them first (agg_distinct_exact
+    // and fn_math benched ~2× their steady-state cost). One window query
+    // and one expand query, evaluated exactly like the timed runs.
+    for (q <- Seq("win_rank", "agg_rollup"))
+      try SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     // Evaluate via the noop batch sink: every column of every row is
     // produced and handed to the writer, so the timing covers the actual
     // operator. (`count()` let Catalyst prune all columns and drop sorts,

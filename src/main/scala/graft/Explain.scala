@@ -18,7 +18,8 @@ object Explain {
     "join_nullsafe", "multimodal_phash", "sql_ddl", "graph_pagerank",
     "text_collocations", "events_gap_fill", "agg_linreg", "join_range_exec",
     "multimodal_frame_dedup", "agg_ks", "graph_triangles", "sql_merge",
-    "dedup_clusters_multimodal", "agg_psi", "graph_jaccard", "events_forecast")
+    "dedup_clusters_multimodal", "agg_psi", "graph_jaccard", "events_forecast",
+    "join_fuzzy_blocked", "events_forecast_backtest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

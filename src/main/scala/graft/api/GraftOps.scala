@@ -363,7 +363,14 @@ object GraftOps {
       .crossJoin(broadcast(n))
       .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("dnum"),
            max(col("n1")).as("n1"), max(col("n2")).as("n2"))
-      .select(col("n1"), col("n2"),
+      // An empty class makes n1·n2 = 0 and the double division below a
+      // silent NaN (or NULL when the whole input is empty) — fail fast
+      // instead; folded into the selected n1 so pruning keeps it live.
+      .withColumn("chk", expr(
+        "assert_true(coalesce(n1, 0) >= 1 AND coalesce(n2, 0) >= 1," +
+        " 'graft.ksDistance: each class needs >= 1 row')"))
+      .select((col("n1") + coalesce(col("chk").cast(LongType), lit(0L))).as("n1"),
+        col("n2"),
         (round(col("dnum").cast(DoubleType)
                / (col("n1") * col("n2")).cast(DoubleType), 6)
           + lit(0.0)).as("ks_stat"))
@@ -386,6 +393,15 @@ object GraftOps {
       max(when(col("g") === g, col(c))).as(as)
     m.agg(pick("nd", a, "nd1"), pick("sx", a, "sx1"), pick("sxx", a, "sxx1"),
           pick("nd", b, "nd2"), pick("sx", b, "sx2"), pick("sxx", b, "sxx2"))
+      // Fail fast on degenerate classes instead of silently emitting
+      // NULL/NaN: a missing class leaves its nd NULL (conditional max
+      // over zero rows) and a 1-row class zeroes the nd−1 variance
+      // denominator. The assert rides inside the selected n_a column
+      // below so column pruning can never drop it.
+      .withColumn("chk", expr(
+        "assert_true(coalesce(nd1, CAST(0.0 AS DOUBLE)) >= 2.0" +
+        " AND coalesce(nd2, CAST(0.0 AS DOUBLE)) >= 2.0," +
+        " 'graft.welchT: each class needs >= 2 rows')"))
       .withColumn("m1", col("sx1") / col("nd1"))
       .withColumn("m2", col("sx2") / col("nd2"))
       .withColumn("v1", (col("nd1") * col("sxx1") - col("sx1") * col("sx1"))
@@ -394,7 +410,8 @@ object GraftOps {
         / (col("nd2") * (col("nd2") - lit(1.0))))
       .withColumn("se2", col("v1") / col("nd1") + col("v2") / col("nd2"))
       .select(
-        col("nd1").cast(LongType).as("n_a"),
+        (col("nd1") + coalesce(col("chk").cast(DoubleType), lit(0.0)))
+          .cast(LongType).as("n_a"),
         col("nd2").cast(LongType).as("n_b"),
         (round(col("m1") - col("m2"), 6) + lit(0.0)).as("mean_diff"),
         (round((col("m1") - col("m2")) / sqrt(col("se2")), 6) + lit(0.0)).as("t_stat"),

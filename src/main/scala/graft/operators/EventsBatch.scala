@@ -300,6 +300,40 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("event_type"))
   }
 
+  /** Rolling-origin 3-fold backtest of the seasonal-naive forecaster —
+    * the honest eval loop events_forecast's single full-range MAE only
+    * gestures at: three cutoff origins anchored to the grid's last hour
+    * (hmax − 72/48/24), each scoring the NEXT 24 hours against the
+    * lag-24 prediction, whose source hour h−24 ≤ origin is always
+    * in-train by construction. Per (event_type, fold): scored hours,
+    * total absolute error, MAE. Scale shape identical to
+    * events_forecast — everything after the first aggregation is
+    * grid-sized (|types| × |hours|), the 1-row hmax aggregate is a
+    * broadcast, and the 3-fold expansion is a 3-element explode on the
+    * grid, never on raw events. */
+  private val eventsForecastBacktest: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"), expr("ts div 3600000000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val hmax = hourly.agg(max(col("h")).as("hmax"))
+    val test = hourly.crossJoin(broadcast(hmax))
+      .withColumn("fold", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("origin", col("hmax") - lit(24L) * (lit(4L) - col("fold")))
+      .filter(col("h") > col("origin") && col("h") <= col("origin") + 24L)
+      .select(col("event_type"), col("fold"), col("h"), col("n"))
+    test
+      .join(hourly.select(col("event_type"), (col("h") + 24L).as("h"),
+        col("n").as("pred")), Seq("event_type", "h"))
+      .groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(abs(col("n") - col("pred"))).as("total_abs_err"))
+      .select(col("event_type"), col("fold"), col("n_hours"),
+        col("total_abs_err"),
+        (round(col("total_abs_err").cast("double") / col("n_hours"), 6)
+          + lit(0.0)).as("mae"))
+      .orderBy(col("event_type"), col("fold"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -314,6 +348,7 @@ object EventsBatch extends QueryGroup {
     "events_attribution" -> eventsAttribution,
     "events_latency" -> eventsLatency,
     "events_forecast" -> eventsForecast,
+    "events_forecast_backtest" -> eventsForecastBacktest,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -498,5 +533,28 @@ object EventsBatch extends QueryGroup {
                   AS mae
          FROM scored GROUP BY event_type
          ORDER BY event_type ASC NULLS FIRST""",
+    "events_forecast_backtest" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+            mx AS (SELECT max(h) AS hmax FROM hourly),
+            test AS (
+           SELECT event_type, h, n, fold, hmax - 24 * (4 - fold) AS origin
+           FROM hourly CROSS JOIN mx
+                CROSS JOIN (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS fold) f
+           WHERE h > hmax - 24 * (4 - fold)
+             AND h <= hmax - 24 * (4 - fold) + 24),
+            scored AS (
+           SELECT t.event_type, t.fold, t.n, p.n AS pred
+           FROM test t
+           JOIN hourly p ON p.event_type = t.event_type
+                        AND p.h + 24 = t.h)
+         SELECT event_type, fold, count(*) AS n_hours,
+                CAST(sum(abs(n - pred)) AS BIGINT) AS total_abs_err,
+                round(CAST(sum(abs(n - pred)) AS DOUBLE) / count(*), 6) + 0.0
+                  AS mae
+         FROM scored GROUP BY event_type, fold
+         ORDER BY event_type ASC NULLS FIRST, fold ASC NULLS FIRST""",
   )
 }

@@ -325,6 +325,45 @@ object Joins extends QueryGroup {
       .orderBy(col("pa"), col("pb"))
   }
 
+  /** Blocked fuzzy entity canonicalization — join_fuzzy's promised
+    * at-scale variant, run over the FULL part table with no key cap:
+    * every part resolves to the minimum p_partkey among its Levenshtein
+    * ≤ 2 name-neighbors (self included, so every row survives), plus the
+    * count of distinct non-self neighbors. Blocking key = (tail token of
+    * the name, length band): candidates must share the last
+    * space-separated token AND a ⌊len/3⌋ band, with each row REPLICATED
+    * into ⌊len/3⌋ and ⌊(len+2)/3⌋ (distinct — at most 2 buckets). Floor
+    * monotonicity makes the band probe lossless for |Δlen| ≤ 2: for
+    * la ≤ lb ≤ la+2, ⌊la/3⌋ ≤ ⌊lb/3⌋ ≤ ⌊(la+2)/3⌋ and the outer two
+    * differ by ≤ 1, so ⌊lb/3⌋ hits one of a's two buckets — and any
+    * Levenshtein ≤ 2 pair has |Δlen| ≤ 2. The verify is exact
+    * Levenshtein, so precision is 1 by construction; tail-token recall
+    * is empirical (100% on the fixtures — LawsSpec asserts equality with
+    * the exact all-pairs canonical map on the capped range). Scale
+    * shape: the pair product is Σ_bucket n_b² after one shuffle on the
+    * blocking key — never n² — and the output is one row per entity,
+    * not per pair. Band-replicated duplicate candidates collapse in the
+    * min/count-distinct aggregate. The oracle mirrors the identical
+    * blocking, so parity holds by construction. */
+  private val joinFuzzyBlocked: QFn = (s, d) => {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+        element_at(split(col("p_name"), " "), -1).as("lw"),
+        length(col("p_name")).as("len"))
+    val banded = p.select(col("pk"), col("nm"), col("lw"),
+        explode(array_distinct(array(
+          expr("len div 3"), expr("(len + 2) div 3")))).as("band"))
+    val cand = banded.select(col("pk").as("pa"), col("nm").as("na"),
+        col("lw"), col("band"))
+      .join(banded.select(col("pk").as("pb"), col("nm").as("nb"),
+        col("lw"), col("band")), Seq("lw", "band"))
+      .filter(levenshtein(col("na"), col("nb")) <= 2)
+    cand.groupBy(col("pa").as("pk"))
+      .agg(min(col("pb")).as("canon_pk"),
+        countDistinct(when(col("pb") =!= col("pa"), col("pb"))).as("n_fuzzy"))
+      .orderBy(col("pk"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "join_broadcast" -> joinBroadcast,
     "join_shuffle" -> joinShuffle,
@@ -344,6 +383,7 @@ object Joins extends QueryGroup {
     "join_star" -> joinStar,
     "join_bloom" -> joinBloom,
     "join_fuzzy" -> joinFuzzy,
+    "join_fuzzy_blocked" -> joinFuzzyBlocked,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -490,5 +530,21 @@ object Joins extends QueryGroup {
          FROM p a JOIN p b ON a.pk < b.pk
          WHERE levenshtein(a.nm, b.nm) <= 2
          ORDER BY pa ASC NULLS FIRST, pb ASC NULLS FIRST""",
+    "join_fuzzy_blocked" ->
+      """WITH p AS (SELECT p_partkey AS pk, p_name AS nm,
+                           split_part(p_name, ' ', -1) AS lw,
+                           length(p_name) AS len
+                    FROM part),
+            banded AS (SELECT pk, nm, lw, unnest(list_distinct(
+                                [len // 3, (len + 2) // 3])) AS band
+                       FROM p),
+            cand AS (SELECT a.pk AS pa, b.pk AS pb
+                     FROM banded a JOIN banded b
+                       ON a.lw = b.lw AND a.band = b.band
+                     WHERE levenshtein(a.nm, b.nm) <= 2)
+         SELECT pa AS pk, min(pb) AS canon_pk,
+                count(DISTINCT CASE WHEN pb <> pa THEN pb END) AS n_fuzzy
+         FROM cand GROUP BY pa
+         ORDER BY pk ASC NULLS FIRST""",
   )
 }

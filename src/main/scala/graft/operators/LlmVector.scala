@@ -135,8 +135,28 @@ object LlmVector extends QueryGroup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("embedding"))
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/delta_cells")
+    // Idempotent, atomic delta publish: the batch is a pure function of
+    // the embeddings fixture and `path` already carries that fixture's
+    // fingerprint, so a completed delta (_DONE present) is simply
+    // reused; otherwise the delta is built in a scratch dir and RENAMED
+    // into place — a concurrent reader of the combined base∪delta index
+    // sees a complete directory or none, never a half-written overwrite
+    // (round-6 advice). Spark's scan ignores underscore-prefixed files,
+    // so the marker rides inside the directory it certifies.
+    val deltaDir = new java.io.File(s"$path/delta_cells")
+    if (!new java.io.File(deltaDir, "_DONE").exists()) {
+      val tmp = new java.io.File(s"$path/.delta_cells_tmp")
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(tmp.getPath)
+      new java.io.File(tmp, "_DONE").createNewFile()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (deltaDir.exists()) rm(deltaDir) // crash-stale partial dir
+      java.nio.file.Files.move(tmp.toPath, deltaDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     val base = s.read.parquet(s"$path/cells")
       .groupBy(col("cell").cast(IntegerType).as("cell"))
       .agg(count(lit(1)).as("n_base"))
@@ -331,6 +351,40 @@ object LlmVector extends QueryGroup {
     s"$base/anchors"
   }
 
+  /** 2-level centroid hierarchy: a coarse Lloyd fit over the ANCHOR SET
+    * (kc = ⌈√#anchors⌉ = ⌈n¼⌉ centroids — the standard IVF hierarchy),
+    * so vector→anchor assignment probes only the anchors in the few
+    * nearest coarse cells instead of all ⌈√n⌉ anchors. Input is the
+    * bounded anchor table (√n rows), so the fit itself is trivial;
+    * determinism matches [[anchorsFit]] exactly: init = anchors with
+    * cid < kc, bit-identical l2sq folds, ties by min gid, per-dimension
+    * means rounded to 9 dp — all of which the DuckDB oracle mirrors CTE
+    * for CTE ([[duckEmbcosPairsCtes]]). Returns (g_id, gv). */
+  private def coarseFit(s: SparkSession, anchors: DataFrame, kc: Int,
+                        iters: Int): DataFrame = {
+    val gSchema = StructType(Seq(
+      StructField("g_id", IntegerType),
+      StructField("gv", ArrayType(DoubleType))))
+    var g = anchors.filter(col("a_id") < kc)
+      .select(col("a_id").cast(IntegerType).as("g_id"), col("av").as("gv"))
+    for (_ <- 1 to iters) {
+      val asg = anchors.crossJoin(broadcast(g))
+        .groupBy(col("a_id"))
+        .agg(min(struct(l2sq(col("av"), col("gv")).as("d2"), col("g_id"))).as("m"),
+             first(col("av")).as("av"))
+        .select(col("m.g_id").as("g_id"), col("av"))
+      val rows = asg.select(col("g_id"), posexplode(col("av")))
+        .groupBy(col("g_id"), col("pos"))
+        .agg(round(avg(col("col")), 9).as("c"))
+        .groupBy(col("g_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("g_id"), transform(col("pc"), x => x.getField("c")).as("gv"))
+        .collect()
+      g = s.createDataFrame(java.util.Arrays.asList(rows: _*), gSchema)
+    }
+    g
+  }
+
   /** Embedding near-dup, SemDeDup-shaped (Abbas et al. 2023,
     * arXiv:2303.09540): coarse-quantize every vector to its 2 nearest
     * anchor cells — anchors are persisted ⌈√n⌉ k-means centroids from
@@ -338,6 +392,13 @@ object LlmVector extends QueryGroup {
     * per-cell pair product stays ~constant per cell (the round-2
     * hardcoded 16-anchor set made it O(n²/16)) — then candidate pairs
     * share ≥1 cell and are exact-cosine verified > 0.4.
+    * Anchor ASSIGNMENT is hierarchical (round-7): vectors rank only the
+    * ⌈n¼⌉ coarse centroids from [[coarseFit]], probe the anchors mapped
+    * to their 3 nearest coarse cells, and take the 2 nearest anchors
+    * among those — O(n·n¼) distance evals instead of the flat O(n·√n)
+    * crossJoin against every anchor (the round-6 verdict's 10⁹-vector
+    * bottleneck). Both levels are broadcasts of bounded centroid sets;
+    * the vector side is touched by equality joins only.
     * The oracle MIRRORS this construction in SQL — including the
     * 2-iteration anchor fit, unrolled as CTEs with the same 9-dp-rounded
     * means — so parity holds by construction; VectorSpec separately
@@ -364,9 +425,28 @@ object LlmVector extends QueryGroup {
       val e = Tables.embeddings(s, d)
       val anchors = s.read.parquet(ensureEmbcosAnchors(s, d))
         .select(col("cid").cast(LongType).as("a_id"), col("cv").as("av"))
+      val kc = math.ceil(math.sqrt(anchors.count().toDouble)).toInt
+      val coarse = coarseFit(s, anchors, kc, iters = 2)
+      // anchor → its one nearest coarse cell (same l2 metric as the fit)
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("gd").asc, col("g_id"))
+      val amap = anchors.crossJoin(broadcast(coarse))
+        .select(col("a_id"), col("g_id"), l2sq(col("av"), col("gv")).as("gd"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("g_id"), col("a_id"))
+      // vector → 3 nearest coarse cells (cosine, like the anchor ranking)
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("gcos").desc, col("g_id"))
+      val vg = e.crossJoin(broadcast(coarse))
+        .select(col("vec_id"), col("g_id"), cosine(col("embedding"), col("gv")).as("gcos"))
+        .withColumn("rn", row_number().over(wV)).filter(col("rn") <= 3)
+        .select(col("vec_id"), col("g_id"))
+      // probe only the anchors living in those coarse cells; 2 nearest win
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("acos").desc, col("a_id"))
-      val cells = e.crossJoin(broadcast(anchors))
+      val cells = vg.join(broadcast(amap), Seq("g_id"))
+        .join(e, "vec_id")
+        .join(broadcast(anchors), Seq("a_id"))
         .select(col("vec_id"), col("a_id"), cosine(col("embedding"), col("av")).as("acos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
@@ -913,7 +993,11 @@ object LlmVector extends QueryGroup {
     * CTEs in ONE WITH clause (the dedup_clusters_multimodal oracle).
     * Mirrors ensureEmbcosAnchors' persisted 2-Lloyd fit exactly (one
     * unrolled assign per iteration: bit-identical l2sq fold, ties by
-    * min cid, 9-dp-rounded per-dimension means); ends at
+    * min cid, 9-dp-rounded per-dimension means), then the round-7
+    * HIERARCHICAL assignment ([[coarseFit]]): a second 2-Lloyd fit over
+    * the anchor set itself (⌈n¼⌉ coarse centroids, same determinism
+    * recipe), anchor→nearest-coarse map, vector→3-nearest-coarse probe,
+    * 2 nearest anchors among the probed set; ends at
     * `empairs(ia, ib, c)` — verified cosine pairs above the 0.4
     * near-dup threshold. */
   private[operators] val duckEmbcosPairsCtes: String = {
@@ -927,18 +1011,52 @@ object LlmVector extends QueryGroup {
             emt$i AS (SELECT ema$i.cid, CAST(unnest(range(len(e.ev))) AS BIGINT) AS pos,
                              unnest(e.ev) AS val
                       FROM ema$i JOIN eme e USING (vec_id)),
-            emc$i AS (SELECT cid, list(c ORDER BY pos ASC) AS cv
+            emc$i AS MATERIALIZED (SELECT cid, list(c ORDER BY pos ASC) AS cv
                       FROM (SELECT cid, pos, round(avg(val), 9) AS c
                             FROM emt$i GROUP BY cid, pos) g
                       GROUP BY cid)"""
-    s"""eme AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
+    // coarse Lloyd iteration over the ANCHOR table emc2 (cid, cv):
+    // assign each anchor to its nearest coarse centroid, re-mean at 9 dp
+    def glloyd(prevCent: String, i: Int): String =
+      s"""emga$i AS (SELECT cid, gid FROM (
+                      SELECT a.cid, g.gid,
+                             row_number() OVER (PARTITION BY a.cid
+                               ORDER BY ${duckL2sq("a.cv", "g.gv")} ASC, g.gid ASC) AS rn
+                      FROM emc2 a CROSS JOIN $prevCent g) t
+                    WHERE rn = 1),
+            emgt$i AS (SELECT emga$i.gid, CAST(unnest(range(len(a.cv))) AS BIGINT) AS pos,
+                              unnest(a.cv) AS val
+                       FROM emga$i JOIN emc2 a USING (cid)),
+            emg$i AS MATERIALIZED (SELECT gid, list(c ORDER BY pos ASC) AS gv
+                      FROM (SELECT gid, pos, round(avg(val), 9) AS c
+                            FROM emgt$i GROUP BY gid, pos) g
+                      GROUP BY gid)"""
+    s"""eme AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
           emc0 AS (SELECT vec_id AS cid, ev AS cv FROM eme
                    WHERE vec_id < (SELECT ceil(sqrt(count(*))) FROM eme)),
           ${lloyd("emc0", 1)},
           ${lloyd("emc1", 2)},
-          emsc AS (SELECT e.vec_id, c.cid AS a_id, ${duckCos("e.ev", "c.cv")} AS acos
-                   FROM eme e CROSS JOIN emc2 c),
-          emcells AS (SELECT vec_id, a_id AS cell FROM (
+          emg0 AS (SELECT cid AS gid, cv AS gv FROM emc2
+                   WHERE cid < (SELECT ceil(sqrt(count(*))) FROM emc2)),
+          ${glloyd("emg0", 1)},
+          ${glloyd("emg1", 2)},
+          emmap AS MATERIALIZED (SELECT cid, gid FROM (
+                      SELECT a.cid, g.gid,
+                             row_number() OVER (PARTITION BY a.cid
+                               ORDER BY ${duckL2sq("a.cv", "g.gv")} ASC, g.gid ASC) AS rn
+                      FROM emc2 a CROSS JOIN emg2 g) t
+                    WHERE rn = 1),
+          emvg AS MATERIALIZED (SELECT vec_id, gid FROM (
+                     SELECT e.vec_id, g.gid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ${duckCos("e.ev", "g.gv")} DESC NULLS LAST, g.gid ASC) AS rn
+                     FROM eme e CROSS JOIN emg2 g) t
+                   WHERE rn <= 3),
+          emsc AS (SELECT v.vec_id, m.cid AS a_id, ${duckCos("e.ev", "c.cv")} AS acos
+                   FROM emvg v JOIN emmap m USING (gid)
+                               JOIN emc2 c ON c.cid = m.cid
+                               JOIN eme e ON e.vec_id = v.vec_id),
+          emcells AS MATERIALIZED (SELECT vec_id, a_id AS cell FROM (
                         SELECT vec_id, a_id,
                                row_number() OVER (PARTITION BY vec_id
                                  ORDER BY acos DESC NULLS LAST, a_id ASC) AS rn
@@ -950,7 +1068,7 @@ object LlmVector extends QueryGroup {
           emp AS (SELECT ia, ib, ea.ev ea, eb.ev eb
                   FROM emcand JOIN eme ea ON ea.vec_id = ia
                               JOIN eme eb ON eb.vec_id = ib),
-          empairs AS (SELECT ia, ib, c FROM
+          empairs AS MATERIALIZED (SELECT ia, ib, c FROM
                         (SELECT ia, ib, $duckPairCos AS c FROM emp) t
                       WHERE c > 0.4)"""
   }

@@ -559,4 +559,35 @@ class LawsSpec extends AnyFunSuite {
     assert(covered > 0, "fixture should contain prefix-twin docs >= 64 chars")
     assert(bad == 0, s"$bad prefix-twin docs with zero flagged frames")
   }
+
+  test("join_fuzzy_blocked: blocked canonical map equals the exact all-pairs map on the capped range") {
+    // precision is 1 by construction (exact Levenshtein verify after
+    // blocking), so the only thing blocking can get wrong is RECALL —
+    // a missed neighbor shows up as a canon_pk larger than the exact
+    // one. On the capped range the exact all-pairs map is computable:
+    // the two must agree, and blocked counts can never exceed exact.
+    val full = Tables.part(spark, sf)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"))
+    // left side capped (the entities under test), right side the FULL
+    // table — the blocked query resolves capped entities against every
+    // part, so the exact reference must see the same candidate pool
+    val exact = full.filter(col("pk") < 300)
+      .select(col("pk").as("pa"), col("nm").as("na"))
+      .crossJoin(full.select(col("pk").as("pb"), col("nm").as("nb")))
+      .filter(levenshtein(col("na"), col("nb")) <= 2)
+      .groupBy(col("pa"))
+      .agg(min(col("pb")).as("canon_pk"),
+        countDistinct(when(col("pb") =!= col("pa"), col("pb"))).as("n_fuzzy"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val blocked = SparkEntry.queries("join_fuzzy_blocked")(spark, sf)
+      .filter(col("pk") < 300)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(blocked.keySet == exact.keySet,
+      s"entity sets differ: ${blocked.keySet.diff(exact.keySet)} / ${exact.keySet.diff(blocked.keySet)}")
+    val subsetOk = blocked.forall { case (k, (c, n)) =>
+      c >= exact(k)._1 && n <= exact(k)._2 } // blocking can only LOSE pairs
+    assert(subsetOk, "blocked found a pair exact did not — precision broken")
+    assert(blocked == exact,
+      s"blocking missed pairs on the capped range: ${blocked.toSet.diff(exact.toSet).take(5)}")
+  }
 }

@@ -69,20 +69,33 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
     }
-    // dedup_embcos legitimately broadcasts the bounded ⌈√n⌉-row anchor
-    // set as a nested-loop product (cells assignment, once per side of
-    // the pair lineage); anything beyond that count is a regression, and
-    // a CartesianProduct is never acceptable. When another suite has
-    // already persisted the shared embcos pair graph (round 6: one
-    // cached lineage per session), the InMemoryRelation PRINTS its
-    // child subtree once more — a rendering artifact, not executed
-    // work (post-cache execution is an InMemoryTableScan) — so the
-    // ceiling is 3 with the cache populated, 2 without.
-    val p = plan("dedup_embcos")
-    assert(!p.contains("CartesianProduct"), p)
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    val cap = if (p.contains("InMemoryTableScan")) 3 else 2
-    assert(bnlj <= cap, s"dedup_embcos has $bnlj BroadcastNestedLoopJoins:\n$p")
+    // dedup_embcos legitimately broadcasts two BOUNDED centroid sets as
+    // nested-loop products inside the pair-graph build (round-7
+    // hierarchy): anchors × ⌈n¼⌉ coarse centroids (the anchor→coarse
+    // map) and vectors × coarse centroids (the 3-nearest-coarse
+    // ranking), each rendered once per side of the cells self-join → ≤4
+    // in the build subtree. The LIVE part of the plan — everything
+    // before the persisted pair graph's InMemoryRelation rendering —
+    // must contain NO nested-loop join at all (it only reads the
+    // cache), so a genuinely regressed extra BNLJ can't hide behind the
+    // relation's rendered subtree regardless of which suite populated
+    // the cache first (round-6 advice: the old flat ceiling was
+    // order-dependent). CartesianProduct is never acceptable anywhere.
+    val p0 = plan("dedup_embcos")
+    assert(!p0.contains("CartesianProduct"), p0)
+    // once another suite has materialized the cached pair graph, its
+    // AQE-finalized relation renders BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" sections — the initial section repeats the
+    // same join tree, so counting would double. Keep everything before
+    // the (single) initial-plan rendering.
+    val p = p0.split("== Initial Plan ==").head
+    val cut = p.indexOf("InMemoryRelation")
+    val live = if (cut >= 0) p.substring(0, cut) else ""
+    val build = if (cut >= 0) p.substring(cut) else p
+    assert(!live.contains("BroadcastNestedLoopJoin"),
+      s"live dedup_embcos subtree must read the cached pair graph, not re-join:\n$p0")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(build).size
+    assert(bnlj <= 4, s"dedup_embcos pair-graph build has $bnlj BroadcastNestedLoopJoins:\n$p0")
   }
 
   test("sink_bucketed joins the bucketed tables without a shuffle exchange") {
