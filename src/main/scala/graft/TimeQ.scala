@@ -6,8 +6,9 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    for (name <- args; i <- 1 to 3) {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    for (name <- args; i <- 1 to runs) {
       val t0 = System.nanoTime()
       // noop sink = full evaluation (count() lets Catalyst prune all
       // columns, timing projection queries as bare row counts)

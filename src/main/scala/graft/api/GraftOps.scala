@@ -442,4 +442,51 @@ object GraftOps {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Blocked fuzzy entity canonicalization — join_fuzzy_blocked's
+    * construction over caller columns: every entity resolves to the
+    * minimum id among its Levenshtein ≤ `maxDist` name-neighbors (self
+    * included) plus the count of distinct non-self neighbors, with the
+    * candidate product bounded by the (name tail-token, ⌊len/band⌋
+    * length band) blocking key. Each row is replicated into its
+    * ⌊len/band⌋ and ⌊(len+maxDist)/band⌋ buckets (≤ 2), which by floor
+    * monotonicity guarantees any pair with |Δlen| ≤ maxDist — a
+    * Levenshtein-≤-maxDist necessary condition — shares a bucket, so
+    * length can never cost recall; tail-token recall is the blocking
+    * assumption the caller accepts (LawsSpec measures it exact on the
+    * fixtures). `band` must be > maxDist/3-ish for bucket selectivity;
+    * the default mirrors the declared query (band 3, maxDist 2).
+    * Returns (id, canon_id, n_fuzzy) — one row PER ENTITY, never a
+    * pair list, so output stays linear at 100 TB. */
+  def fuzzyCanonicalize(df: DataFrame, id: Column, name: Column,
+                        maxDist: Int = 2, band: Int = 3): DataFrame = {
+    require(maxDist >= 0 && band >= 1,
+      s"fuzzyCanonicalize: need maxDist >= 0 and band >= 1, got $maxDist/$band")
+    val rows = df.select(id.as("fz_id"), name.as("fz_nm"))
+    // the match relation is a pure function of the name: collapse to
+    // the DISTINCT-name vocabulary before the quadratic verify (row²
+    // → vocab² Levenshtein evals), rejoin rows at the end
+    val names = rows.groupBy(col("fz_nm"))
+      .agg(min(col("fz_id")).as("fz_gmin"), count(lit(1)).as("fz_gcnt"))
+    val banded = names
+      .select(col("fz_nm"),
+        element_at(split(col("fz_nm"), " "), -1).as("fz_lw"),
+        length(col("fz_nm")).as("fz_len"))
+      .select(col("fz_nm"), col("fz_lw"),
+        explode(array_distinct(array(
+          expr(s"fz_len div $band"),
+          expr(s"(fz_len + $maxDist) div $band")))).as("fz_band"))
+    val cand = banded.select(col("fz_nm").as("na"), col("fz_lw"), col("fz_band"))
+      .join(banded.select(col("fz_nm").as("nb"), col("fz_lw"), col("fz_band")),
+        Seq("fz_lw", "fz_band"))
+      .filter(levenshtein(col("na"), col("nb")) <= maxDist)
+      .select(col("na"), col("nb")).distinct()
+    val resolved = cand
+      .join(names.select(col("fz_nm").as("nb"), col("fz_gmin"), col("fz_gcnt")), "nb")
+      .groupBy(col("na"))
+      .agg(min(col("fz_gmin")).as("canon_id"), sum(col("fz_gcnt")).as("fz_n"))
+    rows.join(resolved, rows("fz_nm") === resolved("na"))
+      .select(col("fz_id").as("id"), col("canon_id"),
+        (col("fz_n") - 1L).as("n_fuzzy"))
+  }
 }

@@ -328,39 +328,61 @@ object Joins extends QueryGroup {
   /** Blocked fuzzy entity canonicalization — join_fuzzy's promised
     * at-scale variant, run over the FULL part table with no key cap:
     * every part resolves to the minimum p_partkey among its Levenshtein
-    * ≤ 2 name-neighbors (self included, so every row survives), plus the
-    * count of distinct non-self neighbors. Blocking key = (tail token of
+    * ≤ 2 name-neighbors (self included, so every row survives), plus
+    * the count of non-self neighbor rows. Blocking key = (tail token of
     * the name, length band): candidates must share the last
-    * space-separated token AND a ⌊len/3⌋ band, with each row REPLICATED
-    * into ⌊len/3⌋ and ⌊(len+2)/3⌋ (distinct — at most 2 buckets). Floor
-    * monotonicity makes the band probe lossless for |Δlen| ≤ 2: for
-    * la ≤ lb ≤ la+2, ⌊la/3⌋ ≤ ⌊lb/3⌋ ≤ ⌊(la+2)/3⌋ and the outer two
-    * differ by ≤ 1, so ⌊lb/3⌋ hits one of a's two buckets — and any
-    * Levenshtein ≤ 2 pair has |Δlen| ≤ 2. The verify is exact
-    * Levenshtein, so precision is 1 by construction; tail-token recall
-    * is empirical (100% on the fixtures — LawsSpec asserts equality with
-    * the exact all-pairs canonical map on the capped range). Scale
-    * shape: the pair product is Σ_bucket n_b² after one shuffle on the
-    * blocking key — never n² — and the output is one row per entity,
-    * not per pair. Band-replicated duplicate candidates collapse in the
-    * min/count-distinct aggregate. The oracle mirrors the identical
-    * blocking, so parity holds by construction. */
+    * space-separated token AND a ⌊len/3⌋ band, with each name
+    * REPLICATED into ⌊len/3⌋ and ⌊(len+2)/3⌋ (distinct — at most 2
+    * buckets). Floor monotonicity makes the band probe lossless for
+    * |Δlen| ≤ 2: for la ≤ lb ≤ la+2, ⌊la/3⌋ ≤ ⌊lb/3⌋ ≤ ⌊(la+2)/3⌋ and
+    * the outer two differ by ≤ 1, so ⌊lb/3⌋ hits one of a's two
+    * buckets — and any Levenshtein ≤ 2 pair has |Δlen| ≤ 2. The verify
+    * is exact Levenshtein, so precision is 1 by construction;
+    * tail-token recall is empirical (100% on the fixtures — LawsSpec
+    * asserts equality with the exact all-pairs canonical map on the
+    * capped range). Scale shape: rows collapse to DISTINCT names before
+    * the quadratic step, the pair product is Σ_bucket v_b² over the
+    * name vocabulary after one shuffle on the blocking key — never
+    * rows² — and the output is one row per entity, not per pair. The
+    * oracle mirrors the identical blocking row-level (equal by
+    * construction: the match relation is a function of the name). */
   private val joinFuzzyBlocked: QFn = (s, d) => {
-    val p = Tables.part(s, d)
-      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
-        element_at(split(col("p_name"), " "), -1).as("lw"),
-        length(col("p_name")).as("len"))
-    val banded = p.select(col("pk"), col("nm"), col("lw"),
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"))
+    // Collapse to DISTINCT names before anything quadratic: the match
+    // relation is a pure function of the name, and catalogs repeat
+    // names heavily (the sf0.1 fixture: 20 000 rows over ~160 names),
+    // so the blocked Levenshtein verify runs over the name VOCABULARY
+    // — |distinct names in bucket|² evals, not |rows in bucket|² (the
+    // row-level form benched 77 s at sf0.1; this one is sub-second).
+    // Rows rejoin by one broadcast of the name-level result at the end.
+    // Per-name stats: min row key (canonical candidate) + row count.
+    val names = parts.groupBy(col("nm"))
+      .agg(min(col("pk")).as("gmin"), count(lit(1)).as("gcnt"))
+    val banded = names
+      .select(col("nm"),
+        element_at(split(col("nm"), " "), -1).as("lw"),
+        length(col("nm")).as("len"))
+      .select(col("nm"), col("lw"),
         explode(array_distinct(array(
           expr("len div 3"), expr("(len + 2) div 3")))).as("band"))
-    val cand = banded.select(col("pk").as("pa"), col("nm").as("na"),
-        col("lw"), col("band"))
-      .join(banded.select(col("pk").as("pb"), col("nm").as("nb"),
-        col("lw"), col("band")), Seq("lw", "band"))
+    val cand = banded.select(col("nm").as("na"), col("lw"), col("band"))
+      .join(banded.select(col("nm").as("nb"), col("lw"), col("band")),
+        Seq("lw", "band"))
       .filter(levenshtein(col("na"), col("nb")) <= 2)
-    cand.groupBy(col("pa").as("pk"))
-      .agg(min(col("pb")).as("canon_pk"),
-        countDistinct(when(col("pb") =!= col("pa"), col("pb"))).as("n_fuzzy"))
+      .select(col("na"), col("nb")).distinct() // band replication collapses
+    // per-name canonical key and matched-row total: every row of a
+    // matched group is a distinct fuzzy neighbor (n_fuzzy excludes only
+    // the row itself, whose own group IS matched via the dist-0 self-pair)
+    val resolved = cand
+      .join(names.select(col("nm").as("nb"), col("gmin"), col("gcnt")), "nb")
+      .groupBy(col("na"))
+      .agg(min(col("gmin")).as("canon_pk"), sum(col("gcnt")).as("n_matched"))
+    // no broadcast hint: the resolved side is vocabulary-sized — tiny
+    // here, but at 100 TB it can outgrow a broadcast; AQE picks
+    parts.join(resolved, parts("nm") === resolved("na"))
+      .select(col("pk"), col("canon_pk"),
+        (col("n_matched") - 1L).as("n_fuzzy"))
       .orderBy(col("pk"))
   }
 

@@ -397,8 +397,14 @@ object LlmVector extends QueryGroup {
     * to their 3 nearest coarse cells, and take the 2 nearest anchors
     * among those — O(n·n¼) distance evals instead of the flat O(n·√n)
     * crossJoin against every anchor (the round-6 verdict's 10⁹-vector
-    * bottleneck). Both levels are broadcasts of bounded centroid sets;
-    * the vector side is touched by equality joins only.
+    * bottleneck). Each ANCHOR is redundantly mapped to its 2 nearest
+    * coarse cells (the standard overlapping-region trick): boundary
+    * anchors stay reachable from both sides, which is what restores the
+    * flat assignment's pair recall on the fixtures (35/35 sf0.01 pairs;
+    * single-cell mapping lost 6, and candidates are DISTINCT'd before
+    * ranking so a doubly-mapped anchor can't occupy both top slots).
+    * Both levels are broadcasts of bounded centroid sets; the vector
+    * side is touched by equality joins only.
     * The oracle MIRRORS this construction in SQL — including the
     * 2-iteration anchor fit, unrolled as CTEs with the same 9-dp-rounded
     * means — so parity holds by construction; VectorSpec separately
@@ -427,12 +433,13 @@ object LlmVector extends QueryGroup {
         .select(col("cid").cast(LongType).as("a_id"), col("cv").as("av"))
       val kc = math.ceil(math.sqrt(anchors.count().toDouble)).toInt
       val coarse = coarseFit(s, anchors, kc, iters = 2)
-      // anchor → its one nearest coarse cell (same l2 metric as the fit)
+      // anchor → its 2 nearest coarse cells (same l2 metric as the
+      // fit): redundant mapping keeps boundary anchors probeable
       val wA = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a_id")).orderBy(col("gd").asc, col("g_id"))
       val amap = anchors.crossJoin(broadcast(coarse))
         .select(col("a_id"), col("g_id"), l2sq(col("av"), col("gv")).as("gd"))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") <= 2)
         .select(col("g_id"), col("a_id"))
       // vector → 3 nearest coarse cells (cosine, like the anchor ranking)
       val wV = org.apache.spark.sql.expressions.Window
@@ -441,10 +448,13 @@ object LlmVector extends QueryGroup {
         .select(col("vec_id"), col("g_id"), cosine(col("embedding"), col("gv")).as("gcos"))
         .withColumn("rn", row_number().over(wV)).filter(col("rn") <= 3)
         .select(col("vec_id"), col("g_id"))
-      // probe only the anchors living in those coarse cells; 2 nearest win
+      // probe only the anchors living in those coarse cells; 2 nearest
+      // win. DISTINCT before ranking: an anchor redundantly assigned to
+      // two probed coarse cells would otherwise occupy BOTH top ranks
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("acos").desc, col("a_id"))
       val cells = vg.join(broadcast(amap), Seq("g_id"))
+        .select(col("vec_id"), col("a_id")).distinct()
         .join(e, "vec_id")
         .join(broadcast(anchors), Seq("a_id"))
         .select(col("vec_id"), col("a_id"), cosine(col("embedding"), col("av")).as("acos"))
@@ -1045,17 +1055,18 @@ object LlmVector extends QueryGroup {
                              row_number() OVER (PARTITION BY a.cid
                                ORDER BY ${duckL2sq("a.cv", "g.gv")} ASC, g.gid ASC) AS rn
                       FROM emc2 a CROSS JOIN emg2 g) t
-                    WHERE rn = 1),
+                    WHERE rn <= 2),
           emvg AS MATERIALIZED (SELECT vec_id, gid FROM (
                      SELECT e.vec_id, g.gid,
                             row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY ${duckCos("e.ev", "g.gv")} DESC NULLS LAST, g.gid ASC) AS rn
                      FROM eme e CROSS JOIN emg2 g) t
                    WHERE rn <= 3),
-          emsc AS (SELECT v.vec_id, m.cid AS a_id, ${duckCos("e.ev", "c.cv")} AS acos
-                   FROM emvg v JOIN emmap m USING (gid)
-                               JOIN emc2 c ON c.cid = m.cid
-                               JOIN eme e ON e.vec_id = v.vec_id),
+          emsc AS (SELECT vc.vec_id, vc.a_id, ${duckCos("e.ev", "c.cv")} AS acos
+                   FROM (SELECT DISTINCT v.vec_id, m.cid AS a_id
+                         FROM emvg v JOIN emmap m USING (gid)) vc
+                        JOIN emc2 c ON c.cid = vc.a_id
+                        JOIN eme e ON e.vec_id = vc.vec_id),
           emcells AS MATERIALIZED (SELECT vec_id, a_id AS cell FROM (
                         SELECT vec_id, a_id,
                                row_number() OVER (PARTITION BY vec_id

@@ -285,6 +285,33 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("agg_ttest")(spark, sf)))
   }
 
+  test("welchT and ksDistance fail fast on degenerate classes") {
+    // a class label that matches nothing must raise the guard, not
+    // silently produce NULL/NaN statistics (round-6 advice)
+    val ev = Tables.events(spark, sf)
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val eT = intercept[Throwable] {
+      GraftOps.welchT(ev, col("event_type"), col("value"),
+        "click", "no_such_type").collect()
+    }
+    assert(chain(eT).contains("welchT"), chain(eT))
+    val eK = intercept[Throwable] {
+      GraftOps.ksDistance(ev, col("event_type"), col("value"),
+        "no_such_type", "purchase").collect()
+    }
+    assert(chain(eK).contains("ksDistance"), chain(eK))
+  }
+
+  test("fuzzyCanonicalize matches join_fuzzy_blocked on part names") {
+    val api = GraftOps.fuzzyCanonicalize(Tables.part(spark, sf),
+        col("p_partkey"), col("p_name"))
+      .withColumnRenamed("id", "pk").withColumnRenamed("canon_id", "canon_pk")
+      .orderBy(col("pk"))
+    assert(rows(api) == rows(SparkEntry.queries("join_fuzzy_blocked")(spark, sf)))
+  }
+
   test("triangleCounts matches graph_triangles on the trade graph") {
     val e = operators.Graph.tradeEdges(spark, sf)
     val api = Tables.nation(spark, sf)

@@ -144,4 +144,21 @@ class VectorSpec extends AnyFunSuite {
       .limit(1).collect()
     assert(top.head.getLong(0) == 1000007L, top.mkString(","))
   }
+
+  test("ann_upsert is idempotent: re-invocation reuses the published delta") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sf = TestSpark.sf
+    val first = SparkEntry.queries("ann_upsert")(spark, sf).collect().toSeq
+    val path = operators.LlmVector.ensureAnnIndex(spark, sf)
+    val marker = new java.io.File(s"$path/delta_cells/_DONE")
+    assert(marker.exists(), "atomic publish must leave the _DONE marker")
+    val stamp = marker.lastModified()
+    val second = SparkEntry.queries("ann_upsert")(spark, sf).collect().toSeq
+    assert(second == first, "re-invocation changed the declared output")
+    // the published delta was REUSED, not rebuilt — the round-6 advice:
+    // a query evaluation must not overwrite shared state as a side
+    // effect, or a concurrent reader can observe partial directories
+    assert(marker.lastModified() == stamp,
+      "re-invocation rewrote the delta instead of reusing it")
+  }
 }
