@@ -19,7 +19,8 @@ object Explain {
     "text_collocations", "events_gap_fill", "agg_linreg", "join_range_exec",
     "multimodal_frame_dedup", "agg_ks", "graph_triangles", "sql_merge",
     "dedup_clusters_multimodal", "agg_psi", "graph_jaccard", "events_forecast",
-    "join_fuzzy_blocked", "events_forecast_backtest")
+    "join_fuzzy_blocked", "events_forecast_backtest",
+    "text_dedup_span", "text_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -23,6 +23,7 @@ object SparkEntry {
     operators.SqlSurface,
     operators.Pipeline,
     operators.Sampling,
+    operators.Curation,
     functions.Udx,
   )
 

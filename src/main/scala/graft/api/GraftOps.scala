@@ -489,4 +489,97 @@ object GraftOps {
       .select(col("fz_id").as("id"), col("canon_id"),
         (col("fz_n") - 1L).as("n_fuzzy"))
   }
+
+  /** C4-style span-level exact dedup over caller columns —
+    * text_dedup_span's construction: documents split into
+    * non-overlapping `spanTokens`-token spans, a span occurrence
+    * survives iff it is the corpus-wide first occurrence of its text
+    * ("first" = min (id, span_id)). Returns per doc (id, n_spans,
+    * n_kept, clean_text) with clean_text the ordered rejoin of
+    * surviving spans. The survivor pick is ONE md5-digest min-struct
+    * groupBy — the shuffle carries digests, never span text, so the
+    * operator is corpus-size-bound only in fixed-width keys. */
+  def spanDedup(df: DataFrame, id: Column, text: Column,
+                spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, s"spanDedup: spanTokens >= 1, got $spanTokens")
+    val spans = df.select(id.as("sd_id"), text.as("sd_tx"))
+      .filter(length(col("sd_tx")) >= 1)
+      .select(col("sd_id"), split(col("sd_tx"), " ").as("tk"))
+      .select(col("sd_id"),
+        explode(expr(s"sequence(0, (size(tk)-1) div $spanTokens)")).as("i"),
+        col("tk"))
+      .select(col("sd_id"), col("i").cast(LongType).as("span_id"),
+        expr(s"array_join(slice(tk, i*$spanTokens + 1, $spanTokens), ' ')").as("span"))
+    val firsts = spans
+      .groupBy(md5(col("span")).as("dig"))
+      .agg(min(struct(col("sd_id"), col("span_id"))).as("f"))
+      .select(col("dig"), col("f.sd_id").as("f_id"), col("f.span_id").as("f_span"))
+    spans.join(firsts, md5(col("span")) === col("dig"))
+      .withColumn("kept",
+        col("sd_id") === col("f_id") && col("span_id") === col("f_span"))
+      .groupBy(col("sd_id").as("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN kept THEN struct(span_id, span) END)), x -> x.span)"),
+          " ").as("clean_text"))
+  }
+
+  /** Benchmark decontamination over caller DataFrames —
+    * text_decontaminate's construction: a train doc is contaminated iff
+    * any of its sliding `n`-token shingles appears verbatim in the eval
+    * corpus. Returns per train doc (id, n_shingles, n_hits,
+    * contaminated); train docs shorter than n tokens emit no row (they
+    * carry no full shingle to test). The eval shingle digest set is
+    * distinct'd and BROADCAST — benchmarks are MBs while the corpus is
+    * TBs — so the train side sees one broadcast equality join plus one
+    * groupBy(id); drop the hint if the eval corpus outgrows broadcast. */
+  def decontaminate(train: DataFrame, trainId: Column, trainText: Column,
+                    eval: DataFrame, evalText: Column,
+                    n: Int = 8): DataFrame = {
+    require(n >= 1, s"decontaminate: shingle length n >= 1, got $n")
+    def shingles(df: DataFrame, idOpt: Option[Column], text: Column) = {
+      val base = idOpt match {
+        case Some(i) => df.select(i.as("dc_id"), text.as("dc_tx"))
+        case None    => df.select(text.as("dc_tx"))
+      }
+      // rebind by NAME after the first select — the caller's Column
+      // expressions are only resolvable against the original frame
+      val keep = idOpt.map(_ => col("dc_id")).toSeq
+      base.filter(length(col("dc_tx")) >= 1)
+        .withColumn("tk", split(col("dc_tx"), " "))
+        .filter(size(col("tk")) >= n)
+        .select(keep :+ explode(expr(
+          s"transform(sequence(0, size(tk)-$n), i -> array_join(slice(tk, i+1, $n), ' '))"))
+          .as("sh"): _*)
+        .withColumn("dig", md5(col("sh")))
+    }
+    val ev = shingles(eval, None, evalText).select(col("dig")).distinct()
+    shingles(train, Some(trainId), trainText)
+      .join(broadcast(ev.withColumn("hit", lit(1L))), Seq("dig"), "left")
+      .groupBy(col("dc_id").as("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
+  /** Single-pass exact column profile — profile_columns over caller
+    * columns: per column, row count, null count, exact distinct count.
+    * One multi-distinct aggregation (Catalyst's Expand: |cols|× fan-out,
+    * one shuffle); at 100 TB swap countDistinct for
+    * approx_count_distinct and the Expand disappears. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns: need at least one column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd")))
+    val stacked = cols.map(c =>
+      s"struct('$c' as col_name, `${c}__nn` as n_null, `${c}__nd` as n_distinct)")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(expr(s"array($stacked)")).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
+  }
 }

@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.{QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a 100 TB training-data pipeline runs
+  * between raw ingest and tokenization — span-level dedup, benchmark
+  * decontamination, column profiling, and domain-mixture weighting.
+  * (Reference snapshot is empty — /root/reference/README.md:1 — so
+  * these derive from the published pipeline recipes: C4's span dedup,
+  * GPT-3's n-gram decontamination, DoReMi-style mixture reweighting.)
+  *
+  * Scale postures, per operator:
+  *   - span dedup shuffles fixed-width (digest, doc_id, span_id)
+  *     keys, never document text; the survivor choice is a single
+  *     min-struct aggregate (no window over the corpus);
+  *   - decontamination builds the eval shingle set ONCE (it is
+  *     benchmark-sized, i.e. tiny vs the corpus) and broadcast-joins
+  *     it against train shingles — the corpus side is touched by one
+  *     equality join and one groupBy(doc_id);
+  *   - profiling is one exact multi-distinct aggregation (Spark's
+  *     Expand — the honest exact shape; swap countDistinct for
+  *     approx_count_distinct at 100 TB, noted inline);
+  *   - mixture weighting is one groupBy(source) plus a broadcast of
+  *     the 1-row corpus total.
+  */
+object Curation extends QueryGroup {
+
+  /** C4-style span-level exact dedup (C4 dedupes three-sentence spans;
+    * the fixture corpus has no sentence marks, so the span unit is 8
+    * consecutive tokens, non-overlapping). A span occurrence survives
+    * iff it is the corpus-wide FIRST occurrence of its text, "first" =
+    * min (doc_id, span_id); every later occurrence is dropped. Per doc:
+    * span total, survivors, and the cleaned text reassembled from
+    * surviving spans in order.
+    *
+    * Shape: spans are grouped by md5 digest — the shuffle carries
+    * (digest, doc_id, span_id), never the span text, and the survivor
+    * is ONE min-struct partial-aggregating groupBy (no corpus-wide
+    * window). Reassembly groups by doc_id with sort_array over
+    * (span_id, span) structs — per-doc arrays, bounded by doc length. */
+  private[operators] def spanDedupFull(s: org.apache.spark.sql.SparkSession,
+                                       d: String) = {
+    val spans = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, (size(tk)-1) div 8)")).as("i"),
+        col("tk"))
+      .select(col("doc_id"), col("i").cast(LongType).as("span_id"),
+        expr("array_join(slice(tk, i*8 + 1, 8), ' ')").as("span"))
+    val firsts = spans
+      .groupBy(md5(col("span")).as("dig"))
+      .agg(min(struct(col("doc_id"), col("span_id"))).as("f"))
+      .select(col("dig"), col("f.doc_id").as("f_doc"),
+        col("f.span_id").as("f_span"))
+    spans.join(firsts, md5(col("span")) === col("dig"))
+      .withColumn("kept",
+        col("doc_id") === col("f_doc") && col("span_id") === col("f_span"))
+  }
+
+  private val textDedupSpan: QFn = (s, d) =>
+    spanDedupFull(s, d)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN kept THEN struct(span_id, span) END)), x -> x.span)"),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** GPT-3-style benchmark decontamination, scaled to the fixture's
+    * ~50-token docs: the held-out eval set is source = 'src0'; a train
+    * doc (every other source) is contaminated iff any of its sliding
+    * 8-token shingles appears verbatim in any eval doc (GPT-3 used
+    * 13-grams; the unit scales with doc length, the set-membership
+    * shape is identical). Per train doc: shingle total, eval hits, and
+    * the drop flag.
+    *
+    * Shape: the eval shingle set is built once, digest-distinct'd, and
+    * BROADCAST — benchmarks are MBs while the corpus is TBs, so the
+    * corpus side sees one broadcast-hash semi-ish join on a fixed-width
+    * digest plus one groupBy(doc_id). No corpus-side self-join, no
+    * shuffle of shingle text. */
+  private val textDecontaminate: QFn = (s, d) => {
+    val shingled = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(0, size(tk)-8), i -> array_join(slice(tk, i+1, 8), ' '))"))
+          .as("sh"))
+      .select(col("doc_id"), col("source"), md5(col("sh")).as("dig"))
+    val evalSet = shingled.filter(col("source") === "src0")
+      .select(col("dig")).distinct()
+    shingled.filter(col("source") =!= "src0")
+      .join(broadcast(evalSet.withColumn("hit", lit(1L))), Seq("dig"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Single-pass exact column profile of orders — the data-quality
+    * gate a pipeline runs on every new ingest drop: per column, null
+    * count and exact distinct count, unpivoted to one row per column.
+    * All six columns profile in ONE aggregation (Spark plans the
+    * multi-distinct via Expand: 6× row fan-out, one shuffle — the
+    * honest exact shape; at 100 TB swap countDistinct for
+    * approx_count_distinct and the Expand disappears). The unpivot is
+    * a 1-row→9-row stack AFTER aggregation — driver-sized. */
+  private val profileColumns: QFn = (s, d) => {
+    val o = Tables.orders(s, d)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd")))
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"struct('$c' as col_name, `${c}__nn` as n_null, `${c}__nd` as n_distinct)")
+      .mkString(", ")
+    one.select(col("n_rows"),
+        explode(expr(s"array($stacked)")).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Domain-mixture weighting — the reweighting step every multi-source
+    * training mix runs (DoReMi / The Pile recipe shape): per source,
+    * doc and token counts, realized token share, and the uniform-target
+    * sampling weight  w = target_share / realized_share  (so sampling
+    * each source's docs with probability ∝ w yields a uniform token
+    * mix). One groupBy(source) over per-doc token counts; the corpus
+    * total joins back as a broadcast of ONE row. */
+  private val textDomainMix: QFn = (s, d) => {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast(LongType).as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType) / col("tot"), 6).as("token_share"),
+        round((lit(1.0) / col("n_sources")) /
+          (col("n_tokens").cast(DoubleType) / col("tot")), 6).as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Seq[(String, QFn)] = Seq(
+    "text_dedup_span" -> textDedupSpan,
+    "text_decontaminate" -> textDecontaminate,
+    "profile_columns" -> profileColumns,
+    "text_domain_mix" -> textDomainMix,
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "text_dedup_span" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents WHERE len(text) >= 1),
+           spans AS (SELECT doc_id, CAST(r.i AS BIGINT) AS span_id,
+                            array_to_string(list_slice(t, r.i*8 + 1, r.i*8 + 8), ' ') AS span
+                     FROM tk, unnest(range(0, ((len(t)-1) // 8) + 1)) r(i)),
+           firsts AS (SELECT md5(span) AS dig,
+                             min(struct_pack(doc_id := doc_id, span_id := span_id)) AS f
+                      FROM spans GROUP BY 1),
+           marked AS (SELECT s.doc_id, s.span_id, s.span,
+                             (s.doc_id = f.f.doc_id AND s.span_id = f.f.span_id) AS kept
+                      FROM spans s JOIN firsts f ON md5(s.span) = f.dig)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                coalesce(string_agg(CASE WHEN kept THEN span END, ' '
+                                    ORDER BY span_id), '') AS clean_text
+         FROM marked GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
+    "text_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                     FROM documents WHERE len(text) >= 1),
+           sh AS (SELECT doc_id, source,
+                         md5(array_to_string(list_slice(t, r.i + 1, r.i + 8), ' ')) AS dig
+                  FROM tk, unnest(range(0, len(t) - 7)) r(i)
+                  WHERE len(t) >= 8),
+           ev AS (SELECT DISTINCT dig FROM sh WHERE source = 'src0')
+         SELECT s.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN ev.dig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                (CAST(sum(CASE WHEN ev.dig IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0) AS contaminated
+         FROM sh s LEFT JOIN ev ON s.dig = ev.dig
+         WHERE s.source <> 'src0'
+         GROUP BY s.doc_id
+         ORDER BY s.doc_id ASC NULLS FIRST""",
+    "profile_columns" ->
+      """WITH b AS (SELECT * FROM orders)
+         SELECT col_name, n_rows, n_null, n_distinct FROM (
+           SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM b
+           UNION ALL SELECT 'o_custkey', count(*),
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) FROM b
+           UNION ALL SELECT 'o_orderstatus', count(*),
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM b
+           UNION ALL SELECT 'o_totalprice', count(*),
+                  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM b
+           UNION ALL SELECT 'o_orderdate', count(*),
+                  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM b
+           UNION ALL SELECT 'o_orderpriority', count(*),
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM b) t
+         ORDER BY col_name ASC NULLS FIRST""",
+    "text_domain_mix" ->
+      """WITH perdoc AS (SELECT source,
+                CASE WHEN len(text) >= 1
+                     THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                     ELSE 0 END AS ntok
+              FROM documents),
+           persrc AS (SELECT source, count(*) AS n_docs,
+                             CAST(sum(ntok) AS BIGINT) AS n_tokens
+                      FROM perdoc GROUP BY source),
+           tot AS (SELECT sum(n_tokens) AS tot,
+                          count(*) AS n_sources FROM persrc)
+         SELECT source, n_docs, n_tokens,
+                round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share,
+                round((CAST(1.0 AS DOUBLE) / n_sources) / (CAST(n_tokens AS DOUBLE) / tot), 6) AS mix_weight
+         FROM persrc CROSS JOIN tot
+         ORDER BY source ASC NULLS FIRST""",
+  )
+}

@@ -304,6 +304,30 @@ class ApiSpec extends AnyFunSuite {
     assert(chain(eK).contains("ksDistance"), chain(eK))
   }
 
+  test("spanDedup matches text_dedup_span on documents") {
+    val api = GraftOps.spanDedup(Tables.documents(spark, sf),
+        col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))
+    assert(rows(api) == rows(SparkEntry.queries("text_dedup_span")(spark, sf)))
+  }
+
+  test("decontaminate matches text_decontaminate on the src0 eval split") {
+    val docs = Tables.documents(spark, sf)
+    val api = GraftOps.decontaminate(
+        docs.filter(col("source") =!= "src0"), col("doc_id"), col("text"),
+        docs.filter(col("source") === "src0"), col("text"))
+      .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))
+    assert(rows(api) == rows(SparkEntry.queries("text_decontaminate")(spark, sf)))
+  }
+
+  test("profileColumns matches profile_columns on orders") {
+    val api = GraftOps.profileColumns(Tables.orders(spark, sf),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+      .orderBy(col("col_name"))
+    assert(rows(api) == rows(SparkEntry.queries("profile_columns")(spark, sf)))
+  }
+
   test("fuzzyCanonicalize matches join_fuzzy_blocked on part names") {
     val api = GraftOps.fuzzyCanonicalize(Tables.part(spark, sf),
         col("p_partkey"), col("p_name"))

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Laws + plan shapes for the corpus-curation family (Curation.scala):
+  * conservation invariants that hold at any corpus size, and the
+  * physical shapes (broadcast eval set, partial-agg-before-exchange)
+  * that make the operators 100 TB-viable. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("text_dedup_span conserves spans: survivors == distinct spans") {
+    // keep-first dedup must keep EXACTLY one occurrence per distinct
+    // span text — no more (dups slipped through), no fewer (lost spans)
+    val out = SparkEntry.queries("text_dedup_span")(spark, sf)
+    val kept = out.agg(sum(col("n_kept"))).head.getLong(0)
+    val docs = Tables.documents(spark, sf).filter(length(col("text")) >= 1)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(explode(expr("sequence(0, (size(tk)-1) div 8)")).as("i"), col("tk"))
+      .select(expr("array_join(slice(tk, i*8 + 1, 8), ' ')").as("span"))
+    assert(kept == docs.distinct().count())
+    // and totals conserve: n_spans sums to the corpus span count
+    val total = out.agg(sum(col("n_spans"))).head.getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("text_dedup_span clean_text is the ordered join of kept spans") {
+    // for a doc with every span kept, clean_text round-trips the text
+    val out = SparkEntry.queries("text_dedup_span")(spark, sf)
+      .filter(col("n_kept") === col("n_spans"))
+      .join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("clean_text") =!= col("text"))
+    assert(out.count() == 0)
+  }
+
+  test("text_decontaminate: hits bounded by shingles; eval docs excluded") {
+    val out = SparkEntry.queries("text_decontaminate")(spark, sf)
+    assert(out.filter(col("n_hits") > col("n_shingles")).count() == 0)
+    assert(out.filter(col("contaminated") =!= (col("n_hits") > 0L)).count() == 0)
+    val evalIds = Tables.documents(spark, sf)
+      .filter(col("source") === "src0").select(col("doc_id"))
+    assert(out.join(evalIds, "doc_id").count() == 0)
+  }
+
+  test("text_decontaminate flags a verbatim eval copy") {
+    // a train doc sharing its full text with an eval doc must be
+    // contaminated (its every shingle is an eval shingle); check via
+    // exact text match if the fixture has any such pair
+    val docs = Tables.documents(spark, sf).filter(length(col("text")) >= 1)
+      .filter(size(split(col("text"), " ")) >= 8)
+    val ev = docs.filter(col("source") === "src0").select(col("text")).distinct()
+    val copies = docs.filter(col("source") =!= "src0")
+      .join(ev, "text").select(col("doc_id"))
+    val flagged = SparkEntry.queries("text_decontaminate")(spark, sf)
+      .filter(col("contaminated"))
+    assert(copies.join(flagged, "doc_id").count() == copies.count())
+  }
+
+  test("text_decontaminate broadcasts the eval shingle set") {
+    // the corpus side must see a broadcast join — never a shuffle of
+    // the TB-scale train shingles against the MB-scale benchmark set
+    val p = SparkEntry.queries("text_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text_dedup_span partial-aggregates before its exchange") {
+    // the survivor-pick groupBy must map-side combine on the digest so
+    // the shuffle carries one (digest, min-struct) row per partition,
+    // not every span occurrence
+    val p = SparkEntry.queries("text_dedup_span")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("profile_columns: key column distinct == row count, no nulls") {
+    val out = SparkEntry.queries("profile_columns")(spark, sf)
+    val key = out.filter(col("col_name") === "o_orderkey").head
+    assert(key.getAs[Long]("n_distinct") == key.getAs[Long]("n_rows"))
+    assert(out.agg(sum(col("n_null"))).head.getLong(0) == 0L)
+  }
+
+  test("text_domain_mix shares sum to 1 and weights re-balance") {
+    val out = SparkEntry.queries("text_domain_mix")(spark, sf)
+    val share = out.agg(sum(col("token_share"))).head.getDouble(0)
+    assert(math.abs(share - 1.0) < 1e-4, share)
+    // weight * share == uniform target for every source
+    val ns = out.count().toDouble
+    val bad = out.filter(
+      abs(col("mix_weight") * col("token_share") - lit(1.0) / ns) > 0.001)
+    assert(bad.count() == 0)
+  }
+}
