@@ -211,6 +211,49 @@ object SqlSurface extends QueryGroup {
              ORDER BY key ASC NULLS FIRST""")
   }
 
+  /** Recursive-CTE surface (Spark 4's WITH RECURSIVE → UnionLoopExec;
+    * the same statement text runs on DuckDB modulo view names): BFS
+    * hop distance from nation 0 over a SPARSE trade graph — each
+    * nation keeps its top-2 trade partners by weight (row_number
+    * window, ties broken by dst), then the recursive member walks
+    * edges breadth-first to depth 6 and min(hop) collapses path
+    * multiplicity. Scale shape: the heavy work is the fact-fact edge
+    * AGGREGATION (shuffle on nation pairs, ≤|V|² rows out); the
+    * recursion itself iterates over the ≤2|V|-row edge list — per-hop
+    * cost is one tiny hash join, and the engine (not the user) owns
+    * the loop, exactly like the hand-rolled label-prop operators. */
+  private val sqlRecursive: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_rec_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ord_rec_v")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_sup_rec_v")
+    Tables.customer(s, d).createOrReplaceTempView("graft_cus_rec_v")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nat_rec_v")
+    s.sql("""
+      WITH RECURSIVE agg AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+        FROM graft_li_rec_v l JOIN graft_ord_rec_v o ON l.l_orderkey = o.o_orderkey
+             JOIN graft_sup_rec_v s ON l.l_suppkey = s.s_suppkey
+             JOIN graft_cus_rec_v c ON o.o_custkey = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY s.s_nationkey, c.c_nationkey),
+      edges AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY w DESC, dst ASC) AS rn
+          FROM agg) t WHERE rn <= 2),
+      reach(nationkey, hop) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON e.src = r.nationkey
+        WHERE r.hop < 6)
+      SELECT n.n_nationkey AS nationkey, n.n_name, min(r.hop) AS dist
+      FROM graft_nat_rec_v n LEFT JOIN reach r ON r.nationkey = n.n_nationkey
+      GROUP BY n.n_nationkey, n.n_name
+      ORDER BY nationkey ASC NULLS FIRST""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
     "sql_ddl" -> sqlDdl,
@@ -218,6 +261,7 @@ object SqlSurface extends QueryGroup {
     "sql_merge" -> sqlMerge,
     "sql_view" -> sqlView,
     "sql_window" -> sqlWindow,
+    "sql_recursive" -> sqlRecursive,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -289,5 +333,29 @@ object SqlSurface extends QueryGroup {
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_orderdate ASC, o_orderkey ASC)
          ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""",
+    "sql_recursive" ->
+      """WITH RECURSIVE agg AS (
+           SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE s.s_nationkey <> c.c_nationkey
+           GROUP BY s.s_nationkey, c.c_nationkey),
+         edges AS (
+           SELECT src, dst FROM (
+             SELECT src, dst,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY w DESC, dst ASC) AS rn
+             FROM agg) t WHERE rn <= 2),
+         reach(nationkey, hop) AS (
+           SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           UNION ALL
+           SELECT e.dst, r.hop + 1
+           FROM reach r JOIN edges e ON e.src = r.nationkey
+           WHERE r.hop < 6)
+         SELECT n.n_nationkey AS nationkey, n.n_name, min(r.hop) AS dist
+         FROM nation n LEFT JOIN reach r ON r.nationkey = n.n_nationkey
+         GROUP BY n.n_nationkey, n.n_name
+         ORDER BY nationkey ASC NULLS FIRST""",
   )
 }

@@ -70,4 +70,26 @@ class DedupProps extends Properties("graft") {
         mh(a) == mh(scala.util.Random.shuffle(a))
       }
     }
+
+  private val corpusGen = Gen.listOfN(6, Gen.listOfN(10, Gen.oneOf(
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge")))
+
+  property("spanDedup conserves spans on random corpora") =
+    Prop.forAll(corpusGen) { docs =>
+      docs.nonEmpty ==> {
+        // keep-first span dedup keeps EXACTLY one occurrence per
+        // distinct span text, and totals conserve — on ANY corpus,
+        // not just the fixtures (the CurationSpec law, generalized)
+        val spark = TestSpark.spark
+        import org.apache.spark.sql.functions._
+        val df = spark.createDataFrame(
+          docs.zipWithIndex.map { case (tks, i) => (i.toLong, tks.mkString(" ")) })
+          .toDF("doc_id", "text")
+        val out = graft.api.GraftOps.spanDedup(df, col("doc_id"), col("text"),
+          spanTokens = 3).collect()
+        val spans = docs.flatMap(_.grouped(3).map(_.mkString(" ")).toSeq)
+        out.map(_.getAs[Long]("n_kept")).sum == spans.distinct.size &&
+          out.map(_.getAs[Long]("n_spans")).sum == spans.size
+      }
+    }
 }

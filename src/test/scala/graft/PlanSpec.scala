@@ -283,6 +283,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_orderstatus:string,o_totalprice:double"), p)
   }
 
+  test("sql_recursive plans the engine-owned recursion (UnionLoopExec)") {
+    // WITH RECURSIVE must lower to Spark's UnionLoop execution — the
+    // ENGINE iterates the tiny edge list; a rewrite that re-ran the
+    // fact-fact edge aggregation per hop would be fatal at scale
+    val p = plan("sql_recursive")
+    assert(p.contains("UnionLoop"), p)
+  }
+
   test("join_nullsafe plans as a hash join, not a nested loop") {
     // <=> must canonicalize into the join key (knownfloatingpointnormalized
     // coalesce form); an OR-of-IS-NULL rewrite would fall back to
