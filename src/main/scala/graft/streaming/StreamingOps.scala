@@ -105,6 +105,31 @@ object StreamingOps {
       .select(col("p_id"), col("p_user"), col("c_ts"), col("c_value"))
   }
 
+  /** Stream-STATIC broadcast enrichment — streaming decontamination
+    * (text_decontaminate's posture on a live ingest): each arriving
+    * doc's sliding n-token shingle digests are left-semi joined against
+    * a STATIC eval-benchmark digest set, and a doc that hits ANY eval
+    * shingle is emitted once as contaminated. The static side is the
+    * canonical dimension-lookup shape: broadcast per micro-batch, no
+    * join state at all (unlike stream-stream); the only state is the
+    * watermark-bounded dropDuplicates horizon that collapses a doc's
+    * multiple shingle hits to one emission. In batch the identical code
+    * is a plain semi join + distinct (StreamingSpec asserts the emitted
+    * id set equals the batch text_decontaminate flags). */
+  def contaminatedStream(docs: DataFrame, evalDigests: DataFrame,
+                         n: Int = 8): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), col("ts_us"), explode(expr(
+        s"transform(sequence(0, size(tk)-$n), i -> array_join(slice(tk, i+1, $n), ' '))"))
+        .as("sh"))
+      .withColumn("dig", md5(col("sh")))
+      .join(broadcast(evalDigests), Seq("dig"), "left_semi")
+      .withWatermark("ts_us", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"))
+
   case class Doc(doc_id: Long, ts_us: java.sql.Timestamp, lang: String, text: String)
 
   case class Ev(event_id: Long, ts_us: java.sql.Timestamp, user_id: Long,

@@ -355,6 +355,45 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-static decontamination flags the same docs as the batch rung") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.Doc
+    // STATIC side: the src0 eval-benchmark shingle digest set
+    val docsT = Tables.documents(spark, TestSpark.sf)
+    def shingles(df: DataFrame) = df
+      .withColumn("tk", split(col("text"), " "))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk)-8), i -> array_join(slice(tk, i+1, 8), ' '))"))
+        .as("sh"))
+      .withColumn("dig", md5(col("sh")))
+    val evalDigs = shingles(docsT.filter(col("source") === "src0"))
+      .select(col("dig")).distinct()
+    // STREAM side: the train docs, synthetic event times
+    val base = 1700000000000L
+    val train = docsT.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => Doc(r.getLong(0),
+        new java.sql.Timestamp(base + r.getLong(0) * 1000L),
+        r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id).toSeq
+    val in = MemoryStream[Doc]
+    val q = graft.streaming.StreamingOps.contaminatedStream(in.toDF(), evalDigs)
+      .writeStream.format("memory").queryName("st_decon")
+      .outputMode("append").start()
+    in.addData(train.take(train.length / 2)); q.processAllAvailable()
+    in.addData(train.drop(train.length / 2)); q.processAllAvailable()
+    val got = spark.table("st_decon").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val expected = SparkEntry.queries("text_decontaminate")(spark, TestSpark.sf)
+      .filter(col("contaminated")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"stream=$got batch=$expected")
+    q.stop()
+  }
+
   test("stream_stateful running per-user totals equal batch aggregates") {
     val sp = spark
     import sp.implicits._
