@@ -26,19 +26,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark 4 refuses
-    * by default ([PARQUET_TYPE_ILLEGAL]). With the legacy conf it reads as
-    * BIGINT nanos-since-epoch (SURVEY.md §7.3.1). We keep the raw `ts`
-    * (bigint ns — this is what oracled outputs must use; DuckDB side is
-    * `epoch_ns(ts)`) and add `ts_us`, a micros-truncated real timestamp for
-    * window()/session_window()/watermark operators.
+  /** The `events.ts` physical type has varied across fixture generations:
+    * TIMESTAMP(NANOS,false) (Spark 4 refuses by default, [PARQUET_TYPE_ILLEGAL];
+    * the legacy conf reads it as BIGINT nanos-since-epoch, SURVEY.md §7.3.1) or
+    * plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). The loader normalizes
+    * both to the same downstream contract: raw `ts` as bigint ns — what
+    * oracled outputs must use; the DuckDB side is `epoch_ns(ts)`, which yields
+    * identical ns for either physical type — plus `ts_us`, a micros real
+    * timestamp for window()/session_window()/watermark operators.
     *
     * NOTE `ts div 1000` (integer division) — `ts / 1000` would go through
-    * double and lose precision at 1.7e18 ns. */
+    * double and lose precision at 1.7e18 ns. The NTZ branch pins the session
+    * timezone to UTC so the NTZ→LTZ cast matches DuckDB's naive-as-UTC
+    * `epoch_ns`. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts_us", col("ts").cast("timestamp"))
+          .withColumn("ts", expr("unix_micros(ts_us) * 1000"))
+    }
   }
 
   /** Scratch dir for sink/ingest round-trip operators. Outside the repo,
