@@ -218,10 +218,16 @@ object SqlSurface extends QueryGroup {
     * window, ties broken by dst), then the recursive member walks
     * edges breadth-first to depth 6 and min(hop) collapses path
     * multiplicity. Scale shape: the heavy work is the fact-fact edge
-    * AGGREGATION (shuffle on nation pairs, ≤|V|² rows out); the
-    * recursion itself iterates over the ≤2|V|-row edge list — per-hop
-    * cost is one tiny hash join, and the engine (not the user) owns
-    * the loop, exactly like the hand-rolled label-prop operators. */
+    * AGGREGATION (shuffle on nation pairs, ≤|V|² rows out); it runs
+    * ONCE and is localCheckpointed (the graph-family idiom) BEFORE the
+    * recursive statement — Catalyst inlines non-recursive CTEs into the
+    * loop body, so leaving `agg`/`edges` as CTEs re-ran the 4-way fact
+    * join on every UnionLoopExec iteration (benched 5.6 s vs 0.9 s
+    * here). The recursion itself iterates over the ≤2|V|-row
+    * checkpointed edge list — per-hop cost is one tiny hash join, and
+    * the engine (not the user) owns the loop, exactly like the
+    * hand-rolled label-prop operators. The oracle keeps the edge build
+    * as CTEs (DuckDB materializes multiply-referenced CTEs). */
   private val sqlRecursive: QFn = (s, d) => {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_li_rec_v")
     Tables.orders(s, d).createOrReplaceTempView("graft_ord_rec_v")
@@ -229,24 +235,26 @@ object SqlSurface extends QueryGroup {
     Tables.customer(s, d).createOrReplaceTempView("graft_cus_rec_v")
     Tables.nation(s, d).createOrReplaceTempView("graft_nat_rec_v")
     s.sql("""
-      WITH RECURSIVE agg AS (
+      WITH agg AS (
         SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
         FROM graft_li_rec_v l JOIN graft_ord_rec_v o ON l.l_orderkey = o.o_orderkey
              JOIN graft_sup_rec_v s ON l.l_suppkey = s.s_suppkey
              JOIN graft_cus_rec_v c ON o.o_custkey = c.c_custkey
         WHERE s.s_nationkey <> c.c_nationkey
-        GROUP BY s.s_nationkey, c.c_nationkey),
-      edges AS (
-        SELECT src, dst FROM (
-          SELECT src, dst,
-                 row_number() OVER (PARTITION BY src
-                                    ORDER BY w DESC, dst ASC) AS rn
-          FROM agg) t WHERE rn <= 2),
-      reach(nationkey, hop) AS (
+        GROUP BY s.s_nationkey, c.c_nationkey)
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rn
+        FROM agg) t WHERE rn <= 2""")
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_edges_rec_v")
+    s.sql("""
+      WITH RECURSIVE reach(nationkey, hop) AS (
         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         UNION ALL
         SELECT e.dst, r.hop + 1
-        FROM reach r JOIN edges e ON e.src = r.nationkey
+        FROM reach r JOIN graft_edges_rec_v e ON e.src = r.nationkey
         WHERE r.hop < 6)
       SELECT n.n_nationkey AS nationkey, n.n_name, min(r.hop) AS dist
       FROM graft_nat_rec_v n LEFT JOIN reach r ON r.nationkey = n.n_nationkey
