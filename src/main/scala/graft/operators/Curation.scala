@@ -155,11 +155,106 @@ object Curation extends QueryGroup {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled source sampling (the multilingual-mixing recipe
+    * popularized by multilingual BERT / mT5: sample source s with
+    * probability ∝ p_s^(1/T), T > 1 flattening the mix toward uniform
+    * without discarding the head). T = 2 here, so q_s ∝ √p_s. Float
+    * policy: p_s divides exact int64 token counts (identical doubles
+    * everywhere); the libm power output is rounded to 6 dp (the
+    * fn_trig precedent) and micro-quantized to int64 BEFORE the
+    * normalizer sum, so the Σq fold is order-insensitive and the
+    * final weights are one exact-int division per source. One
+    * groupBy(source) + two broadcast 1-row totals — corpus touched
+    * once. */
+  private val sampleTemperature: QFn = (s, d) => {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast(LongType).as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
+    val scored = perSrc.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast(DoubleType) / col("tot"))
+      .withColumn("qi",
+        floor(round(pow(col("share"), lit(0.5)), 6) * 1e6 + lit(0.5))
+          .cast(LongType))
+    val z = scored.agg(sum(col("qi")).as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("token_share"),
+        round(col("qi").cast(DoubleType) / col("z"), 6).as("temp_weight"))
+      .orderBy(col("source"))
+  }
+
+  /** CCNet-style quality bucketing: rank every document by its mean
+    * unigram logprob (the text_unigram_logprob score — CCNet uses LM
+    * perplexity; the corpus unigram model is its engine-portable
+    * stand-in) and split into head / middle / tail thirds. The split
+    * is ntile(3) over a fully tie-broken global order (score DESC,
+    * doc_id ASC).
+    *
+    * Scale note: the global ntile is a sort of DOC-level rows (narrow:
+    * id + one double — ~16 bytes/doc, TBs of text → GBs of scores);
+    * past that, compute two approx_percentile cutpoints on the score
+    * column and broadcast them as a CASE — same output modulo boundary
+    * ties, no global sort. The exact window is the oracled shape. */
+  private val textQualityBucket: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = t.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val n = t.agg(count(lit(1)).cast(DoubleType).as("n_tok"))
+    val score = t.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("lp", log(col("tf") / col("n_tok")))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("lp")) / count(lit(1)), 6).as("mean_logprob"))
+    score
+      .withColumn("b",
+        ntile(3).over(Window.orderBy(col("mean_logprob").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("mean_logprob"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Numeric-column profile of lineitem — profile_columns' continuous
+    * companion (the stats a drift monitor baselines on every ingest):
+    * per column min / max / exact-DECIMAL mean / null count, all four
+    * columns in ONE aggregation pass, unpivoted driver-side (1 row →
+    * 4). The mean divides a DECIMAL(18,6)-pre-cast sum by the non-null
+    * count (the agg_pricing_summary float policy) so partial-agg
+    * ordering can't move it. */
+  private val profileNumeric: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}__mn"),
+      max(col(c)).as(s"${c}__mx"),
+      sum(col(c).cast(DecimalType(18, 6))).as(s"${c}__sm"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"""struct('$c' AS col_name, `${c}__mn` AS mn, `${c}__mx` AS mx,
+                 CAST(`${c}__sm` AS DOUBLE) AS sm, `${c}__nn` AS n_null)""")
+      .mkString(", ")
+    one.select(col("n_rows"), explode(expr(s"array($stacked)")).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.mn").as("min_val"), col("p.mx").as("max_val"),
+        round(col("p.sm") / (col("n_rows") - col("p.n_null")), 6).as("mean_val"),
+        col("p.n_null").as("n_null"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "text_dedup_span" -> textDedupSpan,
     "text_decontaminate" -> textDecontaminate,
     "profile_columns" -> profileColumns,
     "text_domain_mix" -> textDomainMix,
+    "sample_temperature" -> sampleTemperature,
+    "text_quality_bucket" -> textQualityBucket,
+    "profile_numeric" -> profileNumeric,
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -234,5 +329,70 @@ object Curation extends QueryGroup {
                 round((CAST(1.0 AS DOUBLE) / n_sources) / (CAST(n_tokens AS DOUBLE) / tot), 6) AS mix_weight
          FROM persrc CROSS JOIN tot
          ORDER BY source ASC NULLS FIRST""",
+    "sample_temperature" ->
+      """WITH perdoc AS (SELECT source,
+                CASE WHEN len(text) >= 1
+                     THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                     ELSE 0 END AS ntok
+              FROM documents),
+           persrc AS (SELECT source, count(*) AS n_docs,
+                             CAST(sum(ntok) AS BIGINT) AS n_tokens
+                      FROM perdoc GROUP BY source),
+           tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM persrc),
+           scored AS (SELECT source, n_docs, n_tokens,
+                             CAST(n_tokens AS DOUBLE) / tot AS share,
+                             CAST(floor(round(power(CAST(n_tokens AS DOUBLE) / tot, 0.5), 6) * 1e6 + 0.5) AS BIGINT) AS qi
+                      FROM persrc CROSS JOIN tot),
+           z AS (SELECT CAST(sum(qi) AS BIGINT) AS z FROM scored)
+         SELECT source, n_docs, n_tokens,
+                round(share, 6) AS token_share,
+                round(CAST(qi AS DOUBLE) / z, 6) AS temp_weight
+         FROM scored CROSS JOIN z
+         ORDER BY source ASC NULLS FIRST""",
+    "text_quality_bucket" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+           tf AS (SELECT tok, count(*) tf FROM toks GROUP BY tok),
+           n AS (SELECT CAST(count(*) AS DOUBLE) n_tok FROM toks),
+           score AS (SELECT doc_id,
+                            round(sum(ln(tf / n_tok)) / count(*), 6) AS mean_logprob
+                     FROM toks JOIN tf USING (tok) CROSS JOIN n
+                     GROUP BY doc_id),
+           bucketed AS (SELECT doc_id, mean_logprob,
+                               ntile(3) OVER (ORDER BY mean_logprob DESC NULLS LAST,
+                                              doc_id ASC) AS b
+                        FROM score)
+         SELECT doc_id, mean_logprob,
+                CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+         FROM bucketed
+         ORDER BY doc_id ASC NULLS FIRST""",
+    "profile_numeric" ->
+      """WITH b AS (SELECT * FROM lineitem)
+         SELECT col_name, n_rows, min_val, max_val, mean_val, n_null FROM (
+           SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+                  min(l_quantity) AS min_val, max(l_quantity) AS max_val,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                        / (count(*) - sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)), 6) AS mean_val,
+                  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+           FROM b
+           UNION ALL SELECT 'l_extendedprice', count(*),
+                  min(l_extendedprice), max(l_extendedprice),
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                        / (count(*) - sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)), 6),
+                  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM b
+           UNION ALL SELECT 'l_discount', count(*),
+                  min(l_discount), max(l_discount),
+                  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                        / (count(*) - sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)), 6),
+                  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM b
+           UNION ALL SELECT 'l_tax', count(*),
+                  min(l_tax), max(l_tax),
+                  round(CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE)
+                        / (count(*) - sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)), 6),
+                  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           FROM b) t
+         ORDER BY col_name ASC NULLS FIRST""",
   )
 }

@@ -334,7 +334,29 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("event_type"), col("fold"))
   }
 
+  /** Per-user rate-limit audit — the quota/burst screen telemetry
+    * pipelines run before trusting event volumes (a scripted client
+    * hammering one hour pollutes counts, funnels, and any model trained
+    * on them): events bucketed per (user, hour), hours over the quota
+    * (> 2 events/hour — the fixture's p99.8) flagged, flagged users
+    * reported with their worst hour. Two key-partitioned integer
+    * aggregations — (user, hour) then user — both map-side combining;
+    * nothing touches raw event order or needs a window. */
+  private val eventsQuota: QFn = (s, d) => {
+    val hr = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 3600000000000").as("hr"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    hr.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+           max(col("c")).as("max_per_hour"),
+           sum(when(col("c") > 2L, 1L).otherwise(0L)).as("n_over"))
+      .filter(col("n_over") > 0L)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    "events_quota" -> eventsQuota,
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
     "events_sessionize_lag" -> eventsSessionizeLag,
@@ -352,6 +374,16 @@ object EventsBatch extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "events_quota" ->
+      """WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_hours,
+                CAST(max(c) AS BIGINT) AS max_per_hour,
+                CAST(sum(CASE WHEN c > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+         FROM h GROUP BY user_id
+         HAVING sum(CASE WHEN c > 2 THEN 1 ELSE 0 END) > 0
+         ORDER BY user_id ASC NULLS FIRST""",
     "events_tumbling" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_v

@@ -78,6 +78,28 @@ object LlmVector extends QueryGroup {
       .limit(10)
   }
 
+  /** Threshold range search — top-k's dual (return EVERYTHING within
+    * cosine ≥ τ of each query, however many that is): the retrieval
+    * mode RAG dedup-against-index and semantic-recall audits need,
+    * where a fixed k either truncates dense neighborhoods or pads
+    * sparse ones. Brute-force exact baseline: 10-query broadcast set ×
+    * one corpus pass, cos ≥ 0.3 filter inside the codegen'd scan — no
+    * shuffle of the corpus at all. The IVF index (sim_knn_ivf) is the
+    * at-scale variant: τ bounds the probe radius the same way k does. */
+  private val simRangeSearch: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.filter(col("vec_id") >= 10L)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", expr("cosine_f32(embedding, qe)"))
+      .filter(col("cos") >= 0.3)
+      .select(col("qid"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
   /** Persisted IVF index location for one sf dir: `cells/` holds the
     * corpus partitioned by coarse cell (hive layout → partition-pruned
     * probe reads), `centroids/` the k cell means. Deterministic content
@@ -975,6 +997,7 @@ object LlmVector extends QueryGroup {
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_knn" -> simKnn,
     "sim_knn_batch" -> simKnnBatch,
+    "sim_range_search" -> simRangeSearch,
     "sink_ann_index" -> sinkAnnIndex,
     "sim_knn_ivf" -> simKnnIvf,
     "ann_upsert" -> annUpsert,
@@ -1144,6 +1167,15 @@ object LlmVector extends QueryGroup {
           SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, round(c, 6) + 0.0 AS cos_sim
           FROM r WHERE rank <= 5
           ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST""",
+    "sim_range_search" ->
+      s"""WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) eb FROM embeddings
+                     WHERE vec_id < 10),
+           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ea FROM embeddings
+                 WHERE vec_id >= 10),
+           sc AS (SELECT qid, vec_id, $duckPairCos AS c FROM e CROSS JOIN q)
+          SELECT qid, vec_id, round(c, 6) AS cos_sim
+          FROM sc WHERE c >= 0.3
+          ORDER BY qid ASC NULLS FIRST, vec_id ASC NULLS FIRST""",
     "sim_centroids" ->
       """WITH terms AS (
             SELECT vec_id, label,

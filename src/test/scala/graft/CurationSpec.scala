@@ -83,6 +83,53 @@ class CurationSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n_null"))).head.getLong(0) == 0L)
   }
 
+  test("sample_temperature: weights sum to 1 and flatten toward uniform") {
+    val out = SparkEntry.queries("sample_temperature")(spark, sf)
+    val wsum = out.agg(sum(col("temp_weight"))).head.getDouble(0)
+    assert(math.abs(wsum - 1.0) < 1e-4, wsum)
+    // T > 1 compresses the mix: a source above uniform share must get
+    // temp_weight < share (shrunk), one below uniform gets weight >
+    // share (boosted) — the defining property of temperature sampling
+    val ns = out.count().toDouble
+    val squeezed = out.filter(
+      (col("token_share") > 1.05 / ns && col("temp_weight") >= col("token_share")) ||
+      (col("token_share") < 0.95 / ns && col("temp_weight") <= col("token_share")))
+    assert(squeezed.count() == 0)
+  }
+
+  test("text_quality_bucket: thirds are balanced and score-ordered") {
+    val out = SparkEntry.queries("text_quality_bucket")(spark, sf)
+    val n = out.count()
+    val sizes = out.groupBy(col("bucket")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"), sizes)
+    assert(sizes.values.max - sizes.values.min <= 1, sizes) // ntile balance
+    assert(sizes.values.sum == n)
+    // ordering: every head score >= every tail score
+    val minHead = out.filter(col("bucket") === "head")
+      .agg(min(col("mean_logprob"))).head.getDouble(0)
+    val maxTail = out.filter(col("bucket") === "tail")
+      .agg(max(col("mean_logprob"))).head.getDouble(0)
+    assert(minHead >= maxTail, s"$minHead < $maxTail")
+  }
+
+  test("profile_numeric: bounds and mean are consistent") {
+    val out = SparkEntry.queries("profile_numeric")(spark, sf)
+    assert(out.count() == 4)
+    val bad = out.filter(col("min_val") > col("mean_val") ||
+      col("mean_val") > col("max_val") || col("n_null") =!= 0L)
+    assert(bad.count() == 0)
+  }
+
+  test("events_quota: flagged users really have an over-quota hour") {
+    val out = SparkEntry.queries("events_quota")(spark, sf)
+    // every reported row is genuinely over quota, and the worst hour
+    // of a flagged user exceeds the quota by construction
+    assert(out.filter(col("n_over") <= 0L).count() == 0)
+    assert(out.filter(col("max_per_hour") <= 2L).count() == 0)
+    assert(out.filter(col("n_over") > col("n_hours")).count() == 0)
+  }
+
   test("text_domain_mix shares sum to 1 and weights re-balance") {
     val out = SparkEntry.queries("text_domain_mix")(spark, sf)
     val share = out.agg(sum(col("token_share"))).head.getDouble(0)
