@@ -247,7 +247,80 @@ object Curation extends QueryGroup {
       .orderBy(col("col_name"))
   }
 
+  /** Regex PII scan — the detection half of the scrub step every
+    * public-corpus pipeline runs (text_scrub is the dictionary half;
+    * this is the pattern half: emails, phone numbers). The fixture
+    * text contains no PII, so the scan input is SYNTHESIZED
+    * deterministically from it (the fn_url / ingest_fixed_width
+    * posture): every doc_id % 3 == 0 doc gains an email, every
+    * doc_id % 5 == 0 a 555-prefixed phone — so hit/miss/both/neither
+    * rows all exist and the counts are provable. Patterns stay in the
+    * POSIX-safe subset both regex engines (Java util.regex, RE2)
+    * parse identically (§7.4). Pure row function: detection and
+    * redaction run inside one codegen stage, no shuffle at all. */
+  private val textPiiScan: QFn = (s, d) => {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    Tables.documents(s, d)
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), emailRe, "[email]"),
+          phoneRe, "[phone]").as("redacted"))
+      .withColumn("has_pii", col("n_emails") + col("n_phones") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget cutoff — "take exactly the first B tokens" (the
+    * sampling step that turns mixture weights into an actual training
+    * set): docs in stable doc_id order, kept while the running token
+    * total stays within budget B = half the corpus. The prefix sum is
+    * computed DISTRIBUTED, not as one global window: per-range-bucket
+    * totals (bounded: one row per bucket) get a tiny window pass for
+    * bucket offsets, broadcast back, and each doc's cum = bucket
+    * offset + within-bucket running sum — every corpus-sized stage is
+    * key-partitioned by bucket. The oracle is the plain global-window
+    * spelling, proving the two-pass formulation exact. */
+  private val sampleTokenBudget: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast(LongType).as("ntok"))
+      .withColumn("bkt", (col("doc_id") / 1000L).cast(LongType))
+    val budget = docs.agg((sum(col("ntok")) / lit(2L)).cast(LongType).as("budget"))
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("ntok")).as("bt"))
+      .withColumn("off",
+        coalesce(sum(col("bt")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    docs
+      .withColumn("run",
+        sum(col("ntok")).over(Window.partitionBy(col("bkt"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("ntok"),
+        (col("off") + col("run")).as("cum_tokens"),
+        (col("off") + col("run") <= col("budget")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    "text_pii_scan" -> textPiiScan,
+    "sample_token_budget" -> sampleTokenBudget,
     "text_dedup_span" -> textDedupSpan,
     "text_decontaminate" -> textDecontaminate,
     "profile_columns" -> profileColumns,
@@ -258,6 +331,41 @@ object Curation extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "text_pii_scan" ->
+      """WITH synth AS (
+           SELECT doc_id,
+                  text ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END ||
+                  CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+                regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '[email]', 'g'),
+                               '555-[0-9]{4}', '[phone]', 'g') AS redacted,
+                (CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
+                 + CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)) > 0 AS has_pii
+         FROM synth
+         ORDER BY doc_id ASC NULLS FIRST""",
+    "sample_token_budget" ->
+      """WITH docs AS (SELECT doc_id,
+                CASE WHEN len(text) >= 1
+                     THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                     ELSE 0 END AS ntok
+              FROM documents),
+           b AS (SELECT CAST(sum(ntok) // 2 AS BIGINT) AS budget FROM docs),
+           c AS (SELECT doc_id, ntok,
+                        CAST(sum(ntok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                          AS cum_tokens
+                 FROM docs)
+         SELECT doc_id, ntok, cum_tokens, cum_tokens <= budget AS kept
+         FROM c CROSS JOIN b
+         ORDER BY doc_id ASC NULLS FIRST""",
     "text_dedup_span" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
                      FROM documents WHERE len(text) >= 1),

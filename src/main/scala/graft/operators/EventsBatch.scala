@@ -355,8 +355,34 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("user_id"))
   }
 
+  /** DAU / WAU stickiness — the engagement ratio every product
+    * scorecard tracks (and a drift signal for event-stream health):
+    * daily active users, trailing-7-day active users, and their ratio
+    * per observed day. The WAU side needs no range join or window: a
+    * (user, day) activity row contributes to the 7 grid days
+    * [day, day+6], so ONE 7-element explode + countDistinct gives
+    * every trailing window at once — shuffles bounded by
+    * 7 × |user-days|, never raw events, and the distinct-user
+    * aggregation map-side combines. */
+  private val eventsDauWau: QFn = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
+    val wau = du
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + 6)")).as("g"))
+      .groupBy(col("g"))
+      .agg(countDistinct(col("user_id")).as("n_wau"))
+    dau.join(wau, col("day") === col("g"))
+      .select(col("day"), col("n_dau"), col("n_wau"),
+        round(col("n_dau").cast("double") / col("n_wau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_quota" -> eventsQuota,
+    "events_dau_wau" -> eventsDauWau,
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
     "events_sessionize_lag" -> eventsSessionizeLag,
@@ -384,6 +410,17 @@ object EventsBatch extends QueryGroup {
          FROM h GROUP BY user_id
          HAVING sum(CASE WHEN c > 2 THEN 1 ELSE 0 END) > 0
          ORDER BY user_id ASC NULLS FIRST""",
+    "events_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+                            epoch_ns(ts) // 86400000000000 AS day
+                     FROM events),
+           dau AS (SELECT day, count(*) AS n_dau FROM du GROUP BY day),
+           g AS (SELECT user_id, unnest(range(day, day + 7)) AS g FROM du),
+           wau AS (SELECT g, count(DISTINCT user_id) AS n_wau FROM g GROUP BY g)
+         SELECT day, n_dau, n_wau,
+                round(CAST(n_dau AS DOUBLE) / n_wau, 6) AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.g
+         ORDER BY day ASC NULLS FIRST""",
     "events_tumbling" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s, event_type,
                 count(*) AS n, round(sum(value), 6) AS sum_v

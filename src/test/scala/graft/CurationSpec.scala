@@ -130,6 +130,46 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(col("n_over") > col("n_hours")).count() == 0)
   }
 
+  test("text_pii_scan: synthesized PII is found, redaction removes it") {
+    val out = SparkEntry.queries("text_pii_scan")(spark, sf)
+    // construction rule: doc_id % 3 == 0 → ≥1 email, % 5 == 0 → ≥1 phone
+    assert(out.filter(col("doc_id") % 3 === 0 && col("n_emails") < 1L).count() == 0)
+    assert(out.filter(col("doc_id") % 5 === 0 && col("n_phones") < 1L).count() == 0)
+    assert(out.filter(col("has_pii") =!=
+      (col("n_emails") + col("n_phones") > 0L)).count() == 0)
+    // redacted text must contain no residual matches of either pattern
+    val residual = out.filter(
+      size(regexp_extract_all(col("redacted"),
+        lit("[a-z0-9]+@[a-z0-9]+\\.[a-z]+"), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit("555-[0-9]{4}"), lit(0))) > 0)
+    assert(residual.count() == 0)
+  }
+
+  test("sample_token_budget: cutoff is exact and prefix-closed") {
+    val out = SparkEntry.queries("sample_token_budget")(spark, sf).collect()
+    val budget = out.map(r => r.getAs[Long]("ntok")).sum / 2
+    // kept ⟺ cum ≤ budget, and the kept set is a prefix in doc_id order
+    assert(out.forall(r =>
+      r.getAs[Boolean]("kept") == (r.getAs[Long]("cum_tokens") <= budget)))
+    val firstDrop = out.indexWhere(!_.getAs[Boolean]("kept"))
+    if (firstDrop >= 0)
+      assert(out.drop(firstDrop).forall(!_.getAs[Boolean]("kept")))
+    // the distributed two-pass cum must equal a sequential fold
+    var acc = 0L
+    for (r <- out) {
+      acc += r.getAs[Long]("ntok")
+      assert(r.getAs[Long]("cum_tokens") == acc)
+    }
+  }
+
+  test("events_dau_wau: WAU dominates DAU; stickiness in (0, 1]") {
+    val out = SparkEntry.queries("events_dau_wau")(spark, sf)
+    assert(out.filter(col("n_wau") < col("n_dau")).count() == 0)
+    assert(out.filter(col("stickiness") <= 0.0 ||
+      col("stickiness") > 1.0).count() == 0)
+  }
+
   test("text_domain_mix shares sum to 1 and weights re-balance") {
     val out = SparkEntry.queries("text_domain_mix")(spark, sf)
     val share = out.agg(sum(col("token_share"))).head.getDouble(0)
