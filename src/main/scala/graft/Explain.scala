@@ -20,7 +20,10 @@ object Explain {
     "multimodal_frame_dedup", "agg_ks", "graph_triangles", "sql_merge",
     "dedup_clusters_multimodal", "agg_psi", "graph_jaccard", "events_forecast",
     "join_fuzzy_blocked", "events_forecast_backtest",
-    "text_dedup_span", "text_decontaminate", "sql_recursive")
+    "text_dedup_span", "text_decontaminate", "sql_recursive",
+    "sample_temperature", "text_quality_bucket", "sim_range_search",
+    "events_quota", "sample_token_budget", "events_dau_wau",
+    "text_pii_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

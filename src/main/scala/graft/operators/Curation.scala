@@ -139,12 +139,15 @@ object Curation extends QueryGroup {
     * mix). One groupBy(source) over per-doc token counts; the corpus
     * total joins back as a broadcast of ONE row. */
   private val textDomainMix: QFn = (s, d) => {
+    // eager localCheckpoint: |sources|-row aggregate referenced by the
+    // total AND the final select — one corpus scan, not two
     val perSrc = Tables.documents(s, d)
       .select(col("source"),
         when(length(col("text")) >= 1, size(split(col("text"), " ")))
           .otherwise(0).cast(LongType).as("ntok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .localCheckpoint()
     val tot = perSrc.agg(sum(col("n_tokens")).as("tot"),
       count(lit(1)).as("n_sources"))
     perSrc.crossJoin(broadcast(tot))
@@ -167,12 +170,16 @@ object Curation extends QueryGroup {
     * groupBy(source) + two broadcast 1-row totals — corpus touched
     * once. */
   private val sampleTemperature: QFn = (s, d) => {
+    // eager localCheckpoint: the |sources|-row aggregate feeds the
+    // total, the scoring, AND the normalizer — without materialization
+    // each reference would re-run the corpus groupBy (3 scans at 100 TB)
     val perSrc = Tables.documents(s, d)
       .select(col("source"),
         when(length(col("text")) >= 1, size(split(col("text"), " ")))
           .otherwise(0).cast(LongType).as("ntok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .localCheckpoint()
     val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
     val scored = perSrc.crossJoin(broadcast(tot))
       .withColumn("share", col("n_tokens").cast(DoubleType) / col("tot"))
@@ -203,8 +210,13 @@ object Curation extends QueryGroup {
     import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // vocabulary-sized; checkpointed so the corpus-total derivation and
+    // the broadcast both read the |V|-row table, not the token stream
     val tf = t.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val n = t.agg(count(lit(1)).cast(DoubleType).as("n_tok"))
+      .localCheckpoint()
+    // n_tok = Σ tf — derived from the vocabulary table, NOT a second
+    // corpus scan (exact integers, so the result is identical)
+    val n = tf.agg(sum(col("tf")).cast(DoubleType).as("n_tok"))
     val score = t.join(broadcast(tf), "tok")
       .crossJoin(broadcast(n))
       .withColumn("lp", log(col("tf") / col("n_tok")))
@@ -293,11 +305,16 @@ object Curation extends QueryGroup {
     * spelling, proving the two-pass formulation exact. */
   private val sampleTokenBudget: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    // eager localCheckpoint of the NARROW (doc_id, ntok, bkt) projection
+    // (~24 B/doc — GBs where the text is TBs): budget, offsets, and the
+    // running-sum pass all read it; without it each would re-scan and
+    // re-tokenize the full text column
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         when(length(col("text")) >= 1, size(split(col("text"), " ")))
           .otherwise(0).cast(LongType).as("ntok"))
       .withColumn("bkt", (col("doc_id") / 1000L).cast(LongType))
+      .localCheckpoint()
     val budget = docs.agg((sum(col("ntok")) / lit(2L)).cast(LongType).as("budget"))
     val offsets = docs.groupBy(col("bkt")).agg(sum(col("ntok")).as("bt"))
       .withColumn("off",

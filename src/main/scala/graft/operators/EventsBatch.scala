@@ -365,9 +365,13 @@ object EventsBatch extends QueryGroup {
     * 7 × |user-days|, never raw events, and the distinct-user
     * aggregation map-side combines. */
   private val eventsDauWau: QFn = (s, d) => {
+    // eager localCheckpoint: the (user, day) activity table — bounded
+    // by |users| × |days|, far below raw events — feeds both the DAU
+    // and the WAU aggregate; one events scan, not two
     val du = Tables.events(s, d)
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))
       .distinct()
+      .localCheckpoint()
     val dau = du.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
     val wau = du
       .select(col("user_id"),

@@ -184,8 +184,12 @@ object LlmText extends QueryGroup {
     * bounded aggregations (vocabulary, then per-doc). */
   private val textUnigramLogprob: QFn = (s, d) => {
     val t = tokens(s, d)
+    // vocabulary-sized; checkpointed so the corpus total derives from
+    // the |V|-row table (n = Σ tf, exact integers — identical result)
+    // instead of a second scan+tokenize of the corpus
     val tf = t.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val n = t.agg(count(lit(1)).cast(DoubleType).as("n_tok"))
+      .localCheckpoint()
+    val n = tf.agg(sum(col("tf")).cast(DoubleType).as("n_tok"))
     t.join(broadcast(tf), "tok")
       .crossJoin(broadcast(n))
       .withColumn("lp", log(col("tf") / col("n_tok")))
@@ -213,7 +217,11 @@ object LlmText extends QueryGroup {
         "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // bigram-vocabulary-sized; checkpointed so the left-context margin
+    // c1 derives from the |V²|-row table instead of re-running the
+    // corpus bigram aggregation, and the broadcast reads it directly
     val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val c1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     bg.join(broadcast(bc), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
