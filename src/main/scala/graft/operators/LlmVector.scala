@@ -501,6 +501,41 @@ object LlmVector extends QueryGroup {
       .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("ia"), col("ib"))
 
+  /** The embedding-detector quality rung — dedup_eval's posture for the
+    * THIRD detector (minhash and simhash have theirs; embcos was the
+    * unmeasured one): the emitted anchor-cell pair set scored against
+    * exact all-pairs cosine > 0.4 truth on the vec_id < 500 capped
+    * range. The exact-verify stage pins precision at 1 by construction
+    * (every emitted pair re-checked with the same cosine); RECALL is
+    * the live number — pairs whose members were quantized into
+    * different anchor cells are exactly what SemDeDup-style cell
+    * bucketing can miss, and this rung watches that miss rate when the
+    * anchor count or probe width is retuned. One row: n_emitted /
+    * n_truth / n_hit / precision / recall. */
+  private val dedupEvalEmbcos: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val cap = 500L
+    val emitted = embcosPairsCached(s, d)
+      .filter(col("ia") < cap && col("ib") < cap)
+      .select(col("ia"), col("ib"), lit(1L).as("e"))
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < cap)
+    val truth = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") < col("ib"))
+      .filter(expr("cosine_f32(ea, eb)") > 0.4)
+      .select(col("ia"), col("ib"), lit(1L).as("t"))
+    emitted.join(truth, Seq("ia", "ib"), "full")
+      .agg(sum(coalesce(col("e"), lit(0L))).as("n_emitted"),
+           sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+           sum(when(col("e").isNotNull && col("t").isNotNull, 1L).otherwise(0L))
+             .as("n_hit"))
+      .select(col("n_emitted"), col("n_truth"), col("n_hit"),
+        when(col("n_emitted") > 0L,
+          col("n_hit").cast(DoubleType) / col("n_emitted")).as("precision"),
+        when(col("n_truth") > 0L,
+          col("n_hit").cast(DoubleType) / col("n_truth")).as("recall"))
+  }
+
   /** Multimodal column plumbing: text → opaque binary, then a
     * partition-wise "decoder" producing typed metadata. The decode body
     * is a STUB (deterministic byte-level features — this container has no
@@ -1007,6 +1042,7 @@ object LlmVector extends QueryGroup {
     "embed_pq" -> embedPq,
     "sim_knn_pq" -> simKnnPq,
     "dedup_embcos" -> dedupEmbcos,
+    "dedup_eval_embcos" -> dedupEvalEmbcos,
     "embed_quantize" -> embedQuantize,
     "embed_norm" -> embedNorm,
     "embed_pca" -> embedPca,
@@ -1191,6 +1227,25 @@ object LlmVector extends QueryGroup {
       s"""WITH $duckEmbcosPairsCtes
           SELECT ia, ib, round(c, 6) AS cos_sim FROM empairs
           ORDER BY ia ASC NULLS FIRST, ib ASC NULLS FIRST""",
+    "dedup_eval_embcos" ->
+      s"""WITH $duckEmbcosPairsCtes,
+            em AS (SELECT ia, ib FROM empairs WHERE ia < 500 AND ib < 500),
+            tp AS (SELECT ia, ib, $duckPairCos AS c FROM (
+                     SELECT a.vec_id ia, b.vec_id ib, a.ev ea, b.ev eb
+                     FROM eme a JOIN eme b ON a.vec_id < b.vec_id
+                     WHERE a.vec_id < 500 AND b.vec_id < 500) s),
+            tr AS (SELECT ia, ib FROM tp WHERE c > 0.4),
+            f AS (SELECT CASE WHEN em.ia IS NOT NULL THEN 1 ELSE 0 END e,
+                         CASE WHEN tr.ia IS NOT NULL THEN 1 ELSE 0 END t
+                  FROM em FULL JOIN tr ON em.ia = tr.ia AND em.ib = tr.ib)
+         SELECT CAST(sum(e) AS BIGINT) AS n_emitted,
+                CAST(sum(t) AS BIGINT) AS n_truth,
+                CAST(sum(e * t) AS BIGINT) AS n_hit,
+                CAST(CAST(sum(e * t) AS BIGINT) AS DOUBLE)
+                  / CAST(sum(e) AS BIGINT) AS precision,
+                CAST(CAST(sum(e * t) AS BIGINT) AS DOUBLE)
+                  / CAST(sum(t) AS BIGINT) AS recall
+         FROM f""",
     "embed_quantize" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
             m AS (SELECT vec_id, e, list_min(e) lo, list_max(e) hi FROM t)

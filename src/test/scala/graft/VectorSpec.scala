@@ -63,6 +63,18 @@ class VectorSpec extends AnyFunSuite {
     info(s"recall = ${got.size}/${exact.size}")
   }
 
+  test("dedup_eval_embcos: precision pinned at 1, recall floor holds") {
+    // the oracled detector-quality rung must agree with this spec's own
+    // exact-truth measurement: precision exactly 1 (every emitted pair
+    // is exact-verified), recall live but floored — a probe-width or
+    // anchor-count regression that halves recall must fail loudly
+    val r = SparkEntry.queries("dedup_eval_embcos")(spark, TestSpark.sf).head
+    assert(r.getAs[Long]("n_truth") > 0L, "capped range holds no true pairs")
+    assert(r.getAs[Double]("precision") == 1.0, r.toString)
+    assert(r.getAs[Double]("recall") >= 0.4, s"recall collapsed: $r")
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+  }
+
   test("ivf ANN returns 10 rows and overlaps brute force") {
     val knn = SparkEntry.queries("sim_knn")(spark, TestSpark.sf)
       .collect().map(_.getLong(0)).toSet
