@@ -130,6 +130,25 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"))
 
+  /** Per-user hourly rate-limit flags — events_quota's streaming twin
+    * (the batch rung audits history; this flags bursts while the stream
+    * runs): tumbling 1 h windows keyed by user, a 1 h watermark bounds
+    * the state, and append mode emits each (user, hour) bucket exactly
+    * once when the watermark closes its window; only over-quota buckets
+    * (> 2 events — the fixture's p99.8, the events_quota constant) pass
+    * the post-aggregation filter. State is one count per (active user ×
+    * open window) — watermark-bounded, never corpus-sized. The same
+    * function evaluates in batch mode (watermark is a no-op there),
+    * which is what StreamingSpec's equivalence assertion runs. */
+  def quotaFlags(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 2L)
+      .select(unix_timestamp(col("w.start")).as("hour_s"),
+        col("user_id"), col("c"))
+
   case class Doc(doc_id: Long, ts_us: java.sql.Timestamp, lang: String, text: String)
 
   case class Ev(event_id: Long, ts_us: java.sql.Timestamp, user_id: Long,

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 
 /** Physical-plan assertions (SURVEY.md §4): pushdown, pruning, join
   * strategy, and top-k shapes must be the ones that survive a 100×
@@ -196,6 +197,31 @@ class PlanSpec extends AnyFunSuite {
     val rewrite = spark.read.parquet(s"${Tables.scratchDir}/sink_compact/fragmented")
       .coalesce(4)
     assert(!rewrite.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("sink_sorted files carry pairwise-disjoint key ranges") {
+    // the zone-map claim made executable: repartitionByRange +
+    // sortWithinPartitions must give every output file a key range that
+    // overlaps no other file's — that disjointness is exactly what lets
+    // a key predicate skip whole files at read time. Measured from the
+    // written layout itself via input_file_name().
+    SparkEntry.queries("sink_sorted")(spark, TestSpark.sf).collect()
+    val ranges = spark.read
+      .parquet(s"${Tables.scratchDir}/sink_sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("lo"),
+                 r.getAs[java.time.LocalDateTime]("hi")))
+      .sortBy(_._1.toString)
+    assert(ranges.length > 1, "need >1 file to prove disjointness")
+    ranges.foreach { case (lo, hi) => assert(!hi.isBefore(lo)) }
+    ranges.sliding(2).foreach {
+      case Array((_, hiPrev), (loNext, _)) =>
+        assert(!loNext.isBefore(hiPrev),
+          s"file ranges overlap: prev hi $hiPrev > next lo $loNext")
+      case _ =>
+    }
   }
 
   test("agg_argmax is a single aggregate — no join-back to the base table") {

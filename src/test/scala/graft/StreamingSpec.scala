@@ -110,6 +110,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_quota flags the same (user, hour) bursts as the batch audit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.quotaFlags(in.toDF())
+      .writeStream.format("memory").queryName("st_quota")
+      .outputMode("append").start()
+    in.addData(evs.take(evs.length / 2)); q.processAllAvailable()
+    in.addData(evs.drop(evs.length / 2)); q.processAllAvailable()
+    // advance the watermark past every real window so append emits all
+    // closed buckets; the sentinel's own bucket holds 1 event < quota,
+    // so it can never appear in the output
+    val sentinel = Ev(-1L,
+      new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
+    in.addData(Seq(sentinel)); q.processAllAvailable()
+    val got = spark.table("st_quota")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // same function, batch evaluation (watermark no-ops in batch)
+    val exp = StreamingOps.quotaFlags(batchDf(evs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp, s"stream-batch drift: ${got.diff(exp)} / ${exp.diff(got)}")
+    // and the flagged bucket count ties back to the DECLARED batch query:
+    // events_quota's per-user n_over sums to exactly these buckets
+    val declared = SparkEntry.queries("events_quota")(spark, TestSpark.sf)
+      .agg(coalesce(sum(col("n_over")), lit(0L))).collect()(0).getLong(0)
+    assert(got.size.toLong == declared,
+      s"stream flagged ${got.size} buckets, events_quota audited $declared")
+    q.stop()
+  }
+
   test("stream_dedup removes duplicate event_ids within the watermark") {
     val sp = spark
     import sp.implicits._
