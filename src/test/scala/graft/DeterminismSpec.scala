@@ -80,6 +80,13 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_clusters_multimodal", // all-integer min labels (3-detector graph)
     "events_forecast",     // integer hourly counts and abs errors
     "join_fuzzy",          // exact integer edit distances on a capped set
+    "events_quota",        // all-integer (user, hour) counts and flags
+    "events_dau_wau",      // exact distinct counts; identical-int division
+    "profile_numeric",     // DECIMAL sums, min/max, null counts
+    "sample_token_budget", // exact int64 prefix sums, integer budget
+    "text_pii_scan",       // pure row function (regex on synthesized text)
+    "sample_temperature",  // int64-quantized normalizer; identical-double pow
+    "dedup_eval_embcos",   // exact int counts over the cached pair graph
   )
 
   private val postRounded = Seq(
@@ -94,6 +101,9 @@ class DeterminismSpec extends AnyFunSuite {
     "events_gap_fill",     // per-(user, hour) raw double sums (like events_session)
     "graph_pagerank",      // ≤V-term contribution sums, 9-dp re-round per iter
     "fn_geo",              // 5-call libm chain, 4-dp rounded (fn_trig tier)
+    "text_quality_bucket", // unigram-logprob double sums feed the ntile;
+                           // bucket strings compare EXACTLY, so an
+                           // order-flip at a rounding boundary fails loudly
   )
 
   private def result(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
