@@ -262,8 +262,61 @@ object SqlSurface extends QueryGroup {
       ORDER BY nationkey ASC NULLS FIRST""")
   }
 
+  /** The SQL PIVOT surface — agg_pivot's statement spelling (that rung
+    * drives the DataFrame `.pivot()`; BI tools emit the PIVOT clause):
+    * order counts and exact-DECIMAL revenue per priority, pivoted on
+    * the three order statuses. Catalyst compiles PIVOT to the same
+    * single Expand + two-phase aggregate as the DataFrame form — one
+    * corpus pass, map-side combining, |priorities| × 3 cells out. The
+    * oracle is the portable FILTER spelling (DuckDB's PIVOT syntax
+    * differs; the semantics equality is the point). Spark leaves an
+    * unmatched pivot COUNT cell NULL where the FILTER form gives 0 —
+    * coalesced in the outer select so the contract is engine-neutral
+    * (every status occurs at every fixture SF, but the guard makes the
+    * shape safe on any slice). */
+  private val sqlPivot: QFn = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_ord_piv_v")
+    s.sql("""
+      SELECT o_orderpriority,
+             CAST(coalesce(f_n, 0) AS BIGINT) AS f_n,
+             round(CAST(f_total AS DOUBLE), 4) AS f_total,
+             CAST(coalesce(o_n, 0) AS BIGINT) AS o_n,
+             round(CAST(o_total AS DOUBLE), 4) AS o_total,
+             CAST(coalesce(p_n, 0) AS BIGINT) AS p_n,
+             round(CAST(p_total AS DOUBLE), 4) AS p_total
+      FROM (SELECT o_orderpriority, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,6)) AS tp
+            FROM graft_ord_piv_v)
+      PIVOT (count(tp) AS n, sum(tp) AS total
+             FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+      ORDER BY o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** The SQL UNPIVOT surface — sql_pivot's dual and profile_numeric's
+    * statement spelling (wide measure columns → long (metric, value)
+    * rows, the shape metric stores and melt/longify steps consume).
+    * UNPIVOT is a row-local Expand — a 4× generator on each row inside
+    * the scan stage, no shuffle until the final ORDER BY; the capped
+    * key range bounds the declared output. Oracle = the portable
+    * UNION ALL spelling (DuckDB's UNPIVOT exists but the per-dialect
+    * syntax differs; semantics equality is the point). */
+  private val sqlUnpivot: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_unpiv_v")
+    s.sql("""
+      SELECT l_orderkey, l_linenumber, metric, val
+      FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax
+            FROM graft_li_unpiv_v WHERE l_orderkey < 200)
+      UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice,
+                                  l_discount, l_tax))
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+               metric ASC NULLS FIRST""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
+    "sql_pivot" -> sqlPivot,
+    "sql_unpivot" -> sqlUnpivot,
     "sql_ddl" -> sqlDdl,
     "sql_insert" -> sqlInsert,
     "sql_merge" -> sqlMerge,
@@ -273,6 +326,35 @@ object SqlSurface extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (o_orderstatus = 'F') AS f_n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                           FILTER (o_orderstatus = 'F') AS DOUBLE), 4) AS f_total,
+                count(*) FILTER (o_orderstatus = 'O') AS o_n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                           FILTER (o_orderstatus = 'O') AS DOUBLE), 4) AS o_total,
+                count(*) FILTER (o_orderstatus = 'P') AS p_n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                           FILTER (o_orderstatus = 'P') AS DOUBLE), 4) AS p_total
+         FROM orders
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
+    "sql_unpivot" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                           l_extendedprice, l_discount, l_tax
+                    FROM lineitem WHERE l_orderkey < 200)
+         SELECT l_orderkey, l_linenumber, metric, val FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                  l_quantity AS val FROM b
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                  l_extendedprice FROM b
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+                  l_discount FROM b
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+                  l_tax FROM b) t
+         ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+                  metric ASC NULLS FIRST""",
     "sql_q3" ->
       """SELECT l_orderkey,
                 round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
