@@ -582,4 +582,65 @@ object GraftOps {
       .select(col("p.col_name").as("col_name"), col("n_rows"),
         col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
   }
+
+  /** Temperature-scaled mixture weights — sample_temperature over
+    * caller groups: per group, its realized weight share and the
+    * P ∝ share^(1/T) sampling weight (T > 1 flattens toward uniform).
+    * The libm power is rounded to 6 dp then micro-quantized to int64
+    * BEFORE the normalizer sum so the Σ fold is order-insensitive; the
+    * group table is localCheckpointed (it feeds three branches — one
+    * corpus pass total). */
+  def temperatureWeights(df: DataFrame, group: Column, weight: Column,
+                         temperature: Double): DataFrame = {
+    require(temperature > 0.0, s"temperatureWeights: T=$temperature must be > 0")
+    val perG = df.select(group.as("group"), weight.as("w"))
+      .groupBy(col("group")).agg(sum(col("w")).cast("double").as("gw"))
+      .localCheckpoint()
+    val tot = perG.agg(sum(col("gw")).as("tot"))
+    val scored = perG.crossJoin(broadcast(tot))
+      .withColumn("share", col("gw") / col("tot"))
+      .withColumn("qi",
+        floor(round(pow(col("share"), lit(1.0 / temperature)), 6) * 1e6
+          + lit(0.5)).cast("long"))
+    scored.crossJoin(broadcast(scored.agg(sum(col("qi")).as("z"))))
+      .select(col("group"), round(col("share"), 6).as("share"),
+        round(col("qi").cast("double") / col("z"), 6).as("temp_weight"))
+  }
+
+  /** Exact prefix-budget cutoff — sample_token_budget over caller
+    * columns: every row gains its running total (in `ord` order) and a
+    * kept flag (cum ≤ budget). The prefix sum is DISTRIBUTED: per-bucket
+    * totals → tiny bucket-offset window → broadcast join + within-bucket
+    * running sum — no global single-partition window at any size. `ord`
+    * must be unique and bucketizable by division (an id column). */
+  def prefixBudgetKeep(df: DataFrame, ord: Column, amount: Column,
+                       budget: Long, bucketWidth: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, "prefixBudgetKeep: bucketWidth must be > 0")
+    val rows = df.select(ord.as("ord"), amount.cast("long").as("amt"))
+      .withColumn("bkt", (col("ord") / bucketWidth).cast("long"))
+      .localCheckpoint()
+    val offsets = rows.groupBy(col("bkt")).agg(sum(col("amt")).as("bt"))
+      .withColumn("off",
+        coalesce(sum(col("bt")).over(Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    rows
+      .withColumn("run",
+        sum(col("amt")).over(Window.partitionBy(col("bkt"))
+          .orderBy(col("ord"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("ord"), col("amt"), (col("off") + col("run")).as("cum"),
+        (col("off") + col("run") <= lit(budget)).as("kept"))
+  }
+
+  /** Regex PII redaction — text_pii_scan's redaction half as a pure
+    * column function (one codegen stage, no shuffle): masks email and
+    * NANP-555 phone patterns. Patterns stay in the POSIX-safe subset
+    * every mainstream regex engine parses identically. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "[email]"),
+      "555-[0-9]{4}", "[phone]")
 }

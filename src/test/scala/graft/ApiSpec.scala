@@ -347,4 +347,48 @@ class ApiSpec extends AnyFunSuite {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
     assert(rows(api) == rows(SparkEntry.queries("graph_triangles")(spark, sf)))
   }
+
+  test("temperatureWeights matches sample_temperature on documents") {
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("source"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast("long").as("ntok"))
+    val api = GraftOps.temperatureWeights(perDoc, col("source"),
+        col("ntok"), temperature = 2.0)
+      .select(col("group").as("source"), col("share").as("token_share"),
+        col("temp_weight"))
+      .orderBy(col("source"))
+    val exp = SparkEntry.queries("sample_temperature")(spark, sf)
+      .select(col("source"), col("token_share"), col("temp_weight"))
+    assert(rows(api) == rows(exp))
+  }
+
+  test("prefixBudgetKeep matches sample_token_budget on documents") {
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast("long").as("ntok"))
+    val budget = perDoc.agg(sum(col("ntok"))).collect()(0).getLong(0) / 2
+    val api = GraftOps.prefixBudgetKeep(perDoc, col("doc_id"), col("ntok"), budget)
+      .select(col("ord").as("doc_id"), col("amt").as("ntok"),
+        col("cum").as("cum_tokens"), col("kept"))
+      .orderBy(col("doc_id"))
+    assert(rows(api) == rows(SparkEntry.queries("sample_token_budget")(spark, sf)))
+  }
+
+  test("redactPii strips every synthesized email and phone") {
+    val redacted = SparkEntry.queries("text_pii_scan")(spark, sf)
+      .select(col("doc_id"), col("redacted"))
+    val viaApi = Tables.documents(spark, sf)
+      .withColumn("t", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .select(col("doc_id"), GraftOps.redactPii(col("t")).as("redacted"))
+    assert(rows(viaApi.orderBy(col("doc_id"))) == rows(redacted))
+  }
 }
