@@ -71,6 +71,33 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document keyword extraction — the metadata-enrichment step a
+    * corpus pipeline runs to tag every document (search facets, topic
+    * routing, dataset cards): top-3 tokens by tf·idf, emitted as one
+    * rank-ordered string per doc. Same bounded shapes as text_tfidf
+    * (per-doc tf groupBy, vocabulary-sized df BROADCAST, 1-row corpus
+    * count broadcast); the rank window partitions by doc_id — never a
+    * global sort — and the reassembly is text_dedup_span's
+    * sort_array-of-structs idiom. */
+  private val textKeywordExtract: QFn = (s, d) => {
+    val n = Tables.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val tf = tokens(s, d).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) *
+          log((col("n_docs") + 1.0) / (col("df").cast(DoubleType) + 1.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("doc_id"))
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(rn, tok))), x -> x.tok)"), " ")
+        .as("keywords"))
+      .orderBy(col("doc_id"))
+  }
+
   private val textLangStats: QFn = (s, d) =>
     Tables.documents(s, d).groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -542,6 +569,36 @@ object LlmText extends QueryGroup {
     })
   }
 
+  /** Quality-aware survivor selection — the curation policy choice
+    * dedup_clusters' min-id survivor sidesteps: inside each near-dup
+    * cluster keep the HIGHEST-QUALITY member (longest in tokens, doc_id
+    * tie-break), the common "keep the fullest version of the page"
+    * rule. Reads the SAME cached sym-edge graph and 4-round label prop
+    * as dedup_clusters (zero extra detector cost), joins the |cluster
+    * nodes|-row label table to per-doc token counts, and picks the
+    * survivor with ONE min-struct aggregate ((-ntok, id) — no window).
+    * `quality_differs` reports where the quality pick disagrees with
+    * the naive min-id pick — the rows where the policy actually
+    * matters. */
+  private val dedupSurvivorQuality: QFn = (s, d) => {
+    val fp = Tables.fingerprint(d, "documents")
+    val edges = pairCache.getOrElseUpdate((s, d, fp),
+      symEdges(minhashPairsCached(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ntok = Tables.documents(s, d)
+      .select(col("doc_id").as("v"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast(LongType).as("ntok"))
+    labelPropEdges(edges, 4).join(ntok, "v")
+      .groupBy(col("lab").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("ntok")).as("nt"), col("v").as("id"))).as("f"))
+      .select(col("cluster"), col("n_members"),
+        col("f.id").as("survivor"), (-col("f.nt")).as("survivor_tokens"),
+        (col("f.id") =!= col("cluster")).as("quality_differs"))
+      .orderBy(col("cluster"))
+  }
+
   /** SimHash near-dup: 60-bit signature from ±1 bit votes of md5 token
     * hashes (15 md5 hex chars — bit 60+ would overflow DuckDB's checked
     * `<<`); candidate pairs via 4×15-bit chunk buckets (pigeonhole: any
@@ -1011,6 +1068,7 @@ object LlmText extends QueryGroup {
     "text_normalize" -> textNormalize,
     "text_tokens" -> textTokens,
     "text_tfidf" -> textTfidf,
+    "text_keyword_extract" -> textKeywordExtract,
     "text_lang_stats" -> textLangStats,
     "text_sentiment" -> textSentiment,
     "text_langid" -> textLangid,
@@ -1033,6 +1091,7 @@ object LlmText extends QueryGroup {
     "dedup_exact" -> dedupExact,
     "dedup_near_minhash" -> dedupNearMinhash,
     "dedup_clusters" -> dedupClusters,
+    "dedup_survivor_quality" -> dedupSurvivorQuality,
     "dedup_clusters_all" -> dedupClustersAll,
     "dedup_clusters_multimodal" -> dedupClustersMultimodal,
     "dedup_simhash" -> dedupSimhash,
@@ -1187,6 +1246,22 @@ object LlmText extends QueryGroup {
                     ORDER BY tfidf DESC NULLS LAST, tok ASC) AS rn
            FROM scored) t
          WHERE rn = 1 ORDER BY doc_id ASC NULLS FIRST""",
+    "text_keyword_extract" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) tf FROM toks GROUP BY 1, 2),
+              df AS (SELECT tok, count(*) df FROM tf GROUP BY tok),
+              n AS (SELECT CAST(count(*) AS DOUBLE) n_docs FROM documents),
+              scored AS (
+                SELECT doc_id, tok,
+                       CAST(tf AS DOUBLE) * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+                FROM tf JOIN df USING (tok) CROSS JOIN n),
+              r AS (SELECT doc_id, tok,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC NULLS LAST, tok ASC) AS rn
+                    FROM scored)
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY rn) AS keywords
+         FROM r WHERE rn <= 3 GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
     "text_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
                 count(DISTINCT source) AS n_sources
@@ -1378,6 +1453,33 @@ object LlmText extends QueryGroup {
       s"""WITH $duckSimhashPairsCtes
          SELECT da, db, hamming FROM simpairs
          ORDER BY da ASC NULLS FIRST, db ASC NULLS FIRST""",
+    "dedup_survivor_quality" -> {
+      def round(i: Int): String =
+        s"""l${i + 1} AS MATERIALIZED (SELECT l.v, least(l.lab, min(n.lab)) AS lab
+                          FROM l$i l JOIN sym e ON e.src = l.v
+                                     JOIN l$i n ON n.v = e.dst
+                          GROUP BY l.v, l.lab)"""
+      s"""WITH $duckMinhashPairsCtes,
+            sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
+                    UNION ALL SELECT db, da FROM pairs),
+            l0 AS (SELECT v, v AS lab FROM
+                     (SELECT DISTINCT src AS v FROM sym) t),
+            ${round(0)}, ${round(1)}, ${round(2)}, ${round(3)},
+            nt AS (SELECT doc_id AS v,
+                          CASE WHEN len(text) >= 1
+                               THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                               ELSE 0 END AS ntok
+                   FROM documents),
+            ag AS (SELECT l4.lab AS cluster, count(*) AS n_members,
+                          min(struct_pack(nt := -nt.ntok, id := l4.v)) AS f
+                   FROM l4 JOIN nt ON nt.v = l4.v
+                   GROUP BY l4.lab)
+         SELECT cluster, n_members, f.id AS survivor,
+                CAST(-f.nt AS BIGINT) AS survivor_tokens,
+                f.id <> cluster AS quality_differs
+         FROM ag
+         ORDER BY cluster ASC NULLS FIRST"""
+    },
     "dedup_clusters_all" -> {
       def round(i: Int): String =
         s"""l${i + 1} AS MATERIALIZED (SELECT l.v, least(l.lab, min(n.lab)) AS lab

@@ -170,6 +170,34 @@ class CurationSpec extends AnyFunSuite {
       col("stickiness") > 1.0).count() == 0)
   }
 
+  test("dedup_survivor_quality: survivor is the longest member of its cluster") {
+    val out = SparkEntry.queries("dedup_survivor_quality")(spark, sf)
+    // every cluster has >= 2 members (every labeled node came from a pair)
+    assert(out.filter(col("n_members") < 2L).count() == 0)
+    // quality_differs is exactly "survivor != min-id label"
+    assert(out.filter(col("quality_differs") =!=
+      (col("survivor") =!= col("cluster"))).count() == 0)
+    // the survivor's token count dominates its own cluster label's count
+    // (the min-id member is always IN the cluster, so a quality pick can
+    // never be shorter than it)
+    val labTok = Tables.documents(spark, sf)
+      .select(col("doc_id").as("cluster"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast("long").as("lab_tokens"))
+    assert(out.join(labTok, "cluster")
+      .filter(col("survivor_tokens") < col("lab_tokens")).count() == 0)
+  }
+
+  test("text_keyword_extract: <= 3 keywords, each from the document") {
+    val out = SparkEntry.queries("text_keyword_extract")(spark, sf)
+    assert(out.filter(size(split(col("keywords"), " ")) > 3).count() == 0)
+    // every extracted keyword is a token of its source document
+    val bad = out.join(Tables.documents(spark, sf), "doc_id")
+      .withColumn("kw", explode(split(col("keywords"), " ")))
+      .filter(!array_contains(split(col("text"), " "), col("kw")))
+    assert(bad.count() == 0)
+  }
+
   test("text_domain_mix shares sum to 1 and weights re-balance") {
     val out = SparkEntry.queries("text_domain_mix")(spark, sf)
     val share = out.agg(sum(col("token_share"))).head.getDouble(0)
