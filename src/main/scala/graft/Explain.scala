@@ -23,7 +23,8 @@ object Explain {
     "text_dedup_span", "text_decontaminate", "sql_recursive",
     "sample_temperature", "text_quality_bucket", "sim_range_search",
     "events_quota", "sample_token_budget", "events_dau_wau",
-    "text_pii_scan", "dedup_eval_embcos")
+    "text_pii_scan", "dedup_eval_embcos", "sql_pivot", "sql_unpivot",
+    "dedup_survivor_quality", "text_keyword_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -441,13 +441,22 @@ object LlmText extends QueryGroup {
   private val labelCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
+  /** Converged per-NODE labels for `edges`, localCheckpoint()ed and
+    * memoized under `key#nodes` — the shared substrate of the cluster
+    * aggregate ([[clustersCached]]) and any per-member policy query
+    * (dedup_survivor_quality): label prop runs ONCE per (session,
+    * graph, fingerprint) no matter how many consumers read it. */
+  private def nodeLabelsCached(s: SparkSession, key: String, fp: String,
+                               edges: => DataFrame): DataFrame =
+    labelCache.getOrElseUpdate((s, s"$key#nodes", fp),
+      labelPropEdges(edges, iters = 4).localCheckpoint())
+
   /** Survivor/size clusters for `edges`: converged labels materialized
     * + lineage-truncated, final aggregate memoized under `key`. */
   private def clustersCached(s: SparkSession, key: String, fp: String,
                              edges: => DataFrame): DataFrame =
     labelCache.getOrElseUpdate((s, key, fp),
-      labelPropEdges(edges, iters = 4)
-        .localCheckpoint()
+      nodeLabelsCached(s, key, fp, edges)
         .groupBy(col("lab").as("survivor"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("survivor")))
@@ -582,14 +591,18 @@ object LlmText extends QueryGroup {
     * matters. */
   private val dedupSurvivorQuality: QFn = (s, d) => {
     val fp = Tables.fingerprint(d, "documents")
-    val edges = pairCache.getOrElseUpdate((s, d, fp),
-      symEdges(minhashPairsCached(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the SAME node-label table dedup_clusters aggregates (cached
+    // checkpoint — label prop never re-runs for this query)
+    val labels = nodeLabelsCached(s, s"$d#lab", fp, {
+      pairCache.getOrElseUpdate((s, d, fp),
+        symEdges(minhashPairsCached(s, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
     val ntok = Tables.documents(s, d)
       .select(col("doc_id").as("v"),
         when(length(col("text")) >= 1, size(split(col("text"), " ")))
           .otherwise(0).cast(LongType).as("ntok"))
-    labelPropEdges(edges, 4).join(ntok, "v")
+    labels.join(ntok, "v")
       .groupBy(col("lab").as("cluster"))
       .agg(count(lit(1)).as("n_members"),
         min(struct((-col("ntok")).as("nt"), col("v").as("id"))).as("f"))
