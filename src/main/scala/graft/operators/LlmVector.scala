@@ -408,23 +408,26 @@ object LlmVector extends QueryGroup {
   }
 
   /** Embedding near-dup, SemDeDup-shaped (Abbas et al. 2023,
-    * arXiv:2303.09540): coarse-quantize every vector to its 2 nearest
-    * anchor cells — anchors are persisted ⌈√n⌉ k-means centroids from
-    * [[anchorsFit]], so cell count GROWS with the corpus and the
-    * per-cell pair product stays ~constant per cell (the round-2
-    * hardcoded 16-anchor set made it O(n²/16)) — then candidate pairs
-    * share ≥1 cell and are exact-cosine verified > 0.4.
+    * arXiv:2303.09540): coarse-quantize every vector to its
+    * [[CellsPerVector]] nearest anchor cells — anchors are persisted
+    * ⌈√n⌉ k-means centroids from [[anchorsFit]], so cell count GROWS
+    * with the corpus and the per-cell pair product stays ~constant per
+    * cell (the round-2 hardcoded 16-anchor set made it O(n²/16)) — then
+    * candidate pairs share ≥1 cell and are exact-cosine verified > 0.4.
     * Anchor ASSIGNMENT is hierarchical (round-7): vectors rank only the
     * ⌈n¼⌉ coarse centroids from [[coarseFit]], probe the anchors mapped
-    * to their 3 nearest coarse cells, and take the 2 nearest anchors
-    * among those — O(n·n¼) distance evals instead of the flat O(n·√n)
-    * crossJoin against every anchor (the round-6 verdict's 10⁹-vector
-    * bottleneck). Each ANCHOR is redundantly mapped to its 2 nearest
-    * coarse cells (the standard overlapping-region trick): boundary
-    * anchors stay reachable from both sides, which is what restores the
-    * flat assignment's pair recall on the fixtures (35/35 sf0.01 pairs;
-    * single-cell mapping lost 6, and candidates are DISTINCT'd before
-    * ranking so a doubly-mapped anchor can't occupy both top slots).
+    * to their [[ProbeCoarseCells]] nearest coarse cells, and take the
+    * [[CellsPerVector]] nearest anchors among those — O(n·n¼) distance
+    * evals instead of the flat O(n·√n) crossJoin against every anchor
+    * (the round-6 verdict's 10⁹-vector bottleneck). Each ANCHOR is
+    * redundantly mapped to its [[AnchorMapWidth]] nearest coarse cells
+    * (the standard overlapping-region trick): boundary anchors stay
+    * reachable from every side, and candidates are DISTINCT'd before
+    * ranking so a multiply-mapped anchor can't occupy several top
+    * slots. The widths were re-tuned in round 9 after the
+    * dedup_eval_embcos rung caught recall at 0.59 — see the sweep table
+    * on the constants; at the current 4/3/4 setting the detector scores
+    * recall 0.966 / precision 1.0 vs exact all-pairs at sf0.01.
     * Both levels are broadcasts of bounded centroid sets; the vector
     * side is touched by equality joins only.
     * The oracle MIRRORS this construction in SQL — including the
@@ -433,8 +436,9 @@ object LlmVector extends QueryGroup {
     * measures recall vs the exact all-pairs answer (precision is 1 —
     * every emitted pair is verified).
     * Scale shape: no unconditioned self-join — the pair product is
-    * partitioned by cell (Σ n_c² with 2× probe replication, cells
-    * processed independently after one shuffle on the cell key).
+    * partitioned by cell (Σ n_c² with [[CellsPerVector]]× probe
+    * replication, cells processed independently after one shuffle on
+    * the cell key).
     * At this corpus's dedup threshold (0.4 ≈ 66° — near the random-pair
     * angle in 64-dim) sign-random-projection banding cannot separate
     * true pairs from background, so cell partitioning, not bit-LSH, is
@@ -447,32 +451,57 @@ object LlmVector extends QueryGroup {
     * fingerprint), the eb3d12b pair-graph convention applied to the
     * vector detector; consumers: dedup_embcos and the cross-modal
     * clustering in LlmText. Returns (ia, ib, cos), ia < ib. */
+  /** Probe widths for the hierarchical anchor assignment. Tuned on the
+    * sf0.01 fixture by the round-9 recall sweep ([[dedupEvalEmbcos]] is
+    * the measuring rung): the round-8 setting (coarse probe 3, anchor
+    * map 2, 2 anchors/vector) scored recall 0.59 — pairs split across
+    * anchor cells. The sweep grid: cells/vector 2→3 lifts recall to
+    * 0.88, →4 to 0.97 (candidate count 35→52→57 on the capped range —
+    * near-flat, because most extra candidates fail exact verify). The
+    * values below score recall 0.966 at sf0.01 while keeping every
+    * stage bucketed: per-vector candidate work scales linearly with
+    * these small constants, never with n. */
+  private[graft] val ProbeCoarseCells = 4 // coarse cells a vector ranks anchors from
+  private[graft] val AnchorMapWidth = 3   // coarse cells each anchor is reachable from
+  private[graft] val CellsPerVector = 4   // anchor cells a vector is assigned to
+
   private[graft] def embcosPairsCached(s: SparkSession, d: String): DataFrame =
     embPairCache.getOrElseUpdate((s, s"$d#emb", Tables.fingerprint(d, "embeddings")), {
+      embcosPairsBuild(s, d, ProbeCoarseCells, AnchorMapWidth, CellsPerVector)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** The un-cached pair construction, probe widths as parameters so the
+    * recall sweep (VectorSpec) can measure alternative settings without
+    * touching the session cache. */
+  private[graft] def embcosPairsBuild(s: SparkSession, d: String,
+      probeCoarse: Int, mapWidth: Int, cellsPerVec: Int): DataFrame = {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val e = Tables.embeddings(s, d)
       val anchors = s.read.parquet(ensureEmbcosAnchors(s, d))
         .select(col("cid").cast(LongType).as("a_id"), col("cv").as("av"))
       val kc = math.ceil(math.sqrt(anchors.count().toDouble)).toInt
       val coarse = coarseFit(s, anchors, kc, iters = 2)
-      // anchor → its 2 nearest coarse cells (same l2 metric as the
-      // fit): redundant mapping keeps boundary anchors probeable
+      // anchor → its `mapWidth` nearest coarse cells (same l2 metric as
+      // the fit): redundant mapping keeps boundary anchors probeable
       val wA = org.apache.spark.sql.expressions.Window
         .partitionBy(col("a_id")).orderBy(col("gd").asc, col("g_id"))
       val amap = anchors.crossJoin(broadcast(coarse))
         .select(col("a_id"), col("g_id"), l2sq(col("av"), col("gv")).as("gd"))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") <= 2)
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") <= mapWidth)
         .select(col("g_id"), col("a_id"))
-      // vector → 3 nearest coarse cells (cosine, like the anchor ranking)
+      // vector → `probeCoarse` nearest coarse cells (cosine, like the
+      // anchor ranking)
       val wV = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("gcos").desc, col("g_id"))
       val vg = e.crossJoin(broadcast(coarse))
         .select(col("vec_id"), col("g_id"), cosine(col("embedding"), col("gv")).as("gcos"))
-        .withColumn("rn", row_number().over(wV)).filter(col("rn") <= 3)
+        .withColumn("rn", row_number().over(wV)).filter(col("rn") <= probeCoarse)
         .select(col("vec_id"), col("g_id"))
-      // probe only the anchors living in those coarse cells; 2 nearest
-      // win. DISTINCT before ranking: an anchor redundantly assigned to
-      // two probed coarse cells would otherwise occupy BOTH top ranks
+      // probe only the anchors living in those coarse cells;
+      // `cellsPerVec` nearest win. DISTINCT before ranking: an anchor
+      // redundantly assigned to two probed coarse cells would otherwise
+      // occupy multiple top ranks
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("acos").desc, col("a_id"))
       val cells = vg.join(broadcast(amap), Seq("g_id"))
@@ -481,7 +510,7 @@ object LlmVector extends QueryGroup {
         .join(broadcast(anchors), Seq("a_id"))
         .select(col("vec_id"), col("a_id"), cosine(col("embedding"), col("av")).as("acos"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
+        .filter(col("rn") <= cellsPerVec)
         .select(col("vec_id"), col("a_id").as("cell"))
       val cand = cells.select(col("cell"), col("vec_id").as("ia"))
         .join(cells.select(col("cell"), col("vec_id").as("ib")), Seq("cell"))
@@ -493,8 +522,7 @@ object LlmVector extends QueryGroup {
         .withColumn("cos", expr("cosine_f32(ea, eb)"))
         .filter(col("cos") > 0.4)
         .select(col("ia"), col("ib"), col("cos"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+  }
 
   private val dedupEmbcos: QFn = (s, d) =>
     embcosPairsCached(s, d)
@@ -1065,8 +1093,10 @@ object LlmVector extends QueryGroup {
     * min cid, 9-dp-rounded per-dimension means), then the round-7
     * HIERARCHICAL assignment ([[coarseFit]]): a second 2-Lloyd fit over
     * the anchor set itself (⌈n¼⌉ coarse centroids, same determinism
-    * recipe), anchor→nearest-coarse map, vector→3-nearest-coarse probe,
-    * 2 nearest anchors among the probed set; ends at
+    * recipe), anchor→3-nearest-coarse map, vector→4-nearest-coarse
+    * probe, 4 nearest anchors among the probed set (the round-9 recall
+    * widths — [[ProbeCoarseCells]]/[[AnchorMapWidth]]/[[CellsPerVector]],
+    * mirrored literally in the rn <= bounds below); ends at
     * `empairs(ia, ib, c)` — verified cosine pairs above the 0.4
     * near-dup threshold. */
   private[operators] val duckEmbcosPairsCtes: String = {
@@ -1114,13 +1144,13 @@ object LlmVector extends QueryGroup {
                              row_number() OVER (PARTITION BY a.cid
                                ORDER BY ${duckL2sq("a.cv", "g.gv")} ASC, g.gid ASC) AS rn
                       FROM emc2 a CROSS JOIN emg2 g) t
-                    WHERE rn <= 2),
+                    WHERE rn <= 3),
           emvg AS MATERIALIZED (SELECT vec_id, gid FROM (
                      SELECT e.vec_id, g.gid,
                             row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY ${duckCos("e.ev", "g.gv")} DESC NULLS LAST, g.gid ASC) AS rn
                      FROM eme e CROSS JOIN emg2 g) t
-                   WHERE rn <= 3),
+                   WHERE rn <= 4),
           emsc AS (SELECT vc.vec_id, vc.a_id, ${duckCos("e.ev", "c.cv")} AS acos
                    FROM (SELECT DISTINCT v.vec_id, m.cid AS a_id
                          FROM emvg v JOIN emmap m USING (gid)) vc
@@ -1131,7 +1161,7 @@ object LlmVector extends QueryGroup {
                                row_number() OVER (PARTITION BY vec_id
                                  ORDER BY acos DESC NULLS LAST, a_id ASC) AS rn
                         FROM emsc) t
-                      WHERE rn <= 2),
+                      WHERE rn <= 4),
           emcand AS (SELECT DISTINCT x.vec_id ia, y.vec_id ib
                      FROM emcells x JOIN emcells y
                        ON x.cell = y.cell AND x.vec_id < y.vec_id),
@@ -1241,10 +1271,12 @@ object LlmVector extends QueryGroup {
          SELECT CAST(sum(e) AS BIGINT) AS n_emitted,
                 CAST(sum(t) AS BIGINT) AS n_truth,
                 CAST(sum(e * t) AS BIGINT) AS n_hit,
-                CAST(CAST(sum(e * t) AS BIGINT) AS DOUBLE)
-                  / CAST(sum(e) AS BIGINT) AS precision,
-                CAST(CAST(sum(e * t) AS BIGINT) AS DOUBLE)
-                  / CAST(sum(t) AS BIGINT) AS recall
+                CASE WHEN sum(e) > 0 THEN
+                  CAST(CAST(sum(e * t) AS BIGINT) AS DOUBLE)
+                    / CAST(sum(e) AS BIGINT) END AS precision,
+                CASE WHEN sum(t) > 0 THEN
+                  CAST(CAST(sum(e * t) AS BIGINT) AS DOUBLE)
+                    / CAST(sum(t) AS BIGINT) END AS recall
          FROM f""",
     "embed_quantize" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
