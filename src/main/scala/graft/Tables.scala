@@ -36,20 +36,23 @@ object Tables {
     * timestamp for window()/session_window()/watermark operators.
     *
     * NOTE `ts div 1000` (integer division) — `ts / 1000` would go through
-    * double and lose precision at 1.7e18 ns. The NTZ branch pins the session
-    * timezone to UTC so the NTZ→LTZ cast matches DuckDB's naive-as-UTC
-    * `epoch_ns`. */
+    * double and lose precision at 1.7e18 ns. The NTZ branch derives the
+    * epoch offset with pure wall-clock arithmetic (`timestampdiff` between
+    * NTZ operands — naive-as-UTC, DuckDB's `epoch_ns` convention) so the
+    * loader is timezone-INDEPENDENT: it neither reads nor mutates
+    * spark.sql.session.timeZone (a library consumer's session config is
+    * not this loader's to change — the round-8 spelling set UTC as a
+    * read-time side effect). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val ns = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
       case _ =>
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts_us", col("ts").cast("timestamp"))
-          .withColumn("ts", expr("unix_micros(ts_us) * 1000"))
+        raw.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
     }
+    ns.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Scratch dir for sink/ingest round-trip operators. Outside the repo,

@@ -612,13 +612,20 @@ object GraftOps {
     * kept flag (cum ≤ budget). The prefix sum is DISTRIBUTED: per-bucket
     * totals → tiny bucket-offset window → broadcast join + within-bucket
     * running sum — no global single-partition window at any size. `ord`
-    * must be unique and bucketizable by division (an id column). */
+    * must be unique, NON-NEGATIVE, and bucketizable by division (an id
+    * column) — enforced per row: a negative id raises instead of
+    * silently collapsing out-of-order into bucket 0. Bucketing uses
+    * true integer division (`div`), not the long/long `/` that routes
+    * through DOUBLE and loses exactness above 2^53. */
   def prefixBudgetKeep(df: DataFrame, ord: Column, amount: Column,
                        budget: Long, bucketWidth: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketWidth > 0, "prefixBudgetKeep: bucketWidth must be > 0")
     val rows = df.select(ord.as("ord"), amount.cast("long").as("amt"))
-      .withColumn("bkt", (col("ord") / bucketWidth).cast("long"))
+      .withColumn("bkt",
+        when(assert_true(col("ord") >= 0,
+          lit("prefixBudgetKeep: ord must be >= 0")).isNull,
+          expr(s"ord div ${bucketWidth}L")))
       .localCheckpoint()
     val offsets = rows.groupBy(col("bkt")).agg(sum(col("amt")).as("bt"))
       .withColumn("off",
@@ -643,4 +650,72 @@ object GraftOps {
     regexp_replace(
       regexp_replace(text, "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "[email]"),
       "555-[0-9]{4}", "[phone]")
+
+  /** Per-document keyword tagging over caller DataFrames —
+    * text_keyword_extract's construction: top-`k` whitespace tokens by
+    * tf·idf (idf = ln((N+1)/(df+1))), rejoined rank-ordered into one
+    * `keywords` string per doc. Shapes are the 100 TB ones: per-doc tf
+    * groupBy, vocabulary-sized df table BROADCAST (vocabularies are
+    * MBs while corpora are TBs), 1-row corpus count broadcast, and the
+    * rank window partitions by doc — never a global sort. Returns
+    * (id, keywords); docs whose text is empty emit no row (no tokens
+    * to rank). */
+  def keywordExtract(df: DataFrame, id: Column, text: Column,
+                     k: Int = 3): DataFrame = {
+    require(k >= 1, s"keywordExtract: k >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ke_id")).orderBy(col("tfidf").desc, col("tok"))
+    val base = df.select(id.as("ke_id"), text.as("ke_tx"))
+    val n = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = base
+      .select(col("ke_id"), explode(split(col("ke_tx"), " ")).as("tok"))
+      .groupBy(col("ke_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("ke_id").as("id"))
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(rn, tok))), x -> x.tok)"), " ")
+        .as("keywords"))
+  }
+
+  /** CCNet-style quality bucketing over caller DataFrames —
+    * text_quality_bucket's construction: every doc scored by the mean
+    * corpus-unigram logprob of its tokens, then split into `buckets`
+    * equal ntiles over the fully tie-broken order (score DESC, id ASC).
+    * Returns (id, mean_logprob, bucket_idx, bucket) — bucket is the
+    * CCNet head/middle/tail naming when buckets == 3, else "q<i>".
+    * The vocabulary table is localCheckpointed (corpus total + broadcast
+    * both read the |V|-row table, not the token stream). Scale note
+    * (from the rung): the global ntile sorts ~16 B/doc score rows; past
+    * that, replace it with broadcast approx_percentile cutpoints —
+    * same output modulo boundary ties, no global sort. */
+  def qualityBuckets(df: DataFrame, id: Column, text: Column,
+                     buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"qualityBuckets: buckets >= 2, got $buckets")
+    val t = df.select(id.as("qb_id"), explode(split(text, " ")).as("tok"))
+    val tf = t.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val n = tf.agg(sum(col("tf")).cast("double").as("n_tok"))
+    val score = t.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("lp", log(col("tf") / col("n_tok")))
+      .groupBy(col("qb_id"))
+      .agg(round(sum(col("lp")) / count(lit(1)), 6).as("mean_logprob"))
+    val labeled = score.withColumn("bucket_idx",
+      ntile(buckets).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_logprob").desc, col("qb_id").asc)))
+    val name =
+      if (buckets == 3)
+        when(col("bucket_idx") === 1, "head")
+          .when(col("bucket_idx") === 2, "middle").otherwise("tail")
+      else concat(lit("q"), col("bucket_idx"))
+    labeled.select(col("qb_id").as("id"), col("mean_logprob"),
+      col("bucket_idx"), name.as("bucket"))
+  }
 }

@@ -313,9 +313,12 @@ object Curation extends QueryGroup {
       .select(col("doc_id"),
         when(length(col("text")) >= 1, size(split(col("text"), " ")))
           .otherwise(0).cast(LongType).as("ntok"))
-      .withColumn("bkt", (col("doc_id") / 1000L).cast(LongType))
+      // true integer division (doc_id is non-negative by fixture
+      // construction): long/long `/` routes through DOUBLE, which is
+      // inexact above 2^53 — the prefixBudgetKeep contract, same fix
+      .withColumn("bkt", expr("doc_id div 1000L"))
       .localCheckpoint()
-    val budget = docs.agg((sum(col("ntok")) / lit(2L)).cast(LongType).as("budget"))
+    val budget = docs.agg(expr("sum(ntok) div 2L").as("budget"))
     val offsets = docs.groupBy(col("bkt")).agg(sum(col("ntok")).as("bt"))
       .withColumn("off",
         coalesce(sum(col("bt")).over(

@@ -354,7 +354,7 @@ object LlmText extends QueryGroup {
     * policy). Entries live for the JVM — bounded by the handful of
     * (session, sf) combos a process ever sees. */
   private val shCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    new FingerprintCache
 
   /** Verified minhash near-dup pairs (da < db, unrounded jaccard ≥ 0.8)
     * — the shared pair graph consumed by both the pair-listing query
@@ -362,7 +362,7 @@ object LlmText extends QueryGroup {
     * (dedup_clusters). */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val P = 2147483647L
-    val sh = shCache.getOrElseUpdate((s, d, Tables.fingerprint(d, "documents")),
+    val sh = shCache.getOrElseUpdate(s, d, Tables.fingerprint(d, "documents"))(
       Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       // <3-token docs have no 3-shingles; without this filter
@@ -419,7 +419,7 @@ object LlmText extends QueryGroup {
     * minhash pairs, `#shp` simhash pairs, bare = minhash cluster edges,
     * `#all` = union cluster edges. */
   private val pairCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    new FingerprintCache
 
   /** One CONVERGED cluster result per cluster query per (session, sf
     * dir, fixture fingerprint) — the pairCache convention applied one
@@ -439,7 +439,7 @@ object LlmText extends QueryGroup {
     * graph, so the cache shares the graph's staleness key. Key
     * suffixes: `#lab` minhash, `#all#lab` union, `#mm#lab` multimodal. */
   private val labelCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    new FingerprintCache
 
   /** Converged per-NODE labels for `edges`, localCheckpoint()ed and
     * memoized under `key#nodes` — the shared substrate of the cluster
@@ -448,31 +448,35 @@ object LlmText extends QueryGroup {
     * graph, fingerprint) no matter how many consumers read it. */
   private def nodeLabelsCached(s: SparkSession, key: String, fp: String,
                                edges: => DataFrame): DataFrame =
-    labelCache.getOrElseUpdate((s, s"$key#nodes", fp),
+    labelCache.getOrElseUpdate(s, s"$key#nodes", fp)(
       labelPropEdges(edges, iters = 4).localCheckpoint())
 
   /** Survivor/size clusters for `edges`: converged labels materialized
     * + lineage-truncated, final aggregate memoized under `key`. */
   private def clustersCached(s: SparkSession, key: String, fp: String,
                              edges: => DataFrame): DataFrame =
-    labelCache.getOrElseUpdate((s, key, fp),
+    labelCache.getOrElseUpdate(s, key, fp)(
       nodeLabelsCached(s, key, fp, edges)
         .groupBy(col("lab").as("survivor"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("survivor")))
+
+  /** Test hook (CacheSpec): live fingerprints for one pair-cache name. */
+  private[graft] def pairCacheFingerprints(s: SparkSession, name: String): Set[String] =
+    pairCache.fingerprintsFor(s, name)
 
   /** THE minhash pair graph — every consumer (pair listing, single- and
     * cross-source clustering) reads this one persisted lineage, so per
     * (session, sf, fingerprint) the banding + verify pipeline runs once,
     * not once per consumer. */
   private[graft] def minhashPairsCached(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, s"$d#mhp", Tables.fingerprint(d, "documents")),
+    pairCache.getOrElseUpdate(s, s"$d#mhp", Tables.fingerprint(d, "documents"))(
       minhashPairs(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** THE simhash pair graph (see [[minhashPairsCached]]). */
   private[graft] def simhashPairsCached(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, s"$d#shp", Tables.fingerprint(d, "documents")),
+    pairCache.getOrElseUpdate(s, s"$d#shp", Tables.fingerprint(d, "documents"))(
       simhashPairs(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -572,7 +576,7 @@ object LlmText extends QueryGroup {
   private val dedupClusters: QFn = (s, d) => {
     val fp = Tables.fingerprint(d, "documents")
     clustersCached(s, s"$d#lab", fp, {
-      pairCache.getOrElseUpdate((s, d, fp),
+      pairCache.getOrElseUpdate(s, d, fp)(
         symEdges(minhashPairsCached(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
@@ -594,7 +598,7 @@ object LlmText extends QueryGroup {
     // the SAME node-label table dedup_clusters aggregates (cached
     // checkpoint — label prop never re-runs for this query)
     val labels = nodeLabelsCached(s, s"$d#lab", fp, {
-      pairCache.getOrElseUpdate((s, d, fp),
+      pairCache.getOrElseUpdate(s, d, fp)(
         symEdges(minhashPairsCached(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
@@ -664,7 +668,7 @@ object LlmText extends QueryGroup {
   private val dedupClustersAll: QFn = (s, d) => {
     val fp = Tables.fingerprint(d, "documents")
     clustersCached(s, s"$d#all#lab", fp, {
-      pairCache.getOrElseUpdate((s, s"$d#all", fp),
+      pairCache.getOrElseUpdate(s, s"$d#all", fp)(
         symEdges(minhashPairsCached(s, d).select(col("da"), col("db"))
             .union(simhashPairsCached(s, d).select(col("da"), col("db")))
             .distinct())
@@ -691,7 +695,7 @@ object LlmText extends QueryGroup {
     val fp = Tables.fingerprint(d, "documents") + "/" +
       Tables.fingerprint(d, "embeddings")
     clustersCached(s, s"$d#mm#lab", fp, {
-      pairCache.getOrElseUpdate((s, s"$d#mm", fp),
+      pairCache.getOrElseUpdate(s, s"$d#mm", fp)(
         symEdges(minhashPairsCached(s, d).select(col("da"), col("db"))
             .union(simhashPairsCached(s, d).select(col("da"), col("db")))
             .union(LlmVector.embcosPairsCached(s, d)

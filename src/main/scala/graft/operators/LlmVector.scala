@@ -444,7 +444,7 @@ object LlmVector extends QueryGroup {
     * true pairs from background, so cell partitioning, not bit-LSH, is
     * the honest bucketing. */
   private val embPairCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    new FingerprintCache
 
   /** THE embedding near-dup pair graph (SemDeDup anchor cells + exact
     * cosine verify > 0.4) — one persisted lineage per (session, sf,
@@ -466,7 +466,7 @@ object LlmVector extends QueryGroup {
   private[graft] val CellsPerVector = 4   // anchor cells a vector is assigned to
 
   private[graft] def embcosPairsCached(s: SparkSession, d: String): DataFrame =
-    embPairCache.getOrElseUpdate((s, s"$d#emb", Tables.fingerprint(d, "embeddings")), {
+    embPairCache.getOrElseUpdate(s, s"$d#emb", Tables.fingerprint(d, "embeddings"))( {
       embcosPairsBuild(s, d, ProbeCoarseCells, AnchorMapWidth, CellsPerVector)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
@@ -643,10 +643,10 @@ object LlmVector extends QueryGroup {
     * sim_knn_pq both read it, so the iterative fit runs once per
     * evaluation context (the pairCache convention). */
   private val pqCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    new FingerprintCache
 
   private[graft] def pqFit(s: SparkSession, d: String): DataFrame =
-    pqCache.getOrElseUpdate((s, d, graft.Tables.fingerprint(d, "embeddings")),
+    pqCache.getOrElseUpdate(s, d, graft.Tables.fingerprint(d, "embeddings"))(
       pqFitUncached(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

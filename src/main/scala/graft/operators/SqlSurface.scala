@@ -299,7 +299,11 @@ object SqlSurface extends QueryGroup {
     * the scan stage, no shuffle until the final ORDER BY; the capped
     * key range bounds the declared output. Oracle = the portable
     * UNION ALL spelling (DuckDB's UNPIVOT exists but the per-dialect
-    * syntax differs; semantics equality is the point). */
+    * syntax differs; semantics equality is the point). INCLUDE NULLS
+    * because Spark's UNPIVOT drops NULL measure values by default
+    * while the UNION ALL form keeps them — TPC-H lineitem measures are
+    * NOT NULL so the fixtures never see the difference, but the
+    * declared query and its oracle must agree on any nullable slice. */
   private val sqlUnpivot: QFn = (s, d) => {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_li_unpiv_v")
     s.sql("""
@@ -307,7 +311,8 @@ object SqlSurface extends QueryGroup {
       FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                    l_discount, l_tax
             FROM graft_li_unpiv_v WHERE l_orderkey < 200)
-      UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice,
+      UNPIVOT INCLUDE NULLS
+              (val FOR metric IN (l_quantity, l_extendedprice,
                                   l_discount, l_tax))
       ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
                metric ASC NULLS FIRST""")

@@ -320,6 +320,31 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("text_decontaminate")(spark, sf)))
   }
 
+  test("keywordExtract matches text_keyword_extract on documents") {
+    val api = GraftOps.keywordExtract(Tables.documents(spark, sf),
+        col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id").orderBy(col("doc_id"))
+    assert(rows(api) == rows(SparkEntry.queries("text_keyword_extract")(spark, sf)))
+  }
+
+  test("qualityBuckets matches text_quality_bucket on documents") {
+    val api = GraftOps.qualityBuckets(Tables.documents(spark, sf),
+        col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("mean_logprob"), col("bucket"))
+      .orderBy(col("doc_id"))
+    assert(rows(api) == rows(SparkEntry.queries("text_quality_bucket")(spark, sf)))
+  }
+
+  test("qualityBuckets generalizes past 3 buckets with q<i> labels") {
+    val api = GraftOps.qualityBuckets(Tables.documents(spark, sf),
+        col("doc_id"), col("text"), buckets = 5)
+    val rs = api.groupBy(col("bucket")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rs.keySet == Set("q1", "q2", "q3", "q4", "q5"))
+    // ntile balance: bucket sizes differ by at most 1
+    assert(rs.values.max - rs.values.min <= 1, rs.toString)
+  }
+
   test("profileColumns matches profile_columns on orders") {
     val api = GraftOps.profileColumns(Tables.orders(spark, sf),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

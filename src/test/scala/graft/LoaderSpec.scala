@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Both events-loader physical-type branches, exercised against tiny
+  * in-test parquet files (round-9 verdict item 3: the TIMESTAMP(NANOS)
+  * branch went dead code when the driver regenerated the fixture as
+  * micros mid-round-7 — and that regeneration is exactly the kind of
+  * flip that must not silently break a branch again).
+  *
+  * The nanos file is written with parquet-mr's Group API
+  * (ExampleParquetWriter) because Spark cannot author
+  * TIMESTAMP(NANOS,false) itself; the micros file is a plain Spark
+  * TIMESTAMP_NTZ write. Same instants in both → the loader must yield
+  * IDENTICAL (ts: bigint ns, ts_us: timestamp micros) from either,
+  * and must do so independent of spark.sql.session.timeZone (the
+  * round-8 NTZ branch mutated it as a read-time side effect; the
+  * round-9 spelling is pure wall-clock arithmetic). */
+class LoaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // micros-representable instants spanning pre/post-epoch is NOT needed:
+  // fixture ids are epoch-positive; still include one sub-second value
+  private val instantsUs: Seq[Long] = Seq(
+    0L,                       // the epoch itself
+    123456L,                  // sub-second
+    1700000000123456L,        // a modern instant with micros precision
+    1893456000000000L)        // 2030-01-01, ahead of any fixture row
+
+  private def writeNanos(dir: String): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageTypeParser, Types, PrimitiveType}
+    val schema = Types.buildMessage()
+      .addField(Types.required(PrimitiveType.PrimitiveTypeName.INT64)
+        .named("event_id"))
+      .addField(Types.required(PrimitiveType.PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts"))
+      .named("events")
+    new java.io.File(dir).mkdirs()
+    new java.io.File(s"$dir/events.parquet").delete() // scratch survives JVMs
+    val path = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = ExampleParquetWriter.builder(path).withConf(conf)
+      .withType(schema).build()
+    val fac = new SimpleGroupFactory(schema)
+    try instantsUs.zipWithIndex.foreach { case (us, i) =>
+      val g = fac.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", us * 1000L) // nanos physical
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  private def writeMicros(dir: String): Unit = {
+    val sp = spark
+    import sp.implicits._
+    instantsUs.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+      .toDF("event_id", "us")
+      .select(col("event_id"),
+        expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  private def load(dir: String): Seq[(Long, Long, Long)] =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), unix_micros(col("ts_us")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("nanos and micros physical types normalize to one contract") {
+    val base = s"${Tables.scratchDir}/loader_spec"
+    writeNanos(s"$base/nanos")
+    writeMicros(s"$base/micros")
+    val expected = instantsUs.zipWithIndex
+      .map { case (us, i) => (i.toLong, us * 1000L, us) }
+    assert(load(s"$base/nanos") == expected, "TIMESTAMP(NANOS) branch")
+    assert(load(s"$base/micros") == expected, "TIMESTAMP(MICROS/NTZ) branch")
+  }
+
+  test("NTZ branch is session-timezone independent and mutation-free") {
+    val base = s"${Tables.scratchDir}/loader_spec"
+    writeMicros(s"$base/micros_tz")
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu") // +05:45
+      val got = load(s"$base/micros_tz")
+      val expected = instantsUs.zipWithIndex
+        .map { case (us, i) => (i.toLong, us * 1000L, us) }
+      assert(got == expected, "ts must be wall-clock-as-UTC ns regardless of tz")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Kathmandu",
+        "loader must not mutate the session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+}
