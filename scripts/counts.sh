@@ -28,10 +28,17 @@ EOF
 )
 
 read -r bench sf < <(python3 - <<'EOF'
-import glob, json
+import glob, json, re
 benches = sorted(glob.glob('BENCH_r*.json'))
 b = json.load(open(benches[-1]))
-print(round(b.get('value', 0), 1), b.get('sf', '?'))
+val, sf = b.get('value'), b.get('sf', '?')
+if val is None and 'tail' in b:
+    # driver wrapper: {"n","rc","cpus","sf","tail"} where tail holds the
+    # final Bench stdout lines; the total is the LAST metric line
+    m = re.findall(r'"metric":"total","value":([0-9.]+)', b['tail'])
+    if m:
+        val = float(m[-1])
+print(round(val or 0, 1), sf)
 EOF
 )
 

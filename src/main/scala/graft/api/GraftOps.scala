@@ -718,4 +718,99 @@ object GraftOps {
     labeled.select(col("qb_id").as("id"), col("mean_logprob"),
       col("bucket_idx"), name.as("bucket"))
   }
+
+  /** Exact integer division as a Column (`a div b`) — `/` on Columns
+    * routes through DOUBLE (inexact above 2⁵³; the prefixBudgetKeep
+    * lesson), so every integer-exact recipe here calls the engine's
+    * integral divide instead. */
+  private def idiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
+  /** Affine-normalized 32-bit Morton z-value of two nonnegative integer
+    * keys — sink_zorder's curve math over arbitrary columns: each key
+    * is mapped into [0, 2¹⁶) by the exact integer (k·65536) div hi
+    * (hi = domain max + 1, typically a broadcast max(k)+1), then
+    * bit-interleaved (x on even positions) with the classic 4-step
+    * magic-mask ladder. All int64 bit ops — bit-identical on any
+    * engine or partitioning. Range-partition + sort by this column and
+    * every output file boxes BOTH keys, so predicates on either skip
+    * files and row groups (the multi-dimensional zone-map layout). */
+  def mortonZ(x: Column, xHi: Column, y: Column, yHi: Column): Column = {
+    def spread(c: Column): Column = {
+      val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(16711935L))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(252645135L))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(858993459L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(1431655765L))
+    }
+    def norm(k: Column, hi: Column): Column =
+      idiv(k.cast(LongType) * lit(65536L), hi.cast(LongType))
+        .bitwiseAND(lit(65535L))
+    spread(norm(x, xHi)).bitwiseOR(shiftleft(spread(norm(y, yHi)), 1))
+  }
+
+  /** RFM quintile segmentation — events_rfm over an arbitrary event
+    * log: recency in `recencyUnit` ticks of the exact-integer event
+    * time (int64 subtraction + integral divide, never float), total
+    * event count, exact-DECIMAL sum of `value` over rows matching
+    * `isMonetary`; ntile(5) scores on fully tie-broken orders (the
+    * DECIMAL — not a rounded double — is the monetary sort key), and
+    * the concatenated "RFM" digit segment. Returns (user_id, r_units,
+    * frequency, monetary, r_score, f_score, m_score, segment). Scale
+    * shape: one map-side-combining groupBy(user) before three
+    * |users|-row global windows (text_quality_bucket's posture — past
+    * ~10⁹ users swap the ntiles for broadcast approx_percentile
+    * cutpoints). */
+  def rfmSegments(df: DataFrame, user: Column, ts: Column, value: Column,
+                  isMonetary: Column,
+                  recencyUnit: Long = 3600000000000L): DataFrame = {
+    require(recencyUnit >= 1L, s"rfmSegments: recencyUnit >= 1, got $recencyUnit")
+    val per = df.groupBy(user.as("user_id"))
+      .agg(max(ts).as("last_ts"),
+           count(lit(1)).as("frequency"),
+           sum(when(isMonetary, value.cast(DecimalType(18, 6)))
+               .otherwise(lit(0).cast(DecimalType(18, 6)))).as("mon_dec"))
+    val mx = df.agg(max(ts).as("max_ts")) // broadcast 1-row total
+    val w = org.apache.spark.sql.expressions.Window
+    val wR = w.orderBy(col("r_units").asc, col("user_id").asc)
+    val wF = w.orderBy(col("frequency").desc, col("user_id").asc)
+    val wM = w.orderBy(col("mon_dec").desc, col("user_id").asc)
+    per.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        idiv(col("max_ts") - col("last_ts"), lit(recencyUnit)).as("r_units"),
+        col("frequency"), col("mon_dec"))
+      .withColumn("r_score", ntile(5).over(wR).cast(LongType))
+      .withColumn("f_score", ntile(5).over(wF).cast(LongType))
+      .withColumn("m_score", ntile(5).over(wM).cast(LongType))
+      .select(col("user_id"), col("r_units"), col("frequency"),
+        round(col("mon_dec").cast(DoubleType), 4).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast(StringType), col("f_score").cast(StringType),
+               col("m_score").cast(StringType)).as("segment"))
+  }
+
+  /** Robust dispersion profile — agg_mad over an arbitrary numeric
+    * column: per group the exact interpolated median, the median
+    * absolute deviation, and the count past the Hampel gate
+    * dev > `gate`·mad (default 4.4478 = 3·1.4826, the 3σ-equivalent).
+    * Returns (g, n, median, mad, n_outliers). The raw (unrounded)
+    * median/mad feed the math; rounding is output-only. Two extra
+    * key-partitioned passes over a localCheckpointed 3-column dev
+    * table; at 100 TB swap percentile → approx_percentile, same plan
+    * shape. */
+  def madStats(df: DataFrame, group: Column, x: Column,
+               gate: Double = 4.4478): DataFrame = {
+    val base = df.select(group.as("g"), x.as("mx"))
+    val med = base.groupBy(col("g")).agg(expr("percentile(mx, 0.5)").as("med"))
+    val dv = base.join(broadcast(med), "g")
+      .select(col("g"), col("med"), abs(col("mx") - col("med")).as("dev"))
+      .localCheckpoint()
+    val mad = dv.groupBy(col("g")).agg(expr("percentile(dev, 0.5)").as("mad"))
+    dv.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+           (round(max(col("med")), 6) + lit(0.0)).as("median"),
+           (round(max(col("mad")), 6) + lit(0.0)).as("mad"),
+           sum(when(col("dev") > lit(gate) * col("mad"), 1L).otherwise(0L))
+             .as("n_outliers"))
+  }
 }

@@ -584,8 +584,45 @@ object Aggregates extends QueryGroup {
         (round(col("tsum").cast("double") / lit(1e12), 6) + lit(0.0)).as("psi"))
   }
 
+  /** Median absolute deviation per language — the robust dispersion
+    * stat (MAD; Hampel's outlier identifier) quality monitors prefer
+    * over stddev, which one corrupt mega-document can drag arbitrarily:
+    * med = exact interpolated percentile of n_chars, dev = |x − med|,
+    * mad = median of dev, plus the count of docs past the classic
+    * 3σ-equivalent gate dev > 3·1.4826·mad (written as the single
+    * literal 4.4478 so both engines do ONE double multiply on identical
+    * operands). Determinism: percentile interpolation runs on identical
+    * integers (agg_percentile's portability argument), dev on the
+    * resulting identical doubles; the raw (unrounded) med/mad feed the
+    * math, rounding is output-only. Scale shape: the standard
+    * two-extra-pass robust-stats recipe — each pass is one map-side-
+    * combining groupBy(lang); the dev table is localCheckpointed once
+    * (3 narrow columns) because both the mad fit and the outlier count
+    * re-read it; at 100 TB swap the exact percentiles for
+    * approx_percentile (agg_approx_quantiles' constant-memory path)
+    * without changing the plan shape. */
+  private val aggMad: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val med = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val dv = docs.join(broadcast(med), "lang")
+      .select(col("lang"), col("med"),
+        abs(col("n_chars") - col("med")).as("dev"))
+      .localCheckpoint()
+    val mad = dv.groupBy(col("lang")).agg(expr("percentile(dev, 0.5)").as("mad"))
+    dv.join(broadcast(mad), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           (round(max(col("med")), 6) + lit(0.0)).as("median"),
+           (round(max(col("mad")), 6) + lit(0.0)).as("mad"),
+           sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+             .as("n_outliers"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
+    "agg_mad" -> aggMad,
     "agg_distinct_exact" -> aggDistinctExact,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_sum_distinct" -> aggSumDistinct,
@@ -618,6 +655,21 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "agg_mad" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                      FROM documents GROUP BY lang),
+            dv AS (SELECT d.lang, med, abs(n_chars - med) AS dev
+                   FROM documents d JOIN med USING (lang)),
+            md AS (SELECT lang, quantile_cont(dev, 0.5) AS mad
+                   FROM dv GROUP BY lang)
+         SELECT dv.lang, count(*) AS n_docs,
+                round(max(dv.med), 6) + 0.0 AS median,
+                round(max(md.mad), 6) + 0.0 AS mad,
+                CAST(sum(CASE WHEN dev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM dv JOIN md USING (lang)
+         GROUP BY dv.lang
+         ORDER BY lang ASC NULLS FIRST""",
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity) AS sum_qty,

@@ -384,8 +384,53 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("day"))
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic engagement-scoring recipe (Hughes' direct-marketing RFM; a
+    * standard cohorting feature for churn/LTV models and telemetry
+    * triage): per user, hours since the last event (against the corpus
+    * max timestamp — exact int64 ns subtraction then `div`, never
+    * float), total event count, and the exact-DECIMAL sum of purchase
+    * values; each dimension scored into quintiles with ntile(5) over a
+    * FULLY tie-broken order (metric, then user_id — the repo's ntile
+    * closed-form law makes the bucket split engine-portable), segment =
+    * concatenated "RFM" digit string. The monetary ORDER key is the
+    * un-rounded DECIMAL (exact compares; a double sum's partial order
+    * would be partitioning-dependent). Scale shape: one map-side-
+    * combining groupBy(user) collapses events to |users| rows before
+    * the three windows; the global ntile sorts ~24 B/user — the
+    * text_quality_bucket posture, and past ~10⁹ users the same swap
+    * applies (broadcast approx_percentile cutpoints instead of a
+    * global sort). */
+  private val eventsRfm: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val per = e.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+           count(lit(1)).as("frequency"),
+           sum(when(col("event_type") === "purchase",
+                 expr("CAST(value AS DECIMAL(18,6))"))
+               .otherwise(expr("CAST(0 AS DECIMAL(18,6))"))).as("mon_dec"))
+    val mx = e.agg(max(col("ts")).as("max_ts")) // broadcast 1-row total
+    val wR = Window.orderBy(col("r_hours").asc, col("user_id").asc)
+    val wF = Window.orderBy(col("frequency").desc, col("user_id").asc)
+    val wM = Window.orderBy(col("mon_dec").desc, col("user_id").asc)
+    per.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("(max_ts - last_ts) div 3600000000000").as("r_hours"),
+        col("frequency"), col("mon_dec"))
+      .withColumn("r_score", ntile(5).over(wR).cast("long"))
+      .withColumn("f_score", ntile(5).over(wF).cast("long"))
+      .withColumn("m_score", ntile(5).over(wM).cast("long"))
+      .select(col("user_id"), col("r_hours"), col("frequency"),
+        round(col("mon_dec").cast("double"), 4).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+               col("m_score").cast("string")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_quota" -> eventsQuota,
+    "events_rfm" -> eventsRfm,
     "events_dau_wau" -> eventsDauWau,
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -404,6 +449,32 @@ object EventsBatch extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "events_rfm" ->
+      """WITH per AS (
+           SELECT user_id, max(epoch_ns(ts)) AS last_ns, count(*) AS frequency,
+                  sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS mon_dec
+           FROM events GROUP BY user_id),
+            mx AS (SELECT max(epoch_ns(ts)) AS max_ns FROM events),
+            b AS (SELECT user_id,
+                         (max_ns - last_ns) // 3600000000000 AS r_hours,
+                         frequency, mon_dec
+                  FROM per CROSS JOIN mx),
+            sc AS (SELECT user_id, r_hours, frequency, mon_dec,
+                          CAST(ntile(5) OVER (ORDER BY r_hours ASC, user_id ASC)
+                               AS BIGINT) AS r_score,
+                          CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+                               AS BIGINT) AS f_score,
+                          CAST(ntile(5) OVER (ORDER BY mon_dec DESC, user_id ASC)
+                               AS BIGINT) AS m_score
+                   FROM b)
+         SELECT user_id, r_hours, frequency,
+                round(CAST(mon_dec AS DOUBLE), 4) AS monetary,
+                r_score, f_score, m_score,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                  || CAST(m_score AS VARCHAR) AS segment
+         FROM sc ORDER BY user_id ASC NULLS FIRST""",
     "events_quota" ->
       """WITH h AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr,
                            count(*) AS c

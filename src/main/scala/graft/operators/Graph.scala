@@ -157,8 +157,53 @@ object Graph extends QueryGroup {
       .limit(20)
   }
 
+  /** Connected components over the SPARSE trade graph — the graph-family
+    * spelling of the clustering kernel the dedup family runs on document
+    * pair graphs (same [[LlmText.labelProp]] machinery, so the two
+    * surfaces are provably one algorithm). The dense trade graph is a
+    * single component at every SF (near-complete), so the rung uses the
+    * sql_recursive sparsification: each nation keeps its top-2 partners
+    * by weight (row_number, ties by dst), edges symmetrized and
+    * distinct'd. Six min-label rounds (diameter margin over the BFS
+    * depth sql_recursive certifies; GraphSpec pins the fixed point —
+    * round 7 changes nothing); isolated nations fall through the final
+    * left join as their own singleton components. Scale shape: the
+    * fact-fact edge AGGREGATION runs once and is localCheckpointed (the
+    * family idiom); each round is one equality join + one aggregation
+    * shuffle over the ≤2|V| checkpointed edge rows; comp_size is a
+    * |V|-row window, never a second pass over facts. At unknown
+    * diameters use [[LlmText.labelPropUntilFixed]] (checkpoint-per-
+    * round, stops at the fixed point). */
+  /** Symmetrized top-2-partner sparse edge list (the sql_recursive
+    * sparsification), localCheckpointed — `private[graft]` so LawsSpec
+    * can pin the 6-round fixed point on the same edges. */
+  private[graft] def sparseSymEdges(s: SparkSession, d: String): DataFrame = {
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)
+    val top2 = tradeEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 2)
+      .select(col("src"), col("dst"))
+    top2.union(top2.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  private val graphComponents: QFn = (s, d) => {
+    val sym = sparseSymEdges(s, d)
+    val lab = LlmText.labelProp(sym, iters = 6)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    Tables.nation(s, d).select(col("n_nationkey").as("v"), col("n_name"))
+      .join(lab, Seq("v"), "left")
+      .select(col("v").as("nationkey"), col("n_name"),
+        coalesce(col("lab"), col("v")).as("component"))
+      .withColumn("comp_size", count(lit(1)).over(wc))
+      .orderBy(col("nationkey"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "graph_degree" -> graphDegree,
+    "graph_components" -> graphComponents,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_jaccard" -> graphJaccard,
@@ -173,6 +218,36 @@ object Graph extends QueryGroup {
             GROUP BY 1, 2)"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "graph_components" -> {
+      // mirror of labelPropEdges' self-loop form: one label-table
+      // reference per round; integer min is order-independent → exact
+      def round(i: Int): String =
+        s"""l${i + 1} AS MATERIALIZED (SELECT e.src AS v, min(l.lab) AS lab
+                          FROM sym e JOIN l$i l ON l.v = e.dst
+                          GROUP BY e.src)"""
+      s"""WITH $edgeCte,
+            top2 AS (SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY w DESC, dst ASC) AS rn
+                FROM e WHERE src <> dst) t WHERE rn <= 2),
+            sym0 AS (SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM top2
+                UNION ALL SELECT dst AS src, src AS dst FROM top2) u),
+            sym AS MATERIALIZED (SELECT src, dst FROM sym0
+                UNION ALL SELECT DISTINCT src, src AS dst FROM sym0),
+            l0 AS (SELECT v, v AS lab
+                   FROM (SELECT DISTINCT src AS v FROM sym) t),
+            ${round(0)}, ${round(1)}, ${round(2)},
+            ${round(3)}, ${round(4)}, ${round(5)},
+            comp AS (SELECT n.n_nationkey AS nationkey, n.n_name,
+                            coalesce(l6.lab, n.n_nationkey) AS component
+                     FROM nation n LEFT JOIN l6 ON l6.v = n.n_nationkey)
+         SELECT nationkey, n_name, component,
+                count(*) OVER (PARTITION BY component) AS comp_size
+         FROM comp
+         ORDER BY nationkey ASC NULLS FIRST"""
+    },
     "graph_degree" ->
       s"""WITH $edgeCte,
             o AS (SELECT src AS nationkey, count(*) AS out_deg,

@@ -393,8 +393,109 @@ object Scans extends QueryGroup {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** XML round-trip via Spark 4's BUILT-IN XML source (the spark-xml
+    * connector merged into core, so no extra jar in this offline
+    * container — unlike Avro, whose connector module is absent): nation
+    * written as rowTag'd XML, re-ingested with an explicit schema,
+    * returned ordered. Oracle reads the original parquet — equality
+    * proves lossless ingest (the ingest_csv posture; fixture names are
+    * ASCII with no markup metacharacters, so escaping is identity both
+    * ways). Scale note: XML files split per-rowTag like JSONL lines —
+    * the read parallelizes per file; the single-file coalesce(1) here
+    * is fixture-sized convenience, not the recipe. */
+  private val ingestXml: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/ingest_xml"
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1)
+      .write.mode("overwrite").option("rowTag", "nation").xml(out)
+    s.read.option("rowTag", "nation")
+      .schema(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+      .xml(out)
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** 16-bit even-bit spread (one Morton-interleave half) as a SQL
+    * string; `shl` renders the dialect's left shift (Spark
+    * `shiftleft(a, n)`, DuckDB `a << n`). The classic 4-step
+    * magic-mask ladder — all int64 bit ops, bit-identical in any
+    * engine. */
+  private def zSpread(e: String, shl: (String, Int) => String): String = {
+    val s1 = s"(($e | ${shl(e, 8)}) & 16711935)"
+    val s2 = s"(($s1 | ${shl(s1, 4)}) & 252645135)"
+    val s3 = s"(($s2 | ${shl(s2, 2)}) & 858993459)"
+    s"(($s3 | ${shl(s3, 1)}) & 1431655765)"
+  }
+
+  /** 32-bit Morton z-value of (x, y): the two 16-bit inputs
+    * interleaved, x on even bit positions. Callers must pass values
+    * already normalized into [0, 65536) — see [[zNormSql]]. */
+  private[graft] def zValSql(x: String, y: String,
+      shl: (String, Int) => String): String =
+    s"(${zSpread(s"($x & 65535)", shl)} | ${shl(zSpread(s"($y & 65535)", shl), 1)})"
+
+  /** Affine rank normalization of a nonnegative key into [0, 65536) —
+    * the step every production z-order implementation runs before
+    * interleaving (Morton on RAW keys wastes curve resolution on the
+    * wider domain and gives the narrower one no high bits at all: with
+    * a 10-value suppkey domain the y bits would all be low-order and no
+    * file boundary would ever box it). All-integer: k·65536 fits int64
+    * for any fixture key; `div` is exact. `hi` = the domain max + 1,
+    * computed once and broadcast. */
+  private[graft] def zNormSql(k: String, hi: String, divOp: String): String =
+    s"(($k * 65536) $divOp $hi)"
+
+  private[graft] val zSparkShl: (String, Int) => String =
+    (a, n) => s"shiftleft($a, $n)"
+  private[graft] val zDuckShl: (String, Int) => String =
+    (a, n) => s"($a << $n)"
+
+  /** Z-ORDER clustered parquet layout — sink_sorted's multi-dimensional
+    * generalization and the standard data-skipping answer when TWO
+    * columns carry selective predicates (a single-column sort boxes
+    * only its own column's row-group stats; the space-filling curve
+    * keeps BOTH keys locally boxed per file, so a predicate on either —
+    * or a box on both — prunes files and row groups). Layout =
+    * repartitionByRange + sortWithinPartitions on the 32-bit Morton
+    * code of ([[zNormSql]]-normalized l_partkey, l_suppkey) — per-file
+    * zval ranges globally disjoint, and BOTH natural keys boxed per
+    * file (PlanSpec pins both properties from the written layout). The
+    * read-back applies a (partkey, suppkey) box and rolls up per
+    * top-8-bit z-bucket; the oracle computes the identical all-integer
+    * z math from the original table, so equality proves the layout
+    * lossless and the curve arithmetic engine-portable.
+    * At 100 TB this is the layout job run at compaction time (the
+    * sink_compact slot), amortized over every subsequent scan. */
+  private val sinkZorder: QFn = (s, d) => {
+    val out = s"${Tables.scratchDir}/sink_zorder"
+    val his = Tables.lineitem(s, d)
+      .agg((max(col("l_partkey")) + lit(1L)).as("hp"),
+           (max(col("l_suppkey")) + lit(1L)).as("hs"))
+    val z = zValSql(zNormSql("l_partkey", "hp", "div"),
+                    zNormSql("l_suppkey", "hs", "div"), zSparkShl)
+    Tables.lineitem(s, d)
+      .crossJoin(broadcast(his))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), expr(z).as("zval"))
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("l_partkey") < 1024L && col("l_suppkey") < 64L)
+      .groupBy(expr("zval div 16777216").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+             .as("sum_qty"))
+      .orderBy(col("zbucket"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "scan_parquet" -> scanParquet,
+    "ingest_xml" -> ingestXml,
+    "sink_zorder" -> sinkZorder,
     "scan_pruned" -> scanPruned,
     "scan_dpp" -> scanDpp,
     "ingest_csv" -> ingestCsv,
@@ -414,6 +515,24 @@ object Scans extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "ingest_xml" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey ASC NULLS FIRST""",
+    "sink_zorder" ->
+      s"""WITH hi AS (SELECT max(l_partkey) + 1 AS hp, max(l_suppkey) + 1 AS hs
+                      FROM lineitem),
+            z AS (SELECT l_partkey, l_suppkey, l_quantity,
+                         ${zValSql(zNormSql("l_partkey", "hp", "//"),
+                                   zNormSql("l_suppkey", "hs", "//"),
+                                   zDuckShl)} AS zval
+                  FROM lineitem CROSS JOIN hi)
+         SELECT zval // 16777216 AS zbucket, count(*) AS n,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS sum_qty
+         FROM z
+         WHERE l_partkey < 1024 AND l_suppkey < 64
+         GROUP BY zbucket
+         ORDER BY zbucket ASC NULLS FIRST""",
     "ingest_fixed_width" ->
       """WITH rec AS (
            SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0')

@@ -416,4 +416,38 @@ class ApiSpec extends AnyFunSuite {
       .select(col("doc_id"), GraftOps.redactPii(col("t")).as("redacted"))
     assert(rows(viaApi.orderBy(col("doc_id"))) == rows(redacted))
   }
+
+  test("mortonZ is bit-identical to sink_zorder's SQL curve math") {
+    val his = Tables.lineitem(spark, sf)
+      .agg((max(col("l_partkey")) + lit(1L)).as("hp"),
+           (max(col("l_suppkey")) + lit(1L)).as("hs"))
+    val sqlZ = operators.Scans.zValSql(
+      operators.Scans.zNormSql("l_partkey", "hp", "div"),
+      operators.Scans.zNormSql("l_suppkey", "hs", "div"),
+      operators.Scans.zSparkShl)
+    val diff = Tables.lineitem(spark, sf).crossJoin(broadcast(his))
+      .select(expr(sqlZ).as("sql_z"),
+        GraftOps.mortonZ(col("l_partkey"), col("hp"),
+                         col("l_suppkey"), col("hs")).as("api_z"))
+      .filter(col("sql_z") =!= col("api_z"))
+    assert(diff.count() == 0)
+  }
+
+  test("rfmSegments matches events_rfm on the events fixture") {
+    val api = GraftOps.rfmSegments(Tables.events(spark, sf),
+        col("user_id"), col("ts"), col("value"),
+        col("event_type") === "purchase")
+      .withColumnRenamed("r_units", "r_hours")
+      .orderBy(col("user_id"))
+    assert(rows(api) == rows(SparkEntry.queries("events_rfm")(spark, sf)))
+  }
+
+  test("madStats matches agg_mad on documents") {
+    val api = GraftOps.madStats(Tables.documents(spark, sf),
+        col("lang"), col("n_chars"))
+      .select(col("g").as("lang"), col("n").as("n_docs"),
+        col("median"), col("mad"), col("n_outliers"))
+      .orderBy(col("lang"))
+    assert(rows(api) == rows(SparkEntry.queries("agg_mad")(spark, sf)))
+  }
 }

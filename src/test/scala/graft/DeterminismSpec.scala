@@ -87,6 +87,11 @@ class DeterminismSpec extends AnyFunSuite {
     "text_pii_scan",       // pure row function (regex on synthesized text)
     "sample_temperature",  // int64-quantized normalizer; identical-double pow
     "dedup_eval_embcos",   // exact int counts over the cached pair graph
+    "events_rfm",          // int64 ns recency, exact-DECIMAL monetary, tie-broken ntile
+    "agg_mad",             // percentile interpolation on identical ints/doubles
+    "graph_components",    // all-integer min labels over the sparse graph
+    "ingest_xml",          // pure round-trip of ints/strings
+    "sink_zorder",         // all-integer Morton math + decimal sums
   )
 
   private val postRounded = Seq(

@@ -590,4 +590,77 @@ class LawsSpec extends AnyFunSuite {
     assert(blocked == exact,
       s"blocking missed pairs on the capped range: ${blocked.toSet.diff(exact.toSet).take(5)}")
   }
+
+  test("graph_components: 6 rounds are the fixed point on the sparse trade graph; edges stay intra-component") {
+    // all three fixture SFs: the graph is ≤2|V| edges at any scale, so
+    // certifying the bench fixture (sf0.1) too costs only the one edge
+    // aggregation pass
+    for (dir <- Seq(TestSpark.sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val sym = operators.Graph.sparseSymEdges(spark, dir).persist()
+      def labels(iters: Int): Map[Int, Int] =
+        operators.LlmText.labelProp(sym, iters)
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val l6 = labels(6)
+      // convergence certificate: the declared 6 rounds already reached
+      // the true connected components (one more round changes nothing)
+      assert(labels(7) == l6, s"round 7 still changes labels at $dir")
+      // every sparse edge connects same-component endpoints
+      sym.collect().foreach { r =>
+        assert(l6(r.getInt(0)) == l6(r.getInt(1)),
+          s"edge (${r.getInt(0)}, ${r.getInt(1)}) crosses components at $dir")
+      }
+      // the declared query's comp_size tiles |V|
+      val out = SparkEntry.queries("graph_components")(spark, dir).collect()
+      assert(out.map(_.getAs[Int]("nationkey")).toSet.size == 25)
+      val byComp = out.groupBy(_.getAs[Int]("component"))
+      byComp.foreach { case (comp, members) =>
+        assert(members.head.getAs[Long]("comp_size") == members.length.toLong)
+        assert(members.map(_.getAs[Int]("nationkey")).min == comp,
+          s"component label $comp is not its min member at $dir")
+      }
+      sym.unpersist()
+    }
+  }
+
+  test("events_rfm: quintiles balanced ±1, scores monotone in their metric, segment is the digit concat") {
+    val rows = SparkEntry.queries("events_rfm")(spark, sf).collect()
+    val n = rows.length
+    assert(n > 5)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val counts = rows.groupBy(_.getAs[Long](c)).view.mapValues(_.size).toMap
+      assert(counts.keySet == (1L to 5L).toSet, s"$c buckets: ${counts.keySet}")
+      assert(counts.values.max - counts.values.min <= 1,
+        s"$c unbalanced: $counts")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("segment") ==
+        s"${r.getAs[Long]("r_score")}${r.getAs[Long]("f_score")}${r.getAs[Long]("m_score")}")
+      assert(r.getAs[Long]("r_hours") >= 0L)
+    }
+    // a strictly better metric can never land in a strictly worse bucket
+    for (a <- rows; b <- rows) {
+      if (a.getAs[Long]("frequency") > b.getAs[Long]("frequency"))
+        assert(a.getAs[Long]("f_score") <= b.getAs[Long]("f_score"))
+      if (a.getAs[Long]("r_hours") < b.getAs[Long]("r_hours"))
+        assert(a.getAs[Long]("r_score") <= b.getAs[Long]("r_score"))
+    }
+  }
+
+  test("agg_mad: mad nonnegative; at least half of each lang's docs lie within mad of the median") {
+    val stats = SparkEntry.queries("agg_mad")(spark, sf).collect()
+    assert(stats.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    stats.foreach { r =>
+      val (lang, n) = (r.getAs[String]("lang"), r.getAs[Long]("n_docs"))
+      val (med, mad) = (r.getAs[Double]("median"), r.getAs[Double]("mad"))
+      val out = r.getAs[Long]("n_outliers")
+      assert(mad >= 0.0 && out >= 0L && out < n)
+      // median-of-deviations property (1e-6 absorbs the 6-dp output round)
+      val within = docs.count { case (l, x) =>
+        l == lang && math.abs(x - med) <= mad + 1e-6 }
+      assert(within * 2 >= n, s"$lang: only $within of $n within mad of median")
+    }
+  }
 }

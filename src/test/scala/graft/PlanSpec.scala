@@ -224,6 +224,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sink_zorder files carry disjoint z-ranges and box BOTH natural keys") {
+    // the multi-dimensional zone-map claim made executable: (1) the
+    // range-partitioned z-sort gives every file a z-range overlapping
+    // no other file's; (2) unlike a single-column sort — which leaves
+    // the OTHER column's per-file min/max spanning the whole domain —
+    // the space-filling curve keeps the average per-file width of BOTH
+    // normalized keys well under the global width, which is what lets
+    // a predicate on either column skip files.
+    SparkEntry.queries("sink_zorder")(spark, TestSpark.sf).collect()
+    val ranges = spark.read
+      .parquet(s"${Tables.scratchDir}/sink_zorder")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zval")).as("zlo"), max(col("zval")).as("zhi"),
+           min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+           min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi"))
+      .collect()
+      .map(r => (r.getAs[Long]("zlo"), r.getAs[Long]("zhi"),
+                 r.getAs[Long]("plo"), r.getAs[Long]("phi"),
+                 r.getAs[Long]("slo"), r.getAs[Long]("shi")))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "need >1 file to prove disjointness")
+    ranges.sliding(2).foreach {
+      case Array((_, hiPrev, _, _, _, _), (loNext, _, _, _, _, _)) =>
+        assert(loNext >= hiPrev,
+          s"file z-ranges overlap: prev hi $hiPrev > next lo $loNext")
+      case _ =>
+    }
+    val gP = (ranges.map(_._4).max - ranges.map(_._3).min).toDouble
+    val gS = (ranges.map(_._6).max - ranges.map(_._5).min).toDouble
+    val avgP = ranges.map(t => (t._4 - t._3).toDouble).sum / ranges.length
+    val avgS = ranges.map(t => (t._6 - t._5).toDouble).sum / ranges.length
+    assert(avgP <= 0.8 * gP, s"partkey not boxed: avg width $avgP of $gP")
+    assert(avgS <= 0.8 * gS, s"suppkey not boxed: avg width $avgS of $gS")
+  }
+
   test("agg_argmax is a single aggregate — no join-back to the base table") {
     val p = plan("agg_argmax")
     assert(!p.contains("Join"), p)
