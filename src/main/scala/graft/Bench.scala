@@ -34,6 +34,7 @@ object Bench {
     build("ann_index") { operators.LlmVector.ensureAnnIndex(spark, sfDir) }
     build("embcos_anchors") { operators.LlmVector.ensureEmbcosAnchors(spark, sfDir) }
     build("dpp_layout") { operators.Scans.ensureDppLayout(spark, sfDir) }
+    build("manifest_layout") { operators.Scans.ensureManifestLayout(spark, sfDir) }
     build("minhash_index") { operators.LlmText.ensureMinhashIndex(spark, sfDir) }
     // the shared per-session pair graphs (eb3d12b): first consumer pays
     // the full detector pipeline otherwise — dedup_clusters_all's bench

@@ -901,22 +901,31 @@ object LlmVector extends QueryGroup {
       .agg(round(sum(col("xi") * col("xj")), 9).as("cv"))
   }
 
-  private val embedPca: QFn = (s, d) => {
-    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
-    // the corpus-touching work ends here: collect the 64×64 scatter to
-    // the driver (k×dim-collect precedent, kmeansFit) and run the power
-    // iteration locally — 3 DataFrame matvec rounds cost ~15 scheduler
-    // round-trips for arithmetic on 4096 doubles
+  /** Spark's round(x, n) (BigDecimal HALF_UP) replicated exactly so the
+    * driver-local fit arithmetic cannot drift from the oracle. */
+  private def rnd(x: Double, sc: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The PCA fit shared by [[embedPca]] (reports the loadings) and
+    * [[embedProject]] (applies them): 9-dp per-dimension means + the
+    * 6-dp-rounded top-eigenvector loadings. The corpus-touching work is
+    * [[pcaScatter]]; the 64×64 scatter is collected to the driver
+    * (k×dim-collect precedent, kmeansFit) and the 3-round power
+    * iteration runs locally — 3 DataFrame matvec rounds would cost ~15
+    * scheduler round-trips for arithmetic on 4096 doubles. */
+  private[graft] def pcaFit(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
+    import org.apache.spark.sql.types.DoubleType
+    val means = Array.ofDim[Double](64)
+    Tables.embeddings(s, d)
+      .select(posexplode(transform(col("embedding"), x => x.cast(DoubleType)))
+        .as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(round(avg(col("xi")), 9).as("mi"))
+      .collect().foreach(r => means(r.getInt(0)) = r.getDouble(1))
     val cm = Array.ofDim[Double](64, 64)
     pcaScatter(s, d).collect().foreach { r =>
       cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
     }
-    // identical numerics to the former DataFrame loop and to the DuckDB
-    // mirror: Spark's round(x, n) is BigDecimal HALF_UP — replicate it
-    // exactly so the collected path cannot drift from the oracle
-    def rnd(x: Double, sc: Int): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
     var w = Array.fill(64)(0.125)
     for (_ <- 1 to 3) {
       val u = Array.tabulate(64) { i =>
@@ -925,11 +934,46 @@ object LlmVector extends QueryGroup {
       val nn = math.sqrt(u.map(x => x * x).sum)
       w = u.map(x => rnd(x / nn, 9))
     }
+    (means, w.map(rnd(_, 6)))
+  }
+
+  private val embedPca: QFn = (s, d) => {
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, DoubleType}
+    val (_, w) = pcaFit(s, d)
     val wSchema = StructType(Seq(
       StructField("dim", IntegerType), StructField("loading", DoubleType)))
-    val rows = (0 until 64).map(i => org.apache.spark.sql.Row(i, rnd(w(i), 6)))
+    val rows = (0 until 64).map(i => org.apache.spark.sql.Row(i, w(i)))
     s.createDataFrame(java.util.Arrays.asList(rows: _*), wSchema)
       .orderBy(col("dim"))
+  }
+
+  /** PCA projection — embed_pca APPLIED: every vector's coordinate on
+    * the fitted top principal component (the 64-float → 1-float
+    * compression / visualization / drift-tracking axis; embed_pca only
+    * reported the loadings). The fit is the shared [[pcaFit]]; the
+    * projection itself is one shuffle-free codegen pass — the centered
+    * dot product runs as an in-row HOF over the broadcast-as-literal
+    * (means, loadings) arrays. Float policy: each of the 64 products is
+    * quantized to nano-units (⌊t·10⁹ + 0.5⌋, int64) BEFORE the fold —
+    * the agg_chisq technique — because the oracle's per-dimension JOIN
+    * sums the same terms in engine order; the quantized sum is
+    * order-free and exact, one closing division. */
+  private val embedProject: QFn = (s, d) => {
+    import org.apache.spark.sql.types.DoubleType
+    val (ms, ws) = pcaFit(s, d)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+      .withColumn("ms", array(ms.map(lit(_)): _*))
+      .withColumn("ws", array(ws.map(lit(_)): _*))
+      .select(col("vec_id"),
+        expr("""aggregate(
+                  transform(e, (x, k) ->
+                    CAST(floor((x - ms[k]) * ws[k] * 1000000000.0 + 0.5) AS BIGINT)),
+                  CAST(0 AS BIGINT), (a, b) -> a + b)""").as("sq"))
+      .select(col("vec_id"),
+        (round(col("sq") / lit(1000000000.0), 6) + lit(0.0)).as("pc1"))
+      .orderBy(col("vec_id"))
   }
 
   /** Perceptual-hash analog over the opaque blob (the image-dedup shape:
@@ -1074,6 +1118,7 @@ object LlmVector extends QueryGroup {
     "embed_quantize" -> embedQuantize,
     "embed_norm" -> embedNorm,
     "embed_pca" -> embedPca,
+    "embed_project" -> embedProject,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio_rms" -> multimodalAudioRms,
@@ -1172,6 +1217,30 @@ object LlmVector extends QueryGroup {
                         (SELECT ia, ib, $duckPairCos AS c FROM emp) t
                       WHERE c > 0.4)"""
   }
+
+  /** The embed_pca fit as DuckDB CTEs (means → centered scatter → 3
+    * power-iteration rounds, every aggregate 9-dp-rounded exactly like
+    * the Spark fit) — shared by embed_pca and embed_project. */
+  private val duckPcaCtes =
+    """t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+            x AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i, unnest(e) AS xi FROM t),
+            m AS (SELECT i, round(avg(xi), 9) AS mi FROM x GROUP BY i),
+            xc AS (SELECT vec_id, i, xi - mi AS xc FROM x JOIN m USING (i)),
+            c AS (SELECT a.i AS i, b.i AS j, round(sum(a.xc * b.xc), 9) AS cv
+                  FROM xc a JOIN xc b USING (vec_id) GROUP BY a.i, b.i),
+            w0 AS (SELECT i AS j, 0.125 AS wj FROM range(64) r(i)),
+            u1 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
+                   FROM c JOIN w0 ON c.j = w0.j GROUP BY c.i),
+            n1 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u1),
+            w1 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u1 CROSS JOIN n1),
+            u2 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
+                   FROM c JOIN w1 ON c.j = w1.j GROUP BY c.i),
+            n2 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u2),
+            w2 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u2 CROSS JOIN n2),
+            u3 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
+                   FROM c JOIN w2 ON c.j = w2.j GROUP BY c.i),
+            n3 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u3),
+            w3 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u3 CROSS JOIN n3)"""
 
   val oracles: Seq[(String, String)] = Seq(
     "sim_cosine_pairs" ->
@@ -1288,27 +1357,22 @@ object LlmVector extends QueryGroup {
                      AS VARCHAR)), ',') AS q
          FROM m ORDER BY vec_id ASC NULLS FIRST""",
     "embed_pca" ->
-      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-            x AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i, unnest(e) AS xi FROM t),
-            m AS (SELECT i, round(avg(xi), 9) AS mi FROM x GROUP BY i),
-            xc AS (SELECT vec_id, i, xi - mi AS xc FROM x JOIN m USING (i)),
-            c AS (SELECT a.i AS i, b.i AS j, round(sum(a.xc * b.xc), 9) AS cv
-                  FROM xc a JOIN xc b USING (vec_id) GROUP BY a.i, b.i),
-            w0 AS (SELECT i AS j, 0.125 AS wj FROM range(64) r(i)),
-            u1 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
-                   FROM c JOIN w0 ON c.j = w0.j GROUP BY c.i),
-            n1 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u1),
-            w1 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u1 CROSS JOIN n1),
-            u2 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
-                   FROM c JOIN w1 ON c.j = w1.j GROUP BY c.i),
-            n2 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u2),
-            w2 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u2 CROSS JOIN n2),
-            u3 AS (SELECT c.i AS i, round(sum(cv * wj), 9) AS ui
-                   FROM c JOIN w2 ON c.j = w2.j GROUP BY c.i),
-            n3 AS (SELECT sqrt(sum(ui * ui)) AS nn FROM u3),
-            w3 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u3 CROSS JOIN n3)
+      s"""WITH $duckPcaCtes
          SELECT CAST(j AS INTEGER) AS dim, round(wj, 6) + 0.0 AS loading
          FROM w3 ORDER BY dim ASC NULLS FIRST""",
+    "embed_project" ->
+      // the same fit CTEs; loadings re-rounded to 6 dp exactly like the
+      // Spark side's published fit, then the per-dimension products
+      // nano-quantized BEFORE the per-vector sum (order-free int64)
+      s"""WITH $duckPcaCtes,
+            wf AS (SELECT j, round(wj, 6) AS wf FROM w3),
+            proj AS (SELECT x.vec_id,
+                            CAST(sum(CAST(floor((xi - mi) * wf * 1000000000.0 + 0.5)
+                                          AS BIGINT)) AS BIGINT) AS sq
+                     FROM x JOIN m USING (i) JOIN wf ON wf.j = x.i
+                     GROUP BY x.vec_id)
+         SELECT vec_id, round(sq / 1000000000.0, 6) + 0.0 AS pc1
+         FROM proj ORDER BY vec_id ASC NULLS FIRST""",
     "embed_norm" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
             m AS (SELECT vec_id, e,

@@ -492,8 +492,64 @@ object Scans extends QueryGroup {
       .orderBy(col("zbucket"))
   }
 
+  /** Range layout + min/max file-stats manifest — the table-format
+    * METADATA PLANE (Delta/Iceberg per-file add stats) rebuilt on plain
+    * parquet: built once per (fixture, fingerprint) like the DPP
+    * layout. The data sits range-partitioned and sorted on the key
+    * (sink_sorted's zone-map shape); the manifest is one tiny parquet
+    * of (path, lo, hi, n_rows) derived in a single pass at layout
+    * time — at 100 TB the writer emits these stats per file and the
+    * manifest IS the table format's file index. */
+  private[graft] def ensureManifestLayout(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val base = s"${Tables.scratchDir}/manifest_${new java.io.File(d).getName}" +
+      s"_${Tables.fingerprint(d, "lineitem")}"
+    if (!new java.io.File(s"$base/_DONE").exists()) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      s.read.parquet(s"$base/data")
+        .groupBy(input_file_name().as("path"))
+        .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+             count(lit(1)).as("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      new java.io.File(s"$base/_DONE").createNewFile()
+    }
+    base
+  }
+
+  /** Manifest-pruned scan — explicit file skipping via the stats
+    * manifest, the read half of every modern table format: the
+    * predicate's key range is intersected with the manifest's per-file
+    * [lo, hi] intervals and ONLY overlapping files are handed to the
+    * reader. The manifest collect() is the metadata plane — bounded by
+    * file count (what a catalog/driver always holds), never data-sized.
+    * Equality with the whole-table oracle proves the pruning lossless;
+    * PlanSpec asserts files were actually skipped and the pruned read
+    * equals the full-scan filter. Parquet row-group stats give a second
+    * pruning level INSIDE each selected file for free (the layout is
+    * sorted). */
+  private val scanManifest: QFn = (s, d) => {
+    val base = ensureManifestLayout(s, d)
+    val (loK, hiK) = (1000L, 5000L)
+    val files = s.read.parquet(s"$base/manifest")
+      .filter(col("lo") <= hiK && col("hi") >= loK)
+      .select(col("path")).collect().map(_.getString(0))
+    val pruned =
+      if (files.isEmpty) s.read.parquet(s"$base/data").limit(0)
+      else s.read.parquet(files.toIndexedSeq: _*)
+    pruned.filter(col("l_orderkey") >= loK && col("l_orderkey") <= hiK)
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("l_orderkey")).as("n_orders"),
+           round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+             .as("sum_qty"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "scan_parquet" -> scanParquet,
+    "scan_manifest" -> scanManifest,
     "ingest_xml" -> ingestXml,
     "sink_zorder" -> sinkZorder,
     "scan_pruned" -> scanPruned,
@@ -518,6 +574,13 @@ object Scans extends QueryGroup {
     "ingest_xml" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey ASC NULLS FIRST""",
+    "scan_manifest" ->
+      """SELECT count(*) AS n,
+                count(DISTINCT l_orderkey) AS n_orders,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey >= 1000 AND l_orderkey <= 5000""",
     "sink_zorder" ->
       s"""WITH hi AS (SELECT max(l_partkey) + 1 AS hp, max(l_suppkey) + 1 AS hs
                       FROM lineitem),

@@ -34,6 +34,30 @@ object StreamingOps {
       .select(unix_timestamp(col("w.start")).as("bucket_s"),
               col("event_type"), col("n"))
 
+  /** Stream half of the "trending items per window" recipe: the
+    * incremental windowed count aggregate (map-side combining, state =
+    * |windows|×|types| rows). Rank functions are unsupported on
+    * streaming DataFrames, so the top-k RANK is the separate bounded
+    * stage [[topkRank]], run per micro-batch over this aggregate
+    * (foreachBatch or a complete-mode sink) — the standard two-level
+    * split: the stream never holds raw events, the rank never sees
+    * more than the aggregate. */
+  def windowTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_us"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"),
+              col("event_type"), col("n"))
+
+  /** Bounded rank stage for [[windowTypeCounts]]: top-k event types per
+    * window, fully tie-broken (count desc, type asc). */
+  def topkRank(agg: DataFrame, k: Int): DataFrame =
+    agg.withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket_s"))
+          .orderBy(col("n").desc, col("event_type").asc)))
+      .filter(col("rk") <= k)
+
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts_us", "30 minutes")

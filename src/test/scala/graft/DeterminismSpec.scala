@@ -92,6 +92,8 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_components",    // all-integer min labels over the sparse graph
     "ingest_xml",          // pure round-trip of ints/strings
     "sink_zorder",         // all-integer Morton math + decimal sums
+    "scan_manifest",       // integer counts + decimal sums over the pruned read
+    "embed_project",       // nano-quantized int64 projection terms, one closing division
   )
 
   private val postRounded = Seq(

@@ -224,6 +224,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_manifest actually skips files and the pruned read is lossless") {
+    val base = operators.Scans.ensureManifestLayout(spark, TestSpark.sf)
+    val man = spark.read.parquet(s"$base/manifest")
+    val total = man.count()
+    val selected = man.filter(col("lo") <= 5000L && col("hi") >= 1000L).count()
+    assert(total > 1, "need >1 file for skipping to mean anything")
+    assert(selected < total,
+      s"manifest pruned nothing: $selected of $total files selected")
+    // losslessness: the pruned-read aggregate equals the full-scan one
+    val fullN = spark.read.parquet(s"$base/data")
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") <= 5000L)
+      .count()
+    val pruned = SparkEntry.queries("scan_manifest")(spark, TestSpark.sf).collect()(0)
+    assert(pruned.getAs[Long]("n") == fullN)
+  }
+
   test("sink_zorder files carry disjoint z-ranges and box BOTH natural keys") {
     // the multi-dimensional zone-map claim made executable: (1) the
     // range-partitioned z-sort gives every file a z-range overlapping

@@ -141,6 +141,32 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_topk per-window trending types equal the batch rank") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.windowTypeCounts(in.toDF())
+      .writeStream.format("memory").queryName("st_topk")
+      .outputMode("complete").start()
+    in.addData(evs.take(400)); q.processAllAvailable()
+    in.addData(evs.drop(400)); q.processAllAvailable()
+    // the rank stage runs on the bounded aggregate — exactly what a
+    // foreachBatch sink would do per micro-batch
+    val got = StreamingOps.topkRank(spark.table("st_topk"), 3)
+    val exp = StreamingOps.topkRank(
+      StreamingOps.windowTypeCounts(batchDf(evs)), 3)
+    assertEquivalent(got, exp,
+      Seq("bucket_s", "event_type", "n", "rk"), Seq())
+    // every window emits at most 3 rows, ranks dense from 1
+    val byW = got.collect().groupBy(_.getAs[Long]("bucket_s"))
+    byW.values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rows.length))
+    }
+    q.stop()
+  }
+
   test("stream_dedup removes duplicate event_ids within the watermark") {
     val sp = spark
     import sp.implicits._

@@ -176,4 +176,22 @@ class VectorSpec extends AnyFunSuite {
     assert(marker.lastModified() == stamp,
       "re-invocation rewrote the delta instead of reusing it")
   }
+
+  test("embed_project scores are centered, non-degenerate, and unit-direction-bounded") {
+    val sf = TestSpark.sf
+    val pc = SparkEntry.queries("embed_project")(spark, sf)
+      .collect().map(_.getAs[Double]("pc1"))
+    // centered data projected on any fixed direction has ~zero mean
+    // (exact up to the 9-dp mean rounding and nano-quantization)
+    assert(math.abs(pc.sum / pc.length) < 1e-3,
+      s"projection not centered: mean ${pc.sum / pc.length}")
+    assert(pc.max > pc.min, "projection collapsed to a constant")
+    // |w| = 1 after the fit's normalization, so |pc1| <= max ||x - m||
+    val maxNorm = Tables.embeddings(spark, sf)
+      .select(expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), 0.0D, (a, b) -> a + b))").as("n"))
+      .agg(org.apache.spark.sql.functions.max(col("n"))).collect()(0).getDouble(0)
+    // centering shifts norms by at most ||m|| (small); 1.5x covers it
+    assert(pc.forall(v => math.abs(v) <= 1.5 * maxNorm),
+      s"projection exceeds the Cauchy-Schwarz bound: ${pc.maxBy(math.abs)}")
+  }
 }
