@@ -115,8 +115,37 @@ object Sampling extends QueryGroup {
            sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
       .orderBy(col("lang"))
 
+  /** Class-BALANCED downsampling — every class cut to the minority
+    * class's size (the standard fix for label skew before training a
+    * classifier, and the per-language rebalance multilingual mixes run
+    * when a temperature weight isn't enough): per-language keep the
+    * n_min = min(class count) docs with the smallest md5 rank — the
+    * sample_reservoir construction with k computed from the data (one
+    * tiny groupBy + a broadcast 1-row min) instead of fixed. Membership
+    * stays a pure function of the class's id set: deterministic under
+    * any partitioning, reproducible on any engine. Scale shape: the
+    * rank window is key-partitioned per class (~16 B/doc rows), never a
+    * global sort; when k ≪ class size the reservoir's salted two-level
+    * window prunes candidates first — with k ≈ class size (this op) the
+    * single per-class window IS the honest plan. */
+  private val sampleBalanced: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val kMin = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("k")) // broadcast 1-row minority size
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)).asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(kMin))
+      .filter(col("rn") <= col("k"))
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sample_hash" -> sampleHash,
+    "sample_balanced" -> sampleBalanced,
     "split_train_val" -> splitTrainVal,
     "sample_stratified" -> sampleStratified,
     "sample_reservoir" -> sampleReservoir,
@@ -151,6 +180,18 @@ object Sampling extends QueryGroup {
          FROM documents
          GROUP BY 1, 2
          ORDER BY lang ASC NULLS FIRST, split ASC NULLS FIRST""",
+    "sample_balanced" ->
+      """WITH r AS (SELECT lang, doc_id,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                      doc_id ASC) AS rn
+                    FROM documents),
+            m AS (SELECT min(c) AS k FROM
+                    (SELECT count(*) AS c FROM documents GROUP BY lang) t)
+         SELECT lang, doc_id
+         FROM r CROSS JOIN m
+         WHERE rn <= k
+         ORDER BY lang ASC NULLS FIRST, doc_id ASC NULLS FIRST""",
     "sample_reservoir" ->
       """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
          FROM (SELECT lang, doc_id,

@@ -94,6 +94,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sink_zorder",         // all-integer Morton math + decimal sums
     "scan_manifest",       // integer counts + decimal sums over the pruned read
     "embed_project",       // nano-quantized int64 projection terms, one closing division
+    "sample_balanced",     // md5 rank membership — pure function of the class id set
   )
 
   private val postRounded = Seq(

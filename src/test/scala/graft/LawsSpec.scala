@@ -646,6 +646,24 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_balanced: every class cut to exactly the minority size") {
+    val out = SparkEntry.queries("sample_balanced")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kMin = counts.values.min
+    val perLang = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(perLang.keySet == counts.keySet, "a class vanished or appeared")
+    perLang.foreach { case (lang, n) =>
+      assert(n == kMin, s"$lang kept $n, expected minority size $kMin")
+    }
+    // kept ids really belong to their class
+    val ids = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (lang, id) => assert(ids(id) == lang) }
+  }
+
   test("agg_mad: mad nonnegative; at least half of each lang's docs lie within mad of the median") {
     val stats = SparkEntry.queries("agg_mad")(spark, sf).collect()
     assert(stats.nonEmpty)
