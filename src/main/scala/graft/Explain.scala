@@ -24,7 +24,9 @@ object Explain {
     "sample_temperature", "text_quality_bucket", "sim_range_search",
     "events_quota", "sample_token_budget", "events_dau_wau",
     "text_pii_scan", "dedup_eval_embcos", "sql_pivot", "sql_unpivot",
-    "dedup_survivor_quality", "text_keyword_extract")
+    "dedup_survivor_quality", "text_keyword_extract",
+    "events_rfm", "agg_mad", "graph_components", "sink_zorder",
+    "scan_manifest", "embed_project", "sample_balanced")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -547,9 +547,61 @@ object Scans extends QueryGroup {
              .as("sum_qty"))
   }
 
+  /** Incremental manifest maintenance — dedup_incremental / ann_upsert's
+    * posture applied to the METADATA PLANE: an append batch lands as
+    * NEW data files plus new manifest rows; nothing existing is
+    * rewritten (the base layout and its manifest stay byte-identical —
+    * PlanSpec pins the mtimes). Built once per fixture fingerprint
+    * under the base layout's keyed scratch dir. */
+  private[graft] def ensureManifestDelta(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dd = s"${ensureManifestLayout(s, d)}/delta"
+    if (!new java.io.File(s"$dd/_DONE").exists()) {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 97L === 0L)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartitionByRange(2, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$dd/data")
+      s.read.parquet(s"$dd/data")
+        .groupBy(input_file_name().as("path"))
+        .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+             count(lit(1)).as("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dd/manifest")
+      new java.io.File(s"$dd/_DONE").createNewFile()
+    }
+    dd
+  }
+
+  /** Manifest-pruned scan over base + appended batch — the read half of
+    * incremental metadata maintenance: the combined manifest is the
+    * UNION of the base and delta stats tables (manifests compose by
+    * concatenation — exactly how log-structured table formats grow),
+    * and pruning + the data read work unchanged across both
+    * generations. Equality with the base ∪ delta oracle derivation
+    * proves the append lossless and the combined pruning correct. */
+  private val sinkManifestAppend: QFn = (s, d) => {
+    val base = ensureManifestLayout(s, d)
+    val dd = ensureManifestDelta(s, d)
+    val (loK, hiK) = (1000L, 5000L)
+    val man = s.read.parquet(s"$base/manifest")
+      .unionByName(s.read.parquet(s"$dd/manifest"))
+    val files = man.filter(col("lo") <= hiK && col("hi") >= loK)
+      .select(col("path")).collect().map(_.getString(0))
+    val pruned =
+      if (files.isEmpty) s.read.parquet(s"$base/data").limit(0)
+      else s.read.parquet(files.toIndexedSeq: _*)
+    pruned.filter(col("l_orderkey") >= loK && col("l_orderkey") <= hiK)
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("l_orderkey")).as("n_orders"),
+           round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+             .as("sum_qty"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "scan_parquet" -> scanParquet,
     "scan_manifest" -> scanManifest,
+    "sink_manifest_append" -> sinkManifestAppend,
     "ingest_xml" -> ingestXml,
     "sink_zorder" -> sinkZorder,
     "scan_pruned" -> scanPruned,
@@ -574,6 +626,17 @@ object Scans extends QueryGroup {
     "ingest_xml" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey ASC NULLS FIRST""",
+    "sink_manifest_append" ->
+      """WITH comb AS (
+           SELECT l_orderkey, l_quantity FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey % 97 = 0)
+         SELECT count(*) AS n,
+                count(DISTINCT l_orderkey) AS n_orders,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS sum_qty
+         FROM comb
+         WHERE l_orderkey >= 1000 AND l_orderkey <= 5000""",
     "scan_manifest" ->
       """SELECT count(*) AS n,
                 count(DISTINCT l_orderkey) AS n_orders,

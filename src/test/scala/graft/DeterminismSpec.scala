@@ -95,6 +95,7 @@ class DeterminismSpec extends AnyFunSuite {
     "scan_manifest",       // integer counts + decimal sums over the pruned read
     "embed_project",       // nano-quantized int64 projection terms, one closing division
     "sample_balanced",     // md5 rank membership — pure function of the class id set
+    "sink_manifest_append", // integer counts + decimal sums over the composed read
   )
 
   private val postRounded = Seq(

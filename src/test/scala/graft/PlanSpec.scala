@@ -240,6 +240,33 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.getAs[Long]("n") == fullN)
   }
 
+  test("sink_manifest_append leaves the base generation untouched and still prunes") {
+    val base = operators.Scans.ensureManifestLayout(spark, TestSpark.sf)
+    def mtimes(dir: String): Map[String, Long] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val beforeData = mtimes(s"$base/data")
+    val beforeMan = mtimes(s"$base/manifest")
+    val out = SparkEntry.queries("sink_manifest_append")(spark, TestSpark.sf)
+      .collect()(0)
+    // append-only: the base data files AND base manifest are byte-stable
+    assert(mtimes(s"$base/data") == beforeData, "append rewrote base data")
+    assert(mtimes(s"$base/manifest") == beforeMan, "append rewrote base manifest")
+    // the composed manifest still skips files
+    val man = spark.read.parquet(s"$base/manifest")
+      .unionByName(spark.read.parquet(s"$base/delta/manifest"))
+    val total = man.count()
+    val sel = man.filter(col("lo") <= 5000L && col("hi") >= 1000L).count()
+    assert(sel < total, s"composed manifest pruned nothing: $sel of $total")
+    // appended result = base-generation result + delta rows in range
+    val baseN = SparkEntry.queries("scan_manifest")(spark, TestSpark.sf)
+      .collect()(0).getAs[Long]("n")
+    val deltaN = spark.read.parquet(s"$base/delta/data")
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") <= 5000L).count()
+    assert(out.getAs[Long]("n") == baseN + deltaN)
+  }
+
   test("sink_zorder files carry disjoint z-ranges and box BOTH natural keys") {
     // the multi-dimensional zone-map claim made executable: (1) the
     // range-partitioned z-sort gives every file a z-range overlapping
