@@ -719,6 +719,26 @@ object GraftOps {
       col("bucket_idx"), name.as("bucket"))
   }
 
+  /** Class-balanced downsampling — sample_balanced over arbitrary
+    * (id, stratum) columns: every stratum cut to the minority stratum's
+    * size, keeping the k smallest-md5-rank ids (the reservoir
+    * construction with k = broadcast min(stratum count) derived from
+    * the data). Membership is a pure function of the stratum's id set —
+    * deterministic under any partitioning, reproducible on any engine.
+    * Returns (stratum, id). */
+  def balancedKeep(df: DataFrame, id: Column, stratum: Column): DataFrame = {
+    val base = df.select(id.as("bid"), stratum.as("stratum"))
+    val kMin = base.groupBy(col("stratum")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(md5(col("bid").cast(StringType)).asc, col("bid").asc)
+    base.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(kMin))
+      .filter(col("rn") <= col("k"))
+      .select(col("stratum"), col("bid").as("id"))
+  }
+
   /** Exact integer division as a Column (`a div b`) — `/` on Columns
     * routes through DOUBLE (inexact above 2⁵³; the prefixBudgetKeep
     * lesson), so every integer-exact recipe here calls the engine's

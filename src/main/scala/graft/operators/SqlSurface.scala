@@ -38,6 +38,68 @@ object SqlSurface extends QueryGroup {
       LIMIT 10""")
   }
 
+  /** TPC-H Q5 analog (local-supplier volume) — the join-HEAVY statement
+    * shape: a six-table star-plus-snowflake join (facts ⋈ facts on
+    * orderkey; customer/supplier/nation/region dims), the LOCAL-supplier
+    * correlation c_nationkey = s_nationkey tying the two dim branches,
+    * a region filter on the snowflaked dim and one year of orders,
+    * revenue per nation. Catalyst broadcasts the dim chain (they are
+    * KBs) and shuffles the two fact tables once on orderkey — the only
+    * data-sized exchange; revenue is the DECIMAL-pre-cast exact sum.
+    * This is the query join-order optimizers are judged on: the
+    * declarative statement leaves Catalyst free to push the region
+    * filter through nation before any fact touches a dim. */
+  private val sqlQ5: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_c5_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o5_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l5_v")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s5_v")
+    Tables.nation(s, d).createOrReplaceTempView("graft_n5_v")
+    Tables.region(s, d).createOrReplaceTempView("graft_r5_v")
+    s.sql("""
+      SELECT n_name,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      FROM graft_c5_v c
+      JOIN graft_o5_v o ON c.c_custkey = o.o_custkey
+      JOIN graft_l5_v l ON l.l_orderkey = o.o_orderkey
+      JOIN graft_s5_v s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+      JOIN graft_n5_v n ON s.s_nationkey = n.n_nationkey
+      JOIN graft_r5_v r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+        AND o.o_orderdate <  CAST('1997-01-01' AS TIMESTAMP_NTZ)
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name ASC""")
+  }
+
+  /** The subquery surface — scalar subquery + correlated EXISTS / NOT
+    * EXISTS, what hand-written analyst SQL leans on: Catalyst rewrites
+    * EXISTS into a left-semi join, NOT EXISTS into a left-anti join,
+    * and evaluates the uncorrelated scalar subquery once (a broadcast
+    * 1-row value) — the declarative spellings cost exactly their join
+    * twins. The threshold is the exact-DECIMAL sum divided by the
+    * count — one double division on identical operands — so the filter
+    * boundary cannot drift between engines. */
+  private val sqlSubquery: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cs_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_os_v")
+    s.sql("""
+      SELECT c_custkey, c_acctbal
+      FROM graft_cs_v c
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                                     AS DOUBLE) / count(*)
+                         FROM graft_cs_v)
+        AND EXISTS (SELECT 1 FROM graft_os_v o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O')
+        AND NOT EXISTS (SELECT 1 FROM graft_os_v o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_totalprice > 450000.0)
+      ORDER BY c_custkey ASC""")
+  }
+
   /** The pure-SQL DDL path: CREATE TABLE … USING parquet (CTAS into an
     * external location) registers a CATALOG table, and the analytical
     * query then runs against the catalog entry — the workflow of a SQL
@@ -320,6 +382,8 @@ object SqlSurface extends QueryGroup {
 
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
+    "sql_q5" -> sqlQ5,
+    "sql_subquery" -> sqlSubquery,
     "sql_pivot" -> sqlPivot,
     "sql_unpivot" -> sqlUnpivot,
     "sql_ddl" -> sqlDdl,
@@ -374,6 +438,35 @@ object SqlSurface extends QueryGroup {
          GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
          ORDER BY revenue DESC, o_date ASC, l_orderkey ASC
          LIMIT 10""",
+    "sql_q5" ->
+      """SELECT n_name,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS FIRST""",
+    "sql_subquery" ->
+      """SELECT c_custkey, c_acctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                                        AS DOUBLE) / count(*)
+                            FROM customer)
+           AND EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderstatus = 'O')
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_totalprice > 450000.0)
+         ORDER BY c_custkey ASC NULLS FIRST""",
     "sql_ddl" ->
       """SELECT p_brand,
                 count(*) AS n_parts,

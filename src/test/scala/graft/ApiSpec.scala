@@ -417,6 +417,14 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(viaApi.orderBy(col("doc_id"))) == rows(redacted))
   }
 
+  test("balancedKeep matches sample_balanced") {
+    val api = GraftOps.balancedKeep(Tables.documents(spark, sf),
+        col("doc_id"), col("lang"))
+      .select(col("stratum").as("lang"), col("id").as("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+    assert(rows(api) == rows(SparkEntry.queries("sample_balanced")(spark, sf)))
+  }
+
   test("mortonZ is bit-identical to sink_zorder's SQL curve math") {
     val his = Tables.lineitem(spark, sf)
       .agg((max(col("l_partkey")) + lit(1L)).as("hp"),

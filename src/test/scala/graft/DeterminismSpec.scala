@@ -96,6 +96,8 @@ class DeterminismSpec extends AnyFunSuite {
     "embed_project",       // nano-quantized int64 projection terms, one closing division
     "sample_balanced",     // md5 rank membership — pure function of the class id set
     "sink_manifest_append", // integer counts + decimal sums over the composed read
+    "sql_q5",              // DECIMAL-pre-cast revenue sums through the 6-table join
+    "sql_subquery",        // exact-DECIMAL threshold; row-level semi/anti membership
   )
 
   private val postRounded = Seq(

@@ -224,6 +224,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sql_subquery rewrites EXISTS to semi and NOT EXISTS to anti joins") {
+    val p = plan("sql_subquery")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // the uncorrelated scalar threshold is evaluated once, not per row
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p.take(2000))
+  }
+
+  test("sql_q5 broadcasts the dim chain — only the fact-fact join shuffles") {
+    val p = plan("sql_q5")
+    // customer/supplier/nation/region all arrive as broadcasts
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3, p.take(3000))
+  }
+
   test("scan_manifest actually skips files and the pruned read is lossless") {
     val base = operators.Scans.ensureManifestLayout(spark, TestSpark.sf)
     val man = spark.read.parquet(s"$base/manifest")
