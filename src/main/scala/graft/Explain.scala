@@ -26,7 +26,8 @@ object Explain {
     "text_pii_scan", "dedup_eval_embcos", "sql_pivot", "sql_unpivot",
     "dedup_survivor_quality", "text_keyword_extract",
     "events_rfm", "agg_mad", "graph_components", "sink_zorder",
-    "scan_manifest", "embed_project", "sample_balanced")
+    "scan_manifest", "embed_project", "sample_balanced",
+    "sink_manifest_append", "sql_q5", "sql_subquery")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -338,7 +338,33 @@ object Curation extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-column top-k frequent values — profile_columns' categorical
+    * companion (the third leg of the per-ingest data-quality report:
+    * null/distinct counts, numeric ranges, and now the dominant
+    * category values a drifted upstream enum shows up in first): one
+    * map-side-combining count per profiled column (≤|domain| groups),
+    * the per-column rank window runs over those aggregated counts —
+    * never rows — and ties break on the value so the report is
+    * deterministic. */
+  private val profileTopk: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val counts = o
+      .groupBy(lit("o_orderstatus").as("column"),
+               col("o_orderstatus").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .unionByName(o
+        .groupBy(lit("o_orderpriority").as("column"),
+                 col("o_orderpriority").as("value"))
+        .agg(count(lit(1)).as("n")))
+    val w = Window.partitionBy(col("column")).orderBy(col("n").desc, col("value"))
+    counts.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .orderBy(col("column"), col("rk"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    "profile_topk" -> profileTopk,
     "text_pii_scan" -> textPiiScan,
     "sample_token_budget" -> sampleTokenBudget,
     "text_dedup_span" -> textDedupSpan,
@@ -351,6 +377,23 @@ object Curation extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "profile_topk" ->
+      """WITH counts AS (
+           SELECT 'o_orderstatus' AS "column", o_orderstatus AS value,
+                  count(*) AS n
+           FROM orders GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'o_orderpriority' AS "column", o_orderpriority AS value,
+                  count(*) AS n
+           FROM orders GROUP BY o_orderpriority),
+            ranked AS (
+           SELECT "column", value, n,
+                  row_number() OVER (PARTITION BY "column"
+                                     ORDER BY n DESC, value ASC) AS rk
+           FROM counts)
+         SELECT "column", value, n, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 3
+         ORDER BY "column" ASC NULLS FIRST, rk ASC NULLS FIRST""",
     "text_pii_scan" ->
       """WITH synth AS (
            SELECT doc_id,

@@ -428,9 +428,43 @@ object EventsBatch extends QueryGroup {
       .orderBy(col("user_id"))
   }
 
+  /** Frequent ordered event TRIPLES within sessions — sequence mining's
+    * first rung (PrefixSpan-lite; events_markov covers pairs, this adds
+    * the order-3 patterns funnel diagnostics and next-action models
+    * start from): 30-minute-gap sessionization (the events_sessionize_
+    * lag spelling, tie-broken by event_id for a total order), each
+    * in-session position paired with its next two types via lead(),
+    * exact integer counts, top-10 fully tie-broken. Scale shape: both
+    * windows are key-partitioned (user, then user×session); the triple
+    * count is one map-side-combining groupBy over ≤|types|³ groups and
+    * the top-10 is a TakeOrdered — no global sort. */
+  private val eventsSequence: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+             col("us") - lag(col("us"), 1).over(w) >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(ws))
+      .withColumn("t3", lead(col("event_type"), 2).over(ws))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(10)
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "events_quota" -> eventsQuota,
     "events_rfm" -> eventsRfm,
+    "events_sequence" -> eventsSequence,
     "events_dau_wau" -> eventsDauWau,
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
@@ -449,6 +483,33 @@ object EventsBatch extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "events_sequence" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_ns(ts) // 1000 AS us
+                    FROM events),
+            f AS (SELECT user_id, event_id, event_type, us,
+                         CASE WHEN lag(us) OVER w IS NULL
+                                OR us - lag(us) OVER w >= 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            sfl AS (SELECT user_id, event_id, event_type, us,
+                           sum(new_s) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM f),
+            tr AS (SELECT event_type AS t1,
+                          lead(event_type, 1) OVER ws AS t2,
+                          lead(event_type, 2) OVER ws AS t3
+                   FROM sfl
+                   WINDOW ws AS (PARTITION BY user_id, sid
+                                 ORDER BY us, event_id))
+         SELECT t1, t2, t3, count(*) AS n
+         FROM tr WHERE t3 IS NOT NULL
+         GROUP BY t1, t2, t3
+         ORDER BY n DESC NULLS LAST, t1 ASC NULLS FIRST,
+                  t2 ASC NULLS FIRST, t3 ASC NULLS FIRST
+         LIMIT 10""",
     "events_rfm" ->
       """WITH per AS (
            SELECT user_id, max(epoch_ns(ts)) AS last_ns, count(*) AS frequency,

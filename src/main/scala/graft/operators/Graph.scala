@@ -42,15 +42,29 @@ object Graph extends QueryGroup {
       .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
 
+  private val edgeCache = new FingerprintCache
+
+  /** The weighted edge table built ONCE per (session, fixture
+    * fingerprint) and localCheckpointed — the pair-graph convention
+    * applied to the graph family: six consumers (degree, pagerank,
+    * triangles, jaccard, components, and components' law harness) each
+    * re-ran the fact-fact aggregation per evaluation; every one now
+    * reads the same ≤|V|² checkpointed rows. Keyed on the lineitem
+    * fingerprint so a regenerated fixture evicts and rebuilds. */
+  private[graft] def tradeEdgesCached(s: SparkSession, d: String): DataFrame =
+    edgeCache.getOrElseUpdate(s, s"$d#tradeEdges",
+        Tables.fingerprint(d, "lineitem"))(
+      tradeEdges(s, d).localCheckpoint())
+
   /** Degree/strength profile per nation: out/in distinct partners and
     * total edge weights — the graph-summary pass run before any
     * iterative kernel (skew check: a hub nation predicts a skewed
     * PageRank shuffle). */
   private val graphDegree: QFn = (s, d) => {
-    // eager localCheckpoint: the ≤|V|² edge table is referenced by both
-    // the out- and in-side aggregates — without materialization the
-    // fact-fact edge build would run once PER reference (fatal at scale)
-    val e = tradeEdges(s, d).localCheckpoint()
+    // the shared checkpointed edge table: referenced by both the out-
+    // and in-side aggregates — without materialization the fact-fact
+    // edge build would run once PER reference (fatal at scale)
+    val e = tradeEdgesCached(s, d)
     val out = e.groupBy(col("src").as("nationkey"))
       .agg(count(lit(1)).as("out_deg"), sum(col("w")).as("out_w"))
     val in = e.groupBy(col("dst").as("nationkey"))
@@ -71,7 +85,7 @@ object Graph extends QueryGroup {
     val nV = 25.0 // |nation| is fixed by the schema on every SF
     // one materialization of the edge build; the 3 unrolled iterations
     // then each re-read ≤|V|² checkpointed rows, not the fact join
-    val e = tradeEdges(s, d).localCheckpoint()
+    val e = tradeEdgesCached(s, d)
     val out = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val ew = e.join(out, "src")
       .select(col("src"), col("dst"),
@@ -102,7 +116,7 @@ object Graph extends QueryGroup {
     * canonical id orientation is that plan. localCheckpoint: the edge
     * build is referenced three times. */
   private val graphTriangles: QFn = (s, d) => {
-    val ue = tradeEdges(s, d)
+    val ue = tradeEdgesCached(s, d)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
               greatest(col("src"), col("dst")).as("v"))
@@ -133,7 +147,7 @@ object Graph extends QueryGroup {
     * exact integers. Shuffles touch only the EDGE table. Top 20 pairs,
     * fully tie-broken. */
   private val graphJaccard: QFn = (s, d) => {
-    val adjBase = tradeEdges(s, d)
+    val adjBase = tradeEdgesCached(s, d)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
               greatest(col("src"), col("dst")).as("v"))
@@ -180,7 +194,7 @@ object Graph extends QueryGroup {
   private[graft] def sparseSymEdges(s: SparkSession, d: String): DataFrame = {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("w").desc, col("dst").asc)
-    val top2 = tradeEdges(s, d)
+    val top2 = tradeEdgesCached(s, d)
       .filter(col("src") =!= col("dst"))
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 2)
       .select(col("src"), col("dst"))

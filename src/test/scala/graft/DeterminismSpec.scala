@@ -98,6 +98,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sink_manifest_append", // integer counts + decimal sums over the composed read
     "sql_q5",              // DECIMAL-pre-cast revenue sums through the 6-table join
     "sql_subquery",        // exact-DECIMAL threshold; row-level semi/anti membership
+    "events_sequence",     // integer session ids and triple counts, tie-broken top-10
+    "profile_topk",        // integer counts, tie-broken per-column rank
   )
 
   private val postRounded = Seq(
