@@ -27,7 +27,9 @@ object Explain {
     "dedup_survivor_quality", "text_keyword_extract",
     "events_rfm", "agg_mad", "graph_components", "sink_zorder",
     "scan_manifest", "embed_project", "sample_balanced",
-    "sink_manifest_append", "sql_q5", "sql_subquery")
+    "sink_manifest_append", "sql_q5", "sql_subquery",
+    "sql_lateral", "agg_bitmap_distinct", "dedup_url", "graph_clustering",
+    "scan_time_travel", "fn_variant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -181,6 +181,42 @@ object ScalarFns extends QueryGroup {
         .getField("k").as("k_typed"),
     ).orderBy(col("event_id"))
 
+  /** The VARIANT semi-structured path (Spark 4's open-format answer to
+    * schema-on-read JSON columns): `parse_json` ingests once into the
+    * binary VARIANT encoding, `variant_get` then extracts typed values
+    * by path WITHOUT re-parsing the text per access — the at-scale
+    * difference from fn_json's get_json_object, which re-tokenizes the
+    * string for every extraction. Nested objects and array indexing go
+    * through the same path syntax; `try_variant_get` on an absent path
+    * yields NULL instead of erroring (the quarantine-free miss
+    * contract). The JSON is synthesized from order fields with integer
+    * CENTS (never %.2f floats — ingest_fixed_width's portability rule)
+    * so every extracted value is exactly comparable; the oracle runs
+    * the identical paths through DuckDB's JSON extraction, proving the
+    * VARIANT encode/decode round-trip value-lossless. */
+  private val fnVariant: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000L)
+      .withColumn("j", concat(
+        lit("{\"id\":"), col("o_orderkey").cast(StringType),
+        lit(",\"status\":\""), col("o_orderstatus"),
+        lit("\",\"price_cents\":"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").cast(StringType),
+        lit(",\"meta\":{\"prio\":\""), col("o_orderpriority"),
+        lit("\"},\"tags\":[\""), col("o_orderstatus"),
+        lit("\",\"t"), (col("o_orderkey") % 10L).cast(StringType),
+        lit("\"]}")))
+      .withColumn("v", expr("parse_json(j)"))
+      .select(
+        col("o_orderkey"),
+        expr("variant_get(v, '$.id', 'bigint')").as("vid"),
+        expr("variant_get(v, '$.status', 'string')").as("status"),
+        expr("variant_get(v, '$.price_cents', 'bigint')").as("price_cents"),
+        expr("variant_get(v, '$.meta.prio', 'string')").as("prio"),
+        expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"),
+        expr("try_variant_get(v, '$.meta.absent', 'string')").as("missing"),
+      ).orderBy(col("o_orderkey"))
+
   /** Generator: posexplode of whitespace tokens with 0-based ordinal. */
   private val fnExplode: QFn = (s, d) =>
     Tables.documents(s, d)
@@ -304,6 +340,7 @@ object ScalarFns extends QueryGroup {
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
+    "fn_variant" -> fnVariant,
     "fn_explode" -> fnExplode,
     "fn_bitwise" -> fnBitwise,
     "fn_regex" -> fnRegex,
@@ -432,6 +469,26 @@ object ScalarFns extends QueryGroup {
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_str_path,
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
          FROM events ORDER BY event_id ASC NULLS FIRST""",
+    "fn_variant" ->
+      """WITH j AS (
+           SELECT o_orderkey,
+                  '{"id":' || CAST(o_orderkey AS VARCHAR)
+                  || ',"status":"' || o_orderstatus
+                  || '","price_cents":'
+                  || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                  || ',"meta":{"prio":"' || o_orderpriority
+                  || '"},"tags":["' || o_orderstatus
+                  || '","t' || CAST(o_orderkey % 10 AS VARCHAR)
+                  || '"]}' AS v
+           FROM orders WHERE o_orderkey < 2000)
+         SELECT o_orderkey,
+                CAST(json_extract_string(v, '$.id') AS BIGINT) AS vid,
+                json_extract_string(v, '$.status') AS status,
+                CAST(json_extract_string(v, '$.price_cents') AS BIGINT) AS price_cents,
+                json_extract_string(v, '$.meta.prio') AS prio,
+                json_extract_string(v, '$.tags[1]') AS tag1,
+                json_extract_string(v, '$.meta.absent') AS missing
+         FROM j ORDER BY o_orderkey ASC NULLS FIRST""",
     "fn_geo" ->
       """WITH p AS (
            SELECT c_custkey,

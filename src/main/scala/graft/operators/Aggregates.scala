@@ -620,8 +620,39 @@ object Aggregates extends QueryGroup {
       .orderBy(col("lang"))
   }
 
+  /** Exact distinct counting via mergeable fixed-width bitmaps — the
+    * at-scale replacement for COUNT(DISTINCT) when the approximate
+    * answer (agg_approx_distinct) is not acceptable: every key sets one
+    * bit in a 32768-bit bucket bitmap (`bitmap_bucket_number` /
+    * `bitmap_bit_position`), partial aggregation ORs bitmaps map-side,
+    * and the shuffle then carries (group, bucket, ≤4 KB bitmap) rows —
+    * bounded by the KEY RANGE, never the row count — instead of every
+    * raw distinct key the way Expand-based exact distinct does. The
+    * two-level fold (construct per bucket, sum of bitmap_count over
+    * buckets) is exactly how warehouse engines implement exact
+    * count-distinct rollups; the bitmaps themselves are mergeable
+    * state, so the same pass can feed incremental/grouping-set
+    * rollups. The oracle is the plain COUNT(DISTINCT) — equality
+    * proves the bitmap path exact, not approximate. */
+  private val aggBitmapDistinct: QFn = (s, d) => {
+    // key shifted to 1-based (fixture orderkeys start at 0; the bitmap
+    // position/bucket functions are defined on positive inputs — the
+    // shift is part of the declared recipe and mirrored in the oracle)
+    val perBucket = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("bitmap_bucket_number(l_orderkey + 1)").as("bucket"),
+        expr("bitmap_bit_position(l_orderkey + 1)").as("pos"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    perBucket.groupBy(col("l_returnflag"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_orders"),
+           count(lit(1)).as("n_buckets"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_mad" -> aggMad,
     "agg_distinct_exact" -> aggDistinctExact,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -655,6 +686,13 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS n_orders,
+                count(DISTINCT (l_orderkey // 32768) + 1) AS n_buckets
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS FIRST""",
     "agg_mad" ->
       """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
                       FROM documents GROUP BY lang),

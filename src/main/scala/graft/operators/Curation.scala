@@ -363,8 +363,51 @@ object Curation extends QueryGroup {
       .orderBy(col("column"), col("rk"))
   }
 
+  /** URL-canonicalization dedup — the FIRST dedup pass a web-corpus
+    * pipeline runs (CCNet / RefinedWeb posture: collapse re-crawls of
+    * the same page by canonical URL before any content hashing —
+    * it is orders of magnitude cheaper than minhash and removes the
+    * bulk of crawl duplication). The fixture has no URL column, so one
+    * is synthesized deterministically from doc_id (the fn_url posture)
+    * with the four classic aliasing noises injected by construction —
+    * upper-cased host, utm_* tracking query, trailing slash, #fragment
+    * — so every canonicalization rule provably fires. Canonical form =
+    * strip fragment → strip utm-only query → strip trailing slash →
+    * lowercase scheme+host (path case is PRESERVED — it is semantic on
+    * real servers). Each rule is one POSIX-safe regexp both engines
+    * parse identically; the whole canonicalization is a pure row
+    * function in a single codegen stage, and the dedup itself is ONE
+    * map-side-combining groupBy(canonical) — survivor = min doc_id,
+    * n_dups per canonical. Zero joins, zero windows: at 100 TB this is
+    * a scan plus one bounded-key aggregation. */
+  private val dedupUrl: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("host0",
+        concat(lit("www.s"), (col("doc_id") % 7L).cast(StringType),
+               lit(".example.com")))
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 2L === 0L, upper(col("host0"))).otherwise(col("host0")),
+        lit("/doc/"), (col("doc_id") % 200L).cast(StringType),
+        when(col("doc_id") % 4L === 0L, lit("?utm_source=feed&utm_campaign=c"))
+          .when(col("doc_id") % 4L === 1L, lit("/"))
+          .when(col("doc_id") % 4L === 2L, lit("#sec2"))
+          .otherwise(lit(""))))
+      .withColumn("c1", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("c2", regexp_replace(col("c1"),
+        "\\?utm_[a-z]+=[a-z]+(&utm_[a-z]+=[a-z]+)*$", ""))
+      .withColumn("c3", regexp_replace(col("c2"), "/$", ""))
+      .withColumn("canonical_url", concat(
+        lower(regexp_extract(col("c3"), "^(https://[^/]+)", 1)),
+        regexp_replace(col("c3"), "^https://[^/]+", "")))
+    docs.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor"))
+      .orderBy(col("canonical_url"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "profile_topk" -> profileTopk,
+    "dedup_url" -> dedupUrl,
     "text_pii_scan" -> textPiiScan,
     "sample_token_budget" -> sampleTokenBudget,
     "text_dedup_span" -> textDedupSpan,
@@ -377,6 +420,37 @@ object Curation extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "dedup_url" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://'
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN upper('www.s' || CAST(doc_id % 7 AS VARCHAR)
+                                     || '.example.com')
+                          ELSE 'www.s' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example.com' END
+                  || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
+                  || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=c'
+                          WHEN doc_id % 4 = 1 THEN '/'
+                          WHEN doc_id % 4 = 2 THEN '#sec2'
+                          ELSE '' END AS url
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(url, '#.*$', ''),
+                      '\?utm_[a-z]+=[a-z]+(&utm_[a-z]+=[a-z]+)*$', ''),
+                    '/$', '') AS c3
+           FROM u),
+         k AS (
+           SELECT doc_id,
+                  lower(regexp_extract(c3, '^(https://[^/]+)', 1))
+                  || regexp_replace(c3, '^https://[^/]+', '') AS canonical_url
+           FROM c)
+         SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS survivor
+         FROM k GROUP BY canonical_url
+         ORDER BY canonical_url ASC NULLS FIRST""",
     "profile_topk" ->
       """WITH counts AS (
            SELECT 'o_orderstatus' AS "column", o_orderstatus AS value,

@@ -203,6 +203,46 @@ object Graph extends QueryGroup {
       .localCheckpoint()
   }
 
+  /** Per-node clustering coefficient — the local-density companion to
+    * graph_triangles (same exact triangle enumeration, normalized by the
+    * node's wedge count): cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), deg over
+    * the undirected distinct adjacency, cc pinned 0 for deg ≤ 1 (no
+    * wedge to close; both engines' division guard spelled the same).
+    * The ratio divides exact integers — one double division on
+    * identical operands, 6-dp rounded (+0.0 normalizes −0). Scale
+    * shape: identical to graph_triangles — every join touches only the
+    * checkpointed EDGE table; degree is a |V|-row aggregate; at large
+    * graphs the same degree-based orientation bound applies. */
+  private val graphClustering: QFn = (s, d) => {
+    val ue = tradeEdgesCached(s, d)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = ue.select(col("u").as("nationkey"))
+      .union(ue.select(col("v").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("deg"))
+    val tri = ue.select(col("u").as("a"), col("v").as("b"))
+      .join(ue.select(col("u").as("b2"), col("v").as("c")), col("b") === col("b2"))
+      .join(ue.select(col("u").as("a2"), col("v").as("c2")),
+        col("a") === col("a2") && col("c") === col("c2"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("nationkey"))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n_triangles"))
+    Tables.nation(s, d).select(col("n_nationkey").as("nationkey"), col("n_name"))
+      .join(deg, Seq("nationkey"), "left")
+      .join(tri, Seq("nationkey"), "left")
+      .select(col("nationkey"), col("n_name"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc",
+        when(col("deg") >= 2L,
+          round(lit(2.0) * col("n_triangles").cast("double")
+                / (col("deg") * (col("deg") - 1L)).cast("double"), 6) + lit(0.0))
+          .otherwise(lit(0.0)))
+      .orderBy(col("nationkey"))
+  }
+
   private val graphComponents: QFn = (s, d) => {
     val sym = sparseSymEdges(s, d)
     val lab = LlmText.labelProp(sym, iters = 6)
@@ -221,6 +261,7 @@ object Graph extends QueryGroup {
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_jaccard" -> graphJaccard,
+    "graph_clustering" -> graphClustering,
   )
 
   private val edgeCte =
@@ -317,6 +358,31 @@ object Graph extends QueryGroup {
          SELECT n.n_nationkey AS nationkey, n.n_name,
                 CAST(coalesce(pc.n_triangles, 0) AS BIGINT) AS n_triangles
          FROM nation n LEFT JOIN pc ON n.n_nationkey = pc.nationkey
+         ORDER BY nationkey ASC NULLS FIRST""",
+    "graph_clustering" ->
+      s"""WITH $edgeCte,
+            ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                   FROM e WHERE src <> dst),
+            deg AS (SELECT nationkey, count(*) AS deg FROM (
+                      SELECT u AS nationkey FROM ue
+                      UNION ALL SELECT v AS nationkey FROM ue) a
+                    GROUP BY 1),
+            tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                    FROM ue e1
+                    JOIN ue e2 ON e1.v = e2.u
+                    JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v),
+            pn AS (SELECT unnest([a, b, c]) AS nationkey FROM tri),
+            pc AS (SELECT nationkey, count(*) AS n_triangles FROM pn GROUP BY 1)
+         SELECT n.n_nationkey AS nationkey, n.n_name,
+                CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg,
+                CAST(coalesce(pc.n_triangles, 0) AS BIGINT) AS n_triangles,
+                CASE WHEN coalesce(deg.deg, 0) >= 2
+                     THEN round(2.0 * CAST(coalesce(pc.n_triangles, 0) AS DOUBLE)
+                                / CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6) + 0.0
+                     ELSE 0.0 END AS cc
+         FROM nation n
+         LEFT JOIN deg ON n.n_nationkey = deg.nationkey
+         LEFT JOIN pc ON n.n_nationkey = pc.nationkey
          ORDER BY nationkey ASC NULLS FIRST""",
     "graph_jaccard" ->
       s"""WITH $edgeCte,

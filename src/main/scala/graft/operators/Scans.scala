@@ -598,10 +598,89 @@ object Scans extends QueryGroup {
              .as("sum_qty"))
   }
 
+  /** Snapshot read AS OF a generation — TIME TRAVEL over the manifest
+    * plane (what `VERSION AS OF` resolves to in every log-structured
+    * table format): a snapshot IS the set of files whose manifest
+    * generation is ≤ g, so reading version 0 after the delta append
+    * (sink_manifest_append) simply binds the file list from the BASE
+    * manifest alone — no data is copied, moved, or restored. One query
+    * reads BOTH versions of the same table: per snapshot the manifest
+    * prefix is pruned against the key range and aggregated; equality
+    * with the independently-derived base / base∪delta expectations
+    * proves snapshot isolation (the append is invisible at version 0)
+    * AND that version 1 sees exactly base+delta. The manifest reads
+    * are the metadata plane — file-count-sized; at 100 TB the
+    * generation column lives in the catalog's manifest list and this
+    * exact prefix-union is how the reader binds any historical
+    * version. */
+  private val scanTimeTravel: QFn = (s, d) => {
+    val base = ensureManifestLayout(s, d)
+    val dd = ensureManifestDelta(s, d)
+    val (loK, hiK) = (1000L, 5000L)
+    def snapshot(gen: Int): org.apache.spark.sql.DataFrame = {
+      val man =
+        if (gen == 0) s.read.parquet(s"$base/manifest")
+        else s.read.parquet(s"$base/manifest")
+          .unionByName(s.read.parquet(s"$dd/manifest"))
+      val files = man.filter(col("lo") <= hiK && col("hi") >= loK)
+        .select(col("path")).collect().map(_.getString(0))
+      val pruned =
+        if (files.isEmpty) s.read.parquet(s"$base/data").limit(0)
+        else s.read.parquet(files.toIndexedSeq: _*)
+      pruned.filter(col("l_orderkey") >= loK && col("l_orderkey") <= hiK)
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("l_orderkey")).as("n_orders"),
+             round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+               .as("sum_qty"))
+        .select(lit(gen.toLong).as("snapshot"), col("n"), col("n_orders"),
+                col("sum_qty"))
+    }
+    snapshot(0).unionByName(snapshot(1)).orderBy(col("snapshot"))
+  }
+
+  /** Raw binary-file ingest — the `binaryFile` source every multimodal
+    * pipeline starts from (images/audio/video land as opaque files; the
+    * engine's job is to get (path, length, content) rows out of them
+    * losslessly and in parallel — one task per file at scale, no
+    * decode on the scan). Fixture: one file per nation written once per
+    * fixture fingerprint, content = the UTF-8 bytes of a string derived
+    * from the row (repeated key+1 times, so lengths differ per file).
+    * The read maps each file to (key parsed from the file name, byte
+    * length, md5 of the content bytes). The oracle recomputes the SAME
+    * digest from the nation table itself — no file access — so equality
+    * proves the write+scan round-trip byte-lossless end to end. */
+  private val ingestBinary: QFn = (s, d) => {
+    val base = s"${Tables.scratchDir}/binary_${new java.io.File(d).getName}" +
+      s"_${Tables.fingerprint(d, "nation")}"
+    if (!new java.io.File(s"$base/_DONE").exists()) {
+      new java.io.File(s"$base/files").mkdirs()
+      Tables.nation(s, d)
+        .select(col("n_nationkey").cast(LongType), col("n_name"))
+        .collect()  // |nation| = 25 rows: fixture synthesis, not a data path
+        .foreach { r =>
+          val k = r.getLong(0)
+          val payload = (s"${r.getString(1)}|$k|" * (k.toInt + 1))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base/files/nation_$k.bin"),
+            payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      new java.io.File(s"$base/_DONE").createNewFile()
+    }
+    s.read.format("binaryFile").load(s"$base/files")
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1),
+          "nation_([0-9]+)\\.bin", 1).cast(LongType).as("n_nationkey"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("digest"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "scan_parquet" -> scanParquet,
     "scan_manifest" -> scanManifest,
     "sink_manifest_append" -> sinkManifestAppend,
+    "scan_time_travel" -> scanTimeTravel,
+    "ingest_binary" -> ingestBinary,
     "ingest_xml" -> ingestXml,
     "sink_zorder" -> sinkZorder,
     "scan_pruned" -> scanPruned,
@@ -623,6 +702,37 @@ object Scans extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "scan_time_travel" ->
+      """WITH slice AS (
+           SELECT l_orderkey, l_quantity FROM lineitem
+           WHERE l_orderkey >= 1000 AND l_orderkey <= 5000),
+         v0 AS (
+           SELECT CAST(0 AS BIGINT) AS snapshot, count(*) AS n,
+                  count(DISTINCT l_orderkey) AS n_orders,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                    AS sum_qty
+           FROM slice),
+         v1 AS (
+           SELECT CAST(1 AS BIGINT) AS snapshot, count(*) AS n,
+                  count(DISTINCT l_orderkey) AS n_orders,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                    AS sum_qty
+           FROM (SELECT * FROM slice
+                 UNION ALL
+                 SELECT l_orderkey, l_quantity FROM slice
+                 WHERE l_orderkey % 97 = 0) c)
+         SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         ORDER BY snapshot ASC NULLS FIRST""",
+    "ingest_binary" ->
+      """WITH p AS (
+           SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                  repeat(n_name || '|' || CAST(n_nationkey AS VARCHAR) || '|',
+                         n_nationkey + 1) AS payload
+           FROM nation)
+         SELECT n_nationkey,
+                CAST(strlen(payload) AS BIGINT) AS n_bytes,
+                md5(payload) AS digest
+         FROM p ORDER BY n_nationkey ASC NULLS FIRST""",
     "ingest_xml" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey ASC NULLS FIRST""",

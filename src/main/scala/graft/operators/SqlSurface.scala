@@ -100,6 +100,38 @@ object SqlSurface extends QueryGroup {
       ORDER BY c_custkey ASC""")
   }
 
+  /** The LATERAL join surface — a correlated derived table in FROM
+    * (what sql_subquery's scalar form cannot express: ONE correlated
+    * subquery returning SEVERAL columns per outer row). Per high-balance
+    * customer, the lateral block aggregates that customer's open orders
+    * into (n_open, open_total, last_odate) in a single pass. Catalyst
+    * decorrelates the lateral aggregate into a groupBy(o_custkey) on the
+    * inner side + one equality join — the same plan a hand-rewritten
+    * join/groupBy pairing gets, so the declarative spelling costs one
+    * key-partitioned aggregate + one join at any scale (no per-row
+    * re-execution; that is the POINT of decorrelation). An aggregate
+    * with no GROUP BY yields exactly one row even on zero matches
+    * (count=0, sum NULL), so the lateral never drops customers —
+    * coalesce pins those cells on both engines. */
+  private val sqlLateral: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cl_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ol_v")
+    s.sql("""
+      SELECT c_custkey, c_acctbal,
+             l.n_open,
+             coalesce(round(CAST(l.open_total AS DOUBLE), 4), 0.0) AS open_total,
+             CAST(l.last_odate AS DATE) AS last_odate
+      FROM graft_cl_v c,
+      LATERAL (SELECT count(*) AS n_open,
+                      sum(CAST(o_totalprice AS DECIMAL(18,6))) AS open_total,
+                      max(o_orderdate) AS last_odate
+               FROM graft_ol_v o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'O') l
+      WHERE c_acctbal > 9000.0
+      ORDER BY c_custkey ASC""")
+  }
+
   /** The pure-SQL DDL path: CREATE TABLE … USING parquet (CTAS into an
     * external location) registers a CATALOG table, and the analytical
     * query then runs against the catalog entry — the workflow of a SQL
@@ -384,6 +416,7 @@ object SqlSurface extends QueryGroup {
     "sql_q3" -> sqlQ3,
     "sql_q5" -> sqlQ5,
     "sql_subquery" -> sqlSubquery,
+    "sql_lateral" -> sqlLateral,
     "sql_pivot" -> sqlPivot,
     "sql_unpivot" -> sqlUnpivot,
     "sql_ddl" -> sqlDdl,
@@ -466,6 +499,20 @@ object SqlSurface extends QueryGroup {
            AND NOT EXISTS (SELECT 1 FROM orders o2
                            WHERE o2.o_custkey = c.c_custkey
                              AND o2.o_totalprice > 450000.0)
+         ORDER BY c_custkey ASC NULLS FIRST""",
+    "sql_lateral" ->
+      """SELECT c_custkey, c_acctbal,
+                l.n_open,
+                coalesce(round(CAST(l.open_total AS DOUBLE), 4), 0.0) AS open_total,
+                CAST(l.last_odate AS DATE) AS last_odate
+         FROM customer c,
+         LATERAL (SELECT count(*) AS n_open,
+                         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS open_total,
+                         max(o_orderdate) AS last_odate
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O') l
+         WHERE c_acctbal > 9000.0
          ORDER BY c_custkey ASC NULLS FIRST""",
     "sql_ddl" ->
       """SELECT p_brand,

@@ -480,6 +480,58 @@ class PlanSpec extends AnyFunSuite {
       "raw generated rows reach an exchange before partial aggregation:\n" + p)
   }
 
+  test("sql_lateral decorrelates: one keyed aggregate, no per-row rescan") {
+    // the correlated lateral aggregate must rewrite to groupBy(o_custkey)
+    // + an equality join; a plan that re-evaluates the subquery per outer
+    // row shows up as a nested-loop/cartesian and dies at scale
+    val p = plan("sql_lateral")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_max(o_orderdate"), p) // the ONE orders pass
+  }
+
+  test("agg_bitmap_distinct shuffles bitmaps, not raw distinct keys") {
+    // map-side partial bitmap_construct_agg must sit below the first
+    // exchange — the shuffle then carries (group, bucket, bitmap) rows
+    // bounded by the key range; the second level folds bitmap_count
+    val p = plan("agg_bitmap_distinct")
+    assert(p.contains("partial_bitmap_construct_agg"), p)
+    assert(p.contains("bitmapCount"), p)
+    assert(!p.contains("Expand"), p) // not the rewrite-to-Expand distinct
+  }
+
+  test("dedup_url is one scan + one aggregation: no joins, no windows") {
+    // canonicalization must stay a pure row function inside the scan
+    // stage; the dedup itself is a single map-side-combining groupBy
+    val p = plan("dedup_url")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min(doc_id"), p)
+  }
+
+  test("graph_clustering reads the checkpointed edges, not the facts") {
+    val p = plan("graph_clustering")
+    assert(!p.contains("lineitem"), p)
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
+  test("scan_time_travel version 0 binds strictly fewer files than version 1") {
+    // snapshot isolation made executable at the file level: the delta
+    // append added data files, so the v1 file list must be a strict
+    // superset of v0's — and both reads must stay manifest-bounded
+    import org.apache.spark.sql.functions.input_file_name
+    val base = graft.operators.Scans.ensureManifestLayout(spark, TestSpark.sf)
+    val dd = graft.operators.Scans.ensureManifestDelta(spark, TestSpark.sf)
+    def files(manifests: Seq[String]): Set[String] = {
+      val man = manifests.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      man.filter(col("lo") <= 5000L && col("hi") >= 1000L)
+        .select("path").collect().map(_.getString(0)).toSet
+    }
+    val v0 = files(Seq(s"$base/manifest"))
+    val v1 = files(Seq(s"$base/manifest", s"$dd/manifest"))
+    assert(v0.subsetOf(v1) && v0.size < v1.size, s"v0=$v0 v1=$v1")
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
