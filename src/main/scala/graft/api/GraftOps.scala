@@ -833,4 +833,81 @@ object GraftOps {
            sum(when(col("dev") > lit(gate) * col("mad"), 1L).otherwise(0L))
              .as("n_outliers"))
   }
+
+  /** Canonical URL form — dedup_url's rule chain over a caller URL
+    * column: strip #fragment → strip a tracking-only (utm_*) query →
+    * strip one trailing slash → lowercase scheme+host (path case is
+    * PRESERVED — it is semantic on real servers). Each rule is one
+    * POSIX-safe regexp; the whole chain is a pure row function in a
+    * single codegen stage. */
+  def urlCanonicalize(url: Column): Column = {
+    val c1 = regexp_replace(url, "#.*$", "")
+    val c2 = regexp_replace(c1,
+      "\\?utm_[a-z]+=[a-z]+(&utm_[a-z]+=[a-z]+)*$", "")
+    val c3 = regexp_replace(c2, "/$", "")
+    concat(lower(regexp_extract(c3, "^([a-zA-Z]+://[^/]+)", 1)),
+           regexp_replace(c3, "^[a-zA-Z]+://[^/]+", ""))
+  }
+
+  /** URL-canonicalization dedup — dedup_url over caller columns: one
+    * row per canonical URL with `(n_dups, survivor = min id)`. The
+    * cheap first dedup pass of a web-corpus pipeline (collapse
+    * re-crawls before any content hashing): a scan plus ONE
+    * map-side-combining groupBy(canonical); zero joins, zero
+    * windows. */
+  def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame =
+    df.select(id.as("ud_id"), urlCanonicalize(url).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("ud_id")).as("survivor"))
+
+  /** Exact distinct counts via mergeable fixed-width bitmaps —
+    * agg_bitmap_distinct over caller columns: `(g, n_distinct)` per
+    * group, exact, with the shuffle carrying (group, bucket, ≤4 KB
+    * bitmap) rows bounded by the KEY RANGE instead of every raw
+    * distinct key. `key` must be a non-negative integer column (ids,
+    * hashes); it is shifted 1-based internally because the engine's
+    * bitmap position functions are defined on positive inputs. */
+  def bitmapDistinct(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val perBucket = df
+      .select(group.as("g"), (key.cast(LongType) + lit(1L)).as("bd_k"))
+      .select(col("g"),
+        expr("bitmap_bucket_number(bd_k)").as("bucket"),
+        expr("bitmap_bit_position(bd_k)").as("pos"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    perBucket.groupBy(col("g"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+  }
+
+  /** Per-node clustering coefficient — graph_clustering over caller
+    * edge columns: `(node, deg, n_triangles, cc)` with cc = 2·T/(deg·
+    * (deg−1)) on the undirected distinct graph, 0 for deg ≤ 1. Shares
+    * [[triangleCounts]]' exact enumeration; every join touches only
+    * the deduplicated edge table (localCheckpointed once — degree and
+    * both wedge sides re-read it). */
+  def clusteringCoefficient(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val ue = edges.select(src.as("cc_s"), dst.as("cc_d"))
+      .filter(col("cc_s") =!= col("cc_d"))
+      .select(least(col("cc_s"), col("cc_d")).as("u"),
+              greatest(col("cc_s"), col("cc_d")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = ue.select(col("u").as("node"))
+      .union(ue.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = ue.select(col("u").as("a"), col("v").as("b"))
+      .join(ue.select(col("u").as("b2"), col("v").as("c")), col("b") === col("b2"))
+      .join(ue.select(col("u").as("a2"), col("v").as("c2")),
+        col("a") === col("a2") && col("c") === col("c2"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc",
+        when(col("deg") >= 2L,
+          round(lit(2.0) * col("n_triangles").cast(DoubleType)
+                / (col("deg") * (col("deg") - 1L)).cast(DoubleType), 6) + lit(0.0))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -450,6 +450,43 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("events_rfm")(spark, sf)))
   }
 
+  test("urlDedup matches dedup_url on the synthesized fixture URLs") {
+    // same raw-URL synthesis as the declared rung; the API owns only
+    // the canonicalize + dedup halves
+    val host0 = concat(lit("www.s"), (col("doc_id") % 7L).cast("string"),
+      lit(".example.com"))
+    val raw = Tables.documents(spark, sf).select(col("doc_id"), concat(
+      lit("https://"),
+      when(col("doc_id") % 2L === 0L, upper(host0)).otherwise(host0),
+      lit("/doc/"), (col("doc_id") % 200L).cast("string"),
+      when(col("doc_id") % 4L === 0L, lit("?utm_source=feed&utm_campaign=c"))
+        .when(col("doc_id") % 4L === 1L, lit("/"))
+        .when(col("doc_id") % 4L === 2L, lit("#sec2"))
+        .otherwise(lit(""))).as("url"))
+    val api = GraftOps.urlDedup(raw, col("doc_id"), col("url"))
+      .orderBy(col("canonical_url"))
+    assert(rows(api) == rows(SparkEntry.queries("dedup_url")(spark, sf)))
+  }
+
+  test("bitmapDistinct matches agg_bitmap_distinct's exact counts") {
+    val api = GraftOps.bitmapDistinct(Tables.lineitem(spark, sf),
+        col("l_returnflag"), col("l_orderkey"))
+      .orderBy(col("g"))
+    val declared = SparkEntry.queries("agg_bitmap_distinct")(spark, sf)
+      .select(col("l_returnflag"), col("n_orders"))
+    assert(rows(api) == rows(declared))
+  }
+
+  test("clusteringCoefficient matches graph_clustering on the trade graph") {
+    val api = GraftOps.clusteringCoefficient(
+        operators.Graph.tradeEdgesCached(spark, sf), col("src"), col("dst"))
+      .orderBy(col("node"))
+    val declared = SparkEntry.queries("graph_clustering")(spark, sf)
+      .filter(col("deg") >= 1L)
+      .select(col("nationkey"), col("deg"), col("n_triangles"), col("cc"))
+    assert(rows(api) == rows(declared))
+  }
+
   test("madStats matches agg_mad on documents") {
     val api = GraftOps.madStats(Tables.documents(spark, sf),
         col("lang"), col("n_chars"))
