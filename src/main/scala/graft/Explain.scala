@@ -29,7 +29,8 @@ object Explain {
     "scan_manifest", "embed_project", "sample_balanced",
     "sink_manifest_append", "sql_q5", "sql_subquery",
     "sql_lateral", "agg_bitmap_distinct", "dedup_url", "graph_clustering",
-    "scan_time_travel", "fn_variant")
+    "scan_time_travel", "fn_variant", "sim_mmr", "embed_truncate_eval",
+    "scan_delete_merge", "agg_listagg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

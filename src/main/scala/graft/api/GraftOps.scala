@@ -879,6 +879,64 @@ object GraftOps {
       .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
   }
 
+  /** Maximal-Marginal-Relevance selection — sim_mmr's greedy loop
+    * generalized to any k over a caller-scored candidate pool: rows
+    * (qid, cid, rel, vec) where `rel` is the query-relevance score and
+    * `vec` the candidate embedding (at scale the pool is an ANN probe's
+    * top-N, never the corpus). Round 1 picks pure argmax rel; round
+    * i ≥ 2 picks argmax round(λ·rel − (1−λ)·pen, 9) where pen is the
+    * running max 9-dp-rounded cosine to everything already selected.
+    * Ties break on the smaller cid (max(struct(score, −cid)) fold), so
+    * the greedy path is partitioning-exact; each round is a |q|-row
+    * argmax + one small join over the localCheckpointed pool — no
+    * rescan of the source. λ must be a literal the caller also uses
+    * everywhere else (see sim_mmr's 0.7/0.3 note). Returns
+    * (qid, rank, cid, score) for rank 1..k. */
+  def mmrSelect(pool: DataFrame, qid: Column, cid: Column, rel: Column,
+                vec: Column, k: Int, lambda: Double = 0.7,
+                oneMinusLambda: Double = 0.3): DataFrame = {
+    require(k >= 1, s"mmrSelect: k >= 1, got $k")
+    def argmax(df: DataFrame, score: String) =
+      df.groupBy(col("mq"))
+        .agg(max(struct(col(score), (-col("mc")).as("nc"))).as("mx"))
+        .select(col("mq"), (-col("mx.nc")).as("sel"),
+          col("mx").getField(score).as("sc"))
+    def cos(a: Column, b: Column): Column = {
+      def dot(x: Column, y: Column) =
+        aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    var remaining = pool
+      .select(qid.as("mq"), cid.as("mc"), rel.as("mr"), vec.as("mv"))
+      .withColumn("score", col("mr"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (rank <- 1 to k) {
+      val s = argmax(remaining, "score")
+      val row = s.select(col("mq").as("qid"), lit(rank.toLong).as("rank"),
+        col("sel").as("cid"), (round(col("sc"), 6) + lit(0.0)).as("score"))
+      out = if (out == null) row else out.unionByName(row)
+      if (rank < k) {
+        val se = s.join(remaining.select(col("mq").as("jq"), col("mc").as("jc"),
+            col("mv").as("sv")),
+          s("mq") === col("jq") && s("sel") === col("jc"))
+          .select(col("jq"), col("sel"), col("sv"))
+        remaining = remaining
+          .join(broadcast(se), remaining("mq") === se("jq"))
+          .filter(col("mc") =!= col("sel"))
+          .select(col("mq"), col("mc"), col("mr"), col("mv"),
+            (if (rank == 1) round(cos(col("mv"), col("sv")), 9)
+             else greatest(col("pen"), round(cos(col("mv"), col("sv")), 9)))
+              .as("pen"))
+          .withColumn("score", round(lit(lambda) * col("mr")
+            - lit(oneMinusLambda) * col("pen"), 9))
+          .localCheckpoint()
+      }
+    }
+    out
+  }
+
   /** Per-node clustering coefficient — graph_clustering over caller
     * edge columns: `(node, deg, n_triangles, cc)` with cc = 2·T/(deg·
     * (deg−1)) on the undirected distinct graph, 0 for deg ≤ 1. Shares

@@ -650,9 +650,35 @@ object Aggregates extends QueryGroup {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Ordered string aggregation — the ANSI `LISTAGG … WITHIN GROUP`
+    * surface (SQL:2016; what report/BI SQL emits for "concatenate the
+    * group's values in order"): per order priority the distinct status
+    * set as one comma-joined ordered string. agg_collect builds the
+    * same thing as an ARRAY via sort_array(collect_set(…)); this is the
+    * scalar-string statement spelling, newly native in Spark 4 — and the
+    * WITHIN GROUP order is what makes it deterministic (an unordered
+    * listagg is partitioning-dependent and would never oracle). The
+    * distinct pre-aggregation bounds every group's string at |domain|;
+    * never listagg an unbounded value column at scale — the result row
+    * IS the group, so a hot group makes a hot string. */
+  private val aggListagg: QFn = (s, d) => {
+    val ps = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderstatus")).distinct()
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .join(ps.groupBy(col("o_orderpriority"))
+        .agg(expr("listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)")
+          .as("statuses"),
+          count(lit(1)).as("n_statuses")),
+        Seq("o_orderpriority"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "agg_listagg" -> aggListagg,
     "agg_mad" -> aggMad,
     "agg_distinct_exact" -> aggDistinctExact,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -693,6 +719,18 @@ object Aggregates extends QueryGroup {
          FROM lineitem
          GROUP BY l_returnflag
          ORDER BY l_returnflag ASC NULLS FIRST""",
+    "agg_listagg" ->
+      """WITH ps AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders),
+            ag AS (SELECT o_orderpriority,
+                          string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)
+                            AS statuses,
+                          count(*) AS n_statuses
+                   FROM ps GROUP BY o_orderpriority),
+            n AS (SELECT o_orderpriority, count(*) AS n_orders
+                  FROM orders GROUP BY o_orderpriority)
+         SELECT n.o_orderpriority, n.n_orders, ag.statuses, ag.n_statuses
+         FROM n JOIN ag ON n.o_orderpriority = ag.o_orderpriority
+         ORDER BY n.o_orderpriority ASC NULLS FIRST""",
     "agg_mad" ->
       """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
                       FROM documents GROUP BY lang),

@@ -27,10 +27,10 @@ object LlmVector extends QueryGroup {
 
   /** DuckDB-side cosine between two DOUBLE[] exprs — the §7.3.3-verified
     * explicit formula (never list_cosine_similarity, it computes f32). */
-  private def duckCos(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)
-        / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i] * $a[i])), (x, y) -> x + y))
-         * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
+  private def duckCos(a: String, b: String, dims: Int = 64): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), i -> $a[i] * $a[i])), (x, y) -> x + y))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${dims + 1}), i -> $b[i] * $b[i])), (x, y) -> x + y)))"""
 
   /** DuckDB-side squared L2 — same left fold order as [[l2sq]], so the
     * per-(vector, centroid) distances are bit-identical across engines. */
@@ -275,6 +275,113 @@ object LlmVector extends QueryGroup {
       .select(col("qid"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast(DoubleType) / 10.0).as("recall_at_10"))
       .orderBy(col("qid"))
+  }
+
+  /** Dimension-truncation retrieval eval — the Matryoshka (MRL) storage
+    * question made measurable: if the index keeps only the FIRST 16 of
+    * 64 dimensions (4× cheaper storage + bandwidth, the standard
+    * prefix-truncation deployment), how much of exact top-10 retrieval
+    * survives? Same detector-quality posture as ivf_eval: per query the
+    * exact full-dim top-10 is truth, the 16-dim-cosine top-10 is the
+    * candidate, overlap = recall@10. Truncation is `slice(...)` — a
+    * pure row function — and both rankings run off the one broadcast
+    * query set × corpus pass; ranking ties break on vec_id so row_number
+    * is total on both engines. The fixture's embeddings put no special
+    * mass on the prefix (unlike MRL-trained ones), so the measured
+    * recall is the UNTRAINED-prefix baseline an MRL deployment must
+    * beat. */
+  private val embedTruncateEval: QFn = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cs_full"),
+        cosine(slice(col("embedding"), 1, 16), slice(col("qe"), 1, 16))
+          .as("cs_trunc"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cs_full").desc, col("vec_id"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cs_trunc").desc, col("vec_id"))
+    val exact = cand.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val trunc = cand.withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(trunc, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / 10.0).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
+  /** Maximal Marginal Relevance — DIVERSIFIED top-k (Carbonell &
+    * Goldstein 1998), the selection rule that keeps a retrieval/
+    * curation batch from returning k near-copies of the same item:
+    * greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s),
+    * here k = 3 unrolled rounds at λ = 0.7 over a bounded candidate
+    * pool per query (5 queries × 100 candidates — at scale the pool is
+    * the ANN index's top-N probe, never the corpus). Determinism: every
+    * score is re-rounded to 9 dp BEFORE the argmax (the embed_pca
+    * technique — bit-equal operands on both engines) and the argmax
+    * breaks ties on the smaller vec_id via a max(struct(score, −id))
+    * fold, so the greedy path is engine- and partitioning-exact; the
+    * oracle unrolls the identical three rounds as CTEs. Both weights
+    * are spelled as the literals 0.7 / 0.3 on both sides — computing
+    * 1.0 − 0.7 in doubles yields 0.30000000000000004, a different
+    * operand than the oracle's parsed 0.3. Shape: one
+    * (|q|·|pool|)-row relevance table built from a broadcast
+    * cross join carries the candidate vectors with it, so each round
+    * is a |q|-row argmax + one small equality join — no corpus
+    * rescan. */
+  private val simMmr: QFn = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = e.filter(col("vec_id") >= 20L && col("vec_id") < 120L)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val rel = q.crossJoin(broadcast(cand))
+      .select(col("qid"), col("cid"), col("ce"),
+        round(cosine(col("qe"), col("ce")), 9).as("rel"))
+      .localCheckpoint()  // 3 rounds + the output re-read it
+    def argmax(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.groupBy(col("qid"))
+        .agg(max(struct(col(score), (-col("cid")).as("nc"))).as("mx"))
+        .select(col("qid"), (-col("mx.nc")).as("sel"), col("mx").getField(score).as("sc"))
+    // round 1: pure relevance
+    val s1 = argmax(rel, "rel")
+    val s1e = s1.join(rel.select(col("qid"), col("cid"), col("ce")),
+      s1("qid") === rel("qid") && s1("sel") === rel("cid"))
+      .select(s1("qid").as("qid1"), col("sel").as("sid1"), col("ce").as("se1"), col("sc").as("sc1"))
+    // round 2: penalized by similarity to s1
+    val r2 = rel.join(broadcast(s1e), col("qid") === col("qid1"))
+      .filter(col("cid") =!= col("sid1"))
+      .select(col("qid"), col("cid"), col("ce"), col("rel"),
+        round(cosine(col("ce"), col("se1")), 9).as("sim1"))
+      .withColumn("mmr", round(lit(0.7) * col("rel") - lit(0.3) * col("sim1"), 9))
+      .localCheckpoint()  // the argmax and round 3 both re-read it
+    val s2 = argmax(r2, "mmr")
+    val s2e = s2.join(r2.select(col("qid"), col("cid"), col("ce")),
+      s2("qid") === r2("qid") && s2("sel") === r2("cid"))
+      .select(s2("qid").as("qid2"), col("sel").as("sid2"), col("ce").as("se2"), col("sc").as("sc2"))
+    // round 3: penalized by the max similarity to {s1, s2}
+    val r3 = r2.join(broadcast(s2e), col("qid") === col("qid2"))
+      .filter(col("cid") =!= col("sid2"))
+      .select(col("qid"), col("cid"), col("rel"), col("sim1"),
+        round(cosine(col("ce"), col("se2")), 9).as("sim2"))
+      .withColumn("mmr", round(lit(0.7) * col("rel")
+        - lit(0.3) * greatest(col("sim1"), col("sim2")), 9))
+    val s3 = argmax(r3, "mmr")
+    s1e.select(col("qid1").as("qid"), lit(1L).as("rank"),
+        col("sid1").as("vec_id"), (round(col("sc1"), 6) + lit(0.0)).as("score"))
+      .unionByName(s2e.select(col("qid2").as("qid"), lit(2L).as("rank"),
+        col("sid2").as("vec_id"), (round(col("sc2"), 6) + lit(0.0)).as("score")))
+      .unionByName(s3.select(col("qid"), lit(3L).as("rank"),
+        col("sel").as("vec_id"), (round(col("sc"), 6) + lit(0.0)).as("score")))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Batch kNN — the shape a pipeline actually runs (embed a batch,
@@ -1109,6 +1216,8 @@ object LlmVector extends QueryGroup {
     "sim_knn_ivf" -> simKnnIvf,
     "ann_upsert" -> annUpsert,
     "ivf_eval" -> ivfEval,
+    "embed_truncate_eval" -> embedTruncateEval,
+    "sim_mmr" -> simMmr,
     "sim_centroids" -> simCentroids,
     "sim_kmeans" -> simKmeans,
     "embed_pq" -> embedPq,
@@ -1289,6 +1398,67 @@ object LlmVector extends QueryGroup {
                  CAST(sum(hit) AS BIGINT) AS n_hit,
                  CAST(sum(hit) AS DOUBLE) / 10.0 AS recall_at_10
           FROM j GROUP BY qid ORDER BY qid ASC NULLS FIRST""",
+    "embed_truncate_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
+            q AS (SELECT vec_id qid, ev qe FROM e WHERE vec_id < 20),
+            c AS (SELECT qid, vec_id,
+                         ${duckCos("ev", "qe")} AS cs_full,
+                         ${duckCos("ev", "qe", 16)} AS cs_trunc
+                  FROM e CROSS JOIN q WHERE vec_id <> qid),
+            ex AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY cs_full DESC NULLS LAST, vec_id ASC) rn FROM c) t
+                   WHERE rn <= 10),
+            tr AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY cs_trunc DESC NULLS LAST, vec_id ASC) rn FROM c) t
+                   WHERE rn <= 10),
+            j AS (SELECT ex.qid,
+                         CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END hit
+                  FROM ex LEFT JOIN tr
+                    ON ex.qid = tr.qid AND ex.vec_id = tr.vec_id)
+          SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(hit) AS BIGINT) AS n_hit,
+                 CAST(sum(hit) AS DOUBLE) / 10.0 AS recall_at_10
+          FROM j GROUP BY qid ORDER BY qid ASC NULLS FIRST""",
+    "sim_mmr" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
+            q AS (SELECT vec_id qid, ev qe FROM e WHERE vec_id < 5),
+            cand AS (SELECT vec_id cid, ev ce FROM e
+                     WHERE vec_id >= 20 AND vec_id < 120),
+            rel AS (SELECT qid, cid, ce,
+                           round(${duckCos("ce", "qe")}, 9) AS rel
+                    FROM q CROSS JOIN cand),
+            s1 AS (SELECT qid, cid AS sid1, ce AS se1, rel AS sc1 FROM (
+                     SELECT qid, cid, ce, rel, row_number() OVER (PARTITION BY qid
+                       ORDER BY rel DESC, cid ASC) rn FROM rel) t WHERE rn = 1),
+            r2 AS MATERIALIZED (SELECT r.qid, r.cid, r.ce, r.rel,
+                           round(${duckCos("r.ce", "s.se1")}, 9) AS sim1,
+                           round(0.7 * r.rel
+                                 - 0.3 * round(${duckCos("r.ce", "s.se1")}, 9), 9)
+                             AS mmr
+                    FROM rel r JOIN s1 s ON r.qid = s.qid
+                    WHERE r.cid <> s.sid1),
+            s2 AS (SELECT qid, cid AS sid2, ce AS se2, mmr AS sc2 FROM (
+                     SELECT qid, cid, ce, mmr, row_number() OVER (PARTITION BY qid
+                       ORDER BY mmr DESC, cid ASC) rn FROM r2) t WHERE rn = 1),
+            r3 AS (SELECT r.qid, r.cid, r.rel,
+                          round(0.7 * r.rel
+                                - 0.3 * greatest(r.sim1,
+                                    round(${duckCos("r.ce", "s.se2")}, 9)), 9)
+                            AS mmr
+                   FROM r2 r JOIN s2 s ON r.qid = s.qid
+                   WHERE r.cid <> s.sid2),
+            s3 AS (SELECT qid, cid AS sid3, mmr AS sc3 FROM (
+                     SELECT qid, cid, mmr, row_number() OVER (PARTITION BY qid
+                       ORDER BY mmr DESC, cid ASC) rn FROM r3) t WHERE rn = 1)
+          SELECT qid, CAST(1 AS BIGINT) AS rank, sid1 AS vec_id,
+                 round(sc1, 6) + 0.0 AS score FROM s1
+          UNION ALL
+          SELECT qid, CAST(2 AS BIGINT), sid2, round(sc2, 6) + 0.0 FROM s2
+          UNION ALL
+          SELECT qid, CAST(3 AS BIGINT), sid3, round(sc3, 6) + 0.0 FROM s3
+          ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST""",
     "sim_knn_batch" ->
       s"""WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) eb FROM embeddings
                      WHERE vec_id < 10),

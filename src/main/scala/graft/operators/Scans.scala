@@ -598,6 +598,63 @@ object Scans extends QueryGroup {
              .as("sum_qty"))
   }
 
+  /** Equality-delete file for the merge-on-read rung — generation 3 of
+    * the manifest-plane story: a DELETE lands as a small file of KEYS
+    * (Iceberg equality deletes / Delta deletion-vector posture), no
+    * data file rewritten. Built once per fixture fingerprint under the
+    * base layout's keyed scratch dir. */
+  private[graft] def ensureManifestDelete(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dl = s"${ensureManifestLayout(s, d)}/delete"
+    if (!new java.io.File(s"$dl/_DONE").exists()) {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 101L === 0L)
+        .select(col("l_orderkey")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$dl/keys")
+      new java.io.File(s"$dl/_DONE").createNewFile()
+    }
+    dl
+  }
+
+  /** Merge-on-read DELETE — the third metadata-plane verb (add:
+    * sink_manifest_append; read-at-version: scan_time_travel; now
+    * delete-without-rewrite): the delete file holds keys only, and the
+    * READER applies it — manifest-pruned data scan ANTI JOIN the
+    * broadcast delete-key set — exactly how equality deletes execute
+    * in log-structured table formats until a compaction rewrites the
+    * files. One query reads the table both ways (snapshot 1 = before
+    * the delete generation, snapshot 2 = after); the oracle derives
+    * both states independently, proving the delete removed EXACTLY the
+    * keyed rows across base AND delta generations. Delete files are
+    * KBs (keys, not rows) so the anti join broadcasts; at compaction
+    * time the same anti join feeds sink_compact's rewrite. */
+  private val scanDeleteMerge: QFn = (s, d) => {
+    val base = ensureManifestLayout(s, d)
+    val dd = ensureManifestDelta(s, d)
+    val dl = ensureManifestDelete(s, d)
+    val (loK, hiK) = (1000L, 5000L)
+    val man = s.read.parquet(s"$base/manifest")
+      .unionByName(s.read.parquet(s"$dd/manifest"))
+    val files = man.filter(col("lo") <= hiK && col("hi") >= loK)
+      .select(col("path")).collect().map(_.getString(0))
+    val pruned =
+      if (files.isEmpty) s.read.parquet(s"$base/data").limit(0)
+      else s.read.parquet(files.toIndexedSeq: _*)
+    val slice = pruned
+      .filter(col("l_orderkey") >= loK && col("l_orderkey") <= hiK)
+    val deletes = s.read.parquet(s"$dl/keys")
+    def agg(df: org.apache.spark.sql.DataFrame, snap: Long) =
+      df.agg(count(lit(1)).as("n"),
+             countDistinct(col("l_orderkey")).as("n_orders"),
+             round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+               .as("sum_qty"))
+        .select(lit(snap).as("snapshot"), col("n"), col("n_orders"), col("sum_qty"))
+    agg(slice, 1L)
+      .unionByName(agg(slice.join(broadcast(deletes), Seq("l_orderkey"),
+        "left_anti"), 2L))
+      .orderBy(col("snapshot"))
+  }
+
   /** Snapshot read AS OF a generation — TIME TRAVEL over the manifest
     * plane (what `VERSION AS OF` resolves to in every log-structured
     * table format): a snapshot IS the set of files whose manifest
@@ -680,6 +737,7 @@ object Scans extends QueryGroup {
     "scan_manifest" -> scanManifest,
     "sink_manifest_append" -> sinkManifestAppend,
     "scan_time_travel" -> scanTimeTravel,
+    "scan_delete_merge" -> scanDeleteMerge,
     "ingest_binary" -> ingestBinary,
     "ingest_xml" -> ingestXml,
     "sink_zorder" -> sinkZorder,
@@ -702,6 +760,28 @@ object Scans extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "scan_delete_merge" ->
+      """WITH comb AS (
+           SELECT l_orderkey, l_quantity FROM lineitem
+           WHERE l_orderkey >= 1000 AND l_orderkey <= 5000
+           UNION ALL
+           SELECT l_orderkey, l_quantity FROM lineitem
+           WHERE l_orderkey % 97 = 0
+             AND l_orderkey >= 1000 AND l_orderkey <= 5000),
+         v1 AS (
+           SELECT CAST(1 AS BIGINT) AS snapshot, count(*) AS n,
+                  count(DISTINCT l_orderkey) AS n_orders,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                    AS sum_qty
+           FROM comb),
+         v2 AS (
+           SELECT CAST(2 AS BIGINT) AS snapshot, count(*) AS n,
+                  count(DISTINCT l_orderkey) AS n_orders,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                    AS sum_qty
+           FROM comb WHERE l_orderkey % 101 <> 0)
+         SELECT * FROM v1 UNION ALL SELECT * FROM v2
+         ORDER BY snapshot ASC NULLS FIRST""",
     "scan_time_travel" ->
       """WITH slice AS (
            SELECT l_orderkey, l_quantity FROM lineitem

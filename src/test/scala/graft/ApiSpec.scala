@@ -487,6 +487,22 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(declared))
   }
 
+  test("mmrSelect matches sim_mmr's unrolled greedy rounds") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = e.filter(col("vec_id") >= 20L && col("vec_id") < 120L)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val pool = q.crossJoin(broadcast(cand))
+      .select(col("qid"), col("cid"), col("ce"),
+        round(GraftOps.cosineSim(col("qe"), col("ce")), 9).as("rel"))
+    val api = GraftOps.mmrSelect(pool, col("qid"), col("cid"),
+        col("rel"), col("ce"), k = 3)
+      .select(col("qid"), col("rank"), col("cid").as("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+    assert(rows(api) == rows(SparkEntry.queries("sim_mmr")(spark, sf)))
+  }
+
   test("madStats matches agg_mad on documents") {
     val api = GraftOps.madStats(Tables.documents(spark, sf),
         col("lang"), col("n_chars"))

@@ -532,6 +532,24 @@ class PlanSpec extends AnyFunSuite {
     assert(v0.subsetOf(v1) && v0.size < v1.size, s"v0=$v0 v1=$v1")
   }
 
+  test("scan_delete_merge applies the delete file as a broadcast anti join") {
+    // equality deletes are KB-sized key files — the reader must apply
+    // them as a broadcast LeftAnti, never a shuffled join of the data
+    val p = plan("scan_delete_merge")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("sim_mmr rounds 2-3 iterate over the checkpointed relevance table") {
+    // the (|q|·|pool|)-row rel table is localCheckpointed after the one
+    // corpus×query pass; the three greedy rounds must re-read IT — an
+    // embeddings parquet scan in the final plan means the cross join
+    // re-runs per round (the graph_pagerank lineage rule)
+    val p = plan("sim_mmr")
+    assert(!p.contains("embeddings"), p)
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
