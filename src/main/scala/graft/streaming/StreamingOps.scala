@@ -306,6 +306,35 @@ object StreamingOps {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
 
+  /** Streaming manifest maintenance — sink_manifest_append's posture
+    * inside foreachBatch (the streaming writer that GROWS a
+    * log-structured table): each micro-batch lands as NEW data files
+    * under its batch_id dir PLUS the matching (path, lo, hi, n_rows)
+    * stats rows under manifest/batch_id=…; nothing existing is
+    * rewritten, and readers compose manifests by concatenation and
+    * prune unchanged (the scan_manifest read half works on this sink's
+    * output as-is). batchId keys BOTH halves, so a replayed batch
+    * overwrites its own data dir and its own manifest rows together —
+    * the sinkPerBatch idempotence contract extended to the metadata
+    * plane (a data/manifest mismatch after a crash is the failure mode
+    * table formats exist to prevent). Stats key = event_id: an
+    * ordered-source feed gives near-disjoint per-batch ranges, which is
+    * what makes streaming-written manifests prune. */
+  def manifestSink(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dataDir = s"$outDir/data/batch_id=$batchId"
+        batch.write.mode("overwrite").parquet(dataDir)
+        batch.sparkSession.read.parquet(dataDir)
+          .groupBy(input_file_name().as("path"))
+          .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+               count(lit(1)).as("n_rows"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/manifest/batch_id=$batchId")
+      }
+
   /** Per-window population-stability-index drift monitor — the
     * streaming twin of the agg_ks/agg_chisq batch screens and the shape
     * a production ingest runs to catch distribution drift as data

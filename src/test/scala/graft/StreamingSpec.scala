@@ -318,6 +318,55 @@ class StreamingSpec extends AnyFunSuite {
       == evs.map(_.event_id).sum)
   }
 
+  test("stream_manifest_sink grows data + manifest together, and the manifest prunes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = s"${Tables.scratchDir}/st_manifest_sink"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.manifestSink(in.toDF(), out).start()
+    in.addData(evs.take(300)); q.processAllAvailable()
+    // batch 0's bytes must stay untouched by later batches
+    def snap(dir: String): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(_.isFile).map(f => f.getPath -> f.lastModified).toMap
+    }
+    val b0Data = snap(s"$out/data/batch_id=0")
+    val b0Man = snap(s"$out/manifest/batch_id=0")
+    in.addData(evs.drop(300)); q.processAllAvailable()
+    q.stop()
+    assert(snap(s"$out/data/batch_id=0") == b0Data, "batch-0 data rewritten")
+    assert(snap(s"$out/manifest/batch_id=0") == b0Man, "batch-0 manifest rewritten")
+    // composed manifest = concatenation of generations, and its stats
+    // must equal a recomputation from the data files themselves
+    val man = spark.read.parquet(s"$out/manifest")
+    val recomputed = spark.read.parquet(s"$out/data")
+      .groupBy(input_file_name().as("path"))
+      .agg(min(col("event_id")).as("r_lo"), max(col("event_id")).as("r_hi"),
+           count(lit(1)).as("r_n"))
+    val joined = man.join(recomputed, "path")
+    assert(joined.count() == man.count(), "manifest rows must cover all data files")
+    assert(joined.filter(col("lo") =!= col("r_lo") || col("hi") =!= col("r_hi")
+      || col("n_rows") =!= col("r_n")).count() == 0, "stale stats")
+    // the scan_manifest read half works unchanged on this sink's output:
+    // prune to batch 0's key range and prove the pruned read lossless
+    val (loK, hiK) = (evs(50).event_id, evs(250).event_id)
+    val files = man.filter(col("lo") <= hiK && col("hi") >= loK)
+      .select(col("path")).collect().map(_.getString(0))
+    assert(files.nonEmpty && files.length < man.count(), "nothing pruned")
+    val pruned = spark.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("event_id") >= loK && col("event_id") <= hiK)
+    val full = spark.read.parquet(s"$out/data")
+      .filter(col("event_id") >= loK && col("event_id") <= hiK)
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+  }
+
   test("stream_foreach_batch restart from checkpoint loses and duplicates nothing") {
     // the idempotent-sink claim, exercised through an actual crash window:
     // a file source (replayable by offset) feeds the batchId-keyed parquet
