@@ -405,9 +405,34 @@ object Curation extends QueryGroup {
       .orderBy(col("canonical_url"))
   }
 
+  /** Blocklist filtering — the C4 "banned word list" gate (Raffel et al.
+    * 2020 drop any page containing a blocklisted word; Gopher keeps a
+    * softer per-1000-tokens rate): per document the token-exact hit
+    * count against a broadcast-literal blocklist and the any-hit drop
+    * flag. TOKEN-exact matching (filter over split tokens), not
+    * substring — the classic blocklist false-positive ("class" contains
+    * a banned substring) is the recipe's known failure mode and exact
+    * token equality is the standard fix. The fixture vocabulary is
+    * synthetic, so the two-word list here stands in for the real one —
+    * the RECIPE is the deliverable (fn_geo's posture). Pure row
+    * function in one codegen stage, zero shuffle before the closing
+    * sort; at 100 TB this is a scan. */
+  private val textBlocklist: QFn = (s, d) => {
+    val banned = Seq("dup", "slow")
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => t.isin(banned: _*))).cast("long")
+          .as("n_bad"))
+      .withColumn("keep", col("n_bad") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "profile_topk" -> profileTopk,
     "dedup_url" -> dedupUrl,
+    "text_blocklist" -> textBlocklist,
     "text_pii_scan" -> textPiiScan,
     "sample_token_budget" -> sampleTokenBudget,
     "text_dedup_span" -> textDedupSpan,
@@ -420,6 +445,16 @@ object Curation extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "text_blocklist" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('dup', 'slow'))) AS BIGINT)
+                  AS n_bad,
+                len(list_filter(string_split(text, ' '),
+                                t -> t IN ('dup', 'slow'))) = 0 AS keep
+         FROM documents
+         ORDER BY doc_id ASC NULLS FIRST""",
     "dedup_url" ->
       """WITH u AS (
            SELECT doc_id,

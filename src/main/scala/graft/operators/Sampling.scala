@@ -143,8 +143,54 @@ object Sampling extends QueryGroup {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Epoch-weighted OVERSAMPLING — the data-mixing step every published
+    * LLM recipe runs that the rest of the sampling family can't express
+    * (they all subsample): a source with epoch factor r contributes
+    * ⌊r⌋ full copies of every document plus a frac(r) deterministic
+    * Bernoulli extra copy (GPT-3's "Wikipedia seen 3.4 epochs" is
+    * exactly this materialization). The fractional copy reuses
+    * sample_weighted's all-integer rule — u48 < frac·2^48 with the
+    * threshold written as the integer literal 2^47 (frac = .5 here), a
+    * salted md5 so membership is independent of the other samplers —
+    * and the copies materialize via a sequence() generator: pure row
+    * functions, embarrassingly parallel, no shuffle until the
+    * per-source rollup. Per source: docs, emitted copies, realized
+    * epochs — the number the mixing spreadsheet checks against the
+    * target r. */
+  private val sampleEpochs: QFn = (s, d) => {
+    val r = when(col("source") === "src0", 2.5)
+      .when(col("source") === "src1", 1.5)
+      .when(col("source") === "src2", 0.5)
+      .otherwise(1.0)
+    val base = Tables.documents(s, d)
+      .withColumn("r", r)
+      .withColumn("u48",
+        conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":ep"))),
+          1, 12), 16, 10).cast(LongType))
+      .withColumn("copies",
+        floor(col("r")).cast(LongType)
+          + when(col("r") =!= floor(col("r")),
+              when(col("u48") < lit(140737488355328L), 1L).otherwise(0L)) // 2^47
+            .otherwise(0L))
+    // n_docs counts ALL source docs (a frac-coin miss with ⌊r⌋ = 0 emits
+    // nothing and must still sit in the denominator); n_copies counts the
+    // actually MATERIALIZED explode output — the thing the mix trains on
+    val emitted = base
+      // the copies >= 1 guard is load-bearing: Spark's sequence(1, 0) is
+      // the DESCENDING [1, 0] (step inferred -1), not an empty array
+      .filter(col("copies") >= 1L)
+      .select(col("source"), explode(expr("sequence(1, copies)")).as("copy_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_copies"))
+    base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(emitted, Seq("source"))
+      .withColumn("realized_epochs",
+        round(col("n_copies").cast("double") / col("n_docs"), 6) + lit(0.0))
+      .orderBy(col("source"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sample_hash" -> sampleHash,
+    "sample_epochs" -> sampleEpochs,
     "sample_balanced" -> sampleBalanced,
     "split_train_val" -> splitTrainVal,
     "sample_stratified" -> sampleStratified,
@@ -153,6 +199,29 @@ object Sampling extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sample_epochs" ->
+      """WITH b AS (
+           SELECT source, doc_id,
+                  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.5
+                              WHEN 'src2' THEN 0.5 ELSE 1.0 END AS r,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep'), 1, 12))::BIGINT
+                    AS u48
+           FROM documents),
+         c AS (
+           SELECT source, doc_id,
+                  CAST(floor(r) AS BIGINT)
+                  + CASE WHEN r <> floor(r) AND u48 < 140737488355328
+                         THEN 1 ELSE 0 END AS copies
+           FROM b),
+         em AS (SELECT source, count(*) AS n_copies FROM (
+                  SELECT source, unnest(range(1, copies + 1)) FROM c) t
+                GROUP BY source),
+         tot AS (SELECT source, count(*) AS n_docs FROM b GROUP BY source)
+         SELECT tot.source, tot.n_docs, em.n_copies,
+                round(CAST(em.n_copies AS DOUBLE) / tot.n_docs, 6) + 0.0
+                  AS realized_epochs
+         FROM tot JOIN em ON tot.source = em.source
+         ORDER BY tot.source ASC NULLS FIRST""",
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders
