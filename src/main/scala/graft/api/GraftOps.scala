@@ -879,6 +879,39 @@ object GraftOps {
       .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
   }
 
+  /** Token-exact blocklist hit count — text_blocklist's gate over a
+    * caller text column and word list: the C4 banned-word rule counts
+    * whole-token matches (never substrings — the recipe's classic
+    * false-positive fix); gate on `=== 0` for the C4 any-hit drop.
+    * Pure row function, single codegen stage. */
+  def blocklistHits(text: Column, banned: Seq[String]): Column = {
+    require(banned.nonEmpty, "blocklistHits: banned list must be non-empty")
+    size(filter(split(text, " "), t => t.isin(banned: _*))).cast(LongType)
+  }
+
+  /** Epoch-weighted oversampling — sample_epochs' materialization over
+    * caller columns: each row emits ⌊factor⌋ full copies plus a
+    * deterministic all-integer Bernoulli extra with P = frac(factor)
+    * (u48 of a salted md5 vs frac·2^48 — pass the threshold as the
+    * precomputed integer `fracThreshold` = round(frac·2^48) so no
+    * float boundary exists at runtime). Returns the exploded
+    * (original columns + copy_id) rows — the corpus the mix actually
+    * trains on. The copies ≥ 1 guard is load-bearing: Spark's
+    * sequence(1, 0) is the DESCENDING [1, 0], not an empty array. */
+  def epochOversample(df: DataFrame, id: Column, wholeEpochs: Column,
+                      fracThreshold: Column, salt: String = ":ep"): DataFrame =
+    df.withColumn("eo_u48",
+        conv(substring(md5(concat(id.cast(StringType), lit(salt))), 1, 12), 16, 10)
+          .cast(LongType))
+      .withColumn("eo_copies",
+        wholeEpochs.cast(LongType)
+          + when(fracThreshold > 0L,
+              when(col("eo_u48") < fracThreshold, 1L).otherwise(0L))
+            .otherwise(0L))
+      .filter(col("eo_copies") >= 1L)
+      .withColumn("copy_id", explode(expr("sequence(1, eo_copies)")))
+      .drop("eo_u48", "eo_copies")
+
   /** Maximal-Marginal-Relevance selection — sim_mmr's greedy loop
     * generalized to any k over a caller-scored candidate pool: rows
     * (qid, cid, rel, vec) where `rel` is the query-relevance score and

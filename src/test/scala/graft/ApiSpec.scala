@@ -487,6 +487,32 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(declared))
   }
 
+  test("blocklistHits matches text_blocklist on documents") {
+    val api = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        GraftOps.blocklistHits(col("text"), Seq("dup", "slow")).as("n_bad"))
+      .withColumn("keep", col("n_bad") === 0L)
+      .orderBy(col("doc_id"))
+    assert(rows(api) == rows(SparkEntry.queries("text_blocklist")(spark, sf)))
+  }
+
+  test("epochOversample reproduces sample_epochs' materialized counts") {
+    val r = when(col("source") === "src0", 2.5)
+      .when(col("source") === "src1", 1.5)
+      .when(col("source") === "src2", 0.5)
+      .otherwise(1.0)
+    val base = Tables.documents(spark, sf).withColumn("r", r)
+    val api = GraftOps.epochOversample(base, col("doc_id"),
+        floor(col("r")),
+        // frac(r) is 0.5 or 0 here; 0.5·2^48 = 2^47 exactly
+        when(col("r") =!= floor(col("r")), lit(140737488355328L)).otherwise(lit(0L)))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_copies"))
+    val declared = SparkEntry.queries("sample_epochs")(spark, sf)
+      .select(col("source"), col("n_copies"))
+    assert(rows(api.orderBy(col("source"))) == rows(declared))
+  }
+
   test("mmrSelect matches sim_mmr's unrolled greedy rounds") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5L)
