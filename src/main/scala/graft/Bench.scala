@@ -36,6 +36,7 @@ object Bench {
     build("dpp_layout") { operators.Scans.ensureDppLayout(spark, sfDir) }
     build("manifest_layout") { operators.Scans.ensureManifestLayout(spark, sfDir) }
     build("manifest_delta") { operators.Scans.ensureManifestDelta(spark, sfDir) }
+    build("manifest_delete") { operators.Scans.ensureManifestDelete(spark, sfDir) }
     build("trade_edges") { operators.Graph.tradeEdgesCached(spark, sfDir).count() }
     build("minhash_index") { operators.LlmText.ensureMinhashIndex(spark, sfDir) }
     // the shared per-session pair graphs (eb3d12b): first consumer pays
