@@ -364,6 +364,27 @@ object EventsBatch extends QueryGroup {
     * every trailing window at once — shuffles bounded by
     * 7 × |user-days|, never raw events, and the distinct-user
     * aggregation map-side combines. */
+  /** Cumulative distinct users by first-seen day — the user-growth
+    * curve every product/ingest dashboard opens with (and the
+    * denominator for activation/retention ratios): per user the min
+    * activity day, per day the new-user count, then the running total.
+    * The expanding window runs over the AGGREGATED per-day table
+    * (≤ |days| rows — the agg_ks single-partition-is-safe argument),
+    * never events; the only data-sized operation is one
+    * map-side-combining groupBy(user). All-integer day math (`ts div
+    * 86400e9`), so cumulative counts are exact on any engine. */
+  private val eventsCumulativeUsers: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts div 86400000000000")).as("day"))
+    val perDay = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy(col("day"))
+  }
+
   private val eventsDauWau: QFn = (s, d) => {
     // eager localCheckpoint: the (user, day) activity table — bounded
     // by |users| × |days|, far below raw events — feeds both the DAU
@@ -466,6 +487,7 @@ object EventsBatch extends QueryGroup {
     "events_rfm" -> eventsRfm,
     "events_sequence" -> eventsSequence,
     "events_dau_wau" -> eventsDauWau,
+    "events_cumulative_users" -> eventsCumulativeUsers,
     "events_tumbling" -> eventsTumbling,
     "events_session" -> eventsSession,
     "events_sessionize_lag" -> eventsSessionizeLag,
@@ -546,6 +568,16 @@ object EventsBatch extends QueryGroup {
          FROM h GROUP BY user_id
          HAVING sum(CASE WHEN c > 2 THEN 1 ELSE 0 END) > 0
          ORDER BY user_id ASC NULLS FIRST""",
+    "events_cumulative_users" ->
+      """WITH fs AS (SELECT user_id,
+                            min(epoch_ns(ts) // 86400000000000) AS day
+                     FROM events GROUP BY user_id),
+            pd AS (SELECT day, count(*) AS n_new FROM fs GROUP BY day)
+         SELECT day, n_new,
+                CAST(sum(n_new) OVER (ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM pd ORDER BY day ASC NULLS FIRST""",
     "events_dau_wau" ->
       """WITH du AS (SELECT DISTINCT user_id,
                             epoch_ns(ts) // 86400000000000 AS day

@@ -132,6 +132,33 @@ object SqlSurface extends QueryGroup {
       ORDER BY c_custkey ASC""")
   }
 
+  /** Parameterized SQL — the named-parameter statement surface
+    * (`spark.sql(text, args)`, Spark 3.4+): the injection-safe way a
+    * service layer runs user-scoped analytics (the driver binds values,
+    * the TEXT never changes, so plan caching keys stay stable and no
+    * string concatenation can smuggle SQL). Parameters bind as typed
+    * literals BEFORE analysis — the plan is identical to the
+    * literal-inlined statement, so the surface costs nothing; the
+    * oracle IS that literal-inlined statement. Dates cross the binding
+    * as strings and cast inside the text (a bound string comparing
+    * against TIMESTAMP_NTZ would otherwise depend on engine coercion
+    * rules). */
+  private val sqlParams: QFn = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_pp_v")
+    s.sql(
+      """SELECT o_orderpriority,
+                count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS total
+         FROM graft_pp_v
+         WHERE o_orderdate >= CAST(:lo AS TIMESTAMP_NTZ)
+           AND o_orderstatus = :st
+           AND o_totalprice > :minPrice
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC""",
+      Map("lo" -> "1997-01-01", "st" -> "O", "minPrice" -> 1000.0))
+  }
+
   /** The pure-SQL DDL path: CREATE TABLE … USING parquet (CTAS into an
     * external location) registers a CATALOG table, and the analytical
     * query then runs against the catalog entry — the workflow of a SQL
@@ -417,6 +444,7 @@ object SqlSurface extends QueryGroup {
     "sql_q5" -> sqlQ5,
     "sql_subquery" -> sqlSubquery,
     "sql_lateral" -> sqlLateral,
+    "sql_params" -> sqlParams,
     "sql_pivot" -> sqlPivot,
     "sql_unpivot" -> sqlUnpivot,
     "sql_ddl" -> sqlDdl,
@@ -500,6 +528,17 @@ object SqlSurface extends QueryGroup {
                            WHERE o2.o_custkey = c.c_custkey
                              AND o2.o_totalprice > 450000.0)
          ORDER BY c_custkey ASC NULLS FIRST""",
+    "sql_params" ->
+      """SELECT o_orderpriority,
+                count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS total
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderstatus = 'O'
+           AND o_totalprice > 1000.0
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
     "sql_lateral" ->
       """SELECT c_custkey, c_acctbal,
                 l.n_open,
