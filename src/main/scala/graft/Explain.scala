@@ -30,7 +30,8 @@ object Explain {
     "sink_manifest_append", "sql_q5", "sql_subquery",
     "sql_lateral", "agg_bitmap_distinct", "dedup_url", "graph_clustering",
     "scan_time_travel", "fn_variant", "sim_mmr", "embed_truncate_eval",
-    "scan_delete_merge", "agg_listagg")
+    "scan_delete_merge", "agg_listagg", "sql_params",
+    "events_cumulative_users")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -100,6 +100,19 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_subquery",        // exact-DECIMAL threshold; row-level semi/anti membership
     "events_sequence",     // integer session ids and triple counts, tie-broken top-10
     "profile_topk",        // integer counts, tie-broken per-column rank
+    "agg_bitmap_distinct", // bitmap OR/popcount folds are order-free integers
+    "dedup_url",           // pure-row canonicalization; integer count + min id
+    "graph_clustering",    // integer deg/triangles; one identical-double division
+    "sim_mmr",             // 9-dp re-rounded scores + struct-argmax tie-breaks
+    "embed_truncate_eval", // exact integer hit counts; recall = n_hit/10
+    "scan_time_travel",    // integer counts + decimal sums per snapshot
+    "scan_delete_merge",   // the same over the anti-joined merge-on-read state
+    "agg_listagg",         // WITHIN GROUP order makes the string total
+    "sample_epochs",       // all-integer coin + copies; exact-int realized ratio
+    "text_blocklist",      // pure row function (token-exact list hits)
+    "events_cumulative_users", // integer first-seen days; expanding int sum
+    "sql_params",          // decimal sums; literals bound pre-analysis
+    "sql_lateral",         // decorrelated decimal aggregate per customer
   )
 
   private val postRounded = Seq(

@@ -550,6 +550,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
   }
 
+  test("sql_params binds literals before analysis: pushdown sees the values") {
+    // the bound parameters must reach the scan as ordinary pushed
+    // filters — a binding that survived to execution as a placeholder
+    // would block pushdown and break the plan-equals-inlined claim
+    val p = plan("sql_params")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // the scan line truncates the pushed list; the Filter node carries
+    // the bound values untruncated
+    assert(p.contains("= O)"), p)
+    assert(p.contains("> 1000.0)"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
