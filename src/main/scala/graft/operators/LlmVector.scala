@@ -802,7 +802,11 @@ object LlmVector extends QueryGroup {
     * √exact ≤ √ADC + √recon (triangle inequality through the
     * reconstruction), which holds for EVERY vector regardless of fit
     * quality. */
-  private val simKnnPq: QFn = (s, d) => {
+  /** Full per-vector ADC score table for query vec_id 0 — shared by the
+    * flat PQ search, the IVF+PQ composite, and VectorSpec's consistency
+    * law (the composite must score candidates IDENTICALLY to the flat
+    * search; only the candidate set differs). */
+  private[graft] def adcScores(s: SparkSession, d: String): DataFrame = {
     val sub = 16
     val qsub = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select(explode(expr(
@@ -814,6 +818,45 @@ object LlmVector extends QueryGroup {
       .select(col("vec_id"), l2sq(col("cv"), col("qj")).as("dj"))
       .groupBy(col("vec_id"))
       .agg(round(sum(col("dj")), 6).as("adc"))
+  }
+
+  private val simKnnPq: QFn = (s, d) =>
+    adcScores(s, d)
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(10)
+
+  /** IVF+PQ composite retrieval — the production ANN layout (FAISS
+    * IVFPQ; Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the IVF coarse index prunes the search to
+    * nprobe cells (partition pruning — the corpus scan never happens),
+    * and PQ's asymmetric distances then score ONLY the surviving
+    * candidates from their 4 code bytes (16× less memory traffic than
+    * raw vectors). Composes the two persisted artifacts this family
+    * already maintains — the k-means cell index (ensureAnnIndex) and
+    * the per-(vector, subspace) codeword table (pqFit) — exactly how a
+    * deployment runs them: both builds amortized once per corpus, the
+    * query cost is |probed cells| × code bytes. The candidate list
+    * (bounded by the probed cells) broadcasts into the code-table join,
+    * so the only full pass is over CODES, never vectors. No oracle
+    * (both fits iterative by design); VectorSpec pins that the
+    * composite's scores are IDENTICAL to the flat ADC search on the
+    * shared codes, that its output is exactly the top-10 of
+    * (ADC ∩ probed candidates), and that pruning is real. */
+  private val simKnnIvfPq: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val path = ensureAnnIndex(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val probed = s.read.parquet(s"$path/centroids").crossJoin(broadcast(q))
+      .select(col("cell"), cosine(col("centroid"), col("qe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(3)
+      .select(col("cell"))
+    val cand = s.read.parquet(s"$path/cells")
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"))
+    adcScores(s, d)
+      .join(broadcast(cand), Seq("vec_id"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(10)
   }
@@ -1218,6 +1261,7 @@ object LlmVector extends QueryGroup {
     "ivf_eval" -> ivfEval,
     "embed_truncate_eval" -> embedTruncateEval,
     "sim_mmr" -> simMmr,
+    "sim_knn_ivfpq" -> simKnnIvfPq,
     "sim_centroids" -> simCentroids,
     "sim_kmeans" -> simKmeans,
     "embed_pq" -> embedPq,

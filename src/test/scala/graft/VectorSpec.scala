@@ -136,6 +136,46 @@ class VectorSpec extends AnyFunSuite {
     assert(r8 == 1.0, f"probing every cell must recover exact kNN, got $r8%.3f")
   }
 
+  test("sim_knn_ivfpq: scores identical to flat ADC, output = top-10 of the pruned set") {
+    val sf = TestSpark.sf
+    val got = SparkEntry.queries("sim_knn_ivfpq")(spark, sf).collect()
+    assert(got.length == 10 && got.forall(_.getLong(0) != 0L))
+    // the composite must score candidates IDENTICALLY to the flat ADC
+    // search — only the candidate set differs (that is the IVFPQ
+    // contract: coarse pruning never changes a surviving distance)
+    val full = operators.LlmVector.adcScores(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { r =>
+      assert(full(r.getLong(0)) == r.getDouble(1),
+        s"ADC drift for vec ${r.getLong(0)}")
+    }
+    // pruning is real: the probed cells hold fewer vectors than the
+    // corpus, and the result is exactly the top-10 of (ADC ∩ probed)
+    val path = operators.LlmVector.ensureAnnIndex(spark, sf)
+    val probedIds = {
+      val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qe"))
+      // centroids are DOUBLE[] — use the HOF cosine the declared probe
+      // uses (cosine_f32 is float-only)
+      val hof =
+        """aggregate(zip_with(centroid, qe, (x, y) -> x * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)
+           / (sqrt(aggregate(transform(centroid, x -> x * x), 0D, (a, v) -> a + v))
+            * sqrt(aggregate(transform(qe, y -> CAST(y AS DOUBLE) * y), 0D, (a, v) -> a + v)))"""
+      val cells = spark.read.parquet(s"$path/centroids").crossJoin(q)
+        .selectExpr("cell", s"$hof AS ccos")
+        .orderBy(col("ccos").desc, col("cell")).limit(3).select("cell")
+      spark.read.parquet(s"$path/cells").join(cells, Seq("cell"))
+        .filter(col("vec_id") =!= 0L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val corpusN = Tables.embeddings(spark, sf).count() - 1
+    assert(probedIds.nonEmpty && probedIds.size < corpusN,
+      s"pruning not real: ${probedIds.size} of $corpusN")
+    val expected = full.filter(kv => probedIds(kv._1)).toSeq
+      .sortBy { case (id, adc) => (adc, id) }.take(10).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq == expected)
+  }
+
   test("ann_upsert: delta conserves the batch and upserts are their own top-1") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val sf = TestSpark.sf
