@@ -1202,7 +1202,11 @@ object LlmVector extends QueryGroup {
     * transform(split(chunk)) re-evaluates per element_at, O(64²)
     * interpreted work per frame. The explode→partial-agg pipeline
     * stays in codegen and wins; do not "optimize" this back. */
-  private val multimodalFrameDedup: QFn = (s, d) => {
+  /** (doc_id, frame_no, sig): the 32-block all-integer perceptual frame
+    * signature — shared by the cross-doc frame dedup and the
+    * scene-change detector (one construction, two consumers, both
+    * oracles mirror it CTE-for-CTE). */
+  private def frameSigs(s: SparkSession, d: String): DataFrame = {
     val blocks = Tables.documents(s, d)
       .filter(length(col("text")) >= 64L)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
@@ -1214,7 +1218,7 @@ object LlmVector extends QueryGroup {
         ascii(col("col")).cast("long").as("v"))
       .groupBy(col("doc_id"), col("frame_no"), col("blk"))
       .agg(sum(col("v")).as("bsum"))
-    val sig = blocks
+    blocks
       .groupBy(col("doc_id"), col("frame_no"))
       .agg(sum(col("bsum")).as("ts"),
            collect_list(struct(col("blk"), col("bsum"))).as("bl"))
@@ -1223,6 +1227,10 @@ object LlmVector extends QueryGroup {
              acc + IF(s.bsum * 32 > ts,
                       shiftleft(CAST(1 AS BIGINT), CAST(s.blk AS INT)),
                       CAST(0 AS BIGINT)))""").as("sig"))
+  }
+
+  private val multimodalFrameDedup: QFn = (s, d) => {
+    val sig = frameSigs(s, d)
     val buckets = sig.groupBy(col("sig"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     sig.join(broadcast(buckets), "sig")
@@ -1232,6 +1240,40 @@ object LlmVector extends QueryGroup {
       .select(col("doc_id"), col("n_frames"), col("n_dup_frames"),
         (round(col("n_dup_frames").cast("double") / col("n_frames"), 6)
           + lit(0.0)).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Scene-change detection over the frame signatures — the
+    * frame-SAMPLING heuristic a video ingest runs before paying for
+    * decode/embedding (keep one frame per scene instead of every
+    * frame): consecutive frames whose 32-block signatures differ in
+    * more than 14 blocks (the fixture distribution's median — a real
+    * pipeline tunes this on labeled cuts) mark a boundary; scenes =
+    * boundaries + 1. All-integer: XOR + bit_count on the int64 sigs,
+    * so the boundary decision is bit-identical on any engine. Shape:
+    * the per-char generator collapses map-side into frame sigs (the
+    * frame_dedup plan), then ONE doc-partitioned lag window over
+    * frame-count-sized rows — no cross-doc shuffle of anything
+    * data-sized. Mean hamming is exact-int summed with one closing
+    * division. */
+  private val multimodalSceneDetect: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    frameSigs(s, d)
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("ham",
+        when(col("prev").isNotNull,
+          expr("CAST(bit_count(sig ^ prev) AS BIGINT)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+           (sum(when(col("ham") > 14L, 1L).otherwise(0L)) + lit(1L))
+             .as("n_scenes"),
+           sum(col("ham")).as("ham_sum"),
+           count(col("ham")).as("n_trans"))
+      .select(col("doc_id"), col("n_frames"), col("n_scenes"),
+        when(col("n_trans") > 0L,
+          round(col("ham_sum").cast("double") / col("n_trans"), 6) + lit(0.0))
+          .as("mean_ham"))
       .orderBy(col("doc_id"))
   }
 
@@ -1262,6 +1304,7 @@ object LlmVector extends QueryGroup {
     "embed_truncate_eval" -> embedTruncateEval,
     "sim_mmr" -> simMmr,
     "sim_knn_ivfpq" -> simKnnIvfPq,
+    "multimodal_scene_detect" -> multimodalSceneDetect,
     "sim_centroids" -> simCentroids,
     "sim_kmeans" -> simKmeans,
     "embed_pq" -> embedPq,
@@ -1645,6 +1688,46 @@ object LlmVector extends QueryGroup {
                    GROUP BY blk.doc_id)
          SELECT doc_id, sig, count(*) OVER (PARTITION BY sig) AS n_same_sig
          FROM sg ORDER BY doc_id ASC NULLS FIRST""",
+    "multimodal_scene_detect" ->
+      """WITH t AS (SELECT doc_id, string_split(text, '') AS ch,
+                           CAST(length(text) AS BIGINT) AS n
+                    FROM documents WHERE length(text) >= 64),
+            x AS (SELECT doc_id, n,
+                         CAST(unnest(range(len(ch))) AS BIGINT) AS pos,
+                         ascii(unnest(ch)) AS v
+                  FROM t),
+            blk AS (SELECT doc_id, pos // 64 AS frame_no,
+                           (pos % 64) // 2 AS blk,
+                           CAST(sum(v) AS BIGINT) AS bsum
+                    FROM x WHERE pos < (n // 64) * 64
+                    GROUP BY doc_id, pos // 64, (pos % 64) // 2),
+            fr AS (SELECT doc_id, frame_no, CAST(sum(bsum) AS BIGINT) AS ts
+                   FROM blk GROUP BY doc_id, frame_no),
+            sg AS (SELECT blk.doc_id, blk.frame_no,
+                          CAST(sum(CASE WHEN bsum * 32 > ts
+                                        THEN CAST(1 AS BIGINT) << blk
+                                        ELSE 0 END) AS BIGINT) AS sig
+                   FROM blk JOIN fr ON blk.doc_id = fr.doc_id
+                                   AND blk.frame_no = fr.frame_no
+                   GROUP BY blk.doc_id, blk.frame_no),
+            lg AS (SELECT doc_id, frame_no, sig,
+                          lag(sig) OVER (PARTITION BY doc_id
+                                         ORDER BY frame_no) AS prev
+                   FROM sg),
+            hm AS (SELECT doc_id,
+                          CASE WHEN prev IS NOT NULL
+                               THEN CAST(bit_count(xor(sig, prev)) AS BIGINT)
+                               END AS ham
+                   FROM lg)
+         SELECT doc_id,
+                count(*) AS n_frames,
+                CAST(sum(CASE WHEN ham > 14 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+                  AS n_scenes,
+                CASE WHEN count(ham) > 0
+                     THEN round(CAST(sum(ham) AS DOUBLE) / count(ham), 6) + 0.0
+                     END AS mean_ham
+         FROM hm GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
     "multimodal_frame_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, '') AS ch,
                            CAST(length(text) AS BIGINT) AS n

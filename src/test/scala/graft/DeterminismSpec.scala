@@ -113,6 +113,7 @@ class DeterminismSpec extends AnyFunSuite {
     "events_cumulative_users", // integer first-seen days; expanding int sum
     "sql_params",          // decimal sums; literals bound pre-analysis
     "sql_lateral",         // decorrelated decimal aggregate per customer
+    "multimodal_scene_detect", // int64 sig XOR/popcount; one closing division
   )
 
   private val postRounded = Seq(
