@@ -31,7 +31,7 @@ object Explain {
     "sql_lateral", "agg_bitmap_distinct", "dedup_url", "graph_clustering",
     "scan_time_travel", "fn_variant", "sim_mmr", "embed_truncate_eval",
     "scan_delete_merge", "agg_listagg", "sql_params",
-    "events_cumulative_users", "sim_knn_ivfpq")
+    "events_cumulative_users", "sim_knn_ivfpq", "multimodal_scene_detect")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
