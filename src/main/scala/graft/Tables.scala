@@ -44,8 +44,23 @@ object Tables {
     * not this loader's to change — the round-8 spelling set UTC as a
     * read-time side effect). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    // Library posture (finishes what the round-9 timeZone fix started):
+    // the loader NEVER mutates the consumer's session conf at read time.
+    // A NANOS-generation fixture needs the legacy flag at session BUILD
+    // time; if it's absent, schema inference throws Spark's
+    // [PARQUET_TYPE_ILLEGAL] — rethrown here with the fix spelled out
+    // instead of silently flipping read semantics for the consumer's
+    // unrelated nanos-parquet reads.
+    val raw = try table(s, d, "events") catch {
+      case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+        throw new IllegalArgumentException(
+          "graft.Tables.events: this fixture generation wrote events.ts as " +
+          "TIMESTAMP(NANOS) parquet, which Spark 4 refuses unless " +
+          "spark.sql.legacy.parquet.nanosAsLong=true. Set it when BUILDING " +
+          "the SparkSession (.config(\"spark.sql.legacy.parquet.nanosAsLong\", " +
+          "\"true\")) — this loader deliberately does not set session conf " +
+          "at read time.", e)
+    }
     val ns = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
       case _ =>

@@ -1233,7 +1233,15 @@ object LlmVector extends QueryGroup {
     val sig = frameSigs(s, d)
     val buckets = sig.groupBy(col("sig"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-    sig.join(broadcast(buckets), "sig")
+    // buckets is one row per DISTINCT frame signature — bounded by the
+    // corpus's total frame count, i.e. data-sized, NOT metadata-sized.
+    // Deliberately unhinted: a broadcast() here would ship a
+    // corpus-sized table to every executor (driver OOM at 100×). The
+    // equality join on sig lets AQE broadcast only when it actually
+    // fits, else shuffle both sides on sig (both are already
+    // sig-keyed post-aggregate, so the shuffle carries int64 sigs +
+    // counts, never frame data).
+    sig.join(buckets, "sig")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames"),
            sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).as("n_dup_frames"))

@@ -96,4 +96,36 @@ class LoaderSpec extends AnyFunSuite {
         "loader must not mutate the session timezone")
     } finally spark.conf.set("spark.sql.session.timeZone", before)
   }
+
+  test("consumer session without the nanos flag: fail-fast, never a conf mutation") {
+    // round-10 verdict item 3: the loader used to set
+    // spark.sql.legacy.parquet.nanosAsLong=true at read time — a silent
+    // semantic change for the consumer's unrelated nanos-parquet reads.
+    // Posture now: micros fixtures load fine without the flag; a nanos
+    // fixture fails fast with the session-build fix spelled out; and in
+    // BOTH cases the consumer's conf is left exactly as found.
+    val base = s"${Tables.scratchDir}/loader_spec"
+    writeNanos(s"$base/nanos_consumer")
+    writeMicros(s"$base/micros_consumer")
+    val consumer = spark.newSession() // own SQLConf; TestSpark untouched
+    consumer.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    assert(consumer.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false")
+
+    // micros generation: loads with no flag, same contract
+    val got = Tables.events(consumer, s"$base/micros_consumer")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == instantsUs.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L) })
+
+    // nanos generation: fail fast with the build-time fix in the message
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(consumer, s"$base/nanos_consumer")
+    }
+    assert(e.getMessage.contains("nanosAsLong"), e.getMessage)
+    assert(e.getMessage.contains("BUILDING"), e.getMessage)
+
+    // and the loader never wrote the flag behind the consumer's back
+    assert(consumer.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false",
+      "loader must not mutate the consumer session's conf")
+  }
 }

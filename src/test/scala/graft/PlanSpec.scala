@@ -553,13 +553,35 @@ class PlanSpec extends AnyFunSuite {
   test("sql_params binds literals before analysis: pushdown sees the values") {
     // the bound parameters must reach the scan as ordinary pushed
     // filters — a binding that survived to execution as a placeholder
-    // would block pushdown and break the plan-equals-inlined claim
-    val p = plan("sql_params")
-    assert(p.contains("PushedFilters: [IsNotNull"), p)
-    // the scan line truncates the pushed list; the Filter node carries
-    // the bound values untruncated
-    assert(p.contains("= O)"), p)
-    assert(p.contains("> 1000.0)"), p)
+    // would block pushdown and break the plan-equals-inlined claim.
+    // Assert on the scan node's untruncated PushedFilters metadata
+    // (the rendered plan string truncates the list and matching bare
+    // value fragments like "= O)" is brittle against formatter changes).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("sql_params")(spark, TestSpark.sf).queryExecution
+    val pushed = qe.sparkPlan.collect {
+      case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
+    }.mkString(" ")
+    assert(pushed.contains("EqualTo(o_orderstatus,O)"), pushed)
+    assert(pushed.contains("GreaterThan(o_totalprice,1000.0)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"), pushed)
+  }
+
+  test("multimodal_frame_dedup sig join tolerates a non-broadcast build side") {
+    // the buckets table (one row per distinct frame signature) is
+    // frame-count-bounded — data-sized, not metadata-sized. An explicit
+    // broadcast() hint here was round 9's one scale-killer: a hint
+    // overrides autoBroadcastJoinThreshold, so with broadcast disabled a
+    // regressed hint re-surfaces as BroadcastHashJoin. The unhinted join
+    // must fall back to a shuffle join on sig.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = SparkEntry.queries("multimodal_frame_dedup")(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("whole-stage codegen covers the flagship pipeline") {
