@@ -12,6 +12,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-load audit line (round-9: the driver's 200.3 s total vs a
+    // 127.7 s re-run was machine-load inflation — min-of-2 can't defend
+    // against SUSTAINED external load). /proc/loadavg at start and end
+    // makes that attributable from the BENCH artifact alone: loadavg far
+    // above the allotted cpus means the totals are noise, not code.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
     // Untimed warm-up, but AUDITABLE (round-9 verdict item 5 — the
     // once-per-(session, fixture) build costs were an invisible buried
     // comment): each named warm-up step is timed individually and
@@ -115,6 +125,8 @@ object Bench {
     val bs = builds
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    println(s"""{"metric":"env","loadavg_start":"$loadStart","loadavg_end":"${
+      loadavg()}","cpus":"$cpus"}""")
     println(s"""{"metric":"builds","builds":$bs,"total":${
       fmt(builds.map(_._2).sum)},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")

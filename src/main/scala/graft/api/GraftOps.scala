@@ -835,15 +835,23 @@ object GraftOps {
   }
 
   /** Canonical URL form — dedup_url's rule chain over a caller URL
-    * column: strip #fragment → strip a tracking-only (utm_*) query →
-    * strip one trailing slash → lowercase scheme+host (path case is
-    * PRESERVED — it is semantic on real servers). Each rule is one
-    * POSIX-safe regexp; the whole chain is a pure row function in a
-    * single codegen stage. */
+    * column: strip #fragment → strip every utm_* tracking pair
+    * individually (any value charset — digits, uppercase, hyphens,
+    * percent-escapes — and MIXED queries like `?id=3&utm_source=x`
+    * keep their non-tracking params; a query emptied entirely loses
+    * its `?`) → strip one trailing slash → lowercase scheme+host
+    * (path case is PRESERVED — it is semantic on real servers). Each
+    * rule is a regexp row function; the whole chain is one codegen
+    * stage. The separator re-anchor (`&` promoted to `?` when the
+    * removed pair led the query) only fires when a utm pair was
+    * actually stripped, so a literal `&` in a query-less path is
+    * never rewritten. */
   def urlCanonicalize(url: Column): Column = {
     val c1 = regexp_replace(url, "#.*$", "")
-    val c2 = regexp_replace(c1,
-      "\\?utm_[a-z]+=[a-z]+(&utm_[a-z]+=[a-z]+)*$", "")
+    val stripped = regexp_replace(c1, "[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
+    val c2 = when(stripped === c1, c1)
+      .otherwise(regexp_replace(
+        regexp_replace(stripped, "^([^?]*?)&", "$1?"), "\\?$", ""))
     val c3 = regexp_replace(c2, "/$", "")
     concat(lower(regexp_extract(c3, "^([a-zA-Z]+://[^/]+)", 1)),
            regexp_replace(c3, "^[a-zA-Z]+://[^/]+", ""))
@@ -866,10 +874,22 @@ object GraftOps {
     * bitmap) rows bounded by the KEY RANGE instead of every raw
     * distinct key. `key` must be a non-negative integer column (ids,
     * hashes); it is shifted 1-based internally because the engine's
-    * bitmap position functions are defined on positive inputs. */
+    * bitmap position functions are defined on positive inputs. The
+    * contract is ENFORCED row-level (the require() posture of
+    * blocklistHits, pushed into the scan stage since the violation is
+    * data-dependent): a NULL or negative key raises with the offending
+    * value rather than silently flowing into bitmap_bucket_number /
+    * bitmap_bit_position and corrupting counts. */
   def bitmapDistinct(df: DataFrame, group: Column, key: Column): DataFrame = {
+    val k = key.cast(LongType)
+    val checked = when(k.isNull || k < 0L,
+      raise_error(concat(
+        lit("graft.bitmapDistinct: key must be a non-negative integer, got "),
+        coalesce(k.cast("string"), lit("NULL"))))
+        .cast(LongType))
+      .otherwise(k)
     val perBucket = df
-      .select(group.as("g"), (key.cast(LongType) + lit(1L)).as("bd_k"))
+      .select(group.as("g"), (checked + lit(1L)).as("bd_k"))
       .select(col("g"),
         expr("bitmap_bucket_number(bd_k)").as("bucket"),
         expr("bitmap_bit_position(bd_k)").as("pos"))
@@ -924,7 +944,17 @@ object GraftOps {
     * argmax + one small join over the localCheckpointed pool — no
     * rescan of the source. λ must be a literal the caller also uses
     * everywhere else (see sim_mmr's 0.7/0.3 note). Returns
-    * (qid, rank, cid, score) for rank 1..k. */
+    * (qid, rank, cid, score) for rank 1..k.
+    *
+    * SHORT-POOL CONTRACT: a qid whose candidate pool holds fewer than
+    * k rows yields fewer than k ranks — once its remaining set is
+    * empty the per-round argmax simply produces no row for it (no
+    * error, no padding), exactly like a SQL `LIMIT k` over a short
+    * table. Callers that require exactly k rows per qid must validate
+    * pool sizes up front (`pool.groupBy(qid).count()`) or treat the
+    * emitted rank column as authoritative. Enforcing a minimum here
+    * would force a full extra pass over the pool before round 1, so
+    * the check is deliberately left to the caller. */
   def mmrSelect(pool: DataFrame, qid: Column, cid: Column, rel: Column,
                 vec: Column, k: Int, lambda: Double = 0.7,
                 oneMinusLambda: Double = 0.3): DataFrame = {

@@ -293,6 +293,64 @@ object Curation extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing — the concat-and-chop materialization every LLM
+    * pretraining loader runs (docs concatenated in stable doc_id order,
+    * the token stream chopped into fixed 2048-token training sequences):
+    * per sequence, how many docs contribute, its token fill, the first/
+    * last doc ids, and how many docs CARRY IN across its left boundary
+    * (the attention-masking bookkeeping packed training needs). Built on
+    * sample_token_budget's distributed two-pass prefix sum — each doc
+    * gets its global [start, end) token interval from bucket offsets +
+    * within-bucket running sums (every corpus-sized stage key-partitioned
+    * by bucket, the only global pass a bounded one-row-per-bucket
+    * window) — then one bounded explode maps a doc to the ⌈ntok/2048⌉+1
+    * sequences it overlaps (sequence ids are interval arithmetic, all
+    * integer, engine-exact). Total exploded rows ≈ n_docs + n_tokens/2048
+    * — never token-sized. The oracle is the plain global-window
+    * spelling over the same interval math. */
+  private val samplePack: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val B = 2048L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast(LongType).as("ntok"))
+      .withColumn("bkt", expr("doc_id div 1000L"))
+      .localCheckpoint()
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("ntok")).as("bt"))
+      .withColumn("off",
+        coalesce(sum(col("bt")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val spans = docs
+      .withColumn("run",
+        sum(col("ntok")).over(Window.partitionBy(col("bkt"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), col("ntok"),
+        (col("off") + col("run") - col("ntok")).as("start"),
+        (col("off") + col("run")).as("end"))
+      .filter(col("ntok") > 0L)
+      .select(col("doc_id"), col("start"), col("end"),
+        explode(expr(s"sequence(start div ${B}L, (`end` - 1L) div ${B}L)"))
+          .as("seq_id"))
+      .withColumn("tok_in_seq",
+        least(col("end"), (col("seq_id") + 1L) * B)
+          - greatest(col("start"), col("seq_id") * B))
+    spans.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("tok_in_seq")).as("n_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"),
+           sum(when(col("start") < col("seq_id") * B, 1L).otherwise(0L))
+             .as("n_carry_in"))
+      .withColumn("fill_rate",
+        (round(col("n_tokens").cast(DoubleType) / B, 6) + lit(0.0)))
+      .orderBy(col("seq_id"))
+  }
+
   /** Token-budget cutoff — "take exactly the first B tokens" (the
     * sampling step that turns mixture weights into an actual training
     * set): docs in stable doc_id order, kept while the running token
@@ -435,6 +493,7 @@ object Curation extends QueryGroup {
     "text_blocklist" -> textBlocklist,
     "text_pii_scan" -> textPiiScan,
     "sample_token_budget" -> sampleTokenBudget,
+    "sample_pack" -> samplePack,
     "text_dedup_span" -> textDedupSpan,
     "text_decontaminate" -> textDecontaminate,
     "profile_columns" -> profileColumns,
@@ -523,6 +582,33 @@ object Curation extends QueryGroup {
                  + CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)) > 0 AS has_pii
          FROM synth
          ORDER BY doc_id ASC NULLS FIRST""",
+    "sample_pack" ->
+      """WITH docs AS (SELECT doc_id,
+                CASE WHEN len(text) >= 1
+                     THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                     ELSE 0 END AS ntok
+              FROM documents),
+           c AS (SELECT doc_id, ntok,
+                        CAST(sum(ntok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                          AS e
+                 FROM docs),
+           sp AS (SELECT doc_id, e - ntok AS s, e
+                  FROM c WHERE ntok > 0),
+           x AS (SELECT doc_id, s, e, CAST(r.i AS BIGINT) AS seq_id
+                 FROM sp, unnest(range(s // 2048, (e - 1) // 2048 + 1)) r(i)),
+           t AS (SELECT seq_id, doc_id, s,
+                        least(e, (seq_id + 1) * 2048)
+                          - greatest(s, seq_id * 2048) AS tok_in_seq
+                 FROM x)
+         SELECT seq_id, count(*) AS n_docs,
+                CAST(sum(tok_in_seq) AS BIGINT) AS n_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                CAST(sum(CASE WHEN s < seq_id * 2048 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_carry_in,
+                round(CAST(sum(tok_in_seq) AS DOUBLE) / 2048, 6) AS fill_rate
+         FROM t GROUP BY seq_id
+         ORDER BY seq_id ASC NULLS FIRST""",
     "sample_token_budget" ->
       """WITH docs AS (SELECT doc_id,
                 CASE WHEN len(text) >= 1

@@ -75,7 +75,11 @@ object LlmText extends QueryGroup {
     * corpus pipeline runs to tag every document (search facets, topic
     * routing, dataset cards): top-3 tokens by tf·idf, emitted as one
     * rank-ordered string per doc. Same bounded shapes as text_tfidf
-    * (per-doc tf groupBy, vocabulary-sized df BROADCAST, 1-row corpus
+    * (per-doc tf groupBy, UNHINTED vocabulary-sized df join — like
+    * text_tfidf's, so AQE broadcasts it only while the vocabulary
+    * actually fits and falls back to a tok-keyed shuffle at web-corpus
+    * vocabulary sizes; `text_hash_features` is the vocabulary-FREE
+    * alternative when even the df aggregate is too hot; 1-row corpus
     * count broadcast); the rank window partitions by doc_id — never a
     * global sort — and the reassembly is text_dedup_span's
     * sort_array-of-structs idiom. */
@@ -84,7 +88,7 @@ object LlmText extends QueryGroup {
     val tf = tokens(s, d).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
-    tf.join(broadcast(df), "tok")
+    tf.join(df, "tok")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast(DoubleType) *

@@ -439,8 +439,45 @@ object SqlSurface extends QueryGroup {
                metric ASC NULLS FIRST""")
   }
 
+  /** TPC-H Q18 analog (large-volume customers) — the HAVING-heavy
+    * statement shape sql_subquery/sql_q5 leave uncovered: a fact-fact
+    * join FILTERED by a grouped-aggregate subquery (`o_orderkey IN
+    * (SELECT l_orderkey ... GROUP BY ... HAVING sum(l_quantity) > k)`).
+    * Catalyst plans the HAVING subquery as ONE keyed aggregate over
+    * lineitem feeding a left-semi join on orderkey — never a per-row
+    * re-execution (PlanSpec pins LeftSemi + no nested-loop). At 100 TB
+    * the subquery aggregate is map-side-combined on the same orderkey
+    * the outer join shuffles on, so the statement costs two orderkey
+    * exchanges and one custkey broadcast — the plan a hand-tuned
+    * DataFrame spelling gets. Both the HAVING threshold and the output
+    * quantity go through the exact-DECIMAL pre-cast (§7.4) so the
+    * filter boundary cannot drift between engines; the ORDER BY is
+    * fully tie-broken (o_orderkey is unique per group) so LIMIT 100 is
+    * deterministic. */
+  private val sqlQ18: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_c18_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o18_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l18_v")
+    s.sql("""
+      SELECT c_name, c_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                        AS DOUBLE), 4) AS total_qty
+      FROM graft_c18_v c
+      JOIN graft_o18_v o ON c_custkey = o_custkey
+      JOIN graft_l18_v l ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM graft_l18_v
+                           GROUP BY l_orderkey
+                           HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200)
+      GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+               o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 100""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
+    "sql_q18" -> sqlQ18,
     "sql_q5" -> sqlQ5,
     "sql_subquery" -> sqlSubquery,
     "sql_lateral" -> sqlLateral,
@@ -456,6 +493,21 @@ object SqlSurface extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                           AS DOUBLE), 4) AS total_qty
+         FROM customer c
+         JOIN orders o ON c_custkey = o_custkey
+         JOIN lineitem l ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200)
+         GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
+                  o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
     "sql_pivot" ->
       """SELECT o_orderpriority,
                 count(*) FILTER (o_orderstatus = 'F') AS f_n,

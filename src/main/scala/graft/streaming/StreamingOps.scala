@@ -129,6 +129,38 @@ object StreamingOps {
       .select(col("p_id"), col("p_user"), col("c_ts"), col("c_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the "clicks that never
+    * converted" shape (round-9 verdict's one missing §2.J-family
+    * surface): each click left-joined to the same user's purchases in
+    * the hour AFTER it. Matched pairs emit as they meet, like the inner
+    * rung; an UNMATCHED click emits exactly once, null-padded, and only
+    * after the purchase-side watermark passes the click's whole join
+    * window (c_ts + 1 h) — before that Spark cannot know no purchase is
+    * coming. This is the subtlest watermark semantics Spark has: the
+    * null row is produced by state EVICTION, so both watermarks plus
+    * the two-sided time bound are mandatory (Spark rejects the outer
+    * join without them), and the emission happens in the no-data batch
+    * that follows the watermark advance. In batch the watermark is a
+    * no-op and the identical code is a plain left interval join
+    * (StreamingSpec asserts equivalence after flushing the tail). */
+  def clickConversionJoin(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("ts_us").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", "1 hour")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts_us").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    c.join(p,
+        col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("c_id"), col("c_user"), col("c_ts"), col("c_value"),
+              col("p_id"), col("p_ts"))
+  }
+
   /** Stream-STATIC broadcast enrichment — streaming decontamination
     * (text_decontaminate's posture on a live ingest): each arriving
     * doc's sliding n-token shingle digests are left-semi joined against

@@ -468,6 +468,51 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("dedup_url")(spark, sf)))
   }
 
+  test("urlCanonicalize handles real-world utm values and mixed queries") {
+    // round-10 advice: the old spelling only stripped queries made
+    // exclusively of utm_[a-z]+=[a-z]+ pairs — digits, uppercase,
+    // hyphens, percent-escapes, and mixed queries all leaked through
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      // value charset: digits/underscore in the value
+      ("https://A.Example.com/Path/?utm_campaign=spring_2024",
+       "https://a.example.com/Path"),
+      // mixed query, utm last: non-tracking param survives
+      ("https://h.com/p?id=3&utm_source=x", "https://h.com/p?id=3"),
+      // mixed query, utm FIRST: separator re-anchors & -> ?
+      ("https://h.com/p?utm_source=Ab-1%2F&id=3", "https://h.com/p?id=3"),
+      // multiple utm pairs + fragment: query emptied, '?' dropped
+      ("https://h.com/p?utm_a=1&utm_b=2#frag", "https://h.com/p"),
+      // literal & in a query-less path is never rewritten
+      ("https://h.com/a&b", "https://h.com/a&b"),
+      // non-tracking query untouched
+      ("https://h.com/p?x=1", "https://h.com/p?x=1"))
+    val got = cases.map(_._1).toDF("url")
+      .select(GraftOps.urlCanonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString(" | "))
+  }
+
+  test("bitmapDistinct raises on a NULL or negative key, not silent corruption") {
+    val sp = spark
+    import sp.implicits._
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val neg = intercept[Exception] {
+      GraftOps.bitmapDistinct(Seq(("a", 1L), ("a", -2L)).toDF("g", "k"),
+        col("g"), col("k")).collect()
+    }
+    assert(chain(neg).contains("bitmapDistinct"), chain(neg))
+    val nul = intercept[Exception] {
+      GraftOps.bitmapDistinct(
+        Seq(("a", Some(1L)), ("a", None)).toDF("g", "k"),
+        col("g"), col("k")).collect()
+    }
+    assert(chain(nul).contains("bitmapDistinct"), chain(nul))
+  }
+
   test("bitmapDistinct matches agg_bitmap_distinct's exact counts") {
     val api = GraftOps.bitmapDistinct(Tables.lineitem(spark, sf),
         col("l_returnflag"), col("l_orderkey"))
@@ -527,6 +572,28 @@ class ApiSpec extends AnyFunSuite {
       .select(col("qid"), col("rank"), col("cid").as("vec_id"), col("score"))
       .orderBy(col("qid"), col("rank"))
     assert(rows(api) == rows(SparkEntry.queries("sim_mmr")(spark, sf)))
+  }
+
+  test("mmrSelect short pool emits fewer than k ranks, no error") {
+    // the documented short-pool contract: a qid with |pool| < k yields
+    // exactly |pool| ranks (like LIMIT k over a short table) — callers
+    // needing exactly k validate up front
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 2L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cand = e.filter(col("vec_id") >= 20L && col("vec_id") < 22L)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val pool = q.crossJoin(broadcast(cand))
+      .select(col("qid"), col("cid"), col("ce"),
+        round(GraftOps.cosineSim(col("qe"), col("ce")), 9).as("rel"))
+    val out = GraftOps.mmrSelect(pool, col("qid"), col("cid"),
+        col("rel"), col("ce"), k = 5)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("max_rank"))
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getLong(1) == 2L && r.getLong(2) == 2L),
+      out.mkString(", "))
   }
 
   test("madStats matches agg_mad on documents") {

@@ -567,6 +567,18 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("GreaterThanOrEqual(o_orderdate"), pushed)
   }
 
+  test("sql_q18 HAVING subquery is one keyed aggregate feeding a semi join") {
+    // the IN (SELECT ... GROUP BY ... HAVING sum > k) filter must plan
+    // as a single aggregate over lineitem + a LeftSemi on orderkey — a
+    // per-outer-row re-execution would surface as a nested-loop join
+    val p = plan("sql_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the HAVING aggregate is map-side combined before its exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("multimodal_frame_dedup sig join tolerates a non-broadcast build side") {
     // the buckets table (one row per distinct frame signature) is
     // frame-count-bounded — data-sized, not metadata-sized. An explicit

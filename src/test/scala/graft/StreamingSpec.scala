@@ -240,6 +240,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() == 8, "batch run must match all 8 pairs")
   }
 
+  test("stream_join_outer equals the batch left interval join") {
+    // the left-outer rung's batch-equivalence: matched pairs stream out
+    // as they meet; null-padded unmatched clicks only flush once the
+    // purchase watermark passes each click's whole join window, so two
+    // far-future flush rows (one per side, excluded from the compare)
+    // push the watermark past every fixture click before the diff
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val flushTs = new java.sql.Timestamp(maxTs + 4L * 3600 * 1000)
+    val flush = Seq(Ev(-1L, flushTs, -1L, "click", 0.0),
+                    Ev(-2L, flushTs, -1L, "purchase", 0.0))
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.clickConversionJoin(in.toDF())
+      .writeStream.format("memory").queryName("st_join_outer")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.take(500)); q.processAllAvailable()
+      in.addData(evs.drop(500)); q.processAllAvailable()
+      in.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    // per-click row/match counts (a click can match several purchases)
+    def perClick(df: DataFrame): DataFrame =
+      df.groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("p_id")).as("n_p"),
+             sum(col("c_value")).as("sum_v"))
+    val got = perClick(spark.table("st_join_outer").filter(col("c_id") >= 0L))
+    val exp = perClick(StreamingOps.clickConversionJoin(batchDf(evs)))
+    assert(got.filter(col("n_p") === 0L).count() > 0,
+      "fixture must exercise the null-padded path")
+    assertEquivalent(got, exp, Seq("c_id", "n_rows", "n_p"), Seq("sum_v"))
+  }
+
+  test("stream_join_outer null-pads exactly once, only after the watermark closes the window") {
+    // the outer join's eviction-driven emission, pinned phase by phase:
+    // (1) a matched pair emits immediately, the not-yet-closable
+    // unmatched click emits NOTHING; (2) once the watermark passes the
+    // click's window end, the null-padded row emits exactly once;
+    // (3) a late purchase that would have matched it in batch is
+    // dropped by the watermark — the null row is never retracted and
+    // never duplicated. The batch contrast proves phase 3 is watermark
+    // eviction, not the join predicate.
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, tMin: Long, user: Long, typ: String, v: Double): Ev =
+      Ev(id, new java.sql.Timestamp(tMin * 60000L), user, typ, v)
+    val onTime = Seq(ev(1, 10, 1, "click", 1.0),   // converts (purchase t=30)
+                     ev(2, 12, 2, "click", 2.0),   // never converts
+                     ev(3, 30, 1, "purchase", 0.0))
+    // advances both sides' max event time to t=600 → watermark 540,
+    // past click 2's window end (12 + 60 = 72); the t=600 purchase
+    // cannot match the t=600 click (the bound is strictly p_ts > c_ts)
+    val advance = Seq(ev(4, 600, 3, "click", 9.0),
+                      ev(5, 600, 3, "purchase", 9.0))
+    // would match click 2 in batch (12 < 40 <= 72) — but is late
+    val late = Seq(ev(6, 40, 2, "purchase", 0.0))
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.clickConversionJoin(in.toDF())
+      .writeStream.format("memory").queryName("st_join_outer_wm")
+      .outputMode("append").start()
+    try {
+      in.addData(onTime); q.processAllAvailable()
+      val t1 = spark.table("st_join_outer_wm")
+      assert(t1.count() == 1 && t1.filter(col("p_id").isNull).count() == 0,
+        "phase 1: only the matched pair, no premature null padding")
+      in.addData(advance); q.processAllAvailable()
+      val t2 = spark.table("st_join_outer_wm")
+      assert(t2.filter(col("c_id") === 2L && col("p_id").isNull).count() == 1,
+        "phase 2: the unmatched click null-pads exactly once after close")
+      assert(t2.filter(col("c_id") === 4L).count() == 0,
+        "phase 2: click 4's window (ends 660) is still open at watermark 540")
+      in.addData(late); q.processAllAvailable()
+      val t3 = spark.table("st_join_outer_wm")
+      assert(t3.filter(col("c_id") === 2L).count() == 1 &&
+             t3.filter(col("c_id") === 2L && col("p_id").isNull).count() == 1,
+        "phase 3: the late purchase is evicted — no retraction, no duplicate")
+    } finally q.stop()
+    // identical rows in batch: click 2 DOES match the late purchase, and
+    // only click 4 (no purchase strictly after t=600) null-pads
+    val batch = StreamingOps.clickConversionJoin(batchDf(onTime ++ advance ++ late))
+    assert(batch.count() == 3, "batch: click1+purchase3, click2+purchase6, click4+null")
+    assert(batch.filter(col("p_id").isNull).count() == 1)
+    assert(batch.filter(col("c_id") === 2L && col("p_id").isNotNull).count() == 1,
+      "batch matches the late purchase — the stream dropped it via watermark")
+  }
+
   test("stream_tws transformWithState running max equals batch max") {
     val sp = spark
     import sp.implicits._
@@ -331,11 +418,17 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[Ev]
     val q = StreamingOps.manifestSink(in.toDF(), out).start()
     in.addData(evs.take(300)); q.processAllAvailable()
-    // batch 0's bytes must stay untouched by later batches
-    def snap(dir: String): Map[String, Long] = {
+    // batch 0's bytes must stay untouched by later batches. Snapshot
+    // (path, length, content hash), not mtimes: a same-named rewrite
+    // inside one coarse-mtime tick would falsely pass an mtime compare
+    def snap(dir: String): Map[String, (Long, String)] = {
       val d = new java.io.File(dir)
       if (!d.isDirectory) Map.empty
-      else d.listFiles().filter(_.isFile).map(f => f.getPath -> f.lastModified).toMap
+      else d.listFiles().filter(_.isFile).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getPath -> (f.length() -> md.map("%02x".format(_)).mkString)
+      }.toMap
     }
     val b0Data = snap(s"$out/data/batch_id=0")
     val b0Man = snap(s"$out/manifest/batch_id=0")
