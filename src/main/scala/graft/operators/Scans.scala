@@ -418,6 +418,93 @@ object Scans extends QueryGroup {
       .orderBy(col("n_nationkey"))
   }
 
+  private val AvroCustomerSchemaJson: String =
+    """{"type":"record","name":"customer","fields":[
+      {"name":"c_custkey","type":"long"},
+      {"name":"c_name","type":"string"},
+      {"name":"c_nationkey","type":"int"},
+      {"name":"c_acctbal","type":"double"},
+      {"name":"c_mktsegment","type":"string"}]}"""
+
+  /** Avro container-file round trip WITHOUT the spark-avro connector
+    * (absent in this zero-egress container; README previously documented
+    * Avro as out of scope — this rung closes that gap with the
+    * avro-core jars Spark itself ships): the sink is the real
+    * distributed shape — EACH task serializes its own partition into
+    * one deflate-compressed .avro container shard via
+    * GenericDatumWriter/DataFileWriter — and the read side is the
+    * manifest posture: the driver lists shard PATHS (metadata-sized,
+    * what a catalog always holds), parallelizes them one-per-task, and
+    * each task streams records out of its container through a closing
+    * iterator (DataFileReader; never a whole-shard buffer). The Avro
+    * Schema is re-parsed from JSON inside each task — Schema objects
+    * don't cross the closure boundary. Built once per fixture
+    * fingerprint like the other scratch layouts. Oracle reads the
+    * original parquet — equality proves the round trip lossless
+    * (the ingest_xml posture; long/int/double/string all map to exact
+    * Avro primitives, so the proof is bit-exact, doubles included). */
+  private val ingestAvro: QFn = (s, d) => {
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val out = s"${Tables.scratchDir}/ingest_avro_${Tables.fingerprint(d, "customer")}"
+    val done = new java.io.File(s"$out/_DONE")
+    val schemaJson = AvroCustomerSchemaJson
+    if (!done.exists()) {
+      new java.io.File(out).mkdirs()
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+                col("c_acctbal"), col("c_mktsegment"))
+        .repartition(4, col("c_custkey"))
+        .rdd.mapPartitionsWithIndex { (pid, rows) =>
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new GenericDatumWriter[GenericRecord](schema))
+          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          w.create(schema, new java.io.File(s"$out/part-$pid.avro"))
+          var n = 0L
+          try rows.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            rec.put("c_custkey", r.getLong(0))
+            rec.put("c_name", r.getString(1))
+            rec.put("c_nationkey", r.getInt(2))
+            rec.put("c_acctbal", r.getDouble(3))
+            rec.put("c_mktsegment", r.getString(4))
+            w.append(rec); n += 1
+          } finally w.close()
+          Iterator.single(n)
+        }.sum()
+      done.createNewFile()
+    }
+    val paths = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getPath).toSeq.sorted
+    val sp = s
+    import sp.implicits._
+    s.createDataset(paths).repartition(paths.size)
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val reader = new org.apache.avro.file.DataFileReader(
+            new java.io.File(p), new GenericDatumReader[GenericRecord]())
+          new Iterator[(Long, String, Int, Double, String)] {
+            private var closed = false
+            def hasNext: Boolean = {
+              val h = !closed && reader.hasNext
+              if (!h && !closed) { reader.close(); closed = true }
+              h
+            }
+            def next(): (Long, String, Int, Double, String) = {
+              val rec = reader.next()
+              (rec.get("c_custkey").asInstanceOf[Long],
+               rec.get("c_name").toString,
+               rec.get("c_nationkey").asInstanceOf[Int],
+               rec.get("c_acctbal").asInstanceOf[Double],
+               rec.get("c_mktsegment").toString)
+            }
+          }
+        }
+      }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy(col("c_custkey"))
+  }
+
   /** 16-bit even-bit spread (one Morton-interleave half) as a SQL
     * string; `shl` renders the dialect's left shift (Spark
     * `shiftleft(a, n)`, DuckDB `a << n`). The classic 4-step
@@ -740,6 +827,7 @@ object Scans extends QueryGroup {
     "scan_delete_merge" -> scanDeleteMerge,
     "ingest_binary" -> ingestBinary,
     "ingest_xml" -> ingestXml,
+    "ingest_avro" -> ingestAvro,
     "sink_zorder" -> sinkZorder,
     "scan_pruned" -> scanPruned,
     "scan_dpp" -> scanDpp,
@@ -816,6 +904,10 @@ object Scans extends QueryGroup {
     "ingest_xml" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey ASC NULLS FIRST""",
+    "ingest_avro" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer
+         ORDER BY c_custkey ASC NULLS FIRST""",
     "sink_manifest_append" ->
       """WITH comb AS (
            SELECT l_orderkey, l_quantity FROM lineitem
