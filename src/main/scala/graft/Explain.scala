@@ -31,13 +31,16 @@ object Explain {
     "sql_lateral", "agg_bitmap_distinct", "dedup_url", "graph_clustering",
     "scan_time_travel", "fn_variant", "sim_mmr", "embed_truncate_eval",
     "scan_delete_merge", "agg_listagg", "sql_params",
-    "events_cumulative_users", "sim_knn_ivfpq", "multimodal_scene_detect")
+    "events_cumulative_users", "sim_knn_ivfpq", "multimodal_scene_detect",
+    "sql_q18", "sample_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // session-BUILD-time, per the Tables.events contract (no read-time set)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

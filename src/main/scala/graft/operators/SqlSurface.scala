@@ -443,13 +443,15 @@ object SqlSurface extends QueryGroup {
     * statement shape sql_subquery/sql_q5 leave uncovered: a fact-fact
     * join FILTERED by a grouped-aggregate subquery (`o_orderkey IN
     * (SELECT l_orderkey ... GROUP BY ... HAVING sum(l_quantity) > k)`).
-    * Catalyst plans the HAVING subquery as ONE keyed aggregate over
-    * lineitem feeding a left-semi join on orderkey — never a per-row
-    * re-execution (PlanSpec pins LeftSemi + no nested-loop). At 100 TB
-    * the subquery aggregate is map-side-combined on the same orderkey
-    * the outer join shuffles on, so the statement costs two orderkey
-    * exchanges and one custkey broadcast — the plan a hand-tuned
-    * DataFrame spelling gets. Both the HAVING threshold and the output
+    * Catalyst plans the HAVING subquery as a keyed two-phase aggregate
+    * over lineitem feeding a left-semi join on orderkey — never a
+    * per-row re-execution (PlanSpec pins LeftSemi + no nested-loop) —
+    * and (PLANS.md) REPLICATES that semi filter onto BOTH fact inputs,
+    * pruning orders and lineitem each before the fact-fact join: the
+    * aggregate runs twice, but both joins' inputs shrink to the
+    * qualifying orders first, the right trade at 100 TB where the
+    * subquery aggregate is map-side-combined on the same orderkey the
+    * outer join shuffles on. Both the HAVING threshold and the output
     * quantity go through the exact-DECIMAL pre-cast (§7.4) so the
     * filter boundary cannot drift between engines; the ORDER BY is
     * fully tie-broken (o_orderkey is unique per group) so LIMIT 100 is

@@ -198,6 +198,29 @@ class CurationSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("sample_pack conserves tokens and fills every non-final sequence") {
+    // concat-and-chop laws: (a) token conservation — the packed
+    // sequences' token total equals the corpus token total (no token
+    // dropped or double-counted by the interval math); (b) every
+    // sequence except the last is exactly full (2048); (c) sequence ids
+    // are the contiguous range 0..n-1; (d) a sequence's carry-in count
+    // is bounded by its doc count
+    val out = SparkEntry.queries("sample_pack")(spark, sf).collect()
+    val totalPacked = out.map(_.getAs[Long]("n_tokens")).sum
+    val totalCorpus = Tables.documents(spark, sf)
+      .select(when(length(col("text")) >= 1, size(split(col("text"), " ")))
+        .otherwise(0).cast("long").as("ntok"))
+      .agg(sum(col("ntok"))).head.getLong(0)
+    assert(totalPacked == totalCorpus, s"$totalPacked != $totalCorpus")
+    val seqIds = out.map(_.getAs[Long]("seq_id")).sorted.toSeq
+    assert(seqIds == (0L until out.length.toLong), "seq ids not contiguous")
+    val nonFinal = out.filter(_.getAs[Long]("seq_id") < out.length - 1L)
+    assert(nonFinal.forall(_.getAs[Long]("n_tokens") == 2048L),
+      "a non-final sequence is not exactly full")
+    assert(out.forall(r =>
+      r.getAs[Long]("n_carry_in") <= r.getAs[Long]("n_docs")))
+  }
+
   test("text_domain_mix shares sum to 1 and weights re-balance") {
     val out = SparkEntry.queries("text_domain_mix")(spark, sf)
     val share = out.agg(sum(col("token_share"))).head.getDouble(0)
