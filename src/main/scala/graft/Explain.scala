@@ -32,7 +32,7 @@ object Explain {
     "scan_time_travel", "fn_variant", "sim_mmr", "embed_truncate_eval",
     "scan_delete_merge", "agg_listagg", "sql_params",
     "events_cumulative_users", "sim_knn_ivfpq", "multimodal_scene_detect",
-    "sql_q18", "sample_pack")
+    "sql_q18", "sample_pack", "sample_dsir")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -293,6 +293,69 @@ object Curation extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style domain-relevance selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * published hashed-n-gram recipe): importance weight of each raw doc
+    * = Σ_tokens ln p_target(bucket)/p_raw(bucket) over 256 md5 hash
+    * buckets (text_hash_features' portable bucket spelling), target =
+    * the 'en' slice, both distributions Laplace-smoothed; the top
+    * quarter by mean per-token importance is selected. Deterministic
+    * to the bit: the per-BUCKET log-ratio is nano-quantized once in the
+    * 256-row bucket table (the text_js_divergence idiom — ln runs on
+    * identical doubles in both engines, ×1e9 floor+0.5), so each doc's
+    * weight is an EXACT integer sum and the ranking double w/n is one
+    * IEEE division on identical ints. Shapes: token-sized work is two
+    * map-side-combining groupBys (per-bucket counts, per-doc sums) and
+    * one broadcast of the 256-row unit table; the rank is a |docs|-row
+    * window over per-doc aggregates — never tokens — with the same
+    * at-scale approx swap note as events_rfm (a 100 TB run thresholds
+    * on an approx_percentile of mean_imp instead of ranking). */
+  private val sampleDsir: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val B = 256L
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bkt",
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % B)
+      .select(col("doc_id"), col("lang"), col("bkt"))
+    val all = toks.groupBy(col("bkt")).agg(count(lit(1)).as("a"))
+      .localCheckpoint()
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("bkt")).agg(count(lit(1)).as("t"))
+      .localCheckpoint()
+    val totA = all.agg(sum(col("a")).as("ta"))
+    val totT = tgt.agg(sum(col("t")).as("tt"))
+    val units = all.join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(totA)).crossJoin(broadcast(totT))
+      .select(col("bkt"),
+        floor((log((coalesce(col("t"), lit(0L)) + lit(1L)).cast(DoubleType)
+                 / (col("tt") + lit(B)).cast(DoubleType))
+             - log((col("a") + lit(1L)).cast(DoubleType)
+                 / (col("ta") + lit(B)).cast(DoubleType))) * 1e9 + 0.5)
+          .cast(LongType).as("unit"))
+    val perDoc = toks.join(broadcast(units), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("unit")).as("w_nano"))
+    val nd = perDoc.agg(count(lit(1)).as("nd"))
+    val w = Window.orderBy(
+      (col("w_nano").cast(DoubleType) / col("n_tokens").cast(DoubleType)).desc,
+      col("doc_id"))
+    perDoc
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("n_tokens"), col("w_nano"),
+        // floored integer nano-mean, NOT a rounded double: w/n sits on
+        // a round-half boundary whenever n divides w_nano at the 9th
+        // decimal, and Spark (HALF_UP) and DuckDB (half-even) split
+        // there — floor of the exact-within-2^53 double w/n has no
+        // boundary to disagree on
+        floor(col("w_nano").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .cast(LongType).as("imp_nano"),
+        (col("rk") <= expr("(nd + 3L) div 4L")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing — the concat-and-chop materialization every LLM
     * pretraining loader runs (docs concatenated in stable doc_id order,
     * the token stream chopped into fixed 2048-token training sequences):
@@ -494,6 +557,7 @@ object Curation extends QueryGroup {
     "text_pii_scan" -> textPiiScan,
     "sample_token_budget" -> sampleTokenBudget,
     "sample_pack" -> samplePack,
+    "sample_dsir" -> sampleDsir,
     "text_dedup_span" -> textDedupSpan,
     "text_decontaminate" -> textDecontaminate,
     "profile_columns" -> profileColumns,
@@ -581,6 +645,37 @@ object Curation extends QueryGroup {
                 (CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
                  + CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT)) > 0 AS has_pii
          FROM synth
+         ORDER BY doc_id ASC NULLS FIRST""",
+    "sample_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+           tb AS (SELECT doc_id, lang,
+                         ('0x' || substr(md5(tok), 1, 12))::BIGINT % 256 AS bkt
+                  FROM tk),
+           al AS (SELECT bkt, count(*) AS a FROM tb GROUP BY 1),
+           tg AS (SELECT bkt, count(*) AS t FROM tb WHERE lang = 'en' GROUP BY 1),
+           ta AS (SELECT CAST(sum(a) AS BIGINT) AS ta FROM al),
+           tt AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM tg),
+           u AS (SELECT al.bkt,
+                        CAST(floor((ln((coalesce(tg.t, 0) + 1)
+                                       / CAST(tt.tt + 256 AS DOUBLE))
+                                  - ln((al.a + 1)
+                                       / CAST(ta.ta + 256 AS DOUBLE))) * 1e9 + 0.5)
+                             AS BIGINT) AS unit
+                 FROM al LEFT JOIN tg USING (bkt) CROSS JOIN ta CROSS JOIN tt),
+           pd AS (SELECT doc_id, count(*) AS n_tokens,
+                         CAST(sum(u.unit) AS BIGINT) AS w_nano
+                  FROM tb JOIN u USING (bkt) GROUP BY doc_id),
+           nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM pd),
+           rk AS (SELECT doc_id, n_tokens, w_nano,
+                         row_number() OVER (
+                           ORDER BY CAST(w_nano AS DOUBLE) / n_tokens DESC,
+                                    doc_id ASC) AS rk
+                  FROM pd)
+         SELECT doc_id, n_tokens, w_nano,
+                CAST(floor(CAST(w_nano AS DOUBLE) / n_tokens) AS BIGINT) AS imp_nano,
+                rk <= (nd.nd + 3) // 4 AS selected
+         FROM rk CROSS JOIN nd
          ORDER BY doc_id ASC NULLS FIRST""",
     "sample_pack" ->
       """WITH docs AS (SELECT doc_id,

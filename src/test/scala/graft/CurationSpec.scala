@@ -221,6 +221,29 @@ class CurationSpec extends AnyFunSuite {
       r.getAs[Long]("n_carry_in") <= r.getAs[Long]("n_docs")))
   }
 
+  test("sample_dsir selects exactly the top quarter and enriches the target domain") {
+    // DSIR laws: (a) the selected set is exactly ceil(n/4) docs; (b) it
+    // is the TOP of the mean-importance order (no selected doc ranks
+    // below an unselected one); (c) selection enriches the target
+    // domain — the 'en' share among selected docs strictly exceeds the
+    // corpus-wide 'en' share (the point of importance resampling)
+    val out = SparkEntry.queries("sample_dsir")(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .collect()
+    val n = out.length.toLong
+    val sel = out.filter(_.getAs[Boolean]("selected"))
+    assert(sel.length.toLong == (n + 3) / 4, s"${sel.length} != ceil($n/4)")
+    val minSel = sel.map(r =>
+      r.getAs[Long]("w_nano").toDouble / r.getAs[Long]("n_tokens")).min
+    val maxUnsel = out.filter(!_.getAs[Boolean]("selected")).map(r =>
+      r.getAs[Long]("w_nano").toDouble / r.getAs[Long]("n_tokens")).max
+    assert(minSel >= maxUnsel, s"selection is not the importance top: $minSel < $maxUnsel")
+    val enSel = sel.count(_.getAs[String]("lang") == "en").toDouble / sel.length
+    val enAll = out.count(_.getAs[String]("lang") == "en").toDouble / n
+    assert(enSel > enAll, s"no target enrichment: $enSel <= $enAll")
+  }
+
   test("text_domain_mix shares sum to 1 and weights re-balance") {
     val out = SparkEntry.queries("text_domain_mix")(spark, sf)
     val share = out.agg(sum(col("token_share"))).head.getDouble(0)
