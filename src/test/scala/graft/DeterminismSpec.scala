@@ -114,6 +114,11 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_params",          // decimal sums; literals bound pre-analysis
     "sql_lateral",         // decorrelated decimal aggregate per customer
     "multimodal_scene_detect", // int64 sig XOR/popcount; one closing division
+    "sql_q18",             // exact-DECIMAL HAVING threshold + sums; tie-broken LIMIT
+    "sample_pack",         // all-integer interval arithmetic over the exact prefix sum
+    "sample_dsir",         // nano-quantized bucket units, exact int doc sums;
+                           // rank key = one IEEE division on identical ints
+    "ingest_avro",         // byte round trip; ordered read-back
   )
 
   private val postRounded = Seq(
