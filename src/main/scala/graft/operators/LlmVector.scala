@@ -677,6 +677,42 @@ object LlmVector extends QueryGroup {
     * image/audio codecs); the Spark side (binary column, typed Dataset,
     * mapPartitions batch shape, schema) is real and oracled via the
     * ASCII equivalence bytes==codepoints. */
+  /** Magic-byte MIME sniffing — the content-type detection a multimodal
+    * ingest runs on every blob BEFORE routing it to a decoder (a
+    * mislabeled or truncated file must be caught from its first bytes,
+    * never by paying for a full decode attempt): blobs are synthesized
+    * deterministically (doc_id % 5 picks a real magic header — PNG /
+    * JPEG / GIF89a / %PDF- / none — prepended to the UTF-8 text bytes),
+    * and the sniffer classifies from `hex(substring(bin, 1, k))`
+    * prefix matches ONLY — a pure codegen row function that touches ≤8
+    * bytes of each blob, the property that makes it free at 100 TB.
+    * The ORACLE never sees the sniff: it derives the expected type
+    * independently from doc_id % 5 and the magic table, so a broken
+    * detector (wrong offset, wrong byte, wrong precedence) hash-fails
+    * rather than being mirrored. magic_hex (first 4 bytes) crosses the
+    * synthesis: for JPEG it includes the first text byte, exercising
+    * the boundary between header and payload on both engines. */
+  private val multimodalMime: QFn = (s, d) => {
+    val bin = Tables.documents(s, d)
+      .withColumn("magic", expr("""CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN unhex('89504E470D0A1A0A')
+        WHEN 1 THEN unhex('FFD8FF')
+        WHEN 2 THEN unhex('474946383961')
+        WHEN 3 THEN unhex('255044462D')
+        ELSE unhex('') END"""))
+      .select(col("doc_id"),
+        concat(col("magic"), encode(col("text"), "UTF-8")).as("bin"))
+    bin.select(col("doc_id"),
+        when(hex(expr("substring(bin, 1, 8)")) === "89504E470D0A1A0A", "image/png")
+          .when(hex(expr("substring(bin, 1, 3)")) === "FFD8FF", "image/jpeg")
+          .when(hex(expr("substring(bin, 1, 6)")) === "474946383961", "image/gif")
+          .when(hex(expr("substring(bin, 1, 5)")) === "255044462D", "application/pdf")
+          .otherwise("application/octet-stream").as("mime"),
+        hex(expr("substring(bin, 1, 4)")).as("magic_hex"),
+        length(col("bin")).cast(LongType).as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   private val multimodalMeta: QFn = (s, d) => {
     val sp = s
     import sp.implicits._
@@ -1324,6 +1360,7 @@ object LlmVector extends QueryGroup {
     "embed_pca" -> embedPca,
     "embed_project" -> embedProject,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_mime" -> multimodalMime,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_audio_rms" -> multimodalAudioRms,
     "multimodal_resize" -> multimodalResize,
@@ -1649,6 +1686,24 @@ object LlmVector extends QueryGroup {
                 array_to_string(list_transform(e[1:4],
                   x -> printf('%.6f', round(x / nrm, 6) + 0.0)), ',') AS head4_unit
          FROM m ORDER BY vec_id ASC NULLS FIRST""",
+    "multimodal_mime" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'image/png'
+                  WHEN 1 THEN 'image/jpeg'
+                  WHEN 2 THEN 'image/gif'
+                  WHEN 3 THEN 'application/pdf'
+                  ELSE 'application/octet-stream' END AS mime,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN '89504E47'
+                  WHEN 1 THEN 'FFD8FF' || upper(hex(substr(text, 1, 1)))
+                  WHEN 2 THEN '47494638'
+                  WHEN 3 THEN '25504446'
+                  ELSE upper(hex(substr(text, 1, 4))) END AS magic_hex,
+                CAST(length(text) + CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 6
+                  WHEN 3 THEN 5 ELSE 0 END AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id ASC NULLS FIRST""",
     "multimodal_meta" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS n_bytes,

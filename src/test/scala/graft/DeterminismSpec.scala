@@ -119,6 +119,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sample_dsir",         // nano-quantized bucket units, exact int doc sums;
                            // rank key = one IEEE division on identical ints
     "ingest_avro",         // byte round trip; ordered read-back
+    "multimodal_mime",     // pure row function over ≤8 magic bytes
   )
 
   private val postRounded = Seq(
