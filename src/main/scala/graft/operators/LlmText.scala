@@ -928,6 +928,42 @@ object LlmText extends QueryGroup {
     * text_quality's stopword ratio and text_dedup_inline's repetition
     * removal). Exact integer counts, one codegen stage, no shuffle
     * beyond the final sort. */
+  /** Per-doc character-entropy screen — the gibberish / binary-junk
+    * gate next to [[textCompressRatio]] (deflate is the stronger signal
+    * but not SQL-expressible, so it is law-tested only; THIS rung is
+    * the exact, fully-oracled counterpart a pipeline can gate on with
+    * cross-engine agreement): Shannon entropy in nats over the doc's
+    * character distribution. Repetitive boilerplate scores LOW,
+    * uniform-random junk scores near ln|alphabet| — production screens
+    * gate both tails. Bit-exact recipe: each −p·ln p term is
+    * pico-quantized (the js_divergence idiom: p is an exact-count
+    * fraction, identical doubles in both engines) so the per-doc total
+    * is an exact integer sum, and the low-entropy flag compares the
+    * INTEGER total against the 2-nat threshold — no rounded-double
+    * boundary anywhere in the gate. Shapes: one per-(doc, char)
+    * map-side-combining count (≤|alphabet| rows per doc), one per-doc
+    * fold — token-sized work never shuffles raw text. */
+  private val textCharEntropy: QFn = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
+    val n = cnt.groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n"), count(lit(1)).as("n_uniq"))
+    cnt.join(n, "doc_id")
+      .withColumn("p", col("k").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("term",
+        floor(-(col("p") * log(col("p"))) * 1e12 + 0.5).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"), max(col("n_uniq")).as("n_uniq"),
+           sum(col("term")).as("ent_pico"))
+      .select(col("doc_id"), col("n_chars"), col("n_uniq"),
+        (round(col("ent_pico").cast(DoubleType) / 1e12, 6) + lit(0.0))
+          .as("entropy"),
+        (col("ent_pico") < 2000000000000L).as("low_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   private val textTtr: QFn = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -1104,6 +1140,7 @@ object LlmText extends QueryGroup {
     "text_collocations" -> textCollocations,
     "text_js_divergence" -> textJsDivergence,
     "text_ttr" -> textTtr,
+    "text_char_entropy" -> textCharEntropy,
     "text_compress_ratio" -> textCompressRatio,
     "text_topk_sketch" -> textTopkSketch,
     "text_repetition" -> textRepetition,
@@ -1188,6 +1225,23 @@ object LlmText extends QueryGroup {
                 round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                       / len(string_split(text, ' ')), 6) AS ttr
          FROM documents ORDER BY doc_id ASC NULLS FIRST""",
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                     FROM documents WHERE length(text) >= 1),
+           cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+           n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                        CAST(count(*) AS BIGINT) AS n_uniq
+                 FROM cnt GROUP BY 1),
+           t AS (SELECT cnt.doc_id, n.n, n.n_uniq,
+                        CAST(floor(-((k / CAST(n AS DOUBLE))
+                                     * ln(k / CAST(n AS DOUBLE))) * 1e12 + 0.5)
+                             AS BIGINT) AS term
+                 FROM cnt JOIN n USING (doc_id))
+         SELECT doc_id, max(n) AS n_chars, max(n_uniq) AS n_uniq,
+                round(CAST(sum(term) AS DOUBLE) / 1e12, 6) AS entropy,
+                CAST(sum(term) AS BIGINT) < 2000000000000 AS low_entropy
+         FROM t GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
     "text_js_divergence" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
             cnt AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),

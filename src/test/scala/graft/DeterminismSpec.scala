@@ -120,6 +120,7 @@ class DeterminismSpec extends AnyFunSuite {
                            // rank key = one IEEE division on identical ints
     "ingest_avro",         // byte round trip; ordered read-back
     "multimodal_mime",     // pure row function over ≤8 magic bytes
+    "text_char_entropy",   // pico-quantized −p·ln p terms; exact int totals
   )
 
   private val postRounded = Seq(
