@@ -313,17 +313,22 @@ object Curation extends QueryGroup {
   private val sampleDsir: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val B = 256L
-    val toks = Tables.documents(s, d)
+    // ONE tokenize+hash pass, collapsed map-side to the per-(doc, bucket)
+    // count table — bounded by |docs|·256, a fraction of token count —
+    // and checkpointed: the two distributions AND the per-doc weights
+    // all fold from it (three consumers, one corpus scan; re-deriving
+    // from the explode would re-tokenize the corpus per consumer)
+    val docBkt = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("bkt",
         conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % B)
-      .select(col("doc_id"), col("lang"), col("bkt"))
-    val all = toks.groupBy(col("bkt")).agg(count(lit(1)).as("a"))
+      .groupBy(col("doc_id"), col("lang"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val tgt = toks.filter(col("lang") === "en")
-      .groupBy(col("bkt")).agg(count(lit(1)).as("t"))
-      .localCheckpoint()
+    val all = docBkt.groupBy(col("bkt")).agg(sum(col("c")).as("a"))
+    val tgt = docBkt.filter(col("lang") === "en")
+      .groupBy(col("bkt")).agg(sum(col("c")).as("t"))
     val totA = all.agg(sum(col("a")).as("ta"))
     val totT = tgt.agg(sum(col("t")).as("tt"))
     val units = all.join(tgt, Seq("bkt"), "left")
@@ -334,9 +339,10 @@ object Curation extends QueryGroup {
              - log((col("a") + lit(1L)).cast(DoubleType)
                  / (col("ta") + lit(B)).cast(DoubleType))) * 1e9 + 0.5)
           .cast(LongType).as("unit"))
-    val perDoc = toks.join(broadcast(units), Seq("bkt"))
+    val perDoc = docBkt.join(broadcast(units), Seq("bkt"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("unit")).as("w_nano"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("unit")).as("w_nano"))
     val nd = perDoc.agg(count(lit(1)).as("nd"))
     val w = Window.orderBy(
       (col("w_nano").cast(DoubleType) / col("n_tokens").cast(DoubleType)).desc,

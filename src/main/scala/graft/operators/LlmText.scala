@@ -948,6 +948,10 @@ object LlmText extends QueryGroup {
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
+      // bounded |docs|·|alphabet| table, checkpointed: it feeds both the
+      // per-doc totals and the term sum — without this the char explode
+      // (the only corpus-sized stage) runs once per consumer
+      .localCheckpoint()
     val n = cnt.groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n"), count(lit(1)).as("n_uniq"))
     cnt.join(n, "doc_id")
