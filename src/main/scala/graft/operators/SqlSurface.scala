@@ -477,9 +477,51 @@ object SqlSurface extends QueryGroup {
       LIMIT 100""")
   }
 
+  /** TPC-H Q21 analog (suppliers who kept orders waiting) — the
+    * EXISTS + NOT EXISTS statement shape where BOTH correlated
+    * subqueries target the SAME fact table the outer query scans: find
+    * suppliers who were the SOLE late shipper on a multi-supplier
+    * finished order. The synthetic lineitem has no receipt/commit
+    * dates, so "late" is spelled against the order header —
+    * l_shipdate > o_orderdate + INTERVAL 60 DAY — which also makes the
+    * NOT EXISTS correlate on TWO outer tables at once (l1.l_orderkey
+    * AND o.o_orderdate), the hardest decorrelation case analysts
+    * actually write. Catalyst rewrites EXISTS → LeftSemi and
+    * NOT EXISTS → LeftAnti, each a hash/sort join on the l_orderkey
+    * equi-key with the `<>` and date conjuncts as join-residual
+    * conditions — never a per-row re-execution, never a nested loop
+    * (PlanSpec pins LeftSemi + LeftAnti + no BroadcastNestedLoop). At
+    * 100 TB all three lineitem legs shuffle on the same l_orderkey key,
+    * so AQE can reuse the exchange; the date arithmetic is exact
+    * timestamp+interval in both engines and the ORDER BY is fully
+    * tie-broken by the group key. */
+  private val sqlQ21: QFn = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s21_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o21_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l21_v")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM graft_s21_v s
+      JOIN graft_l21_v l1 ON s_suppkey = l1.l_suppkey
+      JOIN graft_o21_v o ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (SELECT 1 FROM graft_l21_v l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM graft_l21_v l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name ASC
+      LIMIT 100""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
     "sql_q18" -> sqlQ18,
+    "sql_q21" -> sqlQ21,
     "sql_q5" -> sqlQ5,
     "sql_subquery" -> sqlSubquery,
     "sql_lateral" -> sqlLateral,
@@ -509,6 +551,23 @@ object SqlSurface extends QueryGroup {
          GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
                   o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
+    "sql_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders o ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name ASC
          LIMIT 100""",
     "sql_pivot" ->
       """SELECT o_orderpriority,

@@ -121,6 +121,8 @@ class DeterminismSpec extends AnyFunSuite {
     "ingest_avro",         // byte round trip; ordered read-back
     "multimodal_mime",     // pure row function over ≤8 magic bytes
     "text_char_entropy",   // pico-quantized −p·ln p terms; exact int totals
+    "sql_q21",             // integer waits; semi/anti membership is row-exact;
+                           // tie-broken LIMIT on the unique group key
   )
 
   private val postRounded = Seq(

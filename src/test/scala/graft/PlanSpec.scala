@@ -579,6 +579,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("sql_q21 EXISTS/NOT EXISTS plan as semi/anti joins, no nested loop") {
+    // both correlated subqueries target the lineitem fact the outer
+    // query scans; Catalyst must rewrite EXISTS -> LeftSemi and
+    // NOT EXISTS -> LeftAnti on the l_orderkey equi-key, carrying the
+    // <> and date conjuncts as join-residual conditions — a per-row
+    // re-execution would surface as a nested-loop/cartesian join
+    val p = plan("sql_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("multimodal_frame_dedup sig join tolerates a non-broadcast build side") {
     // the buckets table (one row per distinct frame signature) is
     // frame-count-bounded — data-sized, not metadata-sized. An explicit
