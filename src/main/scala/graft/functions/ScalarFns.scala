@@ -329,6 +329,42 @@ object ScalarFns extends QueryGroup {
       .orderBy(col("c_custkey"))
   }
 
+  /** Error-safe casts and arithmetic — the ANSI-mode dirty-data surface
+    * every scraped-corpus pipeline needs: a malformed field must become
+    * NULL, not kill the job. Spark's `try_cast`/`try_divide`/
+    * `try_element_at` against DuckDB's native TRY_CAST / NULLIF-guarded
+    * division / out-of-bounds-NULL list extract. The probe strings are
+    * BUILT from integer columns (never double→string round trips, whose
+    * formatting differs between engines): digit runs with leading
+    * zeros, pure-word junk, synthesized decimal/date/timestamp text
+    * where only some rows parse (month 0/13/14 → NULL), a
+    * literal-overflow bigint, and a modulo divisor that hits zero.
+    * Pure codegen row functions — free at any scale. */
+  private val fnTrycast: QFn = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey").as("k"),
+      expr("try_cast(substring(c_name, 10) AS BIGINT)").as("num_ok"),
+      expr("try_cast(c_mktsegment AS BIGINT)").as("num_junk"),
+      expr("""try_cast(concat(cast(c_custkey AS STRING), '.',
+                cast(c_nationkey AS STRING)) AS DOUBLE)""").as("dbl_built"),
+      expr("""try_cast(concat('2024-', lpad(cast(c_nationkey % 15 AS STRING),
+                2, '0'), '-15') AS DATE)""").as("d_maybe"),
+      // raw TIMESTAMP columns never cross the compare (pandas ns-vs-us
+      // dtype split — repo convention is DATE + integer parts)
+      expr("""cast(try_cast(concat('2024-03-0', cast(1 + c_custkey % 9 AS STRING),
+                ' 10:3', cast(c_custkey % 10 AS STRING), ':00')
+              AS TIMESTAMP) AS DATE)""").as("ts_built_d"),
+      expr("""cast(minute(try_cast(concat('2024-03-0',
+                cast(1 + c_custkey % 9 AS STRING),
+                ' 10:3', cast(c_custkey % 10 AS STRING), ':00')
+              AS TIMESTAMP)) AS BIGINT)""").as("ts_built_min"),
+      expr("""try_cast(if(c_custkey % 2 = 0, '99999999999999999999',
+                cast(c_custkey AS STRING)) AS BIGINT)""").as("ovf_or_k"),
+      expr("try_divide(c_acctbal, c_custkey % 5)").as("safe_div"),
+      expr("try_element_at(split(c_name, '#'), 2)").as("seg2"),
+      expr("try_element_at(split(c_name, '#'), 3)").as("seg3_oob"),
+    ).orderBy(col("k"))
+
   val queries: Seq[(String, QFn)] = Seq(
     "fn_string" -> fnString,
     "fn_datetime" -> fnDatetime,
@@ -347,9 +383,32 @@ object ScalarFns extends QueryGroup {
     "fn_struct" -> fnStruct,
     "fn_url" -> fnUrl,
     "fn_geo" -> fnGeo,
+    "fn_trycast" -> fnTrycast,
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "fn_trycast" ->
+      """SELECT c_custkey AS k,
+                TRY_CAST(substring(c_name, 10) AS BIGINT) AS num_ok,
+                TRY_CAST(c_mktsegment AS BIGINT) AS num_junk,
+                TRY_CAST(concat(CAST(c_custkey AS VARCHAR), '.',
+                  CAST(c_nationkey AS VARCHAR)) AS DOUBLE) AS dbl_built,
+                TRY_CAST(concat('2024-', lpad(CAST(c_nationkey % 15 AS VARCHAR),
+                  2, '0'), '-15') AS DATE) AS d_maybe,
+                CAST(TRY_CAST(concat('2024-03-0', CAST(1 + c_custkey % 9 AS VARCHAR),
+                  ' 10:3', CAST(c_custkey % 10 AS VARCHAR), ':00')
+                AS TIMESTAMP) AS DATE) AS ts_built_d,
+                CAST(minute(TRY_CAST(concat('2024-03-0',
+                  CAST(1 + c_custkey % 9 AS VARCHAR),
+                  ' 10:3', CAST(c_custkey % 10 AS VARCHAR), ':00')
+                AS TIMESTAMP)) AS BIGINT) AS ts_built_min,
+                TRY_CAST(CASE WHEN c_custkey % 2 = 0 THEN '99999999999999999999'
+                  ELSE CAST(c_custkey AS VARCHAR) END AS BIGINT) AS ovf_or_k,
+                c_acctbal / NULLIF(c_custkey % 5, 0) AS safe_div,
+                (string_split(c_name, '#'))[2] AS seg2,
+                (string_split(c_name, '#'))[3] AS seg3_oob
+         FROM customer
+         ORDER BY k ASC NULLS FIRST""",
     "fn_bitwise" ->
       """SELECT o_orderkey,
                 o_orderkey << 3 AS shl3,

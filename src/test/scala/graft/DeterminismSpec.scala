@@ -123,6 +123,8 @@ class DeterminismSpec extends AnyFunSuite {
     "text_char_entropy",   // pico-quantized −p·ln p terms; exact int totals
     "sql_q21",             // integer waits; semi/anti membership is row-exact;
                            // tie-broken LIMIT on the unique group key
+    "fn_trycast",          // pure row functions; safe_div is one IEEE
+                           // division on identical doubles
   )
 
   private val postRounded = Seq(
