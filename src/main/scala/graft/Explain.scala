@@ -34,7 +34,7 @@ object Explain {
     "events_cumulative_users", "sim_knn_ivfpq", "multimodal_scene_detect",
     "sql_q18", "sample_pack", "sample_dsir",
     "ingest_avro", "multimodal_mime", "text_char_entropy", "sql_q21",
-    "fn_trycast")
+    "fn_trycast", "sql_values")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

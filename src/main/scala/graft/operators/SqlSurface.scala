@@ -518,10 +518,38 @@ object SqlSurface extends QueryGroup {
       LIMIT 100""")
   }
 
+  /** Inline VALUES reference table — the "five rows of config in the
+    * statement" pattern analysts use instead of a lookup file: a
+    * literal (segment, boost, tier) table joined onto the fact.
+    * Catalyst reads the inline table as a LocalTableScan (a
+    * LocalRelation — no I/O, no distribution) and broadcasts it into
+    * the join, exactly what a literal dim should do at any scale
+    * (PlanSpec pins LocalTableScan + BroadcastHashJoin). The boost
+    * literals are DECIMALs in both engines' parsers, so the
+    * double×decimal product is one IEEE multiply on identical values
+    * before the exact-DECIMAL aggregation pre-cast. */
+  private val sqlValues: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cvals_v")
+    s.sql("""
+      SELECT m.tier, count(*) AS n_cust,
+             round(CAST(sum(CAST(c_acctbal * m.boost AS DECIMAL(18,6)))
+                        AS DOUBLE), 4) AS boosted_bal
+      FROM graft_cvals_v c
+      JOIN (SELECT * FROM VALUES
+              ('BUILDING', 1.10, 'core'), ('AUTOMOBILE', 1.05, 'core'),
+              ('MACHINERY', 1.00, 'standard'), ('HOUSEHOLD', 0.95, 'standard'),
+              ('FURNITURE', 0.90, 'long_tail')
+            AS v(seg, boost, tier)) m
+        ON c.c_mktsegment = m.seg
+      GROUP BY m.tier
+      ORDER BY m.tier ASC NULLS FIRST""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q3" -> sqlQ3,
     "sql_q18" -> sqlQ18,
     "sql_q21" -> sqlQ21,
+    "sql_values" -> sqlValues,
     "sql_q5" -> sqlQ5,
     "sql_subquery" -> sqlSubquery,
     "sql_lateral" -> sqlLateral,
@@ -569,6 +597,18 @@ object SqlSurface extends QueryGroup {
          GROUP BY s_name
          ORDER BY numwait DESC, s_name ASC
          LIMIT 100""",
+    "sql_values" ->
+      """SELECT m.tier, count(*) AS n_cust,
+                round(CAST(sum(CAST(c_acctbal * m.boost AS DECIMAL(18,6)))
+                           AS DOUBLE), 4) AS boosted_bal
+         FROM customer c
+         JOIN (VALUES
+                 ('BUILDING', 1.10, 'core'), ('AUTOMOBILE', 1.05, 'core'),
+                 ('MACHINERY', 1.00, 'standard'), ('HOUSEHOLD', 0.95, 'standard'),
+                 ('FURNITURE', 0.90, 'long_tail')) m(seg, boost, tier)
+           ON c.c_mktsegment = m.seg
+         GROUP BY m.tier
+         ORDER BY m.tier ASC NULLS FIRST""",
     "sql_pivot" ->
       """SELECT o_orderpriority,
                 count(*) FILTER (o_orderstatus = 'F') AS f_n,

@@ -125,6 +125,7 @@ class DeterminismSpec extends AnyFunSuite {
                            // tie-broken LIMIT on the unique group key
     "fn_trycast",          // pure row functions; safe_div is one IEEE
                            // division on identical doubles
+    "sql_values",          // literal dim; decimal pre-cast sums; int counts
   )
 
   private val postRounded = Seq(

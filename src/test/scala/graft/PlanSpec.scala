@@ -592,6 +592,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sql_values inline table is a broadcast LocalTableScan, no I/O") {
+    // a literal VALUES dim must never touch the scan/shuffle path: it
+    // plans as a LocalRelation (LocalTableScan) broadcast into the join
+    val p = plan("sql_values")
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("multimodal_frame_dedup sig join tolerates a non-broadcast build side") {
     // the buckets table (one row per distinct frame signature) is
     // frame-count-bounded — data-sized, not metadata-sized. An explicit
