@@ -18,7 +18,8 @@ object Bench {
     // makes that attributable from the BENCH artifact alone: loadavg far
     // above the allotted cpus means the totals are noise, not code.
     def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      try java.nio.file.Files.readString(
+          java.nio.file.Path.of("/proc/loadavg")).trim
         .split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "unavailable" }
     val loadStart = loadavg()

@@ -842,16 +842,19 @@ object GraftOps {
     * its `?`) → strip one trailing slash → lowercase scheme+host
     * (path case is PRESERVED — it is semantic on real servers). Each
     * rule is a regexp row function; the whole chain is one codegen
-    * stage. The separator re-anchor (`&` promoted to `?` when the
-    * removed pair led the query) only fires when a utm pair was
-    * actually stripped, so a literal `&` in a query-less path is
-    * never rewritten. */
+    * stage. The strip runs in three anchored passes so no separator
+    * re-anchoring GUESS is ever needed: (1) every `&utm_...=...` pair
+    * (these can only be non-leading query params), (2) a leading
+    * `?utm_...=...&` collapses to `?` (a non-tracking param follows),
+    * (3) a remaining `?utm_...=...` at end-of-string drops with its
+    * `?`. A literal `&` in the path or userinfo is untouched — the
+    * old single-pass spelling re-anchored the FIRST `&` before any
+    * `?` and corrupted such URLs. */
   def urlCanonicalize(url: Column): Column = {
     val c1 = regexp_replace(url, "#.*$", "")
-    val stripped = regexp_replace(c1, "[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
-    val c2 = when(stripped === c1, c1)
-      .otherwise(regexp_replace(
-        regexp_replace(stripped, "^([^?]*?)&", "$1?"), "\\?$", ""))
+    val s1 = regexp_replace(c1, "&utm_[A-Za-z0-9_]*=[^&#]*", "")
+    val s2 = regexp_replace(s1, "\\?utm_[A-Za-z0-9_]*=[^&#]*&", "?")
+    val c2 = regexp_replace(s2, "\\?utm_[A-Za-z0-9_]*=[^&#]*$", "")
     val c3 = regexp_replace(c2, "/$", "")
     concat(lower(regexp_extract(c3, "^([a-zA-Z]+://[^/]+)", 1)),
            regexp_replace(c3, "^[a-zA-Z]+://[^/]+", ""))

@@ -496,14 +496,20 @@ object Curation extends QueryGroup {
     * it is orders of magnitude cheaper than minhash and removes the
     * bulk of crawl duplication). The fixture has no URL column, so one
     * is synthesized deterministically from doc_id (the fn_url posture)
-    * with the four classic aliasing noises injected by construction —
-    * upper-cased host, utm_* tracking query, trailing slash, #fragment
-    * — so every canonicalization rule provably fires. Canonical form =
-    * strip fragment → strip utm-only query → strip trailing slash →
-    * lowercase scheme+host (path case is PRESERVED — it is semantic on
-    * real servers). Each rule is one POSIX-safe regexp both engines
-    * parse identically; the whole canonicalization is a pure row
-    * function in a single codegen stage, and the dedup itself is ONE
+    * with the five classic aliasing noises injected by construction —
+    * upper-cased host, utm-only tracking query (uppercase/digit/
+    * underscore values), MIXED query whose non-tracking param must
+    * survive the strip, trailing slash, #fragment — so every
+    * canonicalization rule provably fires. Canonical form = the
+    * api.GraftOps.urlCanonicalize chain (this operator CALLS it, so
+    * the API helper and the declared rung cannot drift): strip
+    * fragment → strip every utm_* pair individually in three anchored
+    * passes (no separator re-anchor guess; path-literal `&` is safe)
+    * → strip trailing slash → lowercase scheme+host (path case is
+    * PRESERVED — it is semantic on real servers). Each rule is one
+    * POSIX-safe regexp both engines parse identically; the whole
+    * canonicalization is a pure row function in a single codegen
+    * stage, and the dedup itself is ONE
     * map-side-combining groupBy(canonical) — survivor = min doc_id,
     * n_dups per canonical. Zero joins, zero windows: at 100 TB this is
     * a scan plus one bounded-key aggregation. */
@@ -516,17 +522,14 @@ object Curation extends QueryGroup {
         lit("https://"),
         when(col("doc_id") % 2L === 0L, upper(col("host0"))).otherwise(col("host0")),
         lit("/doc/"), (col("doc_id") % 200L).cast(StringType),
-        when(col("doc_id") % 4L === 0L, lit("?utm_source=feed&utm_campaign=c"))
+        when(col("doc_id") % 8L === 0L,
+            lit("?utm_source=feed&utm_campaign=Spring_2024"))
+          .when(col("doc_id") % 8L === 4L, lit("?id=3&utm_source=feed-x"))
           .when(col("doc_id") % 4L === 1L, lit("/"))
           .when(col("doc_id") % 4L === 2L, lit("#sec2"))
           .otherwise(lit(""))))
-      .withColumn("c1", regexp_replace(col("url"), "#.*$", ""))
-      .withColumn("c2", regexp_replace(col("c1"),
-        "\\?utm_[a-z]+=[a-z]+(&utm_[a-z]+=[a-z]+)*$", ""))
-      .withColumn("c3", regexp_replace(col("c2"), "/$", ""))
-      .withColumn("canonical_url", concat(
-        lower(regexp_extract(col("c3"), "^(https://[^/]+)", 1)),
-        regexp_replace(col("c3"), "^https://[^/]+", "")))
+      .withColumn("canonical_url",
+        graft.api.GraftOps.urlCanonicalize(col("url")))
     docs.groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("survivor"))
       .orderBy(col("canonical_url"))
@@ -594,7 +597,8 @@ object Curation extends QueryGroup {
                           ELSE 'www.s' || CAST(doc_id % 7 AS VARCHAR)
                                || '.example.com' END
                   || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
-                  || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=c'
+                  || CASE WHEN doc_id % 8 = 0 THEN '?utm_source=feed&utm_campaign=Spring_2024'
+                          WHEN doc_id % 8 = 4 THEN '?id=3&utm_source=feed-x'
                           WHEN doc_id % 4 = 1 THEN '/'
                           WHEN doc_id % 4 = 2 THEN '#sec2'
                           ELSE '' END AS url
@@ -603,8 +607,12 @@ object Curation extends QueryGroup {
            SELECT doc_id,
                   regexp_replace(
                     regexp_replace(
-                      regexp_replace(url, '#.*$', ''),
-                      '\?utm_[a-z]+=[a-z]+(&utm_[a-z]+=[a-z]+)*$', ''),
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(url, '#.*$', ''),
+                          '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+                        '\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
+                      '\?utm_[A-Za-z0-9_]*=[^&#]*$', ''),
                     '/$', '') AS c3
            FROM u),
          k AS (

@@ -459,7 +459,9 @@ class ApiSpec extends AnyFunSuite {
       lit("https://"),
       when(col("doc_id") % 2L === 0L, upper(host0)).otherwise(host0),
       lit("/doc/"), (col("doc_id") % 200L).cast("string"),
-      when(col("doc_id") % 4L === 0L, lit("?utm_source=feed&utm_campaign=c"))
+      when(col("doc_id") % 8L === 0L,
+          lit("?utm_source=feed&utm_campaign=Spring_2024"))
+        .when(col("doc_id") % 8L === 4L, lit("?id=3&utm_source=feed-x"))
         .when(col("doc_id") % 4L === 1L, lit("/"))
         .when(col("doc_id") % 4L === 2L, lit("#sec2"))
         .otherwise(lit(""))).as("url"))
@@ -486,6 +488,11 @@ class ApiSpec extends AnyFunSuite {
       ("https://h.com/p?utm_a=1&utm_b=2#frag", "https://h.com/p"),
       // literal & in a query-less path is never rewritten
       ("https://h.com/a&b", "https://h.com/a&b"),
+      // literal & in the PATH while a leading utm pair is stripped —
+      // the old single-pass re-anchor promoted the path's & to ? here
+      ("https://h.com/a&b?utm_x=1&id=3", "https://h.com/a&b?id=3"),
+      // same for userinfo's literal & (also feeds the host lowercase)
+      ("https://u&p@h.com/x?utm_a=1", "https://u&p@h.com/x"),
       // non-tracking query untouched
       ("https://h.com/p?x=1", "https://h.com/p?x=1"))
     val got = cases.map(_._1).toDF("url")
