@@ -849,7 +849,10 @@ object GraftOps {
     * (3) a remaining `?utm_...=...` at end-of-string drops with its
     * `?`. A literal `&` in the path or userinfo is untouched — the
     * old single-pass spelling re-anchored the FIRST `&` before any
-    * `?` and corrupted such URLs. */
+    * `?` and corrupted such URLs. Known pattern-level limit (inherent
+    * to regex canonicalization, no full URL parser): a path SEGMENT
+    * that itself spells `&utm_x=...` is indistinguishable from a
+    * query pair and gets stripped. */
   def urlCanonicalize(url: Column): Column = {
     val c1 = regexp_replace(url, "#.*$", "")
     val s1 = regexp_replace(c1, "&utm_[A-Za-z0-9_]*=[^&#]*", "")

@@ -143,7 +143,24 @@ object StreamingOps {
     * that follows the watermark advance. In batch the watermark is a
     * no-op and the identical code is a plain left interval join
     * (StreamingSpec asserts equivalence after flushing the tail). */
-  def clickConversionJoin(events: DataFrame): DataFrame = {
+  def clickConversionJoin(events: DataFrame): DataFrame =
+    clickPurchaseJoin(events, "left_outer")
+
+  /** Stream-stream FULL OUTER interval join — the left-outer rung's
+    * symmetric completion: clicks that never converted AND orphan
+    * purchases with no attributable click (the attribution-gap rows an
+    * ads pipeline reconciles daily). Same sides, bound, and watermarks;
+    * each side's unmatched rows null-pad exactly once, each driven by
+    * the OTHER side's watermark passing its whole join window —
+    * a purchase at p_ts can match clicks in [p_ts − 1 h, p_ts), so its
+    * null row emits once the click watermark clears that range. In
+    * batch the identical code is a plain full interval join
+    * (StreamingSpec asserts equivalence after flushing the tail, plus
+    * both-side exactly-once padding phase by phase). */
+  def clickAttributionFullJoin(events: DataFrame): DataFrame =
+    clickPurchaseJoin(events, "full_outer")
+
+  private def clickPurchaseJoin(events: DataFrame, joinType: String): DataFrame = {
     val c = events.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
               col("ts_us").as("c_ts"), col("value").as("c_value"))
@@ -156,7 +173,7 @@ object StreamingOps {
         col("c_user") === col("p_user") &&
         col("p_ts") > col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
+        joinType)
       .select(col("c_id"), col("c_user"), col("c_ts"), col("c_value"),
               col("p_id"), col("p_ts"))
   }

@@ -327,6 +327,83 @@ class StreamingSpec extends AnyFunSuite {
       "batch matches the late purchase — the stream dropped it via watermark")
   }
 
+  test("stream_join_full equals the batch full interval join") {
+    // the full-outer completion: per-click rollup must match AND the
+    // orphan-purchase set (purchases with no attributable click) must
+    // match; flush rows are excluded — their own windows stay open
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val flushTs = new java.sql.Timestamp(maxTs + 4L * 3600 * 1000)
+    val flush = Seq(Ev(-1L, flushTs, -1L, "click", 0.0),
+                    Ev(-2L, flushTs, -1L, "purchase", 0.0))
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.clickAttributionFullJoin(in.toDF())
+      .writeStream.format("memory").queryName("st_join_full")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.take(500)); q.processAllAvailable()
+      in.addData(evs.drop(500)); q.processAllAvailable()
+      in.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    def perClick(df: DataFrame): DataFrame =
+      df.filter(col("c_id") >= 0L).groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("p_id")).as("n_p"),
+             sum(col("c_value")).as("sum_v"))
+    def orphans(df: DataFrame): Seq[Long] =
+      df.filter(col("c_id").isNull && col("p_id") >= 0L)
+        .select(col("p_id")).collect().map(_.getLong(0)).toSeq.sorted
+    val got = spark.table("st_join_full")
+    val exp = StreamingOps.clickAttributionFullJoin(batchDf(evs))
+    assert(orphans(got).nonEmpty, "fixture must exercise orphan purchases")
+    assert(orphans(got) == orphans(exp), "orphan purchase sets differ")
+    assertEquivalent(perClick(got), perClick(exp),
+      Seq("c_id", "n_rows", "n_p"), Seq("sum_v"))
+  }
+
+  test("stream_join_full null-pads BOTH sides exactly once after their windows close") {
+    // symmetric eviction: an unconverted click pads when the PURCHASE
+    // watermark clears [c_ts, c_ts+1h]; an orphan purchase pads when
+    // the CLICK watermark clears [p_ts-1h, p_ts). Both exactly once.
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, tMin: Long, user: Long, typ: String, v: Double): Ev =
+      Ev(id, new java.sql.Timestamp(tMin * 60000L), user, typ, v)
+    val onTime = Seq(ev(1, 10, 1, "click", 1.0),   // converts (purchase t=30)
+                     ev(2, 12, 2, "click", 2.0),   // never converts
+                     ev(3, 30, 1, "purchase", 0.0),
+                     ev(7, 20, 4, "purchase", 0.0)) // orphan: user 4 never clicks
+    // advances both sides' max event time to t=600 → watermarks 540;
+    // the t=600 pair cannot match itself (the bound is strictly p_ts > c_ts)
+    val advance = Seq(ev(4, 600, 3, "click", 9.0),
+                      ev(5, 600, 3, "purchase", 9.0))
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.clickAttributionFullJoin(in.toDF())
+      .writeStream.format("memory").queryName("st_join_full_wm")
+      .outputMode("append").start()
+    try {
+      in.addData(onTime); q.processAllAvailable()
+      val t1 = spark.table("st_join_full_wm")
+      assert(t1.count() == 1 && t1.filter(col("c_id").isNull ||
+             col("p_id").isNull).count() == 0,
+        "phase 1: only the matched pair — neither side pads prematurely")
+      in.addData(advance); q.processAllAvailable()
+      val t2 = spark.table("st_join_full_wm")
+      assert(t2.filter(col("c_id") === 2L && col("p_id").isNull).count() == 1,
+        "phase 2: the unconverted click pads exactly once")
+      assert(t2.filter(col("c_id").isNull && col("p_id") === 7L).count() == 1,
+        "phase 2: the orphan purchase pads exactly once")
+      assert(t2.filter(col("c_id") === 4L || col("p_id") === 5L).count() == 0,
+        "phase 2: the t=600 rows' windows are still open at watermark 540")
+    } finally q.stop()
+    // batch: c1+p3 match; c2 pads; p7 orphan; c4 pads; p5 orphan = 5 rows
+    val batch = StreamingOps.clickAttributionFullJoin(batchDf(onTime ++ advance))
+    assert(batch.count() == 5, "batch full join row count")
+    assert(batch.filter(col("p_id").isNull).count() == 2)
+    assert(batch.filter(col("c_id").isNull).count() == 2)
+  }
+
   test("stream_tws transformWithState running max equals batch max") {
     val sp = spark
     import sp.implicits._
