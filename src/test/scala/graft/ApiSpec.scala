@@ -482,8 +482,13 @@ class ApiSpec extends AnyFunSuite {
        "https://a.example.com/Path"),
       // mixed query, utm last: non-tracking param survives
       ("https://h.com/p?id=3&utm_source=x", "https://h.com/p?id=3"),
-      // mixed query, utm FIRST: separator re-anchors & -> ?
+      // mixed query, utm FIRST: the leading '?utm_...&' collapses to '?'
       ("https://h.com/p?utm_source=Ab-1%2F&id=3", "https://h.com/p?id=3"),
+      // utm-only query with a trailing '&': the bare '?' it leaves must
+      // strip, landing in the same group as the '&'-less alias
+      ("https://h.com/p?utm_a=1&", "https://h.com/p"),
+      // a no-query bare '?' is the same resource
+      ("https://h.com/p?", "https://h.com/p"),
       // multiple utm pairs + fragment: query emptied, '?' dropped
       ("https://h.com/p?utm_a=1&utm_b=2#frag", "https://h.com/p"),
       // literal & in a query-less path is never rewritten
