@@ -34,7 +34,8 @@ object Explain {
     "events_cumulative_users", "sim_knn_ivfpq", "multimodal_scene_detect",
     "sql_q18", "sample_pack", "sample_dsir",
     "ingest_avro", "multimodal_mime", "text_char_entropy", "sql_q21",
-    "fn_trycast", "sql_values")
+    "fn_trycast", "sql_values",
+    "ingest_binary", "text_blocklist", "sample_epochs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

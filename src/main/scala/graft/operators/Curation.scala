@@ -614,7 +614,7 @@ object Curation extends QueryGroup {
                             '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
                           '\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
                         '\?utm_[A-Za-z0-9_]*=[^&#]*$', ''),
-                      '\?$', ''),
+                      '[?&]$', ''),
                     '/$', '') AS c3
            FROM u),
          k AS (

@@ -691,7 +691,16 @@ object LlmVector extends QueryGroup {
     * detector (wrong offset, wrong byte, wrong precedence) hash-fails
     * rather than being mirrored. magic_hex (first 4 bytes) crosses the
     * synthesis: for JPEG it includes the first text byte, exercising
-    * the boundary between header and payload on both engines. */
+    * the boundary between header and payload on both engines.
+    * FIXTURE assumptions (round-11 advice, stated not guarded — they
+    * hold by construction of /root/testdata's documents table and a
+    * guard would hide a fixture regression the hash check should
+    * catch): (1) the no-header branch (doc_id % 5 == 4) sniffs the raw
+    * text bytes, so the fixture text must not itself start with a
+    * magic prefix ('GIF89a', '%PDF-', ...) or the sniffer and the
+    * doc_id-derived oracle would legitimately disagree; (2) the
+    * fixture text is pure ASCII, which makes DuckDB's character-based
+    * length/hex equal Spark's byte-based ones in n_bytes/magic_hex. */
   private val multimodalMime: QFn = (s, d) => {
     val bin = Tables.documents(s, d)
       .withColumn("magic", expr("""CASE CAST(doc_id % 5 AS INT)

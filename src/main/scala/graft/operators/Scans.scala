@@ -442,7 +442,17 @@ object Scans extends QueryGroup {
     * fingerprint like the other scratch layouts. Oracle reads the
     * original parquet — equality proves the round trip lossless
     * (the ingest_xml posture; long/int/double/string all map to exact
-    * Avro primitives, so the proof is bit-exact, doubles included). */
+    * Avro primitives, so the proof is bit-exact, doubles included).
+    * LOCAL-MODE constraint (shared with every scratch rung): tasks
+    * write shard files under a java.io.File path the driver then
+    * lists back, which requires executors and driver to share one
+    * filesystem — true in local[*] and on any shared-FS cluster
+    * (NFS/HDFS-fuse); a real multi-node deployment would route the
+    * shard writes through a task-commit protocol (FileCommitProtocol)
+    * or an object store and read the committed manifest instead. The
+    * read path asserts the shard listing is non-empty so a torn
+    * scratch dir (e.g. `_DONE` survived a partial clean) fails fast
+    * instead of returning an empty DataFrame. */
   private val ingestAvro: QFn = (s, d) => {
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
     val out = s"${Tables.scratchDir}/ingest_avro_${Tables.fingerprint(d, "customer")}"
@@ -476,6 +486,9 @@ object Scans extends QueryGroup {
     }
     val paths = new java.io.File(out).listFiles()
       .filter(_.getName.endsWith(".avro")).map(_.getPath).toSeq.sorted
+    require(paths.nonEmpty,
+      s"graft.ingest_avro: scratch dir $out has a _DONE marker but no " +
+        ".avro shards — torn scratch layout; delete the dir and re-run")
     val sp = s
     import sp.implicits._
     s.createDataset(paths).repartition(paths.size)

@@ -489,6 +489,12 @@ class ApiSpec extends AnyFunSuite {
       ("https://h.com/p?utm_a=1&", "https://h.com/p"),
       // a no-query bare '?' is the same resource
       ("https://h.com/p?", "https://h.com/p"),
+      // round-11 advice: a kept param followed by a stripped trailing
+      // utm pair WITH its own trailing '&' must not leave '?id=1&'
+      ("https://h.com/p?id=1&utm_a=x&", "https://h.com/p?id=1"),
+      // and a bare trailing '&' with no utm involvement is the same
+      // resource as the '&'-less alias
+      ("https://h.com/p?id=1&", "https://h.com/p?id=1"),
       // multiple utm pairs + fragment: query emptied, '?' dropped
       ("https://h.com/p?utm_a=1&utm_b=2#frag", "https://h.com/p"),
       // literal & in a query-less path is never rewritten

@@ -681,4 +681,29 @@ class LawsSpec extends AnyFunSuite {
       assert(within * 2 >= n, s"$lang: only $within of $n within mad of median")
     }
   }
+
+  test("ingest_avro fails fast on a torn scratch dir (_DONE but no shards)") {
+    // round-11 advice: a surviving _DONE marker over a cleaned shard
+    // dir must raise, never silently return an empty DataFrame. Use a
+    // test-owned copy of the fixture so the real cached layout for the
+    // production sfDir is untouched.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_torn_avro")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/customer.parquet"),
+        tmp.resolve("customer.parquet"))
+      val scratch = new java.io.File(
+        s"${Tables.scratchDir}/ingest_avro_${Tables.fingerprint(tmp.toString, "customer")}")
+      scratch.mkdirs()
+      new java.io.File(scratch, "_DONE").createNewFile()
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("ingest_avro")(spark, tmp.toString)
+      }
+      assert(e.getMessage.contains("torn scratch"), e.getMessage)
+      scratch.listFiles().foreach(_.delete()); scratch.delete()
+    } finally {
+      tmp.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
 }
