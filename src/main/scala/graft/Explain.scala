@@ -35,7 +35,8 @@ object Explain {
     "sql_q18", "sample_pack", "sample_dsir",
     "ingest_avro", "multimodal_mime", "text_char_entropy", "sql_q21",
     "fn_trycast", "sql_values",
-    "ingest_binary", "text_blocklist", "sample_epochs")
+    "ingest_binary", "text_blocklist", "sample_epochs",
+    "text_dedup_substring")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -41,8 +41,11 @@ object Curation extends QueryGroup {
     * window). Reassembly groups by doc_id with sort_array over
     * (span_id, span) structs — per-doc arrays, bounded by doc length. */
   private[operators] def spanDedupFull(s: org.apache.spark.sql.SparkSession,
-                                       d: String) = {
-    val spans = Tables.documents(s, d)
+                                       d: String) =
+    spanDedupOn(Tables.documents(s, d))
+
+  private[graft] def spanDedupOn(docs: org.apache.spark.sql.DataFrame) = {
+    val spans = docs
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
@@ -69,6 +72,100 @@ object Curation extends QueryGroup {
           "transform(sort_array(collect_list(CASE WHEN kept THEN struct(span_id, span) END)), x -> x.span)"),
           " ").as("clean_text"))
       .orderBy(col("doc_id"))
+
+  /** Exact substring-level dedup — the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" EXACTSUBSTR operator,
+    * re-expressed for a shared-nothing engine (the paper builds one
+    * giant suffix array; a 100 TB corpus can't, so the distributed
+    * spelling uses the sliding-shingle identity below). This closes
+    * the family's known blind spot: `text_dedup_span` dedupes ALIGNED
+    * fixed 8-token spans, so a verbatim quote shifted by one token is
+    * invisible to it, and doc-level minhash Jaccard dilutes a short
+    * quote inside a long document. The UNALIGNED detector here catches
+    * exactly those.
+    *
+    * Identity that makes it exact: a token range is part of a repeated
+    * substring of length ≥ k  ⇔  it is covered by some k-token window
+    * whose text occurs ≥ 2 times corpus-wide (any repeated substring
+    * of length L ≥ k has every one of its L−k+1 windows repeated, and
+    * every repeated window IS a repeated substring of length k). So:
+    * sliding k-token shingle digests at EVERY offset (the
+    * text_decontaminate builder's shape, k = 10 at the fixture's
+    * ~50-token docs; the paper uses 50 BPE tokens), one
+    * map-side-combining groupBy(digest) marking digests with ≥ 2
+    * occurrences (self-repetition within one doc counts — the paper
+    * dedupes those too), then an equality join back — the LSH-equality
+    * posture, never an all-pairs compare. Digest-equality seeds the
+    * match; merging CONSECUTIVE duplicated offsets per doc is the
+    * exact substring extension (a maximal run of r duplicated offsets
+    * is a maximal shared substring of r+k−1 tokens). Per doc:
+    * `n_shingles`, `n_dup_shingles`, `n_dup_tokens` (size of the
+    * union of covered token ranges — the paper's "duplicated bytes"
+    * analog) and `longest_run` (longest maximal shared substring, in
+    * tokens). md5 digest-collision risk is the same standard
+    * assumption `text_dedup_span` and `text_decontaminate` already
+    * make.
+    *
+    * Scale shape: the shuffle carries fixed-width (digest, doc_id,
+    * offset) rows, never shingle text; the dup-digest set is
+    * duplicate-sized and deliberately UNHINTED — AQE broadcasts it
+    * when it is runtime-small (the fixture) and falls back to a plain
+    * equality shuffle join when it is data-sized (100 TB), the same
+    * posture as multimodal_frame_dedup's sig join; coverage and run lengths
+    * fold per-doc over the sorted duplicated-offset array with
+    * integer-only higher-order aggregates, bounded by doc length — no
+    * second corpus shuffle, no window over the corpus. */
+  private[graft] def substringDedupOn(docs: org.apache.spark.sql.DataFrame,
+                                      k: Int) = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(tk)-$k),
+              i -> struct(CAST(i AS BIGINT) AS i,
+                          md5(array_join(slice(tk, i+1, $k), ' ')) AS dig))"""))
+        .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.dig").as("dig"))
+    val dup = sh.groupBy(col("dig"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2L)
+      .select(col("dig"), lit(1L).as("hit"))
+    // interval-union length over sorted equal-length-k starts: first
+    // start contributes k, each later start min(k, gap); longest run:
+    // consecutive-offset islands, best island + (k-1). Both are exact
+    // integer folds, so the result is partitioning- and engine-exact.
+    val kL = s"CAST($k AS BIGINT)"
+    sh.join(dup, Seq("dig"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dup_shingles"),
+        sort_array(collect_list(when(col("hit").isNotNull, col("i")))).as("offs"))
+      .withColumn("n_dup_tokens", when(size(col("offs")) === 0, lit(0L))
+        .otherwise(expr(
+          s"""aggregate(offs,
+                named_struct('prev', CAST(-1 AS BIGINT), 'tot', CAST(0 AS BIGINT)),
+                (acc, x) -> named_struct('prev', x, 'tot',
+                  acc.tot + CASE WHEN acc.prev < CAST(0 AS BIGINT) THEN $kL
+                                 ELSE least($kL, x - acc.prev) END),
+                acc -> acc.tot)""")))
+      .withColumn("longest_run", when(size(col("offs")) === 0, lit(0L))
+        .otherwise(expr(
+          s"""aggregate(offs,
+                named_struct('prev', CAST(-2 AS BIGINT), 'cur', CAST(0 AS BIGINT),
+                             'best', CAST(0 AS BIGINT)),
+                (acc, x) -> CASE WHEN x = acc.prev + CAST(1 AS BIGINT)
+                  THEN named_struct('prev', x, 'cur', acc.cur + CAST(1 AS BIGINT),
+                         'best', greatest(acc.best, acc.cur + CAST(1 AS BIGINT)))
+                  ELSE named_struct('prev', x, 'cur', CAST(1 AS BIGINT),
+                         'best', greatest(acc.best, CAST(1 AS BIGINT))) END,
+                acc -> acc.best + CAST(${k - 1} AS BIGINT))""")))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+        col("n_dup_tokens"), col("longest_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textDedupSubstring: QFn = (s, d) =>
+    substringDedupOn(Tables.documents(s, d), 10)
 
   /** GPT-3-style benchmark decontamination, scaled to the fixture's
     * ~50-token docs: the held-out eval set is source = 'src0'; a train
@@ -568,6 +665,7 @@ object Curation extends QueryGroup {
     "sample_pack" -> samplePack,
     "sample_dsir" -> sampleDsir,
     "text_dedup_span" -> textDedupSpan,
+    "text_dedup_substring" -> textDedupSubstring,
     "text_decontaminate" -> textDecontaminate,
     "profile_columns" -> profileColumns,
     "text_domain_mix" -> textDomainMix,
@@ -752,6 +850,43 @@ object Curation extends QueryGroup {
                 coalesce(string_agg(CASE WHEN kept THEN span END, ' '
                                     ORDER BY span_id), '') AS clean_text
          FROM marked GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
+    "text_dedup_substring" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS i,
+                  md5(array_to_string(t[i+1:i+10], ' ')) AS dig
+           FROM tk, unnest(range(len(t) - 9)) AS u(i)
+           WHERE len(t) >= 10),
+         dup AS (
+           SELECT dig FROM sh GROUP BY dig HAVING count(*) >= 2),
+         marked AS (
+           SELECT s.doc_id, s.i, (d.dig IS NOT NULL) AS is_dup
+           FROM sh s LEFT JOIN dup d USING (dig)),
+         base AS (
+           SELECT doc_id, count(*) AS n_shingles,
+                  sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_shingles
+           FROM marked GROUP BY doc_id),
+         cov AS (
+           SELECT doc_id, count(DISTINCT p) AS n_dup_tokens
+           FROM marked, unnest(range(i, i + 10)) AS g(p)
+           WHERE is_dup GROUP BY doc_id),
+         runs AS (
+           SELECT doc_id, i,
+                  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           FROM marked WHERE is_dup),
+         longest AS (
+           SELECT doc_id, max(cnt) + 9 AS longest_run
+           FROM (SELECT doc_id, grp, count(*) AS cnt
+                 FROM runs GROUP BY doc_id, grp) r
+           GROUP BY doc_id)
+         SELECT b.doc_id, b.n_shingles,
+                CAST(b.n_dup_shingles AS BIGINT) AS n_dup_shingles,
+                CAST(coalesce(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+                CAST(coalesce(l.longest_run, 0) AS BIGINT) AS longest_run
+         FROM base b LEFT JOIN cov c USING (doc_id)
+                     LEFT JOIN longest l USING (doc_id)
          ORDER BY doc_id ASC NULLS FIRST""",
     "text_decontaminate" ->
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t

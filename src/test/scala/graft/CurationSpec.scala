@@ -76,6 +76,56 @@ class CurationSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text_dedup_substring catches an off-by-one-token copy that text_dedup_span misses") {
+    // THE reason the unaligned detector exists (Lee et al. 2021): a
+    // verbatim copy shifted by one token re-aligns every fixed 8-token
+    // span, so span dedup sees two disjoint span sets — while every
+    // sliding 10-token window of the copy is still an exact repeat.
+    val sp = spark
+    import sp.implicits._
+    val body = (0 until 24).map(j => s"w$j").mkString(" ") // 24 unique tokens
+    val docs = Seq((0L, body), (1L, "pad " + body)).toDF("doc_id", "text")
+    // span dedup: zero duplicate spans detected (everything "survives")
+    val span = graft.operators.Curation.spanDedupOn(docs)
+    assert(span.filter(!col("kept")).count() == 0,
+      "span dedup unexpectedly caught the shifted copy")
+    // substring dedup: the whole body is flagged in BOTH docs
+    val sub = graft.operators.Curation.substringDedupOn(docs, 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 0: 24 tokens -> 15 windows, all repeated; full 24-token cover
+    assert(sub(0L) == ((15L, 15L, 24L, 24L)), sub(0L).toString)
+    // doc 1: 25 tokens -> 16 windows; the 'pad'-leading one is unique,
+    // the other 15 repeat; cover = the 24 copied tokens, run = 24
+    assert(sub(1L) == ((16L, 15L, 24L, 24L)), sub(1L).toString)
+  }
+
+  test("text_dedup_substring: coverage and runs are mutually consistent") {
+    val out = SparkEntry.queries("text_dedup_substring")(spark, sf)
+    // dup shingles bounded by shingles; a doc with dup shingles has a
+    // run of >= k tokens and cover >= run; cover <= doc token count
+    assert(out.filter(col("n_dup_shingles") > col("n_shingles")).count() == 0)
+    assert(out.filter(col("n_dup_shingles") > 0 && col("longest_run") < 10)
+      .count() == 0)
+    assert(out.filter(col("n_dup_tokens") < col("longest_run")).count() == 0)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    assert(out.join(toks, "doc_id")
+      .filter(col("n_dup_tokens") > col("n_tok")).count() == 0)
+    // zero-dup docs report zero cover and zero run
+    assert(out.filter(col("n_dup_shingles") === 0 &&
+      (col("n_dup_tokens") =!= 0 || col("longest_run") =!= 0)).count() == 0)
+  }
+
+  test("text_dedup_substring joins dup digests by equality, never all-pairs") {
+    val p = SparkEntry.queries("text_dedup_substring")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the dup-digest pick must map-side combine before its exchange
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
   test("profile_columns: key column distinct == row count, no nulls") {
     val out = SparkEntry.queries("profile_columns")(spark, sf)
     val key = out.filter(col("col_name") === "o_orderkey").head

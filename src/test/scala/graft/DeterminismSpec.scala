@@ -126,6 +126,7 @@ class DeterminismSpec extends AnyFunSuite {
     "fn_trycast",          // pure row functions; safe_div is one IEEE
                            // division on identical doubles
     "sql_values",          // literal dim; decimal pre-cast sums; int counts
+    "text_dedup_substring", // integer offset folds over md5-equality dups
   )
 
   private val postRounded = Seq(
