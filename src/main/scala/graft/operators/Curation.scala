@@ -167,6 +167,55 @@ object Curation extends QueryGroup {
   private val textDedupSubstring: QFn = (s, d) =>
     substringDedupOn(Tables.documents(s, d), 10)
 
+  /** C4-style LINE-level boilerplate removal (Raffel et al. 2020 §2.2;
+    * jusText's coarse cousin) — the gate production web curation runs
+    * BEFORE any document-level scoring: drop navigation/menu/JS-notice
+    * LINES, keep prose lines, reassemble the page. C4's three line
+    * rules, verbatim: keep a line iff (1) it ends in a terminal
+    * punctuation mark, (2) it has ≥ 3 words, (3) it does not contain
+    * 'javascript' (case-insensitive) or a curly brace. (C4's PAGE
+    * gates — lorem ipsum, bad words — are `text_blocklist`'s job; the
+    * split of duties mirrors the paper's.) The fixture corpus has no
+    * line structure, so a multi-line page is synthesized
+    * deterministically per doc (the text_pii_scan posture): the doc's
+    * tokens become two '.'-terminated body lines, and three classic
+    * boilerplate species are injected keyed on doc_id — a no-punct
+    * menu line ('Home About Contact', kills rule 1), a 2-word
+    * call-to-action ('Click here!', kills rule 2), and a JS notice
+    * that PASSES rules 1-2 and dies only on rule 3 — so every rule
+    * provably fires. CurationSpec law: injected lines are gone and
+    * body lines survive BYTE-exact in order.
+    *
+    * Shape: split + per-line gates + reassembly are array higher-order
+    * functions over each row — a pure row function, zero shuffle
+    * before the closing sort; at 100 TB this is a scan. */
+  private val textBoilerplate: QFn = (s, d) => {
+    val nl = "\n"
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 3L === 0L, lit(s"Home About Contact$nl"))
+          .otherwise(lit("")),
+        expr("array_join(slice(tk, 1, CAST(size(tk) div 2 AS INT)), ' ')"),
+        lit(s".$nl"),
+        when(col("doc_id") % 4L === 1L, lit(s"Click here!$nl")).otherwise(lit("")),
+        when(col("doc_id") % 5L === 2L,
+          lit(s"Enable javascript to continue.$nl")).otherwise(lit("")),
+        expr("array_join(slice(tk, CAST(size(tk) div 2 AS INT) + 1, size(tk)), ' ')"),
+        lit(".")).as("pg"))
+      .select(col("doc_id"), split(col("pg"), nl).as("lines"))
+      .withColumn("kept", expr(
+        """filter(lines, x -> x RLIKE '[.!?"]$'
+             AND size(split(trim(x), ' ')) >= 3
+             AND NOT contains(lower(x), 'javascript')
+             AND NOT contains(x, '{'))"""))
+      .select(col("doc_id"),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        array_join(col("kept"), nl).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** GPT-3-style benchmark decontamination, scaled to the fixture's
     * ~50-token docs: the held-out eval set is source = 'src0'; a train
     * doc (every other source) is contaminated iff any of its sliding
@@ -666,6 +715,7 @@ object Curation extends QueryGroup {
     "sample_dsir" -> sampleDsir,
     "text_dedup_span" -> textDedupSpan,
     "text_dedup_substring" -> textDedupSubstring,
+    "text_boilerplate" -> textBoilerplate,
     "text_decontaminate" -> textDecontaminate,
     "profile_columns" -> profileColumns,
     "text_domain_mix" -> textDomainMix,
@@ -888,6 +938,33 @@ object Curation extends QueryGroup {
          FROM base b LEFT JOIN cov c USING (doc_id)
                      LEFT JOIN longest l USING (doc_id)
          ORDER BY doc_id ASC NULLS FIRST""",
+    "text_boilerplate" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         page AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 3 = 0
+                        THEN 'Home About Contact' || chr(10) ELSE '' END)
+                  || array_to_string(t[1:len(t)//2], ' ') || '.' || chr(10)
+                  || (CASE WHEN doc_id % 4 = 1
+                           THEN 'Click here!' || chr(10) ELSE '' END)
+                  || (CASE WHEN doc_id % 5 = 2
+                           THEN 'Enable javascript to continue.' || chr(10)
+                           ELSE '' END)
+                  || array_to_string(t[len(t)//2+1:len(t)], ' ') || '.' AS pg
+           FROM tk),
+         gated AS (
+           SELECT doc_id, string_split(pg, chr(10)) AS lines,
+                  list_filter(string_split(pg, chr(10)),
+                    x -> regexp_matches(x, '[.!?"]$')
+                         AND len(string_split(trim(x), ' ')) >= 3
+                         AND NOT contains(lower(x), 'javascript')
+                         AND NOT contains(x, '{')) AS kept
+           FROM page)
+         SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                array_to_string(kept, chr(10)) AS clean_text
+         FROM gated ORDER BY doc_id ASC NULLS FIRST""",
     "text_decontaminate" ->
       """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
                      FROM documents WHERE len(text) >= 1),

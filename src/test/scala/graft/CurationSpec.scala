@@ -126,6 +126,29 @@ class CurationSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
 
+  test("text_boilerplate: injected boilerplate is removed, body lines survive byte-exact") {
+    val out = SparkEntry.queries("text_boilerplate")(spark, sf)
+    // every C4 rule must have fired somewhere and nothing banned leaks
+    assert(out.filter(col("clean_text").contains("Home About Contact")).count() == 0)
+    assert(out.filter(col("clean_text").contains("Click here!")).count() == 0)
+    assert(out.filter(lower(col("clean_text")).contains("javascript")).count() == 0)
+    // dropped lines exist (rules fired) and only boilerplate was dropped:
+    // kept = exactly the two '.'-terminated body halves of the doc text,
+    // in order, byte-exact
+    assert(out.filter(col("n_kept") < col("n_lines")).count() > 0)
+    val recon = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), concat(
+        expr("array_join(slice(tk, 1, CAST(size(tk) div 2 AS INT)), ' ')"),
+        lit(".\n"),
+        expr("array_join(slice(tk, CAST(size(tk) div 2 AS INT) + 1, size(tk)), ' ')"),
+        lit(".")).as("body"))
+    assert(out.join(recon, "doc_id")
+      .filter(col("clean_text") =!= col("body")).count() == 0)
+    // both body lines always pass the gates on this fixture
+    assert(out.filter(col("n_kept") =!= 2L).count() == 0)
+  }
+
   test("profile_columns: key column distinct == row count, no nulls") {
     val out = SparkEntry.queries("profile_columns")(spark, sf)
     val key = out.filter(col("col_name") === "o_orderkey").head

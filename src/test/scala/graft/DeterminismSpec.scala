@@ -127,6 +127,7 @@ class DeterminismSpec extends AnyFunSuite {
                            // division on identical doubles
     "sql_values",          // literal dim; decimal pre-cast sums; int counts
     "text_dedup_substring", // integer offset folds over md5-equality dups
+    "text_boilerplate",    // pure row function (line gates + reassembly)
   )
 
   private val postRounded = Seq(
