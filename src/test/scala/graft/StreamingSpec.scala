@@ -141,6 +141,91 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_quota on the RocksDB state store matches the batch audit") {
+    // 100 TB backfill posture: the default HDFSBackedStateStore keeps
+    // every open window's state on the executor HEAP — a long catch-up
+    // over months of event time holds months of windows and OOMs. The
+    // RocksDB provider spills keyed state to executor-local disk. Same
+    // rung, same batch twin, swapped provider — the operator must be
+    // provider-agnostic, and the progress metrics must prove RocksDB
+    // actually served the state (not a silently ignored conf).
+    val sp = spark
+    import sp.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamingOps.quotaFlags(in.toDF())
+        .writeStream.format("memory").queryName("st_quota_rocks")
+        .outputMode("append").start()
+      try {
+        in.addData(evs.take(evs.length / 2)); q.processAllAvailable()
+        in.addData(evs.drop(evs.length / 2)); q.processAllAvailable()
+        val sentinel = Ev(-1L,
+          new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
+        in.addData(Seq(sentinel)); q.processAllAvailable()
+        val rocksServed = q.recentProgress.flatMap(_.stateOperators)
+          .exists(_.customMetrics.keySet.asScala
+            .exists(_.toLowerCase.contains("rocksdb")))
+        assert(rocksServed, "no rocksdb state-store metrics in progress — provider ignored")
+        val got = spark.table("st_quota_rocks")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val exp = StreamingOps.quotaFlags(batchDf(evs))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == exp, s"stream-batch drift: ${got.diff(exp)} / ${exp.diff(got)}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("stream_quota under Trigger.AvailableNow drains in bounded batches, then stops") {
+    // the backfill trigger: process everything available at start, but
+    // HONOR the source's rate limits (maxFilesPerTrigger) so catch-up
+    // runs as many bounded micro-batches instead of one giant one —
+    // then terminate. A file source proves the bounded part: >1 batch
+    // must appear in the progress log, and the drained result must
+    // equal the batch twin.
+    val sp = spark
+    import sp.implicits._
+    val base = s"${Tables.scratchDir}/st_availnow"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val srcDir = s"$base/src"
+    val sentinel = Ev(-1L,
+      new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
+    (evs.grouped((evs.length / 3) + 1).toSeq :+ Seq(sentinel)).foreach { c =>
+      spark.createDataset(c).coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val q = StreamingOps.quotaFlags(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir))
+      .writeStream.format("memory").queryName("st_quota_an")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(180000L), "AvailableNow query did not self-terminate")
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        "rate limit ignored: catch-up ran as a single giant batch")
+      val got = spark.table("st_quota_an")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exp = StreamingOps.quotaFlags(batchDf(evs))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == exp, s"stream-batch drift: ${got.diff(exp)} / ${exp.diff(got)}")
+    } finally { q.stop(); rm(new java.io.File(base)) }
+  }
+
   test("stream_topk per-window trending types equal the batch rank") {
     val sp = spark
     import sp.implicits._
