@@ -250,6 +250,36 @@ object Curation extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Zero-extra-scan ingest monitoring via `Dataset.observe` — the
+    * production data-quality surface the profile_* rungs deliberately
+    * do NOT cover (each of those is its own second pass over the
+    * data): per-ingest counters (row count, key-null count, domain
+    * violations) accumulate INSIDE the same physical pass that serves
+    * a real business query, surfacing through `CollectMetrics` to any
+    * registered QueryExecutionListener / StreamingQueryListener at
+    * action time. The observed metrics are accumulator-style
+    * (commutative aggregates, merged across partitions — exact here:
+    * integer counts only) and cost no extra scan, no extra shuffle;
+    * the query RESULT is byte-identical to the unobserved spelling,
+    * which is exactly what the oracle checks (the DuckDB SQL knows
+    * nothing of the observation). The metrics themselves are asserted
+    * in LawsSpec against an independent aggregation, through a real
+    * QueryExecutionListener. At 100 TB this is THE way to monitor an
+    * ingest — a second profiling pass doubles the bill; observe rides
+    * along free. */
+  private val profileObserve: QFn = (s, d) => {
+    Tables.orders(s, d)
+      .observe("graft_ingest_metrics",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_domain_bad"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).cast("double"), 4)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Single-pass exact column profile of orders — the data-quality
     * gate a pipeline runs on every new ingest drop: per column, null
     * count and exact distinct count, unpivoted to one row per column.
@@ -717,6 +747,7 @@ object Curation extends QueryGroup {
     "text_dedup_substring" -> textDedupSubstring,
     "text_boilerplate" -> textBoilerplate,
     "text_decontaminate" -> textDecontaminate,
+    "profile_observe" -> profileObserve,
     "profile_columns" -> profileColumns,
     "text_domain_mix" -> textDomainMix,
     "sample_temperature" -> sampleTemperature,
@@ -938,6 +969,12 @@ object Curation extends QueryGroup {
          FROM base b LEFT JOIN cov c USING (doc_id)
                      LEFT JOIN longest l USING (doc_id)
          ORDER BY doc_id ASC NULLS FIRST""",
+    "profile_observe" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS revenue
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
     "text_boilerplate" ->
       """WITH tk AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -128,6 +128,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_values",          // literal dim; decimal pre-cast sums; int counts
     "text_dedup_substring", // integer offset folds over md5-equality dups
     "text_boilerplate",    // pure row function (line gates + reassembly)
+    "profile_observe",     // decimal pre-cast sums; observation rides along
   )
 
   private val postRounded = Seq(

@@ -682,6 +682,41 @@ class LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("profile_observe: metrics arrive via a listener, equal an independent aggregation, and leave the result unchanged") {
+    val seen = new java.util.concurrent.LinkedBlockingQueue[(Long, Long, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get("graft_ingest_metrics").foreach { r =>
+          seen.put((r.getAs[Long]("n_rows"), r.getAs[Long]("n_null_cust"),
+            r.getAs[Long]("n_domain_bad")))
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val res = SparkEntry.queries("profile_observe")(spark, sf).collect()
+      // the listener fires asynchronously after the action completes
+      val m = seen.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(m != null, "observed metrics never reached the listener")
+      val o = Tables.orders(spark, sf)
+      val exp = (o.count(),
+        o.filter(col("o_custkey").isNull).count(),
+        o.filter(col("o_totalprice") <= 0.0).count())
+      assert(m == exp, s"observed $m != independent $exp")
+      // and the observation must not perturb the query result
+      val plain = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).cast("double"), 4)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority")).collect()
+      assert(res.toSeq.map(_.toString) == plain.toSeq.map(_.toString))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ingest_avro fails fast on a torn scratch dir (_DONE but no shards)") {
     // round-11 advice: a surviving _DONE marker over a cleaned shard
     // dir must raise, never silently return an empty DataFrame. Use a
