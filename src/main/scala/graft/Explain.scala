@@ -36,7 +36,8 @@ object Explain {
     "ingest_avro", "multimodal_mime", "text_char_entropy", "sql_q21",
     "fn_trycast", "sql_values",
     "ingest_binary", "text_blocklist", "sample_epochs",
-    "text_dedup_substring", "text_boilerplate", "profile_observe")
+    "text_dedup_substring", "text_boilerplate", "profile_observe",
+    "sink_vacuum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -795,6 +795,135 @@ object Scans extends QueryGroup {
     snapshot(0).unionByName(snapshot(1)).orderBy(col("snapshot"))
   }
 
+  /** Self-contained three-generation layout for the VACUUM rung — its
+    * OWN scratch table (never the shared manifest layout: scan_manifest
+    * / scan_time_travel pin that layout's files and mtimes, and VACUUM
+    * physically deletes files): gen0 = 4 base data files, gen1 = 2
+    * delta files (append), gen2 = a COMPACTION rewriting gen0 ∪ gen1
+    * into 2 new files. Per-version manifests v0 (gen0), v1 (gen0+gen1),
+    * v2 (gen2 only) — after the compaction snapshot, the gen0/gen1
+    * files are referenced ONLY by the historical versions, which is
+    * exactly what gives a retention VACUUM something to reclaim. Built
+    * once per fixture fingerprint. */
+  private[graft] def ensureVacuumLayout(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val base = s"${Tables.scratchDir}/vacuum_${new java.io.File(d).getName}" +
+      s"_${Tables.fingerprint(d, "lineitem")}"
+    if (!new java.io.File(s"$base/_DONE").exists()) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      li.filter(col("l_orderkey") % 7L === 0L)
+        .repartition(4).write.mode("overwrite").parquet(s"$base/data/gen0")
+      li.filter(col("l_orderkey") % 7L === 3L)
+        .repartition(2).write.mode("overwrite").parquet(s"$base/data/gen1")
+      // compaction: the new snapshot's files carry the SAME rows
+      s.read.parquet(s"$base/data/gen0", s"$base/data/gen1")
+        .repartition(2).write.mode("overwrite").parquet(s"$base/data/gen2")
+      def stats(dirs: String*) =
+        s.read.parquet(dirs: _*)
+          .groupBy(input_file_name().as("path"))
+          .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+               count(lit(1)).as("n_rows"))
+      stats(s"$base/data/gen0")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest/v0")
+      stats(s"$base/data/gen0", s"$base/data/gen1")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest/v1")
+      stats(s"$base/data/gen2")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest/v2")
+      new java.io.File(s"$base/_DONE").createNewFile()
+    }
+    base
+  }
+
+  private def stripFileScheme(p: String): String =
+    p.replaceFirst("^file:(//)?", "")
+
+  /** VACUUM — the retention verb completing the manifest-plane story
+    * (add: sink_manifest_append; read-at-version: scan_time_travel;
+    * delete: scan_delete_merge; compact: sink_compact; now EXPIRE):
+    * versions older than the horizon (here: everything before the
+    * compaction snapshot v2) are expired, and every data file no
+    * retained manifest references is physically deleted — exactly
+    * Delta's VACUUM / Iceberg's expire_snapshots + remove_orphan_files
+    * split, driven the only correct way: from the RETAINED manifests'
+    * reference set, never from file naming or age alone. The walk and
+    * delete are driver-side metadata-plane operations (file-count-
+    * sized — what the catalog always holds); deleted paths land in
+    * _VACUUM_LOG so the proof "only unreferenced files disappeared"
+    * is auditable after the fact (PlanSpec asserts it). Idempotent:
+    * a _VACUUMED marker makes re-runs read-only. */
+  private[graft] def vacuumRetainLatest(
+      s: org.apache.spark.sql.SparkSession, base: String): Unit = {
+    if (new java.io.File(s"$base/_VACUUMED").exists()) return
+    val kept = s.read.parquet(s"$base/manifest/v2")
+      .select(col("path")).collect().map(r => stripFileScheme(r.getString(0))).toSet
+    val dataRoot = java.nio.file.Paths.get(s"$base/data")
+    val walk = java.nio.file.Files.walk(dataRoot)
+    val all = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toVector
+    } finally walk.close()
+    val (keepF, doomed) = all.partition { p =>
+      val dir = p.getParent.toString
+      // a non-data sidecar (_SUCCESS, .crc) lives or dies with its dir
+      kept.contains(p.toString) || kept.exists(_.startsWith(dir + "/"))
+    }
+    require(keepF.nonEmpty, s"graft.vacuum: retained manifest references no live file under $base")
+    doomed.foreach(java.nio.file.Files.delete)
+    // drop now-empty generation dirs and the expired manifests
+    all.map(_.getParent).distinct.foreach { dir =>
+      if (Option(dir.toFile.listFiles()).exists(_.isEmpty)) dir.toFile.delete()
+    }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(s"$base/manifest/v0"))
+    rmTree(new java.io.File(s"$base/manifest/v1"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/_VACUUM_LOG"),
+      doomed.map(_.toString).sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new java.io.File(s"$base/_VACUUMED").createNewFile()
+    ()
+  }
+
+  /** The declared VACUUM rung: aggregate the retained snapshot BEFORE
+    * the vacuum (a real collected action — the files are still all on
+    * disk on the first run), run the vacuum, aggregate the SAME
+    * snapshot after, and emit both — byte-identical rows prove the
+    * reclaim touched nothing any retained version references. The
+    * oracle derives the expected values independently from lineitem
+    * (gen0 ∪ gen1 rows survive the compaction rewrite), so a vacuum
+    * that deleted a referenced file (or a compaction that lost rows)
+    * hash-fails. After the first run the layout is already vacuumed
+    * and both phases read the post-vacuum state — same values, still
+    * oracle-exact, so the rung is safely re-runnable (the eager
+    * before-aggregate is fixture-sized; the ingest_avro
+    * action-in-constructor posture, documented there). */
+  private val sinkVacuum: QFn = (s, d) => {
+    val base = ensureVacuumLayout(s, d)
+    def latest(): org.apache.spark.sql.DataFrame = {
+      val files = s.read.parquet(s"$base/manifest/v2")
+        .select(col("path")).collect().map(_.getString(0))
+      s.read.parquet(files.toIndexedSeq: _*)
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("l_orderkey")).as("n_orders"),
+             round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+               .as("sum_qty"))
+    }
+    val b = latest().collect()(0)
+    vacuumRetainLatest(s, base)
+    val sp = s
+    import sp.implicits._
+    val before = Seq(("before", b.getLong(0), b.getLong(1), b.getDouble(2)))
+      .toDF("phase", "n", "n_orders", "sum_qty")
+    latest().select(lit("after").as("phase"), col("n"), col("n_orders"),
+        col("sum_qty"))
+      .unionByName(before)
+      .orderBy(col("phase"))
+  }
+
   /** Raw binary-file ingest — the `binaryFile` source every multimodal
     * pipeline starts from (images/audio/video land as opaque files; the
     * engine's job is to get (path, length, content) rows out of them
@@ -854,6 +983,7 @@ object Scans extends QueryGroup {
     "ingest_corrupt" -> ingestCorrupt,
     "ingest_orc" -> ingestOrc,
     "sink_compact" -> sinkCompact,
+    "sink_vacuum" -> sinkVacuum,
     "sink_partitioned" -> sinkPartitioned,
     "sink_bucketed" -> sinkBucketed,
     "sink_sorted" -> sinkSorted,
@@ -861,6 +991,19 @@ object Scans extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sink_vacuum" ->
+      """WITH u AS (
+           SELECT l_orderkey, l_quantity FROM lineitem
+           WHERE l_orderkey % 7 = 0 OR l_orderkey % 7 = 3),
+         a AS (
+           SELECT count(*) AS n, count(DISTINCT l_orderkey) AS n_orders,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+                    AS sum_qty
+           FROM u)
+         SELECT 'after' AS phase, n, n_orders, sum_qty FROM a
+         UNION ALL
+         SELECT 'before' AS phase, n, n_orders, sum_qty FROM a
+         ORDER BY phase ASC NULLS FIRST""",
     "scan_delete_merge" ->
       """WITH comb AS (
            SELECT l_orderkey, l_quantity FROM lineitem

@@ -129,6 +129,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_dedup_substring", // integer offset folds over md5-equality dups
     "text_boilerplate",    // pure row function (line gates + reassembly)
     "profile_observe",     // decimal pre-cast sums; observation rides along
+    "sink_vacuum",         // integer counts + decimal sums over the retained snapshot
   )
 
   private val postRounded = Seq(

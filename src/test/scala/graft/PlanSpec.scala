@@ -617,6 +617,39 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sink_vacuum deleted exactly the unreferenced files, retained reads intact") {
+    // run the rung (idempotent: vacuums on first call, read-only after)
+    val out = SparkEntry.queries("sink_vacuum")(spark, TestSpark.sf).collect()
+    // before/after rows agree on every non-phase column
+    assert(out.length == 2)
+    assert(out(0).toSeq.drop(1) == out(1).toSeq.drop(1),
+      s"retained read changed across vacuum: ${out.toSeq}")
+    val base = graft.operators.Scans.ensureVacuumLayout(spark, TestSpark.sf)
+    def strip(p: String) = p.replaceFirst("^file:(//)?", "")
+    // every file the retained manifest references is still on disk
+    val kept = spark.read.parquet(s"$base/manifest/v2")
+      .select(col("path")).collect().map(r => strip(r.getString(0)))
+    assert(kept.nonEmpty)
+    kept.foreach(p => assert(new java.io.File(p).exists(), s"referenced file vacuumed: $p"))
+    // the expired manifests are gone
+    assert(!new java.io.File(s"$base/manifest/v0").exists())
+    assert(!new java.io.File(s"$base/manifest/v1").exists())
+    // the audit log is non-empty, disjoint from the reference set, and
+    // every logged deletion really happened
+    val logged = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/_VACUUM_LOG")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    assert(logged.nonEmpty, "vacuum reclaimed nothing")
+    val keptSet = kept.toSet
+    logged.foreach { p =>
+      assert(!keptSet.contains(p), s"vacuum logged a referenced file: $p")
+      assert(!new java.io.File(p).exists(), s"logged but not deleted: $p")
+    }
+    // only historical generations were reclaimed: every logged path is
+    // a gen0/gen1 artifact, none a gen2 one
+    logged.foreach(p => assert(!p.contains("/gen2/"), s"compacted file vacuumed: $p"))
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
