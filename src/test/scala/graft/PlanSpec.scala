@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.functions.{col, input_file_name, max, min, when}
 
 /** Physical-plan assertions (SURVEY.md §4): pushdown, pruning, join
   * strategy, and top-k shapes must be the ones that survive a 100×
@@ -172,9 +172,21 @@ class PlanSpec extends AnyFunSuite {
       // hash partitioning would veto the split (splitting breaks the
       // co-partitioning guarantee)
       val j = fact.join(dim, "k").select(col("k"), col("payload"), col("dv"))
-      j.collect()
+      val got = j.collect()
       val p = j.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"), p)
+      // round-11: the split must be semantically invisible — the bag
+      // equals the same join under default planning (forked session so
+      // the lowered thresholds can't reach it; it broadcasts, which is
+      // fine — any plan yields the reference bag)
+      val s2 = spark.newSession()
+      val hot2 = s2.range(60000).select(lit(1L).as("k"), col("id").as("payload"))
+      val cold2 = s2.range(64).select((col("id") + 2L).as("k"), col("id").as("payload"))
+      val dim2 = s2.range(128).select(col("id").as("k"), col("id").as("dv"))
+      val exp = hot2.unionAll(cold2).join(dim2, "k")
+        .select(col("k"), col("payload"), col("dv")).collect()
+      assert(got.map(_.toString).sorted.toSeq == exp.map(_.toString).sorted.toSeq,
+        "skew-split result bag drifted from the default plan")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
