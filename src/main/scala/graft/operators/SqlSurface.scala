@@ -495,6 +495,73 @@ object SqlSurface extends QueryGroup {
     * so AQE can reuse the exchange; the date arithmetic is exact
     * timestamp+interval in both engines and the ORDER BY is fully
     * tie-broken by the group key. */
+  /** TPC-H Q10 analog (returned-item revenue): the "who sent things
+    * back last quarter" report — customer ⋈ orders (one quarter) ⋈
+    * lineitem (returnflag = 'R') ⋈ nation, revenue lost per customer,
+    * top 20. The statement shape the CRM-style ranked-join report
+    * always takes: two broadcast dims (customer is fixture-small but
+    * the JOIN ORDER leaves Catalyst free to shuffle it at 100 TB;
+    * nation broadcasts at any scale), one data-sized orderkey shuffle,
+    * DECIMAL-pre-cast revenue, fully tie-broken LIMIT. */
+  private val sqlQ10: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_c10_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o10_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l10_v")
+    Tables.nation(s, d).createOrReplaceTempView("graft_n10_v")
+    s.sql("""
+      SELECT c_custkey, c_name,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+             n_name
+      FROM graft_c10_v
+      JOIN graft_o10_v ON c_custkey = o_custkey
+      JOIN graft_l10_v ON l_orderkey = o_orderkey
+      JOIN graft_n10_v ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+        AND o_orderdate < CAST('1997-04-01' AS TIMESTAMP_NTZ)
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey ASC
+      LIMIT 20""")
+  }
+
+  /** TPC-H Q7 analog (volume shipping): bilateral trade between two
+    * nations — the SELF-JOINED-dim statement shape: nation joins the
+    * query TWICE under different roles (supplier's nation, customer's
+    * nation) with a symmetric pair predicate, two years of shipments
+    * bucketed by year. Q7's literal two-nation pair is empty at the
+    * smallest fixture (10 suppliers cover 10 of 25 nations), so the
+    * pair predicate is the STRUCTURAL spelling of the same shape:
+    * cross-border trade within one region (different nations, same
+    * regionkey) — populated at every SF, same dual-role join and
+    * symmetric filter. Both nation roles broadcast; the lineitem ⋈
+    * orders backbone is the one data-sized shuffle. */
+  private val sqlQ7: QFn = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s7_v")
+    Tables.customer(s, d).createOrReplaceTempView("graft_c7_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o7_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l7_v")
+    Tables.nation(s, d).createOrReplaceTempView("graft_n7_v")
+    s.sql("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+             count(*) AS n_lines
+      FROM graft_s7_v
+      JOIN graft_l7_v ON s_suppkey = l_suppkey
+      JOIN graft_o7_v ON o_orderkey = l_orderkey
+      JOIN graft_c7_v ON c_custkey = o_custkey
+      JOIN graft_n7_v n1 ON s_nationkey = n1.n_nationkey
+      JOIN graft_n7_v n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name <> n2.n_name
+        AND n1.n_regionkey = n2.n_regionkey
+        AND l_shipdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+        AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP_NTZ)
+      GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+      ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""")
+  }
+
   private val sqlQ21: QFn = (s, d) => {
     Tables.supplier(s, d).createOrReplaceTempView("graft_s21_v")
     Tables.orders(s, d).createOrReplaceTempView("graft_o21_v")
@@ -549,6 +616,8 @@ object SqlSurface extends QueryGroup {
     "sql_q3" -> sqlQ3,
     "sql_q18" -> sqlQ18,
     "sql_q21" -> sqlQ21,
+    "sql_q10" -> sqlQ10,
+    "sql_q7" -> sqlQ7,
     "sql_values" -> sqlValues,
     "sql_q5" -> sqlQ5,
     "sql_subquery" -> sqlSubquery,
@@ -580,6 +649,40 @@ object SqlSurface extends QueryGroup {
                   o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 100""",
+    "sql_q10" ->
+      """SELECT c_custkey, c_name,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+                n_name
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+    "sql_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+                count(*) AS n_lines
+         FROM supplier
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+           AND n1.n_regionkey = n2.n_regionkey
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+         ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+                  l_year ASC NULLS FIRST""",
     "sql_q21" ->
       """SELECT s_name, count(*) AS numwait
          FROM supplier s

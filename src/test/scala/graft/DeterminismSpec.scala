@@ -130,6 +130,8 @@ class DeterminismSpec extends AnyFunSuite {
     "text_boilerplate",    // pure row function (line gates + reassembly)
     "profile_observe",     // decimal pre-cast sums; observation rides along
     "sink_vacuum",         // integer counts + decimal sums over the retained snapshot
+    "sql_q10",             // decimal revenue sums; tie-broken LIMIT 20
+    "sql_q7",              // decimal revenue sums; fully ordered group keys
   )
 
   private val postRounded = Seq(
