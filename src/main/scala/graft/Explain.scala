@@ -37,7 +37,7 @@ object Explain {
     "fn_trycast", "sql_values",
     "ingest_binary", "text_blocklist", "sample_epochs",
     "text_dedup_substring", "text_boilerplate", "profile_observe",
-    "sink_vacuum", "sql_q10", "sql_q7")
+    "sink_vacuum", "sql_q10", "sql_q7", "sql_analyze")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -562,6 +562,55 @@ object SqlSurface extends QueryGroup {
       ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""")
   }
 
+  /** ANALYZE TABLE + cost-based optimization — the catalog STATISTICS
+    * plane no other rung exercises: real deployments run `ANALYZE
+    * TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...]` after every
+    * ingest so the optimizer can estimate filter selectivity and join
+    * sizes from ndv/min/max instead of raw file sizes (at 100 TB the
+    * difference is broadcasting a filtered dim the rule-based
+    * estimator thinks is table-sized). The rung lands the orders
+    * fixture as a catalog table, collects table + column statistics,
+    * and runs the selective-dim join through a CBO-enabled forked
+    * session (conf is analysis-time, the join_bloom isolation
+    * posture). Stats change PLANS, never RESULTS — the oracle checks
+    * exactly that; PlanSpec asserts the catalog holds the stats and
+    * that CBO's estimated row counts actually shrink through the
+    * selective filter (selectivity from column ndv, the thing ANALYZE
+    * bought). The CTAS + ANALYZE re-run per call is fixture-sized,
+    * the scratch-layout posture. */
+  private val sqlAnalyze: QFn = (s, d) => {
+    val loc = s"${Tables.scratchDir}/catalog/cbo_orders"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    // deterministic rebuild per evaluation, the sqlDdl convention (a
+    // stale external location from another JVM would otherwise refuse
+    // the CTAS)
+    s.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+    rmrf(new java.io.File(loc))
+    Tables.orders(s, d).createOrReplaceTempView("graft_cbo_src_v")
+    s.sql(s"""CREATE TABLE graft_cbo_orders
+              USING parquet LOCATION '$loc'
+              AS SELECT * FROM graft_cbo_src_v""")
+    s.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS")
+    s.sql("""ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS
+             FOR COLUMNS o_orderkey, o_orderpriority""")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    Tables.lineitem(s2, d).createOrReplaceTempView("graft_cbo_lineitem_v")
+    s2.sql("""
+      SELECT o_orderpriority, count(*) AS n_lines,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      FROM graft_cbo_lineitem_v
+      JOIN graft_cbo_orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   private val sqlQ21: QFn = (s, d) => {
     Tables.supplier(s, d).createOrReplaceTempView("graft_s21_v")
     Tables.orders(s, d).createOrReplaceTempView("graft_o21_v")
@@ -618,6 +667,7 @@ object SqlSurface extends QueryGroup {
     "sql_q21" -> sqlQ21,
     "sql_q10" -> sqlQ10,
     "sql_q7" -> sqlQ7,
+    "sql_analyze" -> sqlAnalyze,
     "sql_values" -> sqlValues,
     "sql_q5" -> sqlQ5,
     "sql_subquery" -> sqlSubquery,
@@ -649,6 +699,15 @@ object SqlSurface extends QueryGroup {
                   o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 100""",
+    "sql_analyze" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
     "sql_q10" ->
       """SELECT c_custkey, c_name,
                 round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)

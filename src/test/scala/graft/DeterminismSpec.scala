@@ -132,6 +132,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sink_vacuum",         // integer counts + decimal sums over the retained snapshot
     "sql_q10",             // decimal revenue sums; tie-broken LIMIT 20
     "sql_q7",              // decimal revenue sums; fully ordered group keys
+    "sql_analyze",         // stats change plans never results; decimal sums
   )
 
   private val postRounded = Seq(

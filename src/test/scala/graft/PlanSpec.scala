@@ -662,6 +662,38 @@ class PlanSpec extends AnyFunSuite {
     logged.foreach(p => assert(!p.contains("/gen2/"), s"compacted file vacuumed: $p"))
   }
 
+  test("sql_analyze: ANALYZE stats reach the catalog and CBO shrinks the filter estimate") {
+    // run the rung (lands the table, collects table + column stats)
+    SparkEntry.queries("sql_analyze")(spark, TestSpark.sf).collect()
+    // the catalog really holds statistics
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft_cbo_orders")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("Statistics"), desc)
+    // CBO-enabled session: the exact row count flows into plan stats.
+    // Plan statistics are computed lazily against SQLConf.get, which
+    // reads the ACTIVE session — set it explicitly (newSession doesn't)
+    // and restore after.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+      val tbl = s2.table("graft_cbo_orders")
+      val full = tbl.queryExecution.optimizedPlan.stats
+      val trueN = Tables.orders(spark, TestSpark.sf).count()
+      assert(full.rowCount.contains(BigInt(trueN)),
+        s"catalog rowCount ${full.rowCount} != true $trueN")
+      // ...and the selective filter's ESTIMATE shrinks via column ndv —
+      // the selectivity knowledge ANALYZE ... FOR COLUMNS bought; the
+      // rule-based estimator would carry the table-sized guess through
+      val filtered = tbl.filter(col("o_orderpriority") === "1-URGENT")
+        .queryExecution.optimizedPlan.stats
+      assert(filtered.rowCount.isDefined && filtered.rowCount.get < BigInt(trueN),
+        s"CBO did not shrink the filter estimate: ${filtered.rowCount} vs $trueN")
+      assert(filtered.sizeInBytes < full.sizeInBytes,
+        "filter size estimate did not shrink — a broadcast decision would miss it")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
