@@ -525,6 +525,46 @@ object GraftOps {
           " ").as("clean_text"))
   }
 
+  /** Unaligned exact substring-level dedup over caller columns — the
+    * text_dedup_substring operator (Lee et al. 2021 EXACTSUBSTR,
+    * distributed via the sliding-shingle identity) exposed on any
+    * (id, text) DataFrame: per doc the sliding-`k`-token duplicated
+    * window counts, the token-position cover of all corpus-repeated
+    * substrings, and the longest shared run. DELEGATES to the declared
+    * rung's core (the dedup_url posture: the API helper and the rung
+    * cannot drift); see operators/Curation.substringDedupOn for the
+    * algorithm and the 100 TB shape. Docs shorter than k tokens emit
+    * no row (they carry no full window to test). */
+  def substringDedup(df: DataFrame, id: Column, text: Column,
+                     k: Int = 10): DataFrame = {
+    require(k >= 1, s"substringDedup: window length k >= 1, got $k")
+    graft.operators.Curation
+      .substringDedupOn(df.select(id.as("doc_id"), text.as("text")), k)
+      .withColumnRenamed("doc_id", "id")
+  }
+
+  /** C4-style line-level boilerplate gate over a page column — the
+    * text_boilerplate rung's rule set (Raffel et al. 2020 §2.2) as a
+    * reusable pure row function: split `page` on newlines, keep a line
+    * iff it ends in terminal punctuation, has >= 3 words, and contains
+    * neither 'javascript' (case-insensitive) nor a curly brace; return
+    * struct(n_lines, n_kept, clean_text) with clean_text the kept
+    * lines rejoined in order. One codegen-stage array HOF chain —
+    * zero shuffle, a scan at any scale. The declared rung applies THIS
+    * function (no-drift posture). */
+  def boilerplateClean(page: Column): Column = {
+    val lines = split(page, "\n")
+    val kept = filter(lines, x =>
+      x.rlike("[.!?\"]$") &&
+        size(split(trim(x), " ")) >= 3 &&
+        !lower(x).contains("javascript") &&
+        !x.contains("{"))
+    struct(
+      size(lines).cast(LongType).as("n_lines"),
+      size(kept).cast(LongType).as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   /** Benchmark decontamination over caller DataFrames —
     * text_decontaminate's construction: a train doc is contaminated iff
     * any of its sliding `n`-token shingles appears verbatim in the eval

@@ -183,8 +183,11 @@ object Curation extends QueryGroup {
     * menu line ('Home About Contact', kills rule 1), a 2-word
     * call-to-action ('Click here!', kills rule 2), and a JS notice
     * that PASSES rules 1-2 and dies only on rule 3 — so every rule
-    * provably fires. CurationSpec law: injected lines are gone and
-    * body lines survive BYTE-exact in order.
+    * provably fires. The gate chain IS api.GraftOps.boilerplateClean
+    * (this operator calls it, so the reusable API helper and the
+    * declared rung cannot drift — the dedup_url posture). CurationSpec
+    * law: injected lines are gone and body lines survive BYTE-exact in
+    * order.
     *
     * Shape: split + per-line gates + reassembly are array higher-order
     * functions over each row — a pure row function, zero shuffle
@@ -203,16 +206,9 @@ object Curation extends QueryGroup {
           lit(s"Enable javascript to continue.$nl")).otherwise(lit("")),
         expr("array_join(slice(tk, CAST(size(tk) div 2 AS INT) + 1, size(tk)), ' ')"),
         lit(".")).as("pg"))
-      .select(col("doc_id"), split(col("pg"), nl).as("lines"))
-      .withColumn("kept", expr(
-        """filter(lines, x -> x RLIKE '[.!?"]$'
-             AND size(split(trim(x), ' ')) >= 3
-             AND NOT contains(lower(x), 'javascript')
-             AND NOT contains(x, '{'))"""))
-      .select(col("doc_id"),
-        size(col("lines")).cast(LongType).as("n_lines"),
-        size(col("kept")).cast(LongType).as("n_kept"),
-        array_join(col("kept"), nl).as("clean_text"))
+      .withColumn("bp", graft.api.GraftOps.boilerplateClean(col("pg")))
+      .select(col("doc_id"), col("bp.n_lines").as("n_lines"),
+        col("bp.n_kept").as("n_kept"), col("bp.clean_text").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

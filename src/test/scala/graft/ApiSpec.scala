@@ -470,6 +470,30 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("dedup_url")(spark, sf)))
   }
 
+  test("substringDedup on caller columns equals the declared rung") {
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id").as("my_id"), col("text").as("my_text"))
+    val api = GraftOps.substringDedup(raw, col("my_id"), col("my_text"))
+      .orderBy(col("id"))
+    val declared = SparkEntry.queries("text_dedup_substring")(spark, sf)
+    assert(rows(api) == rows(declared))
+  }
+
+  test("boilerplateClean applies each C4 line rule") {
+    val sp = spark
+    import sp.implicits._
+    val page = "Home About Contact\nthis body line has enough words.\n" +
+      "Click here!\nEnable javascript to continue.\nvar x = { a: 1 };\n" +
+      "a second proper sentence survives too."
+    val r = Seq(page).toDF("pg")
+      .select(GraftOps.boilerplateClean(col("pg")).as("bp"))
+      .select(col("bp.n_lines"), col("bp.n_kept"), col("bp.clean_text"))
+      .collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getString(2) ==
+      "this body line has enough words.\na second proper sentence survives too.")
+  }
+
   test("urlCanonicalize handles real-world utm values and mixed queries") {
     // round-10 advice: the old spelling only stripped queries made
     // exclusively of utm_[a-z]+=[a-z]+ pairs — digits, uppercase,
