@@ -37,7 +37,8 @@ object Explain {
     "fn_trycast", "sql_values",
     "ingest_binary", "text_blocklist", "sample_epochs",
     "text_dedup_substring", "text_boilerplate", "profile_observe",
-    "sink_vacuum", "sql_q10", "sql_q7", "sql_analyze")
+    "sink_vacuum", "sql_q10", "sql_q7", "sql_analyze",
+    "scan_file_metadata")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -795,6 +795,45 @@ object Scans extends QueryGroup {
     snapshot(0).unionByName(snapshot(1)).orderBy(col("snapshot"))
   }
 
+  /** Hidden `_metadata` columns — the file-provenance surface every
+    * lineage/debugging story needs (which FILE did this row come from,
+    * at which position): Spark exposes `_metadata.file_path` /
+    * `file_name` / `file_size` / `row_index` on every file-source scan
+    * with zero extra IO (constant per file; row_index from the reader
+    * position). Raw paths/sizes are engine- and run-specific, so the
+    * rung makes the provenance ORACLE-ABLE by construction: lineitem
+    * lands hive-partitioned by pk = l_orderkey % 8 after a
+    * repartition(8, pk) — each pk lives wholly in one task, so every
+    * partition dir holds EXACTLY one file — then the read derives pk
+    * back out of `_metadata.file_path`, counts distinct files per pk
+    * (provably 1), and checks `row_index` density (min 0, max+1 =
+    * rowcount). The oracle states those invariants from the source
+    * table alone — file-count or row_index plumbing breaks hash-fail.
+    * Built once per fixture fingerprint. */
+  private val scanFileMetadata: QFn = (s, d) => {
+    val base = s"${Tables.scratchDir}/filemeta_${new java.io.File(d).getName}" +
+      s"_${Tables.fingerprint(d, "lineitem")}"
+    if (!new java.io.File(s"$base/_DONE").exists()) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .withColumn("pk", pmod(col("l_orderkey"), lit(8L)).cast(IntegerType))
+        .repartition(8, col("pk"))
+        .write.partitionBy("pk").mode("overwrite").parquet(s"$base/data")
+      new java.io.File(s"$base/_DONE").createNewFile()
+    }
+    s.read.parquet(s"$base/data")
+      .select(col("l_orderkey"),
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .withColumn("pk", regexp_extract(col("fp"), "pk=([0-9]+)", 1).cast(LongType))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("fp")).as("n_files"),
+        min(col("ri")).as("min_ri"),
+        (max(col("ri")) + lit(1L)).as("rows_by_index"))
+      .orderBy(col("pk"))
+  }
+
   /** Self-contained three-generation layout for the VACUUM rung — its
     * OWN scratch table (never the shared manifest layout: scan_manifest
     * / scan_time_travel pin that layout's files and mtimes, and VACUUM
@@ -984,6 +1023,7 @@ object Scans extends QueryGroup {
     "ingest_orc" -> ingestOrc,
     "sink_compact" -> sinkCompact,
     "sink_vacuum" -> sinkVacuum,
+    "scan_file_metadata" -> scanFileMetadata,
     "sink_partitioned" -> sinkPartitioned,
     "sink_bucketed" -> sinkBucketed,
     "sink_sorted" -> sinkSorted,
@@ -991,6 +1031,15 @@ object Scans extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "scan_file_metadata" ->
+      """SELECT CAST(l_orderkey % 8 AS BIGINT) AS pk,
+                count(*) AS n_rows,
+                CAST(1 AS BIGINT) AS n_files,
+                CAST(0 AS BIGINT) AS min_ri,
+                count(*) AS rows_by_index
+         FROM lineitem
+         GROUP BY CAST(l_orderkey % 8 AS BIGINT)
+         ORDER BY pk ASC NULLS FIRST""",
     "sink_vacuum" ->
       """WITH u AS (
            SELECT l_orderkey, l_quantity FROM lineitem

@@ -133,6 +133,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_q10",             // decimal revenue sums; tie-broken LIMIT 20
     "sql_q7",              // decimal revenue sums; fully ordered group keys
     "sql_analyze",         // stats change plans never results; decimal sums
+    "scan_file_metadata",  // integer counts; row_index density per file
   )
 
   private val postRounded = Seq(
