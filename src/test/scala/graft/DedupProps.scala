@@ -92,4 +92,109 @@ class DedupProps extends Properties("graft") {
           out.map(_.getAs[Long]("n_spans")).sum == spans.size
       }
     }
+
+  /** Pure-Scala reference for substringDedup: mark every k-window whose
+    * text occurs >= 2 times corpus-wide, cover = interval union of
+    * marked [i, i+k-1], run = longest consecutive-island + k - 1. */
+  private def substrRef(docs: Seq[(Long, Seq[String])], k: Int)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val windows = docs.flatMap { case (id, tks) =>
+      if (tks.size < k) Seq.empty
+      else (0 to tks.size - k).map(i => (id, i, tks.slice(i, i + k).mkString(" ")))
+    }
+    val counts = windows.groupBy(_._3).view.mapValues(_.size).toMap
+    windows.groupBy(_._1).map { case (id, ws) =>
+      val offs = ws.collect { case (_, i, t) if counts(t) >= 2 => i }.sorted
+      val cover =
+        if (offs.isEmpty) 0L
+        else offs.tail.foldLeft((offs.head, k.toLong)) { case ((prev, tot), x) =>
+          (x, tot + math.min(k.toLong, (x - prev).toLong))
+        }._2
+      val run =
+        if (offs.isEmpty) 0L
+        else {
+          var best = 1; var cur = 1
+          offs.sliding(2).foreach {
+            case Seq(a, b) =>
+              cur = if (b == a + 1) cur + 1 else 1
+              best = math.max(best, cur)
+            case _ => ()
+          }
+          best.toLong + (k - 1).toLong
+        }
+      id -> (ws.size.toLong, offs.size.toLong, cover, run)
+    }
+  }
+
+  property("substringDedup equals the pure reference on random colliding corpora") =
+    Prop.forAll(corpusGen) { raw =>
+      raw.nonEmpty ==> {
+        // the 8-word vocab makes real 4-gram collisions likely, so the
+        // dup-marking / cover / run logic is exercised, not just zeros
+        val spark = TestSpark.spark
+        import org.apache.spark.sql.functions._
+        val docs = raw.zipWithIndex.map { case (tks, i) => (i.toLong, tks) }
+        val df = spark.createDataFrame(
+          docs.map { case (i, tks) => (i, tks.mkString(" ")) })
+          .toDF("doc_id", "text")
+        val got = graft.api.GraftOps.substringDedup(df, col("doc_id"), col("text"), k = 4)
+          .collect()
+          .map(r => r.getAs[Long]("id") ->
+            (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup_shingles"),
+             r.getAs[Long]("n_dup_tokens"), r.getAs[Long]("longest_run")))
+          .toMap
+        got == substrRef(docs, 4)
+      }
+    }
+
+  property("a planted L-token copy across disjoint-alphabet docs yields run == L exactly") =
+    Prop.forAll(Gen.choose(4, 12), Gen.choose(0, 6), Gen.choose(0, 6)) { (l, padA, padB) =>
+      val spark = TestSpark.spark
+      import org.apache.spark.sql.functions._
+      // doc A: unique a-tokens with the shared run at offset padA;
+      // doc B: unique b-tokens with the same run at offset padB —
+      // alphabets disjoint, so duplicated windows are EXACTLY the
+      // windows inside the planted run on both sides
+      val shared = (0 until l).map(j => s"s$j")
+      val a = (0 until padA).map(j => s"a$j") ++ shared ++ (0 until 5).map(j => s"az$j")
+      val b = (0 until padB).map(j => s"b$j") ++ shared ++ (0 until 5).map(j => s"bz$j")
+      val df = spark.createDataFrame(
+        Seq((0L, a.mkString(" ")), (1L, b.mkString(" ")))).toDF("doc_id", "text")
+      val k = 4
+      val got = graft.api.GraftOps.substringDedup(df, col("doc_id"), col("text"), k = k)
+        .collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("n_dup_shingles"), r.getAs[Long]("n_dup_tokens"),
+           r.getAs[Long]("longest_run"))).toMap
+      val expected = ((l - k + 1).toLong, l.toLong, l.toLong)
+      got(0L) == expected && got(1L) == expected
+    }
+
+  /** Pure-Scala reference of the C4 line gates. */
+  private def boilerRef(page: String): (Long, Long, String) = {
+    val lines = page.split("\n", -1)
+    val kept = lines.filter(x =>
+      x.nonEmpty && ".!?\"".contains(x.last) &&
+        x.trim.split(" ", -1).length >= 3 &&
+        !x.toLowerCase.contains("javascript") && !x.contains("{"))
+    (lines.length.toLong, kept.length.toLong, kept.mkString("\n"))
+  }
+
+  private val lineGen: Gen[String] = for {
+    words <- Gen.choose(1, 5)
+    body <- Gen.listOfN(words, Gen.oneOf("alpha", "beta", "gamma", "javascript", "x{y"))
+    tail <- Gen.oneOf(".", "!", "", "", "w")
+  } yield body.mkString(" ") + tail
+
+  property("boilerplateClean equals the pure C4 line-gate reference") =
+    Prop.forAll(Gen.listOfN(5, lineGen)) { lines =>
+      val spark = TestSpark.spark
+      import org.apache.spark.sql.functions._
+      val page = lines.mkString("\n")
+      val r = spark.createDataFrame(Seq(Tuple1(page))).toDF("pg")
+        .select(graft.api.GraftOps.boilerplateClean(col("pg")).as("bp"))
+        .select(col("bp.n_lines"), col("bp.n_kept"), col("bp.clean_text"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getString(2)) == boilerRef(page)
+    }
 }
