@@ -384,6 +384,69 @@ object StreamingOps {
           .parquet(s"$outDir/manifest/batch_id=$batchId")
       }
 
+  /** The upsert MERGE step: newest-wins per user over the union of the
+    * current state and an arriving batch — one max-of-struct keyed
+    * aggregate ((ts, event_id) is a unique total order, so the pick is
+    * deterministic; event_type/value ride along and never decide).
+    * IDEMPOTENT by construction: re-merging an already-applied batch
+    * is max(x, x) — the property that makes the streaming sink
+    * exactly-once under foreachBatch replay without any dedup ledger.
+    * Factored out so StreamingSpec can assert idempotence directly. */
+  def upsertMerge(cur: DataFrame, batch: DataFrame): DataFrame =
+    cur.unionByName(batch.select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value")))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
+        col("m.value").as("value"))
+
+  /** Streaming CDC upsert sink — the foreachBatch MERGE pattern every
+    * "keep a queryable latest-state table fed by a stream" deployment
+    * runs (Delta's MERGE INTO inside foreachBatch, on plain parquet):
+    * each micro-batch upserts into a keyed state table via
+    * [[upsertMerge]], and the new state is published with the
+    * ann_upsert atomic-pointer recipe — write version dir v_<batchId>,
+    * then flip a _CURRENT pointer file — so readers never observe a
+    * half-written state and a crashed batch leaves the previous
+    * version live. Replay-safe end to end: the version dir is keyed by
+    * batchId (a replay overwrites its own dir) and the merge itself is
+    * idempotent, so the republished state is byte-identical. State
+    * size is |keys|, not |events| — the shape that holds at 100 TB
+    * where the event stream dwarfs the key space. */
+  def upsertSink(events: DataFrame, stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val cur = currentUpsertState(s, stateDir)
+          .getOrElse(batch.limit(0).select(col("user_id"), col("ts_us"),
+            col("event_id"), col("event_type"), col("value")))
+        val next = upsertMerge(cur, batch)
+        val vDir = s"$stateDir/v_$batchId"
+        next.write.mode("overwrite").parquet(vDir)
+        val tmp = java.nio.file.Paths.get(s"$stateDir/_CURRENT.tmp")
+        java.nio.file.Files.write(tmp,
+          s"v_$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(s"$stateDir/_CURRENT"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+
+  /** Resolve the published upsert state via the _CURRENT pointer. */
+  def currentUpsertState(s: org.apache.spark.sql.SparkSession,
+                         stateDir: String): Option[DataFrame] = {
+    val ptr = java.nio.file.Paths.get(s"$stateDir/_CURRENT")
+    if (!java.nio.file.Files.exists(ptr)) None
+    else Some(s.read.parquet(s"$stateDir/" +
+      new String(java.nio.file.Files.readAllBytes(ptr),
+        java.nio.charset.StandardCharsets.UTF_8).trim))
+  }
+
   /** Per-window population-stability-index drift monitor — the
     * streaming twin of the agg_ks/agg_chisq batch screens and the shape
     * a production ingest runs to catch distribution drift as data

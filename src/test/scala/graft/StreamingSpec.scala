@@ -226,6 +226,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); rm(new java.io.File(base)) }
   }
 
+  test("stream_upsert keeps a newest-wins state table equal to the batch merge") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = s"${Tables.scratchDir}/st_upsert"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    new java.io.File(base).mkdirs()
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.upsertSink(in.toDF(), base)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // three micro-batches; users repeat across batches so the merge
+      // really overwrites (the fixture has ~thousands of events over
+      // hundreds of users)
+      evs.grouped((evs.length / 3) + 1).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      val state = StreamingOps.currentUpsertState(spark, base)
+        .getOrElse(fail("no published state"))
+      // batch twin: one newest-wins merge over the whole history
+      val exp = StreamingOps.upsertMerge(
+        batchDf(evs).select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value")).limit(0),
+        batchDf(evs))
+      assert(state.count() == batchDf(evs).select(col("user_id")).distinct().count())
+      assert(state.orderBy(col("user_id")).collect().map(_.toString).toSeq ==
+        exp.orderBy(col("user_id")).collect().map(_.toString).toSeq)
+      // replay safety: re-merging the LAST batch into the published
+      // state is a no-op (the exactly-once argument, asserted directly)
+      val lastChunk = evs.grouped((evs.length / 3) + 1).toSeq.last
+      val replayed = StreamingOps.upsertMerge(state, batchDf(lastChunk))
+      assert(replayed.orderBy(col("user_id")).collect().map(_.toString).toSeq ==
+        state.orderBy(col("user_id")).collect().map(_.toString).toSeq)
+    } finally { q.stop(); rm(new java.io.File(base)) }
+  }
+
   test("stream_topk per-window trending types equal the batch rank") {
     val sp = spark
     import sp.implicits._
