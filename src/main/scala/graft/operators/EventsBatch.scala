@@ -482,7 +482,65 @@ object EventsBatch extends QueryGroup {
       .limit(10)
   }
 
+  /** A/B experiment readout — the decision surface every
+    * experimentation platform materializes from raw events: users are
+    * assigned to arms by PORTABLE HASH of user_id (never raw-id parity
+    * — sequential ids correlate with signup time; the sample_hash md5
+    * recipe, so assignment is reproducible on any engine), the metric
+    * is per-USER total purchase value (the unit of analysis must be
+    * the randomization unit — pooling raw events would violate
+    * within-user independence), and the readout is the Welch two-
+    * sample t over the per-user totals (agg_ttest's exact-decimal
+    * closed form: per-user totals are exact DECIMAL sums, arm-level
+    * Σx / Σx² go through the per-term DECIMAL pre-cast, the t/df
+    * closed form runs on engine-identical doubles). A null experiment
+    * by construction — assignment hash is independent of behavior —
+    * so |t| is small and `significant` false; the flag compares the
+    * UNROUNDED t against 1.96, no rounded-boundary exposure. One
+    * user-keyed aggregation + one 2-row arm fold: two shuffles
+    * total, both key-partitioned. */
+  private val eventsAbTest: QFn = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          expr("CAST(value AS DECIMAL(18,6))"))
+        .otherwise(expr("CAST(0 AS DECIMAL(18,6))"))).as("td"))
+      .select(
+        (expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+          % 2L).as("arm"),
+        col("td").cast("double").as("t"))
+    val m = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("double").as("nd"),
+        sum(expr("CAST(t AS DECIMAL(18,6))")).cast("double").as("sx"),
+        sum(expr("CAST(t * t AS DECIMAL(18,6))")).cast("double").as("sxx"))
+    def pick(c: String, a: Int) =
+      max(when(col("arm") === a.toLong, col(c))).as(s"${c}$a")
+    m.agg(pick("nd", 0), pick("sx", 0), pick("sxx", 0),
+          pick("nd", 1), pick("sx", 1), pick("sxx", 1))
+      .withColumn("m0", col("sx0") / col("nd0"))
+      .withColumn("m1", col("sx1") / col("nd1"))
+      .withColumn("v0", (col("nd0") * col("sxx0") - col("sx0") * col("sx0"))
+        / (col("nd0") * (col("nd0") - lit(1.0))))
+      .withColumn("v1", (col("nd1") * col("sxx1") - col("sx1") * col("sx1"))
+        / (col("nd1") * (col("nd1") - lit(1.0))))
+      .withColumn("se2", col("v0") / col("nd0") + col("v1") / col("nd1"))
+      .withColumn("tu", (col("m0") - col("m1")) / sqrt(col("se2")))
+      .select(
+        col("nd0").cast("long").as("n_a"),
+        col("nd1").cast("long").as("n_b"),
+        (round(col("m0"), 6) + lit(0.0)).as("mean_a"),
+        (round(col("m1"), 6) + lit(0.0)).as("mean_b"),
+        (round(col("m0") - col("m1"), 6) + lit(0.0)).as("mean_diff"),
+        (round(col("tu"), 6) + lit(0.0)).as("t_stat"),
+        (round(col("se2") * col("se2")
+          / ((col("v0") / col("nd0")) * (col("v0") / col("nd0")) / (col("nd0") - lit(1.0))
+           + (col("v1") / col("nd1")) * (col("v1") / col("nd1")) / (col("nd1") - lit(1.0))), 2)
+          + lit(0.0)).as("df_welch"),
+        (abs(col("tu")) > lit(1.96)).as("significant"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    "events_ab_test" -> eventsAbTest,
     "events_quota" -> eventsQuota,
     "events_rfm" -> eventsRfm,
     "events_sequence" -> eventsSequence,
@@ -505,6 +563,49 @@ object EventsBatch extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "events_ab_test" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,6))
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS td
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                   % 2) AS arm,
+                  CAST(td AS DOUBLE) AS t
+           FROM pu),
+         m AS (
+           SELECT arm, CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(t * t AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+           FROM a GROUP BY arm),
+         p AS (
+           SELECT max(CASE WHEN arm = 0 THEN nd END) AS nd0,
+                  max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+                  max(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+                  max(CASE WHEN arm = 1 THEN nd END) AS nd1,
+                  max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+                  max(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+           FROM m),
+         c AS (
+           SELECT nd0, nd1, sx0 / nd0 AS m0, sx1 / nd1 AS m1,
+                  (nd0 * sxx0 - sx0 * sx0) / (nd0 * (nd0 - 1.0)) AS v0,
+                  (nd1 * sxx1 - sx1 * sx1) / (nd1 * (nd1 - 1.0)) AS v1
+           FROM p),
+         e AS (SELECT nd0, nd1, m0, m1, v0, v1,
+                      v0 / nd0 + v1 / nd1 AS se2 FROM c)
+         SELECT CAST(nd0 AS BIGINT) AS n_a,
+                CAST(nd1 AS BIGINT) AS n_b,
+                round(m0, 6) + 0.0 AS mean_a,
+                round(m1, 6) + 0.0 AS mean_b,
+                round(m0 - m1, 6) + 0.0 AS mean_diff,
+                round((m0 - m1) / sqrt(se2), 6) + 0.0 AS t_stat,
+                round(se2 * se2 / ((v0 / nd0) * (v0 / nd0) / (nd0 - 1.0)
+                                 + (v1 / nd1) * (v1 / nd1) / (nd1 - 1.0)), 2)
+                  + 0.0 AS df_welch,
+                abs((m0 - m1) / sqrt(se2)) > 1.96 AS significant
+         FROM e""",
     "events_sequence" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                            epoch_ns(ts) // 1000 AS us

@@ -134,6 +134,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_q7",              // decimal revenue sums; fully ordered group keys
     "sql_analyze",         // stats change plans never results; decimal sums
     "scan_file_metadata",  // integer counts; row_index density per file
+    "events_ab_test",      // exact decimal per-user sums, Welch closed form
   )
 
   private val postRounded = Seq(
