@@ -81,6 +81,42 @@ object ScalarFns extends QueryGroup {
         .as("shard_1k"),
     ).orderBy(col("doc_id"))
 
+  /** Data-masking / pseudonymization suite — the column-level PII
+    * controls a governed lakehouse applies at read or egress time
+    * (text_pii_scan finds free-text PII; this is the STRUCTURED-column
+    * counterpart): (1) full character-class masking (the ANSI/Spark
+    * `mask()` semantics — uppercase→X, lowercase→x, digit→n — spelled
+    * as portable regexp_replace chains both engines run identically),
+    * (2) partial masking keeping the last 4 characters (the
+    * card/account display rule), (3) email masking keeping only the
+    * domain (the marketing-safe form), and (4) deterministic
+    * pseudonymization via md5-prefix (same input → same token, so
+    * joins/group-bys still work on masked data — the property that
+    * makes pseudonymized analytics possible at all). Inputs are the
+    * customer names plus a doc_id-derived synthetic account/email (the
+    * text_pii_scan synthesis posture). Pure row functions, zero
+    * shuffle before the closing sort. */
+  private val fnMask: QFn = (s, d) => {
+    def maskAll(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "[A-Z]", "X"), "[a-z]", "x"), "[0-9]", "n")
+    Tables.customer(s, d)
+      .withColumn("acct", concat(lit("AC-"),
+        lpad((col("c_custkey") * 7919L % 100000000L).cast(StringType), 8, "0")))
+      .withColumn("email", concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+        lit("@corp"), (col("c_custkey") % 5L).cast(StringType), lit(".example.com")))
+      .select(
+        col("c_custkey"),
+        maskAll(col("c_name")).as("name_masked"),
+        concat(regexp_replace(
+            substring(col("acct"), 1, 7), ".", "*"),
+          substring(col("acct"), 8, 4)).as("acct_last4"),
+        concat(lit("***@"),
+          regexp_extract(col("email"), "@(.*)$", 1)).as("email_domain"),
+        substring(md5(col("email")), 1, 16).as("pseudonym"))
+      .orderBy(col("c_custkey"))
+  }
+
   private val fnMath: QFn = (s, d) =>
     Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
@@ -370,6 +406,7 @@ object ScalarFns extends QueryGroup {
     "fn_datetime" -> fnDatetime,
     "fn_datetime2" -> fnDatetime2,
     "fn_hash" -> fnHash,
+    "fn_mask" -> fnMask,
     "fn_math" -> fnMath,
     "fn_trig" -> fnTrig,
     "fn_cond" -> fnCond,
@@ -419,6 +456,25 @@ object ScalarFns extends QueryGroup {
                 CAST(bit_count(o_orderkey) AS INT) AS popcount
          FROM orders WHERE o_orderkey < 200
          ORDER BY o_orderkey ASC NULLS FIRST""",
+    "fn_mask" ->
+      """WITH s AS (
+           SELECT c_custkey, c_name,
+                  'AC-' || lpad(CAST(c_custkey * 7919 % 100000000 AS VARCHAR),
+                                8, '0') AS acct,
+                  lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+                  || '@corp' || CAST(c_custkey % 5 AS VARCHAR)
+                  || '.example.com' AS email
+           FROM customer)
+         SELECT c_custkey,
+                regexp_replace(regexp_replace(regexp_replace(c_name,
+                  '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                  AS name_masked,
+                regexp_replace(substr(acct, 1, 7), '.', '*', 'g')
+                  || substr(acct, 8, 4) AS acct_last4,
+                '***@' || regexp_extract(email, '@(.*)$', 1) AS email_domain,
+                substr(md5(email), 1, 16) AS pseudonym
+         FROM s
+         ORDER BY c_custkey ASC NULLS FIRST""",
     "fn_string" ->
       """SELECT p_partkey,
                 upper(p_name) AS up,

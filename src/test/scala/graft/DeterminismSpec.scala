@@ -135,6 +135,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_analyze",         // stats change plans never results; decimal sums
     "scan_file_metadata",  // integer counts; row_index density per file
     "events_ab_test",      // exact decimal per-user sums, Welch closed form
+    "fn_mask",             // pure row functions (regex masking, md5 tokens)
   )
 
   private val postRounded = Seq(
