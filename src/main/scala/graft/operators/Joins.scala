@@ -210,6 +210,38 @@ object Joins extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a STALENESS TOLERANCE — the feature-store
+    * point-in-time rule (a training row may only join a feature
+    * observed before it AND not older than the freshness SLA; serving
+    * a stale feature silently is the classic trainer/server skew bug):
+    * join_asof's window composition extended to carry the matched
+    * click's timestamp, an exact integer staleness in seconds, and a
+    * `fresh_value` that refuses matches older than the 1 h tolerance.
+    * Purchases with no prior click keep NULL everywhere — the honest
+    * "no feature available" answer, distinct from "feature too old"
+    * (staleness present, fresh_value NULL). Same single per-user
+    * window — sort once per key, no pair enumeration, the §4-preferred
+    * as-of shape; the tolerance is a pure row predicate after the
+    * window, so the scale story is unchanged. */
+  private val joinAsofTol: QFn = (s, d) => {
+    val tolS = 3600L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("click_value", when(col("event_type") === "click", col("value")))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("prev_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .withColumn("prev_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("staleness_s",
+        expr("(ts - prev_click_ts) div 1000000000"))
+      .select(col("event_id"), col("user_id"), col("prev_click_value"),
+        col("staleness_s"),
+        when(col("staleness_s") <= tolS, col("prev_click_value")).as("fresh_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** The as-of mode of the custom RangeJoinExec sweep (pickLatest):
     * for each purchase, the most recent click strictly before it within
     * a 10-year lag window — join_asof's semantics on these fixtures
@@ -400,6 +432,7 @@ object Joins extends QueryGroup {
     "join_range_time" -> joinRangeTime,
     "join_range_exec" -> joinRangeExec,
     "join_asof" -> joinAsof,
+    "join_asof_tol" -> joinAsofTol,
     "join_asof_exec" -> joinAsofExec,
     "join_salted" -> joinSalted,
     "join_star" -> joinStar,
@@ -523,6 +556,26 @@ object Joins extends QueryGroup {
                     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     AS prev_click_value
+           FROM events) t
+         WHERE event_type = 'purchase'
+         ORDER BY event_id ASC NULLS FIRST""",
+    "join_asof_tol" ->
+      """SELECT event_id, user_id, prev_click_value,
+                (epoch_ns(ts) - epoch_ns(prev_click_ts)) // 1000000000
+                  AS staleness_s,
+                CASE WHEN (epoch_ns(ts) - epoch_ns(prev_click_ts))
+                          // 1000000000 <= 3600
+                     THEN prev_click_value END AS fresh_value
+         FROM (
+           SELECT event_id, user_id, event_type, ts,
+                  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_click_value,
+                  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_click_ts
            FROM events) t
          WHERE event_type = 'purchase'
          ORDER BY event_id ASC NULLS FIRST""",

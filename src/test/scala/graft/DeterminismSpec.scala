@@ -136,6 +136,7 @@ class DeterminismSpec extends AnyFunSuite {
     "scan_file_metadata",  // integer counts; row_index density per file
     "events_ab_test",      // exact decimal per-user sums, Welch closed form
     "fn_mask",             // pure row functions (regex masking, md5 tokens)
+    "join_asof_tol",       // unique (ts, event_id) window order; int staleness
   )
 
   private val postRounded = Seq(
