@@ -1125,7 +1125,108 @@ object LlmText extends QueryGroup {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Greedy left-to-right single-pair merge over a token array — BPE's
+    * apply step. Two spellings, chosen per pair at plan-build time:
+    * for x ≠ y matches CANNOT overlap (a match consumes (i, i+1); the
+    * next candidate at i+1 would need a[i+1] = x, but a[i+1] = y), so
+    * greedy == "merge every (x, y) adjacency" and the O(n) vectorized
+    * transform+filter is exact — and ~3× cheaper than a fold (it was
+    * the BPE trainer's dominant per-step cost). Only the x == y case
+    * (overlapping runs `x x x`, where greedy takes positions 0-1 then
+    * leaves 2) needs the sequential O(n²-copy) HOF fold (1-based
+    * element_at; acc.i = next unconsumed position). LawsSpec's
+    * train==apply replay and the DedupProps-style planted-phrase law
+    * cover both branches (the fixture trains an x==y merge at step 4). */
+  private[graft] def bpeMergeExpr(x: String, y: String): Column = {
+    val xq = x.replace("'", "\\'"); val yq = y.replace("'", "\\'")
+    if (x != y) expr(
+      s"""filter(
+            transform(sequence(1, size(tk)), j -> CASE
+              WHEN element_at(tk, j) = '$xq' AND j < size(tk)
+                   AND element_at(tk, j + 1) = '$yq'
+                THEN '$xq▁$yq'
+              WHEN element_at(tk, j) = '$yq' AND j > 1
+                   AND element_at(tk, j - 1) = '$xq'
+                THEN CAST(NULL AS STRING)
+              ELSE element_at(tk, j) END),
+            v -> v IS NOT NULL)""")
+    else expr(
+      s"""aggregate(sequence(1, size(tk)),
+            named_struct('out', CAST(array() AS ARRAY<STRING>), 'i', 1),
+            (acc, j) -> CASE
+              WHEN j != acc.i OR acc.i > size(tk) THEN acc
+              WHEN acc.i < size(tk) AND element_at(tk, acc.i) = '$xq'
+                   AND element_at(tk, acc.i + 1) = '$yq'
+                THEN named_struct('out',
+                       concat(acc.out, array(concat('$xq', '▁', '$yq'))),
+                       'i', acc.i + 2)
+              ELSE named_struct('out',
+                     concat(acc.out, array(element_at(tk, acc.i))),
+                     'i', acc.i + 1) END,
+            acc -> acc.out)""")
+  }
+
+  /** BPE merge TRAINING over the corpus token stream — the tokenizer-
+    * construction operator an LLM-data engine owes its users
+    * (Sennrich et al. 2016; SentencePiece's unigram/BPE trainers run
+    * exactly this loop at corpus scale). Character-level BPE on this
+    * fixture would collapse to a ~30-row word-frequency table, so the
+    * honest at-scale spelling is TOKEN-level merges (phrase BPE — the
+    * SentencePiece posture applied above whitespace): 6 iterations of
+    * [count adjacent pairs corpus-wide via ONE map-side-combining
+    * groupBy → argmax pair (count desc, then lexicographic — fully
+    * tie-broken) → greedy left-to-right merge applied as a pure HOF
+    * fold per doc]. The learned merge list is the MODEL — vocabulary-
+    * sized metadata the driver holds by definition (the k-means
+    * centroid posture); each iteration's corpus is localCheckpointed
+    * so lineage stays flat and the next count scans materialized
+    * arrays, not a growing expression tree. Output: one row per merge
+    * step (rank, x, y, pair_count at selection time, corpus token
+    * total after applying it) — strictly decreasing totals, every
+    * count ≥ 1. NO ORACLE by design (iterative corpus-wide argmax —
+    * the same reason sim_kmeans is no-oracle); LawsSpec asserts the
+    * training invariants, a planted-phrase selection property, and
+    * train/apply consistency via [[bpeMergeExpr]]. 100 TB: each step
+    * is one bigram count shuffle + one broadcast-scalar map — linear
+    * scans, no pair blow-up, model stays KB-sized. */
+  /** The training loop over any (doc_id, tk: array<string>) corpus;
+    * returns the merge rows and the final merged corpus so LawsSpec
+    * can assert train/apply consistency and planted-phrase selection
+    * on synthetic inputs. */
+  private[graft] def bpeTrain(docs0: DataFrame, steps: Int)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    var cur = docs0.localCheckpoint()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    for (step <- 1 to steps) {
+      val top = cur
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+               i -> named_struct('x', element_at(tk, i), 'y', element_at(tk, i + 1)))"""))
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y"))
+        .limit(1).collect()(0)
+      val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      cur = cur.select(col("doc_id"), bpeMergeExpr(x, y).as("tk")).localCheckpoint()
+      val total = cur.agg(sum(size(col("tk")))).collect()(0).getLong(0)
+      rows += ((step.toLong, x, y, n, total))
+    }
+    (rows.toSeq, cur)
+  }
+
+  private val textBpe: QFn = (s, d) => {
+    val (rows, _) = bpeTrain(
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk")), 6)
+    val sp = s
+    import sp.implicits._
+    rows.toDF("step", "merge_x", "merge_y", "pair_count", "tokens_after")
+      .orderBy(col("step"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    "text_bpe" -> textBpe,
     "text_normalize" -> textNormalize,
     "text_tokens" -> textTokens,
     "text_tfidf" -> textTfidf,

@@ -170,6 +170,35 @@ class DedupProps extends Properties("graft") {
       got(0L) == expected && got(1L) == expected
     }
 
+  /** Pure-Scala greedy left-to-right single-pair BPE merge. */
+  private def bpeRef(a: Seq[String], x: String, y: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < a.length) {
+      if (i < a.length - 1 && a(i) == x && a(i + 1) == y) {
+        out += s"$x▁$y"; i += 2
+      } else { out += a(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  property("bpeMergeExpr (both branches) equals the pure greedy reference") =
+    Prop.forAll(
+      Gen.listOfN(10, Gen.oneOf("p", "q", "r")),
+      Gen.oneOf("p", "q", "r"), Gen.oneOf("p", "q", "r")) { (a, x, y) =>
+      a.nonEmpty ==> {
+        // 3-symbol alphabet makes overlapping runs (x == y) and dense
+        // matches (x != y) both common; x == y exercises the fold
+        // branch, x != y the vectorized transform+filter branch
+        val spark = TestSpark.spark
+        import org.apache.spark.sql.functions._
+        val got = spark.createDataFrame(Seq(Tuple1(a))).toDF("tk")
+          .select(graft.operators.LlmText.bpeMergeExpr(x, y).as("m"))
+          .collect()(0).getSeq[String](0).toSeq
+        got == bpeRef(a, x, y)
+      }
+    }
+
   /** Pure-Scala reference of the C4 line gates. */
   private def boilerRef(page: String): (Long, Long, String) = {
     val lines = page.split("\n", -1)

@@ -137,6 +137,7 @@ class DeterminismSpec extends AnyFunSuite {
     "events_ab_test",      // exact decimal per-user sums, Welch closed form
     "fn_mask",             // pure row functions (regex masking, md5 tokens)
     "join_asof_tol",       // unique (ts, event_id) window order; int staleness
+    "text_bpe",            // exact pair counts; fully tie-broken argmax
   )
 
   private val postRounded = Seq(

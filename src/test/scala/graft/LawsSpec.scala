@@ -717,6 +717,54 @@ class LawsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("text_bpe: training invariants hold and merges never repeat") {
+    val out = SparkEntry.queries("text_bpe")(spark, sf).collect()
+    assert(out.length == 6)
+    val counts = out.map(_.getAs[Long]("pair_count"))
+    val totals = out.map(_.getAs[Long]("tokens_after"))
+    assert(counts.forall(_ >= 1L), "a selected pair had zero occurrences")
+    // totals strictly decrease, and each step removes at most
+    // pair_count tokens (greedy merges <= pair occurrences)
+    val before = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    (before +: totals.toSeq).sliding(2).zip(counts.iterator).foreach {
+      case (Seq(prev, next), n) =>
+        assert(next < prev, s"token total did not shrink: $prev -> $next")
+        assert(prev - next <= n, s"removed ${prev - next} > pair count $n")
+      case _ => ()
+    }
+    // greedy merge of (x, y) leaves no (x, y) adjacency, so a pair can
+    // never be selected twice
+    val pairs = out.map(r => (r.getAs[String]("merge_x"), r.getAs[String]("merge_y")))
+    assert(pairs.distinct.length == pairs.length, s"repeated merge: ${pairs.toSeq}")
+  }
+
+  test("text_bpe: a planted dominant phrase is learned first, train == apply") {
+    val sp = spark
+    import sp.implicits._
+    // "alpha beta" dominates; filler tokens are unique per position
+    val docs = (0L until 8L).map { i =>
+      (i, (s"f${i}a " + ("alpha beta " * 5) + s"f${i}b").trim)
+    }.toDF("doc_id", "text").select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val (rows, fin) = graft.operators.LlmText.bpeTrain(docs, 2)
+    assert(rows.head._2 == "alpha" && rows.head._3 == "beta",
+      s"first merge was ${rows.head}")
+    assert(rows.head._4 == 40L) // 5 occurrences x 8 docs
+    // train/apply consistency: replaying the learned merge list with
+    // bpeMergeExpr reproduces the trained corpus token total
+    var applied = docs
+    rows.foreach { case (_, x, y, _, _) =>
+      applied = applied.select(col("doc_id"),
+        graft.operators.LlmText.bpeMergeExpr(x, y).as("tk"))
+    }
+    val appliedTotal = applied.agg(sum(size(col("tk")))).head.getLong(0)
+    assert(appliedTotal == rows.last._5)
+    // and the final corpora agree row-for-row
+    val a = applied.orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val b = fin.orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("ingest_avro fails fast on a torn scratch dir (_DONE but no shards)") {
     // round-11 advice: a surviving _DONE marker over a cleaned shard
     // dir must raise, never silently return an empty DataFrame. Use a
