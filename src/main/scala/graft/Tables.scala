@@ -74,6 +74,15 @@ object Tables {
     * recreated per use; never read as an oracle input. */
   val scratchDir = "/tmp/graft_scratch"
 
+  /** Recursive delete of a scratch layout — the ONE spelling of the
+    * helper that had grown ~10 near-identical local copies (round-11
+    * review finding; some of them NPE'd on a listFiles() race). Safe
+    * on missing paths and race-emptied directories. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Content fingerprint (length ⊕ mtime ⊕ head/tail byte sample) of a
     * fixture table file. Keys derived scratch caches (ANN index, DPP
     * layout, embcos anchors) so a REGENERATED fixture can never be

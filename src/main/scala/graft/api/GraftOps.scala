@@ -897,13 +897,19 @@ object GraftOps {
     val c1 = regexp_replace(url, "#.*$", "")
     val s1 = regexp_replace(c1, "&utm_[A-Za-z0-9_]*=[^&#]*", "")
     val s2 = regexp_replace(s1, "\\?utm_[A-Za-z0-9_]*=[^&#]*&", "?")
-    // a bare trailing '?' OR '&' (utm-only query that ended in '&',
-    // a no-query '?' alias, or a kept-param query whose stripped
-    // trailing utm pair carried a trailing separator, e.g.
-    // '?id=1&utm_a=x&' → '?id=1&') is the same resource — strip it so
-    // every alias lands in one dedup group
+    // trailing-separator aliases: a '&' run ending an actual QUERY (a
+    // kept-param query whose stripped trailing utm pair carried its
+    // own separator, '?id=1&utm_a=x&' → '?id=1&', or a raw '?a=1&&')
+    // collapses onto the separator-less alias — anchored to a
+    // preceding '?' so a literal '&' ending a query-LESS path
+    // ('https://h.com/p&', a distinct resource) is never rewritten;
+    // then a bare trailing '?' (utm-only query that ended in '&', or
+    // a no-query '?' alias) drops
     val c2 = regexp_replace(
-      regexp_replace(s2, "\\?utm_[A-Za-z0-9_]*=[^&#]*$", ""), "[?&]$", "")
+      regexp_replace(
+        regexp_replace(s2, "\\?utm_[A-Za-z0-9_]*=[^&#]*$", ""),
+        "(\\?[^#]*?)&+$", "$1"),
+      "\\?$", "")
     val c3 = regexp_replace(c2, "/$", "")
     concat(lower(regexp_extract(c3, "^([a-zA-Z]+://[^/]+)", 1)),
            regexp_replace(c3, "^[a-zA-Z]+://[^/]+", ""))

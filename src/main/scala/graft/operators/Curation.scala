@@ -792,11 +792,13 @@ object Curation extends QueryGroup {
                       regexp_replace(
                         regexp_replace(
                           regexp_replace(
-                            regexp_replace(url, '#.*$', ''),
-                            '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
-                          '\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
-                        '\?utm_[A-Za-z0-9_]*=[^&#]*$', ''),
-                      '[?&]$', ''),
+                            regexp_replace(
+                              regexp_replace(url, '#.*$', ''),
+                              '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+                            '\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
+                          '\?utm_[A-Za-z0-9_]*=[^&#]*$', ''),
+                        '(\?[^#]*?)&+$', '\1'),
+                      '\?$', ''),
                     '/$', '') AS c3
            FROM u),
          k AS (

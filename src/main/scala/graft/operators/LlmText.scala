@@ -1140,7 +1140,10 @@ object LlmText extends QueryGroup {
   private[graft] def bpeMergeExpr(x: String, y: String): Column = {
     val xq = x.replace("'", "\\'"); val yq = y.replace("'", "\\'")
     if (x != y) expr(
-      s"""filter(
+      // size < 2 guard: sequence(1, 0) on an empty array is the
+      // DESCENDING [1, 0] and element_at would fault; a 0/1-token
+      // array can hold no pair, so it passes through unchanged
+      s"""CASE WHEN size(tk) < 2 THEN tk ELSE filter(
             transform(sequence(1, size(tk)), j -> CASE
               WHEN element_at(tk, j) = '$xq' AND j < size(tk)
                    AND element_at(tk, j + 1) = '$yq'
@@ -1149,7 +1152,7 @@ object LlmText extends QueryGroup {
                    AND element_at(tk, j - 1) = '$xq'
                 THEN CAST(NULL AS STRING)
               ELSE element_at(tk, j) END),
-            v -> v IS NOT NULL)""")
+            v -> v IS NOT NULL) END""")
     else expr(
       s"""aggregate(sequence(1, size(tk)),
             named_struct('out', CAST(array() AS ARRAY<STRING>), 'i', 1),
@@ -1198,7 +1201,13 @@ object LlmText extends QueryGroup {
     var cur = docs0.localCheckpoint()
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
     for (step <- 1 to steps) {
+      // docs below 2 tokens carry no pair — filtered HERE only (they
+      // stay in the corpus and in the token totals). Without the guard
+      // sequence(1, size-1) on a 1-token doc is the DESCENDING [1, 0]
+      // and element_at(tk, 0) kills the job; merges can shrink a doc
+      // under 2 tokens mid-training, so this is live, not theoretical.
       val top = cur
+        .filter(size(col("tk")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(tk) - 1),
                i -> named_struct('x', element_at(tk, i), 'y', element_at(tk, i + 1)))"""))

@@ -171,11 +171,7 @@ object LlmVector extends QueryGroup {
       assigned.write.mode("overwrite").partitionBy("cell")
         .parquet(tmp.getPath)
       new java.io.File(tmp, "_DONE").createNewFile()
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (deltaDir.exists()) rm(deltaDir) // crash-stale partial dir
+      if (deltaDir.exists()) Tables.deleteRecursively(deltaDir) // crash-stale partial dir
       java.nio.file.Files.move(tmp.toPath, deltaDir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }

@@ -887,10 +887,12 @@ object Scans extends QueryGroup {
     * split, driven the only correct way: from the RETAINED manifests'
     * reference set, never from file naming or age alone. The walk and
     * delete are driver-side metadata-plane operations (file-count-
-    * sized — what the catalog always holds); deleted paths land in
-    * _VACUUM_LOG so the proof "only unreferenced files disappeared"
-    * is auditable after the fact (PlanSpec asserts it). Idempotent:
-    * a _VACUUMED marker makes re-runs read-only. */
+    * sized — what the catalog always holds); intended deletions land
+    * in _VACUUM_LOG BEFORE any delete, and an interrupted run's rerun
+    * unions the prior log, so the audit trail "only unreferenced
+    * files disappeared" survives crashes mid-reclaim (PlanSpec
+    * asserts it). Idempotent: a _VACUUMED marker makes re-runs
+    * read-only. */
   private[graft] def vacuumRetainLatest(
       s: org.apache.spark.sql.SparkSession, base: String): Unit = {
     if (new java.io.File(s"$base/_VACUUMED").exists()) return
@@ -908,21 +910,26 @@ object Scans extends QueryGroup {
       kept.contains(p.toString) || kept.exists(_.startsWith(dir + "/"))
     }
     require(keepF.nonEmpty, s"graft.vacuum: retained manifest references no live file under $base")
+    // the audit log lands BEFORE any delete (round-11 review finding):
+    // a crash mid-delete re-runs with the already-deleted files absent
+    // from the recomputed doomed set, so the re-run UNIONS the prior
+    // log — the audit trail never loses a deletion it performed
+    val logPath = java.nio.file.Paths.get(s"$base/_VACUUM_LOG")
+    val prior =
+      if (java.nio.file.Files.exists(logPath))
+        new String(java.nio.file.Files.readAllBytes(logPath),
+          java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+      else Seq.empty[String]
+    java.nio.file.Files.write(logPath,
+      (prior ++ doomed.map(_.toString)).distinct.sorted.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     doomed.foreach(java.nio.file.Files.delete)
     // drop now-empty generation dirs and the expired manifests
     all.map(_.getParent).distinct.foreach { dir =>
       if (Option(dir.toFile.listFiles()).exists(_.isEmpty)) dir.toFile.delete()
     }
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
-      f.delete(); ()
-    }
-    rmTree(new java.io.File(s"$base/manifest/v0"))
-    rmTree(new java.io.File(s"$base/manifest/v1"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$base/_VACUUM_LOG"),
-      doomed.map(_.toString).sorted.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Tables.deleteRecursively(new java.io.File(s"$base/manifest/v0"))
+    Tables.deleteRecursively(new java.io.File(s"$base/manifest/v1"))
     new java.io.File(s"$base/_VACUUMED").createNewFile()
     ()
   }

@@ -171,12 +171,8 @@ object SqlSurface extends QueryGroup {
     * external location first (CTAS refuses a non-empty dir). */
   private val sqlDdl: QFn = (s, d) => {
     val loc = s"${Tables.scratchDir}/catalog/part_cat"
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     s.sql("DROP TABLE IF EXISTS graft_part_cat")
-    rmrf(new java.io.File(loc))
+    Tables.deleteRecursively(new java.io.File(loc))
     Tables.part(s, d).createOrReplaceTempView("graft_part_src_v")
     s.sql(s"""CREATE TABLE graft_part_cat
               USING parquet LOCATION '$loc'
@@ -227,12 +223,8 @@ object SqlSurface extends QueryGroup {
     * Deterministic rebuild per evaluation, the sqlDdl convention. */
   private val sqlInsert: QFn = (s, d) => {
     val loc = s"${Tables.scratchDir}/catalog/orders_ins"
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     s.sql("DROP TABLE IF EXISTS graft_orders_ins")
-    rmrf(new java.io.File(loc))
+    Tables.deleteRecursively(new java.io.File(loc))
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_src_v")
     s.sql(s"""CREATE TABLE graft_orders_ins (
                 o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
@@ -302,13 +294,9 @@ object SqlSurface extends QueryGroup {
   private val sqlMerge: QFn = (s, d) => {
     val locT = s"${Tables.scratchDir}/catalog/cust_merge_t"
     val locS = s"${Tables.scratchDir}/catalog/cust_merge_s"
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     s.sql("DROP TABLE IF EXISTS graft_cust_merge_t")
     s.sql("DROP TABLE IF EXISTS graft_cust_merge_s")
-    rmrf(new java.io.File(locT)); rmrf(new java.io.File(locS))
+    Tables.deleteRecursively(new java.io.File(locT)); Tables.deleteRecursively(new java.io.File(locS))
     Tables.customer(s, d).createOrReplaceTempView("graft_cust_src_v")
     s.sql(s"""CREATE TABLE graft_cust_merge_t
               USING parquet LOCATION '$locT'
@@ -580,15 +568,11 @@ object SqlSurface extends QueryGroup {
     * the scratch-layout posture. */
   private val sqlAnalyze: QFn = (s, d) => {
     val loc = s"${Tables.scratchDir}/catalog/cbo_orders"
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     // deterministic rebuild per evaluation, the sqlDdl convention (a
     // stale external location from another JVM would otherwise refuse
     // the CTAS)
     s.sql("DROP TABLE IF EXISTS graft_cbo_orders")
-    rmrf(new java.io.File(loc))
+    Tables.deleteRecursively(new java.io.File(loc))
     Tables.orders(s, d).createOrReplaceTempView("graft_cbo_src_v")
     s.sql(s"""CREATE TABLE graft_cbo_orders
               USING parquet LOCATION '$loc'

@@ -411,8 +411,13 @@ object StreamingOps {
     * then flip a _CURRENT pointer file — so readers never observe a
     * half-written state and a crashed batch leaves the previous
     * version live. Replay-safe end to end: the version dir is keyed by
-    * batchId (a replay overwrites its own dir) and the merge itself is
-    * idempotent, so the republished state is byte-identical. State
+    * batchId (a replay overwrites its own dir), the merge itself is
+    * idempotent so the republished state is byte-identical, and the
+    * merged state is MATERIALIZED (localCheckpoint) before the
+    * overwrite — a flip-then-crash replay reads v_<batchId> through
+    * the pointer while targeting the same dir, which an unmaterialized
+    * plan could not legally overwrite (StreamingSpec drives this exact
+    * crash window through a real checkpoint restart). State
     * size is |keys|, not |events| — the shape that holds at 100 TB
     * where the event stream dwarfs the key space. */
   def upsertSink(events: DataFrame, stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -424,9 +429,21 @@ object StreamingOps {
         val cur = currentUpsertState(s, stateDir)
           .getOrElse(batch.limit(0).select(col("user_id"), col("ts_us"),
             col("event_id"), col("event_type"), col("value")))
-        val next = upsertMerge(cur, batch)
+        // MATERIALIZE before writing (round-11 review finding): on a
+        // replay after a flip-then-crash, _CURRENT already points at
+        // v_<batchId>, so the merged plan READS the very dir the
+        // overwrite targets — Spark rejects that plan ("cannot
+        // overwrite a path that is also being read from") and the
+        // restart would crash-loop. localCheckpoint pins the merged
+        // state (|keys|-sized) into block storage and replaces the
+        // file lineage, making the overwrite legal and safe.
+        val next = upsertMerge(cur, batch).localCheckpoint()
         val vDir = s"$stateDir/v_$batchId"
         next.write.mode("overwrite").parquet(vDir)
+        // no explicit unpersist: the checkpoint blocks free via the
+        // ContextCleaner once the batch-local DF goes out of scope
+        // (unpersisting a localCheckpoint would discard its ONLY copy
+        // and is unsafe if anything still referenced it)
         val tmp = java.nio.file.Paths.get(s"$stateDir/_CURRENT.tmp")
         java.nio.file.Files.write(tmp,
           s"v_$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))

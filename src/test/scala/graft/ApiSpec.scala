@@ -250,24 +250,20 @@ class ApiSpec extends AnyFunSuite {
     // a lost marker — alone (torn build: stale partial data present)
     // or with the whole directory gone — must trigger a rebuild that
     // reproduces the original results exactly
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
     // minhash band index (dedup_incremental's corpus artifact)
     val mhBefore = rows(SparkEntry.queries("dedup_incremental")(spark, sf))
     val mh = operators.LlmText.ensureMinhashIndex(spark, sf)
     assert(new java.io.File(s"$mh/_DONE").delete(), "marker should exist")
     val mhTorn = rows(SparkEntry.queries("dedup_incremental")(spark, sf))
     assert(mhTorn == mhBefore, "rebuild over stale data diverged")
-    rmrf(new java.io.File(mh))
+    Tables.deleteRecursively(new java.io.File(mh))
     val mhCold = rows(SparkEntry.queries("dedup_incremental")(spark, sf))
     assert(mhCold == mhBefore, "cold rebuild diverged")
     assert(new java.io.File(s"$mh/_DONE").exists(), "marker not rewritten")
     // IVF ANN index (sim_knn_ivf's persisted cells + centroids)
     val ivfBefore = rows(SparkEntry.queries("sim_knn_ivf")(spark, sf))
     val ann = operators.LlmVector.ensureAnnIndex(spark, sf)
-    rmrf(new java.io.File(ann))
+    Tables.deleteRecursively(new java.io.File(ann))
     val ivfCold = rows(SparkEntry.queries("sim_knn_ivf")(spark, sf))
     assert(ivfCold == ivfBefore, "IVF cold rebuild diverged")
     assert(new java.io.File(s"$ann/_DONE").exists(), "IVF marker not rewritten")
@@ -517,8 +513,12 @@ class ApiSpec extends AnyFunSuite {
       // utm pair WITH its own trailing '&' must not leave '?id=1&'
       ("https://h.com/p?id=1&utm_a=x&", "https://h.com/p?id=1"),
       // and a bare trailing '&' with no utm involvement is the same
-      // resource as the '&'-less alias
+      // resource as the '&'-less alias — even a '&&' run
       ("https://h.com/p?id=1&", "https://h.com/p?id=1"),
+      ("https://h.com/p?id=1&&", "https://h.com/p?id=1"),
+      // but a literal '&' ending a query-LESS path is a DISTINCT
+      // resource and must survive (round-11 review finding)
+      ("https://h.com/p&", "https://h.com/p&"),
       // multiple utm pairs + fragment: query emptied, '?' dropped
       ("https://h.com/p?utm_a=1&utm_b=2#frag", "https://h.com/p"),
       // literal & in a query-less path is never rewritten

@@ -739,6 +739,24 @@ class LawsSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length, s"repeated merge: ${pairs.toSeq}")
   }
 
+  test("text_bpe: sub-2-token docs survive training unchanged (no pair to count)") {
+    // round-11 review finding: sequence(1, size-1) on a 1-token doc is
+    // the DESCENDING [1, 0] and element_at(tk, 0) killed the pair job;
+    // merges can shrink a doc under 2 tokens mid-training, so the
+    // guard is live. One-token and two-token docs must both train.
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((0L, "solo"), (1L, "alpha beta"), (2L, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val (rows, fin) = graft.operators.LlmText.bpeTrain(docs, 2)
+    assert(rows.head._2 == "alpha" && rows.head._3 == "beta")
+    val out = fin.orderBy(col("doc_id")).collect()
+      .map(_.getSeq[String](1).toSeq)
+    assert(out(0) == Seq("solo"), out(0).toString)           // untouched
+    assert(out(1).length == 1 && out(2).length <= 2)         // merged
+  }
+
   test("text_bpe: a planted dominant phrase is learned first, train == apply") {
     val sp = spark
     import sp.implicits._

@@ -694,6 +694,43 @@ class PlanSpec extends AnyFunSuite {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("an interrupted vacuum resumes without losing audit entries") {
+    // round-11 review finding: the log used to land AFTER the deletes,
+    // so a crash mid-reclaim re-ran to an EMPTY audit log. Simulate the
+    // crash state on a test-owned fixture copy: one doomed file already
+    // deleted and logged, no _VACUUMED marker — the resumed vacuum must
+    // finish the reclaim and UNION the prior log.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vac_resume")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.sf}/lineitem.parquet"),
+        tmp.resolve("lineitem.parquet"))
+      val base = graft.operators.Scans.ensureVacuumLayout(spark, tmp.toString)
+      val gen0 = new java.io.File(s"$base/data/gen0").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(gen0.length >= 2)
+      val victim = gen0.head
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/_VACUUM_LOG"),
+        victim.getPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(victim.delete())
+      graft.operators.Scans.vacuumRetainLatest(spark, base)
+      val logged = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/_VACUUM_LOG")),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+      assert(logged.contains(victim.getPath), "prior audit entry lost on resume")
+      assert(logged.length > 1, "resume reclaimed nothing beyond the prior entry")
+      logged.foreach(p => assert(!new java.io.File(p).exists(), s"logged but present: $p"))
+      assert(new java.io.File(s"$base/_VACUUMED").exists())
+      // retained snapshot still fully readable
+      val files = spark.read.parquet(s"$base/manifest/v2")
+        .select(col("path")).collect()
+        .map(_.getString(0).replaceFirst("^file:(//)?", ""))
+      files.foreach(p => assert(new java.io.File(p).exists()))
+    } finally {
+      Tables.deleteRecursively(tmp.toFile)
+    }
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)

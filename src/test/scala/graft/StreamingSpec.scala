@@ -194,11 +194,7 @@ class StreamingSpec extends AnyFunSuite {
     val sp = spark
     import sp.implicits._
     val base = s"${Tables.scratchDir}/st_availnow"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    Tables.deleteRecursively(new java.io.File(base))
     val srcDir = s"$base/src"
     val sentinel = Ev(-1L,
       new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
@@ -223,7 +219,7 @@ class StreamingSpec extends AnyFunSuite {
       val exp = StreamingOps.quotaFlags(batchDf(evs))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == exp, s"stream-batch drift: ${got.diff(exp)} / ${exp.diff(got)}")
-    } finally { q.stop(); rm(new java.io.File(base)) }
+    } finally { q.stop(); Tables.deleteRecursively(new java.io.File(base)) }
   }
 
   test("stream_upsert keeps a newest-wins state table equal to the batch merge") {
@@ -231,11 +227,7 @@ class StreamingSpec extends AnyFunSuite {
     import sp.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = s"${Tables.scratchDir}/st_upsert"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    Tables.deleteRecursively(new java.io.File(base))
     new java.io.File(base).mkdirs()
     val in = MemoryStream[Ev]
     val q = StreamingOps.upsertSink(in.toDF(), base)
@@ -264,7 +256,58 @@ class StreamingSpec extends AnyFunSuite {
       val replayed = StreamingOps.upsertMerge(state, batchDf(lastChunk))
       assert(replayed.orderBy(col("user_id")).collect().map(_.toString).toSeq ==
         state.orderBy(col("user_id")).collect().map(_.toString).toSeq)
-    } finally { q.stop(); rm(new java.io.File(base)) }
+    } finally { q.stop(); Tables.deleteRecursively(new java.io.File(base)) }
+  }
+
+  test("stream_upsert survives a flip-then-crash replay through a real restart") {
+    // round-11 review finding: on replay, _CURRENT already points at
+    // v_<batchId>, so the merge READS the dir the overwrite targets —
+    // without materialization Spark rejects the plan and the restart
+    // crash-loops. Drive the exact window: file source + checkpoint,
+    // stop after a batch, delete its COMMIT marker (died between
+    // pointer flip and checkpoint commit), restart, and require the
+    // replay to drain and the state to equal the batch merge.
+    val sp = spark
+    import sp.implicits._
+    val base = s"${Tables.scratchDir}/st_upsert_restart"
+    Tables.deleteRecursively(new java.io.File(base))
+    val srcDir = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    new java.io.File(state).mkdirs()
+    val chunks = evs.grouped((evs.length / 3) + 1).toSeq
+    def feed(cs: Seq[Seq[Ev]]): Unit = cs.foreach { c =>
+      spark.createDataset(c).coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def startQ() = StreamingOps.upsertSink(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir),
+        state)
+      .option("checkpointLocation", ckpt)
+      .start()
+    feed(chunks.take(2))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop()
+    // crash window: pointer flipped, checkpoint commit gone
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val last = commits.maxBy(_.getName.toLong)
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    assert(last.delete())
+    feed(chunks.drop(2))
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val got = StreamingOps.currentUpsertState(spark, state)
+        .getOrElse(fail("no published state"))
+        .orderBy(col("user_id")).collect().map(_.toString).toSeq
+      val exp = StreamingOps.upsertMerge(
+          batchDf(evs).select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"), col("value")).limit(0),
+          batchDf(evs))
+        .orderBy(col("user_id")).collect().map(_.toString).toSeq
+      assert(got == exp, "replayed state drifted from the batch merge")
+    } finally { q2.stop(); Tables.deleteRecursively(new java.io.File(base)) }
   }
 
   test("stream_topk per-window trending types equal the batch rank") {
@@ -590,11 +633,7 @@ class StreamingSpec extends AnyFunSuite {
     import sp.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val out = s"${Tables.scratchDir}/st_foreach_batch"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(out)) // stale batch dirs from prior runs
+    Tables.deleteRecursively(new java.io.File(out)) // stale batch dirs from prior runs
     val in = MemoryStream[Ev]
     val q = StreamingOps.sinkPerBatch(in.toDF(), out).start()
     in.addData(evs.take(300)); q.processAllAvailable()
@@ -613,11 +652,7 @@ class StreamingSpec extends AnyFunSuite {
     import sp.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val out = s"${Tables.scratchDir}/st_manifest_sink"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(out))
+    Tables.deleteRecursively(new java.io.File(out))
     val in = MemoryStream[Ev]
     val q = StreamingOps.manifestSink(in.toDF(), out).start()
     in.addData(evs.take(300)); q.processAllAvailable()
@@ -674,11 +709,7 @@ class StreamingSpec extends AnyFunSuite {
     val sp = spark
     import sp.implicits._
     val base = s"${Tables.scratchDir}/st_restart"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    Tables.deleteRecursively(new java.io.File(base))
     val srcDir = s"$base/src"; val out = s"$base/sink"; val ckpt = s"$base/ckpt"
     val chunks = evs.grouped(200).toSeq
     def feed(cs: Seq[Seq[Ev]]): Unit = cs.foreach { c =>
