@@ -1206,7 +1206,7 @@ object LlmText extends QueryGroup {
       // sequence(1, size-1) on a 1-token doc is the DESCENDING [1, 0]
       // and element_at(tk, 0) kills the job; merges can shrink a doc
       // under 2 tokens mid-training, so this is live, not theoretical.
-      val top = cur
+      val topOpt = cur
         .filter(size(col("tk")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(tk) - 1),
@@ -1215,7 +1215,12 @@ object LlmText extends QueryGroup {
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("x"), col("y"))
-        .limit(1).collect()(0)
+        .limit(1).collect().headOption
+      // merges can exhaust every adjacent pair before `steps` runs out
+      // (round-11 review: a corpus of lone 2-token docs empties after
+      // one merge) — stop early with the merges found, never crash
+      if (topOpt.isEmpty) return (rows.toSeq, cur)
+      val top = topOpt.get
       val (x, y, n) = (top.getString(0), top.getString(1), top.getLong(2))
       cur = cur.select(col("doc_id"), bpeMergeExpr(x, y).as("tk")).localCheckpoint()
       val total = cur.agg(sum(size(col("tk")))).collect()(0).getLong(0)

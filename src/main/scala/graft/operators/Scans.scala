@@ -874,7 +874,7 @@ object Scans extends QueryGroup {
     base
   }
 
-  private def stripFileScheme(p: String): String =
+  private[graft] def stripFileScheme(p: String): String =
     p.replaceFirst("^file:(//)?", "")
 
   /** VACUUM — the retention verb completing the manifest-plane story
@@ -920,9 +920,16 @@ object Scans extends QueryGroup {
         new String(java.nio.file.Files.readAllBytes(logPath),
           java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
       else Seq.empty[String]
-    java.nio.file.Files.write(logPath,
+    // tmp + ATOMIC_MOVE (the _CURRENT-pointer recipe): a plain
+    // truncate-in-place rewrite could itself die half-flushed on the
+    // resume path and destroy the prior entries it just read
+    val logTmp = java.nio.file.Paths.get(s"$base/_VACUUM_LOG.tmp")
+    java.nio.file.Files.write(logTmp,
       (prior ++ doomed.map(_.toString)).distinct.sorted.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(logTmp, logPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     doomed.foreach(java.nio.file.Files.delete)
     // drop now-empty generation dirs and the expired manifests
     all.map(_.getParent).distinct.foreach { dir =>

@@ -410,14 +410,15 @@ object StreamingOps {
     * ann_upsert atomic-pointer recipe — write version dir v_<batchId>,
     * then flip a _CURRENT pointer file — so readers never observe a
     * half-written state and a crashed batch leaves the previous
-    * version live. Replay-safe end to end: the version dir is keyed by
-    * batchId (a replay overwrites its own dir), the merge itself is
-    * idempotent so the republished state is byte-identical, and the
-    * merged state is MATERIALIZED (localCheckpoint) before the
-    * overwrite — a flip-then-crash replay reads v_<batchId> through
-    * the pointer while targeting the same dir, which an unmaterialized
-    * plan could not legally overwrite (StreamingSpec drives this exact
-    * crash window through a real checkpoint restart). State
+    * version live. Replay-safe end to end: every ATTEMPT writes a
+    * fresh `v_<batchId>_a<k>` dir — published dirs are never
+    * overwritten, so there is no overwrite-while-reading plan and no
+    * half-written-dir-behind-a-live-pointer window — and the merge
+    * itself is idempotent, so a replay republishes byte-identical
+    * content under a new attempt suffix (StreamingSpec drives the
+    * flip-then-crash window through a real checkpoint restart).
+    * Superseded attempt dirs are unreferenced garbage for the
+    * retention vacuum. State
     * size is |keys|, not |events| — the shape that holds at 100 TB
     * where the event stream dwarfs the key space. */
   def upsertSink(events: DataFrame, stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -429,24 +430,26 @@ object StreamingOps {
         val cur = currentUpsertState(s, stateDir)
           .getOrElse(batch.limit(0).select(col("user_id"), col("ts_us"),
             col("event_id"), col("event_type"), col("value")))
-        // MATERIALIZE before writing (round-11 review finding): on a
-        // replay after a flip-then-crash, _CURRENT already points at
-        // v_<batchId>, so the merged plan READS the very dir the
-        // overwrite targets — Spark rejects that plan ("cannot
-        // overwrite a path that is also being read from") and the
-        // restart would crash-loop. localCheckpoint pins the merged
-        // state (|keys|-sized) into block storage and replaces the
-        // file lineage, making the overwrite legal and safe.
-        val next = upsertMerge(cur, batch).localCheckpoint()
-        val vDir = s"$stateDir/v_$batchId"
-        next.write.mode("overwrite").parquet(vDir)
-        // no explicit unpersist: the checkpoint blocks free via the
-        // ContextCleaner once the batch-local DF goes out of scope
-        // (unpersisting a localCheckpoint would discard its ONLY copy
-        // and is unsafe if anything still referenced it)
+        val next = upsertMerge(cur, batch)
+        // NEVER overwrite a published version dir (round-11 review):
+        // on a flip-then-crash replay _CURRENT already points at this
+        // batch's dir, so an in-place overwrite would (a) be rejected
+        // by Spark as overwrite-while-reading and (b) even if forced,
+        // leave a half-written dir behind the live pointer on a second
+        // crash. Instead every ATTEMPT writes a fresh suffixed dir and
+        // only the atomic pointer flip publishes it — a crash at ANY
+        // point leaves the previous version live and consistent, and
+        // superseded/orphaned attempt dirs are exactly the
+        // unreferenced garbage a retention vacuum (sink_vacuum's verb)
+        // reclaims later.
+        val attempt = Option(new java.io.File(stateDir)
+            .listFiles()).getOrElse(Array.empty[java.io.File])
+          .count(_.getName.startsWith(s"v_${batchId}_a"))
+        val vName = s"v_${batchId}_a$attempt"
+        next.write.mode("overwrite").parquet(s"$stateDir/$vName")
         val tmp = java.nio.file.Paths.get(s"$stateDir/_CURRENT.tmp")
         java.nio.file.Files.write(tmp,
-          s"v_$batchId".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          vName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.move(tmp,
           java.nio.file.Paths.get(s"$stateDir/_CURRENT"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,

@@ -637,7 +637,7 @@ class PlanSpec extends AnyFunSuite {
     assert(out(0).toSeq.drop(1) == out(1).toSeq.drop(1),
       s"retained read changed across vacuum: ${out.toSeq}")
     val base = graft.operators.Scans.ensureVacuumLayout(spark, TestSpark.sf)
-    def strip(p: String) = p.replaceFirst("^file:(//)?", "")
+    def strip(p: String) = graft.operators.Scans.stripFileScheme(p)
     // every file the retained manifest references is still on disk
     val kept = spark.read.parquet(s"$base/manifest/v2")
       .select(col("path")).collect().map(r => strip(r.getString(0)))
@@ -701,11 +701,12 @@ class PlanSpec extends AnyFunSuite {
     // deleted and logged, no _VACUUMED marker — the resumed vacuum must
     // finish the reclaim and UNION the prior log.
     val tmp = java.nio.file.Files.createTempDirectory("graft_vac_resume")
+    var base: String = null
     try {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"${TestSpark.sf}/lineitem.parquet"),
         tmp.resolve("lineitem.parquet"))
-      val base = graft.operators.Scans.ensureVacuumLayout(spark, tmp.toString)
+      base = graft.operators.Scans.ensureVacuumLayout(spark, tmp.toString)
       val gen0 = new java.io.File(s"$base/data/gen0").listFiles()
         .filter(_.getName.endsWith(".parquet"))
       assert(gen0.length >= 2)
@@ -724,10 +725,13 @@ class PlanSpec extends AnyFunSuite {
       // retained snapshot still fully readable
       val files = spark.read.parquet(s"$base/manifest/v2")
         .select(col("path")).collect()
-        .map(_.getString(0).replaceFirst("^file:(//)?", ""))
+        .map(r => graft.operators.Scans.stripFileScheme(r.getString(0)))
       files.foreach(p => assert(new java.io.File(p).exists()))
     } finally {
       Tables.deleteRecursively(tmp.toFile)
+      // the per-run unique tmp name keys a fresh scratch layout — it
+      // would accumulate forever if not reclaimed here (review finding)
+      if (base != null) Tables.deleteRecursively(new java.io.File(base))
     }
   }
 
