@@ -519,10 +519,18 @@ object EventsBatch extends QueryGroup {
           pick("nd", 1), pick("sx", 1), pick("sxx", 1))
       .withColumn("m0", col("sx0") / col("nd0"))
       .withColumn("m1", col("sx1") / col("nd1"))
-      .withColumn("v0", (col("nd0") * col("sxx0") - col("sx0") * col("sx0"))
-        / (col("nd0") * (col("nd0") - lit(1.0))))
-      .withColumn("v1", (col("nd1") * col("sxx1") - col("sx1") * col("sx1"))
-        / (col("nd1") * (col("nd1") - lit(1.0))))
+      // n=1 arm guard (round-11 advice): Spark double ÷0 yields
+      // Inf/NaN while DuckDB yields NULL — a degenerate fixture would
+      // silently diverge from the oracle. Emit NULL variance
+      // explicitly on BOTH engines; every downstream stat then NULLs
+      // identically by propagation, so a degenerate arm reads as an
+      // unambiguous all-NULL readout, not an engine-dependent number.
+      .withColumn("v0", when(col("nd0") > lit(1.0),
+        (col("nd0") * col("sxx0") - col("sx0") * col("sx0"))
+          / (col("nd0") * (col("nd0") - lit(1.0)))))
+      .withColumn("v1", when(col("nd1") > lit(1.0),
+        (col("nd1") * col("sxx1") - col("sx1") * col("sx1"))
+          / (col("nd1") * (col("nd1") - lit(1.0)))))
       .withColumn("se2", col("v0") / col("nd0") + col("v1") / col("nd1"))
       .withColumn("tu", (col("m0") - col("m1")) / sqrt(col("se2")))
       .select(
@@ -590,8 +598,10 @@ object EventsBatch extends QueryGroup {
            FROM m),
          c AS (
            SELECT nd0, nd1, sx0 / nd0 AS m0, sx1 / nd1 AS m1,
-                  (nd0 * sxx0 - sx0 * sx0) / (nd0 * (nd0 - 1.0)) AS v0,
-                  (nd1 * sxx1 - sx1 * sx1) / (nd1 * (nd1 - 1.0)) AS v1
+                  CASE WHEN nd0 > 1.0 THEN
+                    (nd0 * sxx0 - sx0 * sx0) / (nd0 * (nd0 - 1.0)) END AS v0,
+                  CASE WHEN nd1 > 1.0 THEN
+                    (nd1 * sxx1 - sx1 * sx1) / (nd1 * (nd1 - 1.0)) END AS v1
            FROM p),
          e AS (SELECT nd0, nd1, m0, m1, v0, v1,
                       v0 / nd0 + v1 / nd1 AS se2 FROM c)

@@ -904,10 +904,21 @@ object Scans extends QueryGroup {
       import scala.jdk.CollectionConverters._
       walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toVector
     } finally walk.close()
+    // dir-level survival is for SIDECARS ONLY (_SUCCESS, .crc,
+    // _-prefixed markers — committer metadata that lives or dies with
+    // its directory). Round-11 advice: the prior spelling kept ANY
+    // file sharing a dir with a referenced one, so a layout that ever
+    // mixed referenced and unreferenced DATA files in one generation
+    // dir would silently under-reclaim with no audit entry. Now an
+    // unreferenced data file is doomed (and logged) wherever it sits.
+    def isSidecar(p: java.nio.file.Path): Boolean = {
+      val n = p.getFileName.toString
+      n == "_SUCCESS" || n.endsWith(".crc") || n.startsWith("_") || n.startsWith(".")
+    }
     val (keepF, doomed) = all.partition { p =>
       val dir = p.getParent.toString
-      // a non-data sidecar (_SUCCESS, .crc) lives or dies with its dir
-      kept.contains(p.toString) || kept.exists(_.startsWith(dir + "/"))
+      kept.contains(p.toString) ||
+        (isSidecar(p) && kept.exists(_.startsWith(dir + "/")))
     }
     require(keepF.nonEmpty, s"graft.vacuum: retained manifest references no live file under $base")
     // the audit log lands BEFORE any delete (round-11 review finding):
