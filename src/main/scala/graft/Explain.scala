@@ -38,7 +38,8 @@ object Explain {
     "ingest_binary", "text_blocklist", "sample_epochs",
     "text_dedup_substring", "text_boilerplate", "profile_observe",
     "sink_vacuum", "sql_q10", "sql_q7", "sql_analyze",
-    "scan_file_metadata", "events_ab_test", "fn_mask", "join_asof_tol")
+    "scan_file_metadata", "events_ab_test", "fn_mask", "join_asof_tol",
+    "text_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -1251,18 +1251,73 @@ object LlmText extends QueryGroup {
     (rows.toSeq, cur)
   }
 
+  /** Session-lifetime memo of the trained merge list per (session,
+    * fixture fingerprint) — the model is driver-held KB-sized metadata
+    * (the k-means centroid posture), so train ONCE per fixture and let
+    * both the declared training rung (text_bpe) and the encode rung
+    * (text_bpe_apply) read the same fit; retraining per consumer would
+    * double the one iterative-trainer cost in the bench. The final
+    * corpus checkpoint is released immediately — only the collected
+    * merge rows outlive training. */
+  private val bpeFitCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String),
+      Seq[(Long, String, String, Long, Long)]]()
+  private[graft] def bpeFit(s: SparkSession, d: String)
+      : Seq[(Long, String, String, Long, Long)] =
+    bpeFitCache.getOrElseUpdate((s, Tables.fingerprint(d, "documents")), {
+      val (rows, fin) = bpeTrain(
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk")), 6)
+      fin.unpersist()
+      rows
+    })
+
   private val textBpe: QFn = (s, d) => {
-    val (rows, _) = bpeTrain(
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk")), 6)
+    val rows = bpeFit(s, d)
     val sp = s
     import sp.implicits._
     rows.toDF("step", "merge_x", "merge_y", "pair_count", "tokens_after")
       .orderBy(col("step"))
   }
 
+  /** BPE ENCODE — the trained merge list replayed over the corpus, the
+    * half a pipeline actually runs per-document at 100 TB (train once,
+    * encode everywhere). Unlike training (iterative corpus-wide argmax
+    * → no oracle), applying a FIXED merge list is a pure row function:
+    * 6 chained [[bpeMergeExpr]] HOF passes — one corpus scan, ZERO
+    * data shuffles (the output orderBy is fixture presentation). Emits
+    * per-doc tokens_before / tokens_after, the compression ratio in
+    * exact parts-per-million via INTEGER division (a rounded double
+    * ratio like 129/128 sits exactly on a 6-dp half boundary and
+    * Spark HALF_UP vs DuckDB half-even would split — the §7.4
+    * floor-don't-round recipe), and a 48-bit md5 fingerprint of the
+    * final token stream so the oracle pins the exact encoded CONTENT,
+    * not just counts. Oracle: the 6 training steps unrolled as CTEs —
+    * per step, pair-count → fully-tie-broken argmax → greedy merge via
+    * the window construction (candidate positions, consecutive-j
+    * chains, keep even offsets) that DedupProps-equivalently realizes
+    * greedy left-to-right pairing for BOTH the non-overlapping x≠y
+    * case and the overlapping x==y run case. */
+  private val textBpeApply: QFn = (s, d) => {
+    val merges = bpeFit(s, d).map { case (_, x, y, _, _) => (x, y) }
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("tokens_before", size(col("tk")).cast(LongType))
+    val enc = merges.foldLeft(base) { case (df, (x, y)) =>
+      df.withColumn("tk", bpeMergeExpr(x, y))
+    }
+    enc
+      .withColumn("tokens_after", size(col("tk")).cast(LongType))
+      .select(col("doc_id"), col("tokens_before"), col("tokens_after"),
+        expr("(tokens_before * 1000000) div tokens_after").as("compression_ppm"),
+        conv(substring(md5(array_join(col("tk"), " ")), 1, 12), 16, 10)
+          .cast(LongType).as("final_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "text_bpe" -> textBpe,
+    "text_bpe_apply" -> textBpeApply,
     "text_normalize" -> textNormalize,
     "text_tokens" -> textTokens,
     "text_tfidf" -> textTfidf,
@@ -1358,7 +1413,59 @@ object LlmText extends QueryGroup {
                     FROM sx_sig a JOIN sx_sig b ON a.doc_id < b.doc_id
                     WHERE bit_count(xor(a.sig, b.sig)) <= 3)"""
 
+  /** One unrolled BPE training step as DuckDB CTEs: `d$i` (doc_id, tk)
+    * → `d${i+1}`. Greedy left-to-right pairing realized with windows:
+    * candidate positions j (tk[j]=x ∧ tk[j+1]=y), grouped into chains
+    * of CONSECUTIVE j (overlap only ever arises from x==y runs; for
+    * x≠y no two candidates can be adjacent), keep even offsets within
+    * each chain — exactly the pairs the sequential fold takes. A
+    * position after a taken one is consumed; everything else passes
+    * through, order preserved by j. */
+  private def duckBpeStep(i: Int): String =
+    s"""p$i AS (SELECT tk[j] AS x, tk[j + 1] AS y, count(*) AS n
+               FROM d$i, unnest(range(1, len(tk))) r(j)
+               GROUP BY 1, 2),
+        m$i AS MATERIALIZED (SELECT x, y FROM p$i
+                ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+        c$i AS (SELECT doc_id, j
+                FROM d$i, m$i, unnest(range(1, len(tk))) r(j)
+                WHERE tk[j] = x AND tk[j + 1] = y),
+        g$i AS (SELECT doc_id, j,
+                       j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
+                         AS grp
+                FROM c$i),
+        t$i AS MATERIALIZED (SELECT doc_id, j FROM (
+                  SELECT doc_id, j,
+                         j - min(j) OVER (PARTITION BY doc_id, grp) AS off
+                  FROM g$i) q
+                WHERE off % 2 = 0),
+        d${i + 1} AS MATERIALIZED (
+          SELECT u.doc_id,
+                 list(CASE WHEN tt.j IS NOT NULL
+                           THEN m.x || '▁' || m.y ELSE u.tok END
+                      ORDER BY u.j) AS tk
+          FROM (SELECT doc_id, j, tk[j] AS tok
+                FROM d$i, unnest(range(1, len(tk) + 1)) r(j)) u
+          CROSS JOIN m$i m
+          LEFT JOIN t$i tt ON tt.doc_id = u.doc_id AND tt.j = u.j
+          LEFT JOIN t$i tp ON tp.doc_id = u.doc_id AND tp.j = u.j - 1
+          WHERE tp.j IS NULL
+          GROUP BY u.doc_id)"""
+
   val oracles: Seq[(String, String)] = Seq(
+    "text_bpe_apply" ->
+      s"""WITH d0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk
+                      FROM documents),
+            ${(0 until 6).map(duckBpeStep).mkString(",\n")}
+          SELECT b.doc_id,
+                 CAST(len(b.tk) AS BIGINT) AS tokens_before,
+                 CAST(len(f.tk) AS BIGINT) AS tokens_after,
+                 (CAST(len(b.tk) AS BIGINT) * 1000000)
+                   // CAST(len(f.tk) AS BIGINT) AS compression_ppm,
+                 ('0x' || substr(md5(array_to_string(f.tk, ' ')), 1, 12))::BIGINT
+                   AS final_fp
+          FROM d0 b JOIN d6 f ON b.doc_id = f.doc_id
+          ORDER BY b.doc_id ASC NULLS FIRST""",
     "text_ttr" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -138,6 +138,7 @@ class DeterminismSpec extends AnyFunSuite {
     "fn_mask",             // pure row functions (regex masking, md5 tokens)
     "join_asof_tol",       // unique (ts, event_id) window order; int staleness
     "text_bpe",            // exact pair counts; fully tie-broken argmax
+    "text_bpe_apply",      // all-integer encode: ppm via int division, md5 fp
   )
 
   private val postRounded = Seq(
