@@ -1193,8 +1193,12 @@ object LlmVector extends QueryGroup {
     * sort, and a dominant signature can't skew a window partition;
     * ReuseExchange dedupes the shared per-doc aggregate under both
     * branches. */
-  private val multimodalPhash: QFn = (s, d) => {
-    val blocks = Tables.documents(s, d)
+  /** (doc_id, sig): the 16-block whole-blob perceptual signature over
+    * any (doc_id, text) payload set — shared by multimodal_phash and
+    * the pipeline_multimodal_e2e near-dup stage so the composition
+    * cannot drift from the standalone operator. */
+  private[operators] def phashSigs(docs: DataFrame): DataFrame = {
+    val blocks = docs
       .filter(length(col("text")) >= 16L)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
         posexplode(split(col("text"), "")))
@@ -1203,7 +1207,7 @@ object LlmVector extends QueryGroup {
         ascii(col("col")).cast("long").as("v"))
       .groupBy(col("doc_id"), col("n"), col("block"))
       .agg(sum(col("v")).as("bsum"), count(lit(1)).as("blen"))
-    val sig = blocks
+    blocks
       .groupBy(col("doc_id"), col("n"))
       .agg(sum(col("bsum")).as("ts"),
            collect_list(struct(col("block"), col("bsum"), col("blen"))).as("bl"))
@@ -1212,6 +1216,10 @@ object LlmVector extends QueryGroup {
              acc + IF(s.bsum * n > ts * s.blen,
                       shiftleft(CAST(1 AS BIGINT), CAST(s.block AS INT)),
                       CAST(0 AS BIGINT)))""").as("sig"))
+  }
+
+  private val multimodalPhash: QFn = (s, d) => {
+    val sig = phashSigs(Tables.documents(s, d).select(col("doc_id"), col("text")))
     val counts = sig.groupBy(col("sig")).agg(count(lit(1)).as("n_same_sig"))
     sig.join(broadcast(counts), "sig")
       .select(col("doc_id"), col("sig"), col("n_same_sig"))
@@ -1247,8 +1255,25 @@ object LlmVector extends QueryGroup {
     * signature — shared by the cross-doc frame dedup and the
     * scene-change detector (one construction, two consumers, both
     * oracles mirror it CTE-for-CTE). */
-  private def frameSigs(s: SparkSession, d: String): DataFrame = {
-    val blocks = Tables.documents(s, d)
+  /** The corpus frame-sig table has THREE consumers per session
+    * (frame dedup, scene detection, and their shared plan audits) and
+    * is bounded — one row per 64-byte frame, int64 sig, never char-
+    * sized — so materialize it once per fixture fingerprint (§7.4's
+    * multi-consumer-lineage recipe: re-deriving from the char explode
+    * re-scans the corpus per consumer, bench-visible at ~1.7 s per
+    * re-derivation at sf0.1). */
+  private[operators] val frameSigCache: FingerprintCache = new FingerprintCache
+  private def frameSigs(s: SparkSession, d: String): DataFrame =
+    frameSigCache.getOrElseUpdate(s, s"$d#framesigs",
+      Tables.fingerprint(d, "documents"))(
+      frameSigs(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .localCheckpoint())
+
+  /** The same construction over any (doc_id, text) payload set —
+    * shared with pipeline_multimodal_e2e's scene-sampling stage
+    * (graft-visible so PlanSpec can pin the map-side collapse). */
+  private[graft] def frameSigs(docs: DataFrame): DataFrame = {
+    val blocks = docs
       .filter(length(col("text")) >= 64L)
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),
         posexplode(split(col("text"), "")))

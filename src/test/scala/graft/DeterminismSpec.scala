@@ -139,6 +139,7 @@ class DeterminismSpec extends AnyFunSuite {
     "join_asof_tol",       // unique (ts, event_id) window order; int staleness
     "text_bpe",            // exact pair counts; fully tie-broken argmax
     "text_bpe_apply",      // all-integer encode: ppm via int division, md5 fp
+    "pipeline_multimodal_e2e", // all-integer rollup; L2 nano-quantized pre-sum
   )
 
   private val postRounded = Seq(

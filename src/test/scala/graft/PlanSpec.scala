@@ -478,11 +478,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
-  test("multimodal_frame_dedup partial-aggregates chars before any exchange") {
+  test("frame-sig build partial-aggregates chars before any exchange") {
     // the per-char generator output must collapse map-side: the first
     // Exchange above the Generate must sit above a HashAggregate, so
-    // only (doc, frame, block) partials — not raw chars — are shuffled
-    val p = plan("multimodal_frame_dedup")
+    // only (doc, frame, block) partials — not raw chars — are shuffled.
+    // Asserted on the sig CONSTRUCTION plan — the declared rungs now
+    // read the per-fingerprint materialization (multi-consumer-lineage
+    // recipe), so the generator no longer appears in their plans.
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+    val p = graft.operators.LlmVector.frameSigs(docs)
+      .queryExecution.executedPlan.toString
     val gIdx = p.lastIndexOf("Generate")
     assert(gIdx > 0, p)
     val before = p.substring(0, gIdx)
@@ -733,6 +739,22 @@ class PlanSpec extends AnyFunSuite {
       // would accumulate forever if not reclaimed here (review finding)
       if (base != null) Tables.deleteRecursively(new java.io.File(base))
     }
+  }
+
+  test("pipeline_multimodal_e2e sig joins tolerate a non-broadcast build side") {
+    // phash sigs, the min-per-sig bucket table, and the embeddings side
+    // are all data-sized — none may carry an explicit broadcast() hint
+    // (the multimodal_frame_dedup posture: a hint overrides the
+    // threshold, so with broadcast off a regressed hint re-surfaces as
+    // BroadcastHashJoin). Only AQE may broadcast, when runtime-small.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = SparkEntry.queries("pipeline_multimodal_e2e")(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("text_bpe per-step pair count is a two-phase hash aggregate") {
