@@ -645,7 +645,55 @@ object SqlSurface extends QueryGroup {
       ORDER BY m.tier ASC NULLS FIRST""")
   }
 
+  /** TPC-H Q2 analog (minimum-cost supplier) — the correlated SCALAR
+    * AGGREGATE subquery statement shape, the one decorrelation path
+    * the sql_* surface did not yet cover (sql_subquery = uncorrelated
+    * scalar; sql_q21 = correlated EXISTS; sql_lateral = LATERAL): the
+    * outer row qualifies only when its price EQUALS
+    * `(SELECT min(...) WHERE inner.partkey = outer.partkey)`, and the
+    * subquery is itself a 4-table join (offers restricted to one
+    * region — the correlated aggregate must respect the same
+    * snowflake filter as the outer block, exactly Q2's trap). The
+    * fixture has no partsupp, so lineitem plays the offer table:
+    * cheapest EUROPE offer per qualifying part. Catalyst's
+    * RewriteCorrelatedScalarSubquery turns the subquery into ONE
+    * keyed min-aggregate over the filtered offers joined back on
+    * partkey — never a per-outer-row re-execution (PlanSpec pins
+    * partial_min + no nested-loop join). Predicates are the
+    * structural spelling populated at every SF (the sql_q7 policy).
+    * best_price is a SELECTED value, not an arithmetic result —
+    * min() picks an existing double, so equality and output are
+    * engine-exact with no rounding; ORDER BY is fully tie-broken
+    * down to the unique (l_orderkey, l_linenumber) so ties at the
+    * same min price survive LIMIT deterministically. */
+  private val sqlQ2: QFn = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("graft_p2_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l2q_v")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s2q_v")
+    Tables.nation(s, d).createOrReplaceTempView("graft_n2q_v")
+    Tables.region(s, d).createOrReplaceTempView("graft_r2q_v")
+    s.sql("""
+      SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+             l_extendedprice AS best_price, l_orderkey, l_linenumber
+      FROM graft_p2_v, graft_l2q_v, graft_s2q_v, graft_n2q_v, graft_r2q_v
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND p_type = 'STANDARD' AND p_size <= 25
+        AND l_extendedprice = (
+          SELECT min(l2.l_extendedprice)
+          FROM graft_l2q_v l2, graft_s2q_v s2, graft_n2q_v n2, graft_r2q_v r2
+          WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC,
+               l_orderkey ASC, l_linenumber ASC
+      LIMIT 100""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    "sql_q2" -> sqlQ2,
     "sql_q3" -> sqlQ3,
     "sql_q18" -> sqlQ18,
     "sql_q21" -> sqlQ21,
@@ -668,6 +716,24 @@ object SqlSurface extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_q2" ->
+      """SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+                l_extendedprice AS best_price, l_orderkey, l_linenumber
+         FROM part, lineitem, supplier, nation, region
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE'
+           AND p_type = 'STANDARD' AND p_size <= 25
+           AND l_extendedprice = (
+             SELECT min(l2.l_extendedprice)
+             FROM lineitem l2, supplier s2, nation n2, region r2
+             WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+               AND s2.s_nationkey = n2.n_nationkey
+               AND n2.n_regionkey = r2.r_regionkey
+               AND r2.r_name = 'EUROPE')
+         ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC,
+                  l_orderkey ASC, l_linenumber ASC
+         LIMIT 100""",
     "sql_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
                 CAST(o_orderdate AS DATE) AS o_date, o_totalprice,

@@ -140,6 +140,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bpe",            // exact pair counts; fully tie-broken argmax
     "text_bpe_apply",      // all-integer encode: ppm via int division, md5 fp
     "pipeline_multimodal_e2e", // all-integer rollup; L2 nano-quantized pre-sum
+    "sql_q2",              // min picks an existing double; tie-broken LIMIT
   )
 
   private val postRounded = Seq(

@@ -610,6 +610,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sql_q2 correlated scalar aggregate decorrelates to one keyed min + join") {
+    // RewriteCorrelatedScalarSubquery must turn the per-part min
+    // subquery into a single partkey-keyed aggregate over the filtered
+    // offers joined back on the correlation key — a per-outer-row
+    // re-execution would surface as a nested-loop/cartesian join
+    val p = plan("sql_q2")
+    assert(p.contains("partial_min(l_extendedprice"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sql_values inline table is a broadcast LocalTableScan, no I/O") {
     // a literal VALUES dim must never touch the scan/shuffle path: it
     // plans as a LocalRelation (LocalTableScan) broadcast into the join
