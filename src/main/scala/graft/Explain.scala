@@ -39,7 +39,8 @@ object Explain {
     "text_dedup_substring", "text_boilerplate", "profile_observe",
     "sink_vacuum", "sql_q10", "sql_q7", "sql_analyze",
     "scan_file_metadata", "events_ab_test", "fn_mask", "join_asof_tol",
-    "text_bpe_apply", "pipeline_multimodal_e2e", "sql_q2")
+    "text_bpe_apply", "pipeline_multimodal_e2e", "sql_q2",
+    "text_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -738,7 +738,60 @@ object Curation extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** The trained-classifier quality gate — production curation ships a
+    * linear/fastText-style scorer next to the hand rules (the CCNet /
+    * GPT-3 "quality classifier" stage): score = σ(w·x + b) over the
+    * text_hash_features 64-bucket hashed bag-of-tokens, with the
+    * weight vector as the driver-held MODEL (here: a tiny lexicon
+    * "trained" offline, folded into per-BUCKET weights — token weight
+    * = w[bucket(token)], collisions merge weights, exactly the
+    * hashing-trick semantics; non-lexicon tokens sharing a weighted
+    * bucket pick up its weight, the trick's documented noise).
+    * Exactness: weights are INTEGER NANOS, so each term cnt·w_nano is
+    * exact int64 and the per-doc fold is order-free integer
+    * arithmetic (agg_chisq idiom); σ is monotone, so the gate
+    * σ(s) > 0.5 ⟺ s > 0 is an INTEGER COMPARE — no exp() ever runs
+    * (cross-engine exp bit-parity is NOT promised, unlike ln on
+    * identical doubles; not emitting σ avoids the only unportable
+    * term). Scale: one token→bucket map-side count collapse + a
+    * broadcast of the 64-row model — broadcast is CORRECT here, the
+    * model is metadata-sized by construction. */
+  private[graft] val QualityLexiconNano: Seq[(String, Long)] = Seq(
+    "value" -> 1500000000L, "fast" -> 1000000000L, "big" -> 750000000L,
+    "dup" -> -1500000000L, "slow" -> -1000000000L, "spam" -> -2000000000L)
+  private[graft] val QualityBiasNano: Long = -250000000L
+
+  private[graft] def qualityClassifierScore(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def bkt(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 12), 16, 10).cast(LongType) % 64L
+    val wt = s.createDataFrame(QualityLexiconNano).toDF("tok", "w_nano")
+      .groupBy(bkt(col("tok")).as("bkt"))
+      .agg(sum(col("w_nano")).as("w"))
+    val bc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), bkt(col("tok")).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val sc = bc.join(broadcast(wt), Seq("bkt"), "left")
+      .groupBy(col("doc_id"))
+      .agg((coalesce(sum(col("c") * col("w")), lit(0L)) + lit(QualityBiasNano))
+        .as("score_nano"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .join(sc, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("score_nano"),
+        (col("score_nano") > 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualityClassifier: QFn = (s, d) =>
+    qualityClassifierScore(s, Tables.documents(s, d)
+      .select(col("doc_id"), col("text")))
+
   val queries: Seq[(String, QFn)] = Seq(
+    "text_quality_classifier" -> textQualityClassifier,
     "profile_topk" -> profileTopk,
     "dedup_url" -> dedupUrl,
     "text_blocklist" -> textBlocklist,
@@ -759,6 +812,28 @@ object Curation extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "text_quality_classifier" ->
+      """WITH lex(tok, w_nano) AS (VALUES
+             ('value', 1500000000), ('fast', 1000000000), ('big', 750000000),
+             ('dup', -1500000000), ('slow', -1000000000), ('spam', -2000000000)),
+         wt AS (SELECT ('0x' || substr(md5(tok), 1, 12))::BIGINT % 64 AS bkt,
+                       CAST(sum(w_nano) AS BIGINT) AS w
+                FROM lex GROUP BY 1),
+         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+         bc AS (SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 12))::BIGINT % 64 AS bkt,
+                       count(*) AS c
+                FROM tk GROUP BY 1, 2),
+         sc AS (SELECT doc_id,
+                       CAST(coalesce(sum(c * w), 0) - 250000000 AS BIGINT)
+                         AS score_nano
+                FROM bc LEFT JOIN wt USING (bkt) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+                sc.score_nano, sc.score_nano > 0 AS keep
+         FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id ASC NULLS FIRST""",
     "text_blocklist" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -317,6 +317,33 @@ class CurationSpec extends AnyFunSuite {
     assert(enSel > enAll, s"no target enrichment: $enSel <= $enAll")
   }
 
+  test("text_quality_classifier gates planted high/low-quality docs correctly") {
+    // pure-lexicon planted docs: the positive doc's buckets carry only
+    // positive merged weights, the negative doc's only negative — so
+    // the hashing-trick score sign is unambiguous and the σ(s) > 0.5
+    // gate (== integer compare s > 0) must split them exactly
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "value fast big value fast"),       // all-positive lexicon
+      (2L, "dup slow spam dup slow spam"),     // all-negative lexicon
+      (3L, "value"),                           // 1.5 - 0.25 bias > 0
+      (4L, "big")                              // 0.75 - 0.25 bias > 0
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .qualityClassifierScore(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_nano"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L)._2 && out(1L)._1 > 0L, out(1L).toString)
+    assert(!out(2L)._2 && out(2L)._1 < 0L, out(2L).toString)
+    assert(out(3L)._2 && out(3L)._1 == 1250000000L, out(3L).toString)
+    assert(out(4L)._2 && out(4L)._1 == 500000000L, out(4L).toString)
+    // and the declared rung's gate agrees with the sign of its score
+    val rung = SparkEntry.queries("text_quality_classifier")(spark, sf)
+      .filter(col("keep") =!= (col("score_nano") > 0L))
+    assert(rung.count() == 0L)
+  }
+
   test("text_domain_mix shares sum to 1 and weights re-balance") {
     val out = SparkEntry.queries("text_domain_mix")(spark, sf)
     val share = out.agg(sum(col("token_share"))).head.getDouble(0)

@@ -141,6 +141,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bpe_apply",      // all-integer encode: ppm via int division, md5 fp
     "pipeline_multimodal_e2e", // all-integer rollup; L2 nano-quantized pre-sum
     "sql_q2",              // min picks an existing double; tie-broken LIMIT
+    "text_quality_classifier", // int-nano weight terms, order-free int64 fold
   )
 
   private val postRounded = Seq(
