@@ -43,6 +43,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(bad).count() == 0, "double drift")
   }
 
+  test("stream_observe: per-batch observed metrics reconcile with batch totals") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.observedTumbling(in.toDF())
+      .writeStream.format("memory").queryName("st_obs")
+      .outputMode("complete").start()
+    in.addData(evs.take(500)); q.processAllAvailable()
+    in.addData(evs.drop(500)); q.processAllAvailable()
+    val ms = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_stream_obs")))
+    // the two data batches each posted metrics; empty-batch progresses
+    // (no observed row) are legitimately absent
+    assert(ms.length >= 2, s"expected >=2 metric rows, got ${ms.length}")
+    assert(ms.map(_.getAs[Long]("n_rows")).sum == evs.length.toLong)
+    val streamed = ms.flatMap(r => Option(r.getAs[java.math.BigDecimal]("sum_value")))
+      .map(BigDecimal(_)).sum
+    val expected = BigDecimal(batchDf(evs)
+      .agg(sum(expr("CAST(value AS DECIMAL(18,6))"))).head.getDecimal(0))
+    // exact-DECIMAL accumulation: per-batch partials sum EXACTLY to the
+    // batch total — the counters are trustworthy, not approximate
+    assert(streamed == expected, s"$streamed != $expected")
+    // zero extra scan: the input was consumed once — total input rows
+    // across progresses equals the event count, observation rode along
+    assert(q.recentProgress.map(_.numInputRows).sum == evs.length.toLong)
+    // and observation changed nothing: sink equals the unobserved twin
+    assertEquivalent(spark.table("st_obs"),
+      StreamingOps.tumblingCounts(batchDf(evs)),
+      Seq("bucket_s", "event_type", "n"), Seq("sum_v"))
+    q.stop()
+  }
+
   test("stream_tumbling equals batch tumbling") {
     val sp = spark
     import sp.implicits._
