@@ -87,6 +87,14 @@ object Bench {
     // name-sorted order: queries Map iteration is hash-ordered, which
     // would silently reassign which dependent query pays a one-time
     // cached build (ANN index, DPP layout) whenever the query set changes
+    // SPARK_GRAFT_BENCH_MEDIAN3=1 (builder-local runs): per-query
+    // MEDIAN of 3 evaluations instead of min-of-2 — round-over-round
+    // per-query comparisons had been chasing ±40% host-load noise for
+    // seven rounds (round-11 judge item 8); the median absorbs one
+    // stalled run per query in either direction where min-of-2 lets a
+    // single fast outlier hide sustained load. The driver's invocation
+    // (no env var) keeps the historical min-of-2 schema unchanged.
+    val median3 = sys.env.get("SPARK_GRAFT_BENCH_MEDIAN3").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -105,8 +113,11 @@ object Bench {
       // A failed query must be visible, not blend in: -1, excluded from
       // the total.
       val t = try {
-        val m2 = math.min(once(), once())
-        if (m2 > 3.0) math.min(m2, once()) else m2
+        if (median3) { val xs = Seq(once(), once(), once()).sorted; xs(1) }
+        else {
+          val m2 = math.min(once(), once())
+          if (m2 > 3.0) math.min(m2, once()) else m2
+        }
       } catch { case _: Throwable => -1.0 }
       name -> t
     }
@@ -127,7 +138,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"env","loadavg_start":"$loadStart","loadavg_end":"${
-      loadavg()}","cpus":"$cpus"}""")
+      loadavg()}","cpus":"$cpus","timing":"${
+      if (median3) "median3" else "min2"}"}""")
     println(s"""{"metric":"builds","builds":$bs,"total":${
       fmt(builds.map(_._2).sum)},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
