@@ -1366,6 +1366,63 @@ object LlmVector extends QueryGroup {
       .orderBy(col("label"))
   }
 
+  /** CLIP-score image-text alignment gate — the LAION/DataComp curation
+    * step this family was missing: web-scale image-text corpora are
+    * filtered by cosine(text_embedding, image_embedding) ≥ τ before any
+    * other gate runs (LAION-400M kept pairs at CLIP score ≥ 0.3; DataComp
+    * made the threshold the primary baseline axis). The image side is the
+    * fixture embedding (doc_id = vec_id, the multimodal_join pairing);
+    * the text side is the text_hash_features 64-bucket hashed
+    * bag-of-tokens — the same vocabulary-free featurizer, landing in the
+    * SAME 64-dim space as the image vector, so the alignment score is a
+    * real sparse×dense cosine (a deterministic stand-in for the text
+    * tower; the container has no model weights — SURVEY §2.I multimodal
+    * stub contract).
+    *
+    * Determinism: embedding values are quantized per-DIMENSION to integer
+    * MICROS (floor(x·1e6 + 0.5) on the exact float→double value) before
+    * anything sums, so dot = Σ cnt_b·evq_b and both norms are exact
+    * int64 folds — order-free across partitions, identical in DuckDB —
+    * and the gate compares the identical double quotient (τ = 0.01 can
+    * never drift). Scores straddle zero → the +0.0 fold on the rounded
+    * display column (multimodal_join's -0.0 note).
+    *
+    * Scale: one token explode → per-(doc, bucket) count with map-side
+    * combine; the embedding is POSEXPLODED to (vec_id, dim, evq) rows so
+    * the (doc_id, bkt)=(vec_id, dim) equi-join ships 16-byte rows, never
+    * a 64-float array per matched bucket (≤64× row expansion, the
+    * columnar-unpivot shape, vs ≤64× 512-byte array replication);
+    * per-doc reduce is ONE map-side-combining int64 agg; the vec-sized
+    * norm table joins UNHINTED (AQE broadcasts while it fits, shuffles
+    * when data-sized). 100 TB: linear, no all-pairs, no global state. */
+  private val multimodalClipFilter: QFn = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bkt",
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % 64L)
+      .groupBy(col("doc_id"), col("bkt")).agg(count(lit(1)).as("cnt"))
+    val eq = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
+        .as("evq"))
+    val dims = eq.select(col("vec_id"), posexplode(col("evq")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("bkt"), col("col").as("evq_d"))
+    val doc = tf.join(dims, tf("doc_id") === dims("vec_id") && tf("bkt") === dims("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("evq_d")).as("dq"),
+           sum(col("cnt") * col("cnt")).as("tsq"))
+    val en = eq.select(col("vec_id"), col("label"),
+      expr("aggregate(evq, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("esq"))
+    doc.join(en, doc("doc_id") === en("vec_id"))
+      .select(col("doc_id"), col("label"),
+        (col("dq").cast(DoubleType) /
+          (sqrt(col("tsq").cast(DoubleType)) * sqrt(col("esq").cast(DoubleType))))
+          .as("sraw"))
+      .select(col("doc_id"), col("label"),
+        (round(col("sraw"), 6) + lit(0.0)).as("clip_score"),
+        (col("sraw") > 0.01).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_knn" -> simKnn,
@@ -1397,6 +1454,7 @@ object LlmVector extends QueryGroup {
     "multimodal_phash" -> multimodalPhash,
     "multimodal_frame_dedup" -> multimodalFrameDedup,
     "multimodal_join" -> multimodalJoin,
+    "multimodal_clip_filter" -> multimodalClipFilter,
   )
 
   private val duckPairCos = duckCos("ea", "eb")
@@ -1882,5 +1940,41 @@ object LlmVector extends QueryGroup {
             FROM documents JOIN embeddings ON doc_id = vec_id)
           SELECT label, count(*) AS n, round(corr(tlen, l2), 6) AS len_norm_corr
           FROM j GROUP BY label ORDER BY label ASC NULLS FIRST""",
+    // multimodal_clip_filter: same micro-quantized integers as the Spark
+    // side (floor(ev·1e6 + 0.5) per dimension BEFORE any sum), so dot and
+    // both norms are exact int64 on both engines and the τ = 0.01 gate
+    // compares the identical double; the oracle indexes ev[bkt+1] per
+    // (doc, bucket) row — same integers as Spark's posexploded join.
+    "multimodal_clip_filter" ->
+      """WITH eme AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) ev
+                      FROM embeddings),
+            t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+            b AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 12))::BIGINT % 64 AS bkt,
+                         count(*) AS cnt
+                  FROM t GROUP BY doc_id, bkt),
+            dd AS (SELECT b.doc_id,
+                          sum(b.cnt * CAST(floor(e.ev[CAST(b.bkt + 1 AS INT)]
+                                                 * 1e6 + 0.5) AS BIGINT)) AS dq,
+                          sum(b.cnt * b.cnt) AS tsq
+                   FROM b JOIN eme e ON e.vec_id = b.doc_id
+                   GROUP BY b.doc_id),
+            en AS (SELECT vec_id, label,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(ev,
+                              x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)
+                                 * CAST(floor(x * 1e6 + 0.5) AS BIGINT))),
+                            (a, c) -> a + c) AS esq
+                   FROM eme)
+         SELECT d.doc_id, en.label,
+                round(CAST(d.dq AS DOUBLE)
+                      / (sqrt(CAST(d.tsq AS DOUBLE))
+                         * sqrt(CAST(en.esq AS DOUBLE))), 6) + 0.0 AS clip_score,
+                (CAST(d.dq AS DOUBLE)
+                 / (sqrt(CAST(d.tsq AS DOUBLE))
+                    * sqrt(CAST(en.esq AS DOUBLE)))) > 0.01 AS kept
+         FROM dd d JOIN en ON en.vec_id = d.doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
   )
 }

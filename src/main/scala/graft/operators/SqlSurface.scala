@@ -692,9 +692,42 @@ object SqlSurface extends QueryGroup {
       LIMIT 100""")
   }
 
+  /** TPC-H Q19 analog (discounted revenue from promotional parts) — the
+    * DISJUNCTIVE-predicate statement shape: the WHERE is an OR of three
+    * conjunctive arms, each arm touching BOTH join sides (part brand/size
+    * AND lineitem quantity), so no single disjunct can move below the
+    * join as-is. This is the query predicate-pushdown engines are judged
+    * on: Catalyst's PushExtraPredicateThroughJoin extracts each side's
+    * CNF-convertible slice — the brand/size OR-tree to the part scan, the
+    * quantity OR-tree to the lineitem scan — as DERIVED (non-complete)
+    * filters under the original condition, so both parquet scans carry an
+    * Or(...) in PushedFilters and row-group stats skip non-matching data
+    * BEFORE the join at any scale (PlanSpec pins both pushed Or trees).
+    * Revenue per brand through the per-element DECIMAL cast (§7.4);
+    * 3-row output, fully ordered. */
+  private val sqlQ19: QFn = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("graft_p19_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l19_v")
+    s.sql("""
+      SELECT p_brand,
+             count(*) AS n_lines,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      FROM graft_l19_v JOIN graft_p19_v ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#24' AND p_size BETWEEN 10 AND 35
+             AND l_quantity BETWEEN 20 AND 40)
+      GROUP BY p_brand
+      ORDER BY p_brand ASC""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q2" -> sqlQ2,
     "sql_q3" -> sqlQ3,
+    "sql_q19" -> sqlQ19,
     "sql_q18" -> sqlQ18,
     "sql_q21" -> sqlQ21,
     "sql_q10" -> sqlQ10,
@@ -864,6 +897,20 @@ object SqlSurface extends QueryGroup {
          GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
          ORDER BY revenue DESC, o_date ASC, l_orderkey ASC
          LIMIT 10""",
+    "sql_q19" ->
+      """SELECT p_brand,
+                count(*) AS n_lines,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#24' AND p_size BETWEEN 10 AND 35
+                AND l_quantity BETWEEN 20 AND 40)
+         GROUP BY p_brand
+         ORDER BY p_brand ASC NULLS FIRST""",
     "sql_q5" ->
       """SELECT n_name,
                 round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)

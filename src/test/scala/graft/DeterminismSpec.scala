@@ -142,6 +142,8 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_multimodal_e2e", // all-integer rollup; L2 nano-quantized pre-sum
     "sql_q2",              // min picks an existing double; tie-broken LIMIT
     "text_quality_classifier", // int-nano weight terms, order-free int64 fold
+    "sql_q19",             // decimal revenue sums; disjunctive row membership
+    "multimodal_clip_filter", // micro-quantized int64 dot/norms, one closing division
   )
 
   private val postRounded = Seq(

@@ -783,6 +783,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("sql_q19 pushes each side's Or slice of the disjunctive filter to its scan") {
+    // the WHERE is an OR of arms touching BOTH join sides, so no whole
+    // disjunct can move below the join — PushExtraPredicateThroughJoin
+    // must extract the part-local (brand/size) and lineitem-local
+    // (quantity) Or trees as derived pushed filters; without them both
+    // scans read every row-group at 100 TB and the join sees the full
+    // fact table. Assert on untruncated scan metadata (sql_params note).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("sql_q19")(spark, TestSpark.sf).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        (f.metadata.getOrElse("Location", ""),
+         f.metadata.getOrElse("PushedFilters", ""))
+    }
+    val part = scans.collect { case (l, p) if l.contains("part.parquet") => p }.mkString(" ")
+    val line = scans.collect { case (l, p) if l.contains("lineitem.parquet") => p }.mkString(" ")
+    assert(part.contains("Or(") && part.contains("EqualTo(p_brand,Brand#12)"), part)
+    assert(line.contains("Or(") && line.contains("l_quantity"), line)
+  }
+
+  test("multimodal_clip_filter reduces map-side and joins without nested loops") {
+    // the per-doc int64 dot/norm folds must be two-phase hash aggregates
+    // (raw (doc, bucket) terms combined before any exchange) and every
+    // join equi-keyed — a nested-loop anywhere here is the all-pairs
+    // shape the CLIP gate exists to avoid at web scale.
+    val p = plan("multimodal_clip_filter")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
