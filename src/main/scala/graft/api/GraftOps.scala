@@ -565,6 +565,27 @@ object GraftOps {
       array_join(kept, "\n").as("clean_text"))
   }
 
+  /** CLIP-score image-text alignment gate over caller DataFrames —
+    * multimodal_clip_filter's construction (the LAION/DataComp curation
+    * step: keep a pair iff cosine(text features, image embedding) > tau).
+    * The text tower is the 64-bucket hashed bag-of-tokens; embedding
+    * values are quantized to integer micros per dimension BEFORE any sum,
+    * so the dot product and both norms are order-free int64 folds and the
+    * tau gate compares the same double on every engine and partitioning.
+    * Returns per paired doc (id, clip_score [6 dp], kept). Scale: one
+    * token explode with map-side count combine, the embedding posexploded
+    * to 16-byte (id, dim, value) rows for the bucket join — never a
+    * per-bucket copy of the float array; no all-pairs anywhere. */
+  def clipFilter(docs: DataFrame, id: Column, text: Column,
+                 embeds: DataFrame, embId: Column, embedding: Column,
+                 tau: Double = 0.01): DataFrame =
+    graft.operators.LlmVector.clipAlignmentOn(
+        docs.select(id.as("doc_id"), text.as("text")),
+        embeds.select(embId.as("vec_id"), embedding.as("embedding")))
+      .select(col("doc_id").as("id"),
+        (round(col("sraw"), 6) + lit(0.0)).as("clip_score"),
+        (col("sraw") > tau).as("kept"))
+
   /** Benchmark decontamination over caller DataFrames —
     * text_decontaminate's construction: a train doc is contaminated iff
     * any of its sliding `n`-token shingles appears verbatim in the eval

@@ -1395,13 +1395,20 @@ object LlmVector extends QueryGroup {
     * per-doc reduce is ONE map-side-combining int64 agg; the vec-sized
     * norm table joins UNHINTED (AQE broadcasts while it fits, shuffles
     * when data-sized). 100 TB: linear, no all-pairs, no global state. */
-  private val multimodalClipFilter: QFn = (s, d) => {
-    val tf = Tables.documents(s, d)
+  /** The scoring core behind multimodal_clip_filter, parameterized over
+    * caller DataFrames (api.GraftOps.clipAlignment delegates here; the
+    * declared rung applies THIS function — no-drift posture). `docs` must
+    * carry (doc_id, text); `embeds` (vec_id, embedding). Returns one row
+    * per paired doc: (doc_id, sraw) with sraw the raw alignment cosine —
+    * callers round/gate. The embedding dimension must be ≥ 64 (the text
+    * featurizer's fixed bucket width); extra dims only add norm mass. */
+  private[graft] def clipAlignmentOn(docs: DataFrame, embeds: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("bkt",
         conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % 64L)
       .groupBy(col("doc_id"), col("bkt")).agg(count(lit(1)).as("cnt"))
-    val eq = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+    val eq = embeds.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
         .as("evq"))
     val dims = eq.select(col("vec_id"), posexplode(col("evq")))
@@ -1410,13 +1417,22 @@ object LlmVector extends QueryGroup {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt") * col("evq_d")).as("dq"),
            sum(col("cnt") * col("cnt")).as("tsq"))
-    val en = eq.select(col("vec_id"), col("label"),
+    val en = eq.select(col("vec_id"),
       expr("aggregate(evq, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("esq"))
     doc.join(en, doc("doc_id") === en("vec_id"))
-      .select(col("doc_id"), col("label"),
+      .select(col("doc_id"),
         (col("dq").cast(DoubleType) /
           (sqrt(col("tsq").cast(DoubleType)) * sqrt(col("esq").cast(DoubleType))))
           .as("sraw"))
+  }
+
+  private val multimodalClipFilter: QFn = (s, d) => {
+    val scores = clipAlignmentOn(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    scores
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        scores("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("label"),
         (round(col("sraw"), 6) + lit(0.0)).as("clip_score"),
         (col("sraw") > 0.01).as("kept"))

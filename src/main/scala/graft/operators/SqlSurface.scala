@@ -724,10 +724,42 @@ object SqlSurface extends QueryGroup {
       ORDER BY p_brand ASC""")
   }
 
+  /** TPC-H Q16 analog (supplier-part relationships minus a blocklist) —
+    * the NOT IN statement shape: a column-level NOT IN (SELECT ...) is
+    * NOT an anti join until null semantics are resolved (one NULL in the
+    * subquery empties the whole result), so Catalyst plans it as a
+    * NULL-AWARE anti join — the remaining subquery rewrite after
+    * sql_subquery/sql_q21 (EXISTS→semi/anti) and sql_q2/sql_lateral
+    * (scalar/lateral decorrelation). Spark's single-column NAAJ REQUIRES
+    * the exclusion side broadcast (a shuffled NAAJ does not exist; a
+    * non-broadcastable set degrades to BroadcastNestedLoopJoin) — fine
+    * here and in production, where exclusion lists (complaint suppliers,
+    * blocklists) are metadata-sized; spell NOT EXISTS instead when the
+    * excluded set is data-sized, which shuffles as a plain LeftAnti
+    * (sql_q21's path). PlanSpec pins the NAAJ. count(DISTINCT) rides the
+    * standard two-phase Expand plan; all-integer output, fully ordered. */
+  private val sqlQ16: QFn = (s, d) => {
+    Tables.part(s, d).createOrReplaceTempView("graft_p16_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l16_v")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s16_v")
+    s.sql("""
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM graft_l16_v JOIN graft_p16_v ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#5'
+        AND p_type NOT LIKE 'STANDARD%'
+        AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_s16_v
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q2" -> sqlQ2,
     "sql_q3" -> sqlQ3,
     "sql_q19" -> sqlQ19,
+    "sql_q16" -> sqlQ16,
     "sql_q18" -> sqlQ18,
     "sql_q21" -> sqlQ21,
     "sql_q10" -> sqlQ10,
@@ -911,6 +943,18 @@ object SqlSurface extends QueryGroup {
                 AND l_quantity BETWEEN 20 AND 40)
          GROUP BY p_brand
          ORDER BY p_brand ASC NULLS FIRST""",
+    "sql_q16" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#5'
+           AND p_type NOT LIKE 'STANDARD%'
+           AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS FIRST,
+                  p_type ASC NULLS FIRST, p_size ASC NULLS FIRST""",
     "sql_q5" ->
       """SELECT n_name,
                 round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)

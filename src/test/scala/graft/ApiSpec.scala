@@ -646,4 +646,17 @@ class ApiSpec extends AnyFunSuite {
       .orderBy(col("lang"))
     assert(rows(api) == rows(SparkEntry.queries("agg_mad")(spark, sf)))
   }
+
+  test("clipFilter on caller columns equals the declared rung") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("my_id"), col("text").as("my_text"))
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("my_vid"), col("embedding").as("my_vec"))
+    val api = GraftOps.clipFilter(docs, col("my_id"), col("my_text"),
+        embs, col("my_vid"), col("my_vec"))
+      .orderBy(col("id"))
+    val declared = SparkEntry.queries("multimodal_clip_filter")(spark, sf)
+      .select(col("doc_id"), col("clip_score"), col("kept"))
+    assert(rows(api) == rows(declared))
+  }
 }

@@ -143,6 +143,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_q2",              // min picks an existing double; tie-broken LIMIT
     "text_quality_classifier", // int-nano weight terms, order-free int64 fold
     "sql_q19",             // decimal revenue sums; disjunctive row membership
+    "sql_q16",             // exact distinct counts; null-aware anti membership
     "multimodal_clip_filter", // micro-quantized int64 dot/norms, one closing division
   )
 

@@ -803,6 +803,23 @@ class PlanSpec extends AnyFunSuite {
     assert(line.contains("Or(") && line.contains("l_quantity"), line)
   }
 
+  test("sql_q16 NOT IN plans as a null-aware anti join, never a nested loop") {
+    // a column-level NOT IN cannot become a plain anti join until null
+    // semantics are resolved (one NULL in the subquery empties the whole
+    // result), so the physical join must carry isNullAwareAntiJoin —
+    // and single-column NAAJ exists only as a broadcast hash join in
+    // Spark, which is why the rung documents NOT EXISTS as the spelling
+    // for data-sized exclusion sets (sql_q21's shuffleable LeftAnti).
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val qe = SparkEntry.queries("sql_q16")(spark, TestSpark.sf).queryExecution
+    val naaj = qe.sparkPlan.collect {
+      case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b
+    }
+    assert(naaj.nonEmpty, qe.sparkPlan.toString)
+    assert(!qe.sparkPlan.toString.contains("BroadcastNestedLoopJoin"),
+      qe.sparkPlan.toString)
+  }
+
   test("multimodal_clip_filter reduces map-side and joins without nested loops") {
     // the per-doc int64 dot/norm folds must be two-phase hash aggregates
     // (raw (doc, bucket) terms combined before any exchange) and every
