@@ -47,6 +47,7 @@ object Bench {
     build("ann_index") { operators.LlmVector.ensureAnnIndex(spark, sfDir) }
     build("embcos_anchors") { operators.LlmVector.ensureEmbcosAnchors(spark, sfDir) }
     build("dpp_layout") { operators.Scans.ensureDppLayout(spark, sfDir) }
+    build("compact_fragments") { operators.Scans.ensureCompactFragments(spark, sfDir) }
     build("manifest_layout") { operators.Scans.ensureManifestLayout(spark, sfDir) }
     build("manifest_delta") { operators.Scans.ensureManifestDelta(spark, sfDir) }
     build("manifest_delete") { operators.Scans.ensureManifestDelete(spark, sfDir) }

@@ -200,14 +200,16 @@ class PlanSpec extends AnyFunSuite {
     def parquetFiles(p: String): Int =
       Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
         .count(_.getName.endsWith(".parquet"))
-    val frag = parquetFiles(s"${Tables.scratchDir}/sink_compact/fragmented")
+    val fragDir = s"${Tables.scratchDir}/sink_compact/fragmented_" +
+      s"${new java.io.File(TestSpark.sf).getName}_" +
+      Tables.fingerprint(TestSpark.sf, "lineitem")
+    val frag = parquetFiles(fragDir)
     val comp = parquetFiles(s"${Tables.scratchDir}/sink_compact/compacted")
     assert(frag == 64, s"expected 64 fragmented files, got $frag")
     assert(comp <= 4 && comp >= 1, s"expected <=4 compacted files, got $comp")
     // the compaction read→write itself must be narrow: no Exchange in the
     // coalesced write plan
-    val rewrite = spark.read.parquet(s"${Tables.scratchDir}/sink_compact/fragmented")
-      .coalesce(4)
+    val rewrite = spark.read.parquet(fragDir).coalesce(4)
     assert(!rewrite.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
