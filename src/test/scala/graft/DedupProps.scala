@@ -226,4 +226,45 @@ class DedupProps extends Properties("graft") {
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getString(2)) == boilerRef(page)
     }
+
+  /** Pure-Scala reference of the multimodal_clip_filter alignment score:
+    * 64-bucket md5 token hashing, per-dimension micro-quantization of
+    * the embedding, exact int64 dot/norm folds, one closing division —
+    * the quantization makes the Spark path and this reference compute
+    * the SAME integers, so equality here is exact, not approximate. */
+  private def clipRef(tokens: Seq[String], emb: Seq[Float]): Double = {
+    def bkt(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(12), 16) % 64L).toInt
+    }
+    val evq = emb.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val cnts = tokens.groupBy(bkt).map { case (b, ts) => b -> ts.size.toLong }
+    val dot = cnts.map { case (b, c) => c * evq(b) }.sum
+    val tsq = cnts.values.map(c => c * c).sum
+    val esq = evq.map(x => x * x).sum
+    dot.toDouble / (math.sqrt(tsq.toDouble) * math.sqrt(esq.toDouble))
+  }
+
+  private val embGen: Gen[List[Float]] =
+    Gen.listOfN(64, Gen.choose(-0.6, 0.6).map(_.toFloat))
+
+  property("clipAlignmentOn equals the pure quantized-cosine reference") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf(
+      "the", "fast", "key", "order", "slow", "value", "dup")), embGen) {
+      (toks, emb) =>
+        // an all-(near-)zero vector quantizes to esq == 0 (NaN on both
+        // sides but NaN != NaN) — vanishing-measure case, skip it
+        emb.exists(x => math.abs(x) >= 0.01) ==> {
+          val spark = TestSpark.spark
+          import org.apache.spark.sql.functions._
+          val docs = spark.createDataFrame(Seq((0L, toks.mkString(" "))))
+            .toDF("doc_id", "text")
+          val embeds = spark.createDataFrame(Seq((0L, emb.toArray)))
+            .toDF("vec_id", "embedding")
+          val got = graft.operators.LlmVector.clipAlignmentOn(docs, embeds)
+            .collect()(0).getDouble(1)
+          got == clipRef(toks, emb)
+        }
+    }
 }

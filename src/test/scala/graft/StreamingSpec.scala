@@ -778,7 +778,7 @@ class StreamingSpec extends AnyFunSuite {
       == evs.map(_.event_id).sum)
   }
 
-  test("streaming doc pipeline equals the batch dedup+quality construction") {
+  test("stream_pipeline: streaming doc pipeline equals the batch dedup+quality construction") {
     val sp = spark
     import sp.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
