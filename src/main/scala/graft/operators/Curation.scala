@@ -652,6 +652,30 @@ object Curation extends QueryGroup {
     * the per-column rank window runs over those aggregated counts —
     * never rows — and ties break on the value so the report is
     * deterministic. */
+  /** k-anonymity audit — the re-identification check run before ANY
+    * dataset release (Sweeney's k-anonymity: every quasi-identifier
+    * combination must describe ≥ k individuals, else those rows are
+    * linkable): equivalence classes over the (nationkey, mktsegment)
+    * quasi-identifier pair, then a k-sweep report — for each policy k,
+    * how many classes violate and how many rows are at risk. Scale: the
+    * class table is |quasi-id domain|-sized (ONE map-side-combining
+    * count over the data — never a row-level shuffle); the sweep crosses
+    * the 3-row literal k table against CLASSES, not rows, so broadcast
+    * is correct by construction. All-integer output. */
+  private val profileKanon: QFn = (s, d) => {
+    val cls = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"))
+    val ks = s.createDataFrame(Seq(Tuple1(5L), Tuple1(10L), Tuple1(25L))).toDF("k")
+    cls.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+           sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("n_small"),
+           sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("rows_at_risk"),
+           min(col("sz")).as("min_class"))
+      .orderBy(col("k"))
+  }
+
   private val profileTopk: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, d)
@@ -793,6 +817,7 @@ object Curation extends QueryGroup {
   val queries: Seq[(String, QFn)] = Seq(
     "text_quality_classifier" -> textQualityClassifier,
     "profile_topk" -> profileTopk,
+    "profile_kanon" -> profileKanon,
     "dedup_url" -> dedupUrl,
     "text_blocklist" -> textBlocklist,
     "text_pii_scan" -> textPiiScan,
@@ -812,6 +837,17 @@ object Curation extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "profile_kanon" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+                      FROM customer GROUP BY 1, 2),
+            ks AS (SELECT CAST(unnest([5, 10, 25]) AS BIGINT) AS k)
+         SELECT k, count(*) AS n_classes,
+                CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+                CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk,
+                min(sz) AS min_class
+         FROM cls CROSS JOIN ks GROUP BY k
+         ORDER BY k ASC NULLS FIRST""",
     "text_quality_classifier" ->
       """WITH lex(tok, w_nano) AS (VALUES
              ('value', 1500000000), ('fast', 1000000000), ('big', 750000000),

@@ -144,6 +144,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_quality_classifier", // int-nano weight terms, order-free int64 fold
     "sql_q19",             // decimal revenue sums; disjunctive row membership
     "sql_q16",             // exact distinct counts; null-aware anti membership
+    "profile_kanon",       // all-integer class sizes and k-sweep counts
     "multimodal_clip_filter", // micro-quantized int64 dot/norms, one closing division
   )
 
