@@ -218,6 +218,47 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"))
 
+  /** As-data-lands CLIP alignment gate — multimodal_clip_filter's
+    * streaming twin, and the posture difference is the point: the batch
+    * rung builds per-(doc, bucket) counts with a groupBy, but a per-doc
+    * score needs NO cross-row state at all, so the streaming spelling is
+    * a pure ROW function (token buckets, bucket counts, dot, and both
+    * norms all folded as HOFs inside the row) joined to the STATIC
+    * embedding side broadcast per micro-batch — zero stateful operators,
+    * no watermark, plain append; the shape that gates a web-scale
+    * image-text firehose without accumulating anything. Counts, dot and
+    * norms are the SAME exact int64s as the batch rung (micro-quantized
+    * per dimension before any sum), so the scores and the tau gate are
+    * bit-equal to multimodal_clip_filter — StreamingSpec asserts
+    * row-for-row equality AND that the running query reports zero state
+    * operators. */
+  def clipGate(docs: DataFrame, embeds: DataFrame,
+               tau: Double = 0.01): DataFrame = {
+    val eq = embeds.select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
+          .as("evq"))
+      .withColumn("esq",
+        expr("aggregate(evq, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    docs
+      .withColumn("bkts", expr(
+        """transform(split(text, ' '),
+                     t -> CAST(CAST(conv(substring(md5(t), 1, 12), 16, 10)
+                                    AS BIGINT) % 64 AS INT))"""))
+      .withColumn("cnts", expr(
+        "transform(sequence(0, 63), b -> CAST(size(filter(bkts, x -> x = b)) AS BIGINT))"))
+      .join(broadcast(eq), col("doc_id") === col("vec_id"))
+      .withColumn("dq", expr(
+        "aggregate(bkts, CAST(0 AS BIGINT), (a, b) -> a + element_at(evq, b + 1))"))
+      .withColumn("tsq", expr(
+        "aggregate(cnts, CAST(0 AS BIGINT), (a, c) -> a + c * c)"))
+      .withColumn("sraw",
+        col("dq").cast("double") /
+          (sqrt(col("tsq").cast("double")) * sqrt(col("esq").cast("double"))))
+      .select(col("doc_id"), col("label"),
+        (round(col("sraw"), 6) + lit(0.0)).as("clip_score"),
+        (col("sraw") > tau).as("kept"))
+  }
+
   /** Per-user hourly rate-limit flags — events_quota's streaming twin
     * (the batch rung audits history; this flags bursts while the stream
     * runs): tumbling 1 h windows keyed by user, a 1 h watermark bounds

@@ -821,6 +821,38 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream_clip_gate: stateless CLIP gate equals the batch rung bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.Doc
+    val base = 1700000000000L
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => Doc(r.getLong(0), new java.sql.Timestamp(base + r.getLong(0)),
+        r.getString(1), r.getString(2))).toSeq
+    val in = MemoryStream[Doc]
+    val q = graft.streaming.StreamingOps.clipGate(in.toDF(),
+        Tables.embeddings(spark, TestSpark.sf))
+      .writeStream.format("memory").queryName("st_clipgate")
+      .outputMode("append").start()
+    in.addData(docs.take(docs.length / 2)); q.processAllAvailable()
+    in.addData(docs.drop(docs.length / 2)); q.processAllAvailable()
+    // the posture claim made executable: a per-doc score needs no
+    // cross-row state, so the running query must report ZERO stateful
+    // operators (pure row fold + per-batch broadcast of the static side)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(","))
+    // bit-equality with the batch rung: same micro-quantized int64 dot
+    // and norms -> same doubles -> same rounded scores and tau gate
+    val got = spark.table("st_clipgate").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("multimodal_clip_filter")(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    q.stop()
+  }
+
   test("stream-static decontamination flags the same docs as the batch rung") {
     val sp = spark
     import sp.implicits._
