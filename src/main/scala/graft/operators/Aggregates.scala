@@ -650,6 +650,49 @@ object Aggregates extends QueryGroup {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Audience-overlap matrix via mergeable bitmaps — agg_bitmap_distinct
+    * extended from sizes to SET ALGEBRA (the ads/analytics "how many
+    * users did BOTH" question, the workload bitmap indexes exist for):
+    * per-(event_type, bucket) user bitmaps built once (the same
+    * 32768-bit bucket recipe), every pairwise union computed by OR-ing
+    * the two types' bucket bitmaps — Spark ships no bitmap_and, so the
+    * intersection is INCLUSION-EXCLUSION (|A∩B| = |A|+|B|−|A∪B|), still
+    * exact integer arithmetic throughout. Jaccard is emitted as exact
+    * parts-per-million via integer division (a small-int ratio like
+    * odd/128 sits exactly on a 6-dp rounding boundary, where Spark's
+    * HALF_UP and the oracle's half-even disagree — the text_bpe_apply
+    * ppm idiom). Scale: bitmap rows are bounded by |types|×|buckets|
+    * (never row count) and localCheckpoint'd once for the two consumers;
+    * the pair expansion multiplies THAT bounded table by |types|−1. */
+  private val aggBitmapIntersect: QFn = (s, d) => {
+    val bm = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("bitmap_bucket_number(user_id + 1)").as("bucket"),
+        expr("bitmap_bit_position(user_id + 1)").as("pos"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .localCheckpoint()
+    val sizes = bm.groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n"))
+    val pairs = sizes.select(col("event_type").as("ta"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("event_type").as("tb"), col("n").as("n_b")))
+      .filter(col("ta") < col("tb"))
+    val uni = pairs.select(col("ta"), col("tb"))
+      .join(bm, col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("u"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(expr("bitmap_count(u)")).as("n_union"))
+    pairs.join(uni, Seq("ta", "tb"))
+      .withColumn("n_overlap", col("n_a") + col("n_b") - col("n_union"))
+      // true int64 division (DIV), never a truncated double quotient —
+      // a quotient rounding up to the next integer would off-by-one ppm
+      .withColumn("jaccard_ppm", expr("(n_overlap * 1000000) DIV n_union"))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        col("n_overlap"), col("n_union"), col("jaccard_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** Ordered string aggregation — the ANSI `LISTAGG … WITHIN GROUP`
     * surface (SQL:2016; what report/BI SQL emits for "concatenate the
     * group's values in order"): per order priority the distinct status
@@ -678,6 +721,7 @@ object Aggregates extends QueryGroup {
   val queries: Seq[(String, QFn)] = Seq(
     "agg_pricing_summary" -> pricingSummary,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "agg_bitmap_intersect" -> aggBitmapIntersect,
     "agg_listagg" -> aggListagg,
     "agg_mad" -> aggMad,
     "agg_distinct_exact" -> aggDistinctExact,
@@ -712,6 +756,29 @@ object Aggregates extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // agg_bitmap_intersect: the oracle computes overlap/union from plain
+    // distinct sets — equality proves the bitmap inclusion-exclusion
+    // path exact; ppm via DuckDB's // integer division (matches DIV)
+    "agg_bitmap_intersect" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+            sz AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1),
+            ov AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                          count(*) AS n_overlap
+                   FROM u a JOIN u b ON a.user_id = b.user_id
+                                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+         SELECT sa.event_type AS ta, sb.event_type AS tb,
+                sa.n AS n_a, sb.n AS n_b,
+                CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+                sa.n + sb.n - CAST(coalesce(ov.n_overlap, 0) AS BIGINT)
+                  AS n_union,
+                (CAST(coalesce(ov.n_overlap, 0) AS BIGINT) * 1000000)
+                  // (sa.n + sb.n - CAST(coalesce(ov.n_overlap, 0) AS BIGINT))
+                  AS jaccard_ppm
+         FROM sz sa
+         JOIN sz sb ON sa.event_type < sb.event_type
+         LEFT JOIN ov ON ov.ta = sa.event_type AND ov.tb = sb.event_type
+         ORDER BY ta ASC NULLS FIRST, tb ASC NULLS FIRST""",
     "agg_bitmap_distinct" ->
       """SELECT l_returnflag,
                 count(DISTINCT l_orderkey) AS n_orders,
