@@ -677,8 +677,14 @@ object Aggregates extends QueryGroup {
     val pairs = sizes.select(col("event_type").as("ta"), col("n").as("n_a"))
       .crossJoin(sizes.select(col("event_type").as("tb"), col("n").as("n_b")))
       .filter(col("ta") < col("tb"))
-    val uni = pairs.select(col("ta"), col("tb"))
-      .join(bm, col("event_type") === col("ta") || col("event_type") === col("tb"))
+    // each pair picks up BOTH sides' bitmaps as a UNION of two
+    // equi-joins — an OR-of-equalities join condition would force a
+    // nested loop (the shape every PlanSpec join assertion pins against)
+    val pk = pairs.select(col("ta"), col("tb"))
+    val uni = pk.join(bm, col("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), col("bucket"), col("bm"))
+      .union(pk.join(bm, col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), col("bucket"), col("bm")))
       .groupBy(col("ta"), col("tb"), col("bucket"))
       .agg(expr("bitmap_or_agg(bm)").as("u"))
       .groupBy(col("ta"), col("tb"))

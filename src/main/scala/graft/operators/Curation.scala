@@ -644,14 +644,6 @@ object Curation extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-column top-k frequent values — profile_columns' categorical
-    * companion (the third leg of the per-ingest data-quality report:
-    * null/distinct counts, numeric ranges, and now the dominant
-    * category values a drifted upstream enum shows up in first): one
-    * map-side-combining count per profiled column (≤|domain| groups),
-    * the per-column rank window runs over those aggregated counts —
-    * never rows — and ties break on the value so the report is
-    * deterministic. */
   /** k-anonymity audit — the re-identification check run before ANY
     * dataset release (Sweeney's k-anonymity: every quasi-identifier
     * combination must describe ≥ k individuals, else those rows are
@@ -676,6 +668,14 @@ object Curation extends QueryGroup {
       .orderBy(col("k"))
   }
 
+  /** Per-column top-k frequent values — profile_columns' categorical
+    * companion (the third leg of the per-ingest data-quality report:
+    * null/distinct counts, numeric ranges, and now the dominant
+    * category values a drifted upstream enum shows up in first): one
+    * map-side-combining count per profiled column (≤|domain| groups),
+    * the per-column rank window runs over those aggregated counts —
+    * never rows — and ties break on the value so the report is
+    * deterministic. */
   private val profileTopk: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, d)

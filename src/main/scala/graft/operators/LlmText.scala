@@ -1263,14 +1263,21 @@ object LlmText extends QueryGroup {
     scala.collection.concurrent.TrieMap[(SparkSession, String),
       Seq[(Long, String, String, Long, Long)]]()
   private[graft] def bpeFit(s: SparkSession, d: String)
-      : Seq[(Long, String, String, Long, Long)] =
-    bpeFitCache.getOrElseUpdate((s, Tables.fingerprint(d, "documents")), {
+      : Seq[(Long, String, String, Long, Long)] = {
+    val fp = Tables.fingerprint(d, "documents")
+    // the FingerprintCache round-9 eviction policy, replicated for this
+    // driver-held (non-DataFrame) memo: a changed fingerprint drops the
+    // superseded fit instead of accumulating one entry per regeneration
+    bpeFitCache.keysIterator
+      .filter(k => k._1 == s && k._2 != fp).foreach(bpeFitCache.remove)
+    bpeFitCache.getOrElseUpdate((s, fp), {
       val (rows, fin) = bpeTrain(
         Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("tk")), 6)
       fin.unpersist()
       rows
     })
+  }
 
   private val textBpe: QFn = (s, d) => {
     val rows = bpeFit(s, d)
@@ -1300,6 +1307,14 @@ object LlmText extends QueryGroup {
     * case and the overlapping x==y run case. */
   private val textBpeApply: QFn = (s, d) => {
     val merges = bpeFit(s, d).map { case (_, x, y, _, _) => (x, y) }
+    // the oracle unrolls EXACTLY 6 training steps as CTEs and its final
+    // CTE chain goes empty if any step finds no pair — a corpus that
+    // exhausts its adjacent pairs early must fail loudly here, not
+    // diverge silently from the oracle (the events_ab_test n=1 posture)
+    require(merges.length == 6,
+      s"text_bpe_apply: corpus sustained ${merges.length} BPE merges; " +
+        "the declared rung and its oracle assume 6 (re-pick the step " +
+        "count for this fixture)")
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .withColumn("tokens_before", size(col("tk")).cast(LongType))

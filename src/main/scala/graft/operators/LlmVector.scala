@@ -1401,7 +1401,9 @@ object LlmVector extends QueryGroup {
     * carry (doc_id, text); `embeds` (vec_id, embedding). Returns one row
     * per paired doc: (doc_id, sraw) with sraw the raw alignment cosine —
     * callers round/gate. The embedding dimension must be ≥ 64 (the text
-    * featurizer's fixed bucket width); extra dims only add norm mass. */
+    * featurizer's fixed bucket width; extra dims only add norm mass) —
+    * enforced at run time by a raise_error inside esq, since a shorter
+    * vector would silently drop high buckets from dot and tsq. */
   private[graft] def clipAlignmentOn(docs: DataFrame, embeds: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -1417,8 +1419,16 @@ object LlmVector extends QueryGroup {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt") * col("evq_d")).as("dq"),
            sum(col("cnt") * col("cnt")).as("tsq"))
+    // the dimension precondition enforced AT RUN TIME inside esq (the
+    // one term every consumer evaluates — a standalone check column
+    // would be pruned away): a <64-dim vector would otherwise silently
+    // drop high buckets from dot and tsq and gate on a wrong cosine
     val en = eq.select(col("vec_id"),
-      expr("aggregate(evq, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("esq"))
+      expr("""CASE WHEN size(evq) < 64 THEN CAST(raise_error(
+                'clipAlignment: embedding dimension must be >= 64 '
+                || '(the 64-bucket text featurizer indexes dims 1-64)') AS BIGINT)
+              ELSE aggregate(evq, CAST(0 AS BIGINT), (a, x) -> a + x * x)
+              END""").as("esq"))
     doc.join(en, doc("doc_id") === en("vec_id"))
       .select(col("doc_id"),
         (col("dq").cast(DoubleType) /

@@ -310,7 +310,14 @@ object Scans extends QueryGroup {
                                             d: String): String = {
     val frag = s"${Tables.scratchDir}/sink_compact/fragmented_" +
       s"${new java.io.File(d).getName}_${Tables.fingerprint(d, "lineitem")}"
-    if (!new java.io.File(s"$frag/_FRAG_DONE").exists()) {
+    // torn-scratch guard (the ingest_avro round-11 bug class): a marker
+    // that outlived some of its 64 shards would silently compact a
+    // subset — validate the shard count behind the marker and rebuild,
+    // not trust, a torn layout
+    def shards(): Int =
+      Option(new java.io.File(frag).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    if (!new java.io.File(s"$frag/_FRAG_DONE").exists() || shards() != 64) {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
         .repartition(64)

@@ -237,8 +237,12 @@ object StreamingOps {
     val eq = embeds.select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
           .as("evq"))
-      .withColumn("esq",
-        expr("aggregate(evq, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("esq", expr(
+        """CASE WHEN size(evq) < 64 THEN CAST(raise_error(
+             'clipGate: embedding dimension must be >= 64 '
+             || '(the 64-bucket text featurizer indexes dims 1-64)') AS BIGINT)
+           ELSE aggregate(evq, CAST(0 AS BIGINT), (a, x) -> a + x * x)
+           END"""))
     docs
       .withColumn("bkts", expr(
         """transform(split(text, ' '),

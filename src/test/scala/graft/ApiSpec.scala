@@ -647,6 +647,21 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("agg_mad")(spark, sf)))
   }
 
+  test("clipFilter fails loudly on embeddings narrower than 64 dims") {
+    // a 32-dim vector would silently drop tokens hashing to buckets
+    // 32-63 from both the dot product and the text norm — the guard
+    // must raise at execution, not gate on a wrong cosine
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((0L, "the fast value")).toDF("id", "text")
+    val embs = Seq((0L, Array.fill(32)(0.5f))).toDF("vid", "vec")
+    val e = intercept[Exception] {
+      GraftOps.clipFilter(docs, col("id"), col("text"),
+        embs, col("vid"), col("vec")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("clipFilter on caller columns equals the declared rung") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id").as("my_id"), col("text").as("my_text"))

@@ -834,6 +834,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("agg_bitmap_intersect joins pairs to bitmaps without a nested loop") {
+    // the ta < tb theta-cross that ENUMERATES pairs is a nested loop by
+    // necessity and runs on the |types|-sized sizes table — domain-
+    // bounded, fine. What must never nested-loop is the pickup that
+    // carries the BITMAPS (|types|x|buckets| rows of <=4 KB binaries):
+    // it is spelled as a UNION of two equi-joins; an OR-of-equalities
+    // condition would put the bitmap table under a BNLJ. Assert no
+    // nested-loop join outputs a binary column.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.types.BinaryType
+    val qe = SparkEntry.queries("agg_bitmap_intersect")(spark, TestSpark.sf)
+      .queryExecution
+    val bad = qe.sparkPlan.collect {
+      case j: BroadcastNestedLoopJoinExec
+        if j.output.exists(_.dataType == BinaryType) => j
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
