@@ -1260,17 +1260,20 @@ object LlmText extends QueryGroup {
     * corpus checkpoint is released immediately — only the collected
     * merge rows outlive training. */
   private val bpeFitCache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String),
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String),
       Seq[(Long, String, String, Long, Long)]]()
   private[graft] def bpeFit(s: SparkSession, d: String)
       : Seq[(Long, String, String, Long, Long)] = {
     val fp = Tables.fingerprint(d, "documents")
     // the FingerprintCache round-9 eviction policy, replicated for this
     // driver-held (non-DataFrame) memo: a changed fingerprint drops the
-    // superseded fit instead of accumulating one entry per regeneration
+    // superseded fit for the SAME fixture dir (the name slot) instead of
+    // accumulating one entry per regeneration — and only that slot, so
+    // alternating scale factors in one session never thrash each other
     bpeFitCache.keysIterator
-      .filter(k => k._1 == s && k._2 != fp).foreach(bpeFitCache.remove)
-    bpeFitCache.getOrElseUpdate((s, fp), {
+      .filter(k => k._1 == s && k._2 == d && k._3 != fp)
+      .foreach(bpeFitCache.remove)
+    bpeFitCache.getOrElseUpdate((s, d, fp), {
       val (rows, fin) = bpeTrain(
         Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("tk")), 6)
@@ -1278,6 +1281,10 @@ object LlmText extends QueryGroup {
       rows
     })
   }
+
+  /** Test hook (CacheSpec): live fit fingerprints for one fixture dir. */
+  private[graft] def bpeFitFingerprints(s: SparkSession, d: String): Set[String] =
+    bpeFitCache.keysIterator.collect { case (`s`, `d`, fp) => fp }.toSet
 
   private val textBpe: QFn = (s, d) => {
     val rows = bpeFit(s, d)

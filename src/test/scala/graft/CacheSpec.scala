@@ -89,4 +89,46 @@ class CacheSpec extends AnyFunSuite {
       "pair graph served stale generation-1 cached blocks")
     assert(p2.storageLevel != StorageLevel.NONE)
   }
+
+  test("regenerated fixture evicts the stale BPE fit (driver-held memo)") {
+    // the bpeFit memo holds a driver-side Seq, not a DataFrame, but the
+    // round-9 eviction policy applies the same: a changed fingerprint
+    // must drop the superseded entry, not accumulate one per generation
+    val base = s"${Tables.scratchDir}/cache_spec_bpe"
+    def writeDocs(texts: Seq[String]): Unit = {
+      val sp = spark
+      import sp.implicits._
+      val tmp = s"$base/_tmp"
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$base/documents.parquet")
+      dst.delete()
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+    }
+    writeDocs(Seq.fill(8)("a b a b a b c d a b"))
+    val fit1 = operators.LlmText.bpeFit(spark, base)
+    assert(fit1.nonEmpty)
+    assert(fit1.exists(r => r._2 == "a" && r._3 == "b"))
+    val fps1 = operators.LlmText.bpeFitFingerprints(spark, base)
+    assert(fps1.size == 1)
+    writeDocs(Seq.fill(8)("x y x y x y z w x y"))
+    val fit2 = operators.LlmText.bpeFit(spark, base)
+    val fps2 = operators.LlmText.bpeFitFingerprints(spark, base)
+    assert(fit2.exists(r => r._2 == "x" && r._3 == "y"),
+      "fit must reflect the regenerated corpus, not the stale one")
+    assert(fps2.size == 1, s"stale fit entry survived: $fps2")
+    assert(fps2 != fps1, "regenerated fixture must key a fresh entry")
+    // a DIFFERENT fixture dir's slot is untouched by this eviction
+    // (the keying regression the dir slot exists to prevent) — the
+    // test-SF fit, if the suite already built one, must still be live
+    val otherFps = operators.LlmText.bpeFitFingerprints(spark, TestSpark.sf)
+    operators.LlmText.bpeFit(spark, TestSpark.sf)
+    assert(operators.LlmText.bpeFitFingerprints(spark, TestSpark.sf).size == 1)
+    if (otherFps.nonEmpty)
+      assert(operators.LlmText.bpeFitFingerprints(spark, TestSpark.sf) == otherFps,
+        "evicting one fixture's fit must not thrash another fixture's slot")
+  }
 }
