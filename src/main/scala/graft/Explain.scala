@@ -41,7 +41,7 @@ object Explain {
     "scan_file_metadata", "events_ab_test", "fn_mask", "join_asof_tol",
     "text_bpe_apply", "pipeline_multimodal_e2e", "sql_q2",
     "text_quality_classifier", "sql_q19", "multimodal_clip_filter",
-    "sql_q16", "profile_kanon", "agg_bitmap_intersect")
+    "sql_q16", "profile_kanon", "agg_bitmap_intersect", "join_asof_fwd")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

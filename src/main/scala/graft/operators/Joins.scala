@@ -242,6 +242,38 @@ object Joins extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of join — the LABEL join of a training pipeline (the
+    * backward direction fetches features known at t; this direction
+    * fetches the outcome: for each click, the same user's NEXT purchase
+    * at or after it, plus the lead time and a 7-day attribution-horizon
+    * flag — "did this click convert, and within the window we're allowed
+    * to learn from"). Same single per-user window as join_asof with the
+    * frame reversed (rows FOLLOWING + first() IGNORE NULLS) — sort once
+    * per key, no pair enumeration; the horizon is a pure row predicate
+    * after the window. lead_s is exact integer seconds on the raw bigint
+    * ns timestamps; the labeled flag's FALSE-on-no-match is the same
+    * three-valued-logic spelling on both engines (FALSE AND NULL =
+    * FALSE). */
+  private val joinAsofFwd: QFn = (s, d) => {
+    val horizonS = 7L * 24 * 3600
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("purch_value", when(col("event_type") === "purchase", col("value")))
+      .withColumn("purch_ts", when(col("event_type") === "purchase", col("ts")))
+      .withColumn("next_purchase_value",
+        first(col("purch_value"), ignoreNulls = true).over(w))
+      .withColumn("next_purchase_ts",
+        first(col("purch_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .withColumn("lead_s", expr("(next_purchase_ts - ts) div 1000000000"))
+      .select(col("event_id"), col("user_id"), col("next_purchase_value"),
+        col("lead_s"),
+        (col("lead_s").isNotNull && col("lead_s") <= horizonS).as("labeled"))
+      .orderBy(col("event_id"))
+  }
+
   /** The as-of mode of the custom RangeJoinExec sweep (pickLatest):
     * for each purchase, the most recent click strictly before it within
     * a 10-year lag window — join_asof's semantics on these fixtures
@@ -433,6 +465,7 @@ object Joins extends QueryGroup {
     "join_range_exec" -> joinRangeExec,
     "join_asof" -> joinAsof,
     "join_asof_tol" -> joinAsofTol,
+    "join_asof_fwd" -> joinAsofFwd,
     "join_asof_exec" -> joinAsofExec,
     "join_salted" -> joinSalted,
     "join_star" -> joinStar,
@@ -558,6 +591,22 @@ object Joins extends QueryGroup {
                     AS prev_click_value
            FROM events) t
          WHERE event_type = 'purchase'
+         ORDER BY event_id ASC NULLS FIRST""",
+    "join_asof_fwd" ->
+      """SELECT event_id, user_id, next_purchase_value, lead_s,
+                (lead_s IS NOT NULL AND lead_s <= 604800) AS labeled
+         FROM (
+           SELECT event_id, user_id, event_type,
+                  first_value(CASE WHEN event_type = 'purchase' THEN value END
+                              IGNORE NULLS) OVER w AS next_purchase_value,
+                  (first_value(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_ns(ts) END IGNORE NULLS) OVER w
+                   - epoch_ns(ts)) // 1000000000 AS lead_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         ) t
+         WHERE event_type = 'click'
          ORDER BY event_id ASC NULLS FIRST""",
     "join_asof_tol" ->
       """SELECT event_id, user_id, prev_click_value,

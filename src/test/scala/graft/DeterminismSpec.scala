@@ -146,6 +146,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_q16",             // exact distinct counts; null-aware anti membership
     "profile_kanon",       // all-integer class sizes and k-sweep counts
     "agg_bitmap_intersect", // bitmap OR/popcount folds; ppm int division
+    "join_asof_fwd",       // unique (ts, event_id) window order; int lead
     "multimodal_clip_filter", // micro-quantized int64 dot/norms, one closing division
   )
 
