@@ -1337,9 +1337,82 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE distributed-LM
+    * scoring recipe: no discounting, no normalization, just relative
+    * frequencies with a fixed 0.4 backoff factor, chosen because it
+    * needs exactly the count tables a MapReduce/Spark pipeline already
+    * builds). The LM-quality gate text_unigram_logprob/text_bigram_lm
+    * start — completed with the production backoff chain:
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2)            if the trigram is seen
+    *               = 0.4 · c(w2w3)/c(w2)          else if the bigram is
+    *               = 0.4² · (c(w3) or 1)/N        else (add-floor unigram)
+    *
+    * Counts come from a held-out split (even doc_ids train, everyone is
+    * scored) so the backoff paths actually fire — scoring the training
+    * corpus against itself never backs off. All lower-order counts
+    * derive from the ONE trigram aggregation (c12 = Σ_w3 c123 etc.), so
+    * the corpus is scanned once for counting; that also guarantees
+    * seen-trigram ⟹ seen-context structurally (no divide-by-zero arm).
+    * Determinism: each ln(S) term is quantized to integer NANOS
+    * (floor(x·1e9 + 0.5)) and summed as int64 — the text_js_divergence
+    * recipe; S itself is a fixed-shape double expression over integer
+    * counts, identical IEEE on both engines. Scale: count tables are
+    * vocab³-bounded (broadcast here; at data-sized vocab they'd join as
+    * plain equality shuffles — drop the hints, AQE decides), the corpus
+    * is touched by exactly two linear passes (count + score). */
+  private val textStupidBackoff: QFn = (s, d) => {
+    val tg = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks) - 1), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3))"))
+        .as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    // one corpus-count aggregation, checkpointed: every lower order is
+    // a |V³|-bounded re-aggregation of this table (the bigram_lm idiom)
+    val c123 = tg.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint()
+    val c12 = c123.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
+    val c23 = c123.groupBy(col("w2"), col("w3")).agg(sum(col("c123")).as("c23"))
+    val c2 = c123.groupBy(col("w2")).agg(sum(col("c123")).as("c2"))
+    val c3 = c123.groupBy(col("w3")).agg(sum(col("c123")).as("c3"))
+    val nn = c123.agg(sum(col("c123")).as("n"))
+    tg.join(broadcast(c123), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(c23), Seq("w2", "w3"), "left")
+      .join(broadcast(c2), Seq("w2"), "left")
+      .join(broadcast(c3), Seq("w3"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("doc_id"),
+        when(col("c123").isNotNull, 1L).otherwise(0L).as("hit3"),
+        when(col("c123").isNull && col("c23").isNotNull, 1L).otherwise(0L)
+          .as("back2"),
+        when(col("c123").isNull && col("c23").isNull, 1L).otherwise(0L)
+          .as("back1"),
+        floor(log(
+          when(col("c123").isNotNull, col("c123") / col("c12"))
+            .when(col("c23").isNotNull, lit(0.4) * (col("c23") / col("c2")))
+            .otherwise(lit(0.16) * (coalesce(col("c3"), lit(1L)) / col("n"))))
+          * 1e9 + 0.5).cast(LongType).as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+           sum(col("hit3")).as("n_hit3"),
+           sum(col("back2")).as("n_back2"),
+           sum(col("back1")).as("n_back1"),
+           (round(sum(col("q")).cast(DoubleType) / count(lit(1)) / 1e9, 6)
+             + lit(0.0)).as("sbo_lp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "text_bpe" -> textBpe,
     "text_bpe_apply" -> textBpeApply,
+    "text_stupid_backoff" -> textStupidBackoff,
     "text_normalize" -> textNormalize,
     "text_tokens" -> textTokens,
     "text_tfidf" -> textTfidf,
@@ -1475,6 +1548,45 @@ object LlmText extends QueryGroup {
           GROUP BY u.doc_id)"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "text_stupid_backoff" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3),
+            tg AS MATERIALIZED (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+                                       toks[i+2] AS w3
+                   FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+            tr AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c123
+                   FROM tg WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+            b12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+                    FROM tr GROUP BY w1, w2),
+            b23 AS (SELECT w2, w3, CAST(sum(c123) AS BIGINT) AS c23
+                    FROM tr GROUP BY w2, w3),
+            u2 AS (SELECT w2, CAST(sum(c123) AS BIGINT) AS c2 FROM tr GROUP BY w2),
+            u3 AS (SELECT w3, CAST(sum(c123) AS BIGINT) AS c3 FROM tr GROUP BY w3),
+            nn AS (SELECT CAST(sum(c123) AS BIGINT) AS n FROM tr),
+            sc AS (SELECT doc_id,
+                     CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END AS hit3,
+                     CASE WHEN c123 IS NULL AND c23 IS NOT NULL THEN 1 ELSE 0 END
+                       AS back2,
+                     CASE WHEN c123 IS NULL AND c23 IS NULL THEN 1 ELSE 0 END
+                       AS back1,
+                     CAST(floor(ln(
+                       CASE WHEN c123 IS NOT NULL THEN c123 / c12
+                            WHEN c23 IS NOT NULL THEN 0.4 * (c23 / c2)
+                            ELSE 0.16 * (coalesce(c3, 1) / n) END) * 1e9 + 0.5)
+                       AS BIGINT) AS q
+                   FROM tg LEFT JOIN tr USING (w1, w2, w3)
+                        LEFT JOIN b12 USING (w1, w2)
+                        LEFT JOIN b23 USING (w2, w3)
+                        LEFT JOIN u2 USING (w2)
+                        LEFT JOIN u3 USING (w3)
+                        CROSS JOIN nn)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                CAST(sum(hit3) AS BIGINT) AS n_hit3,
+                CAST(sum(back2) AS BIGINT) AS n_back2,
+                CAST(sum(back1) AS BIGINT) AS n_back1,
+                round(CAST(sum(q) AS DOUBLE) / count(*) / 1e9, 6) + 0.0 AS sbo_lp
+         FROM sc GROUP BY doc_id
+         ORDER BY doc_id ASC NULLS FIRST""",
     "text_bpe_apply" ->
       s"""WITH d0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS tk
                       FROM documents),

@@ -1449,6 +1449,224 @@ object LlmVector extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Binary (1-bit) embedding quantization + Hamming retrieval — the
+  // 64×-compression deployment rung of the quantization ladder
+  // (f32 → int8 `embed_quantize` → PQ `embed_pq` → sign bits here).
+  // At 100 TB a 64-dim f32 corpus is 256 B/vector; the sign code is
+  // 8 B/vector and the scan distance is two XOR+POPCNT ops — the shape
+  // binary-embedding retrieval systems ship. All-integer end to end,
+  // so every rung below is fully DuckDB-oracled (unlike the k-means
+  // quantizers, binarization has no iterative fit).
+  // ------------------------------------------------------------------
+
+  /** SQL expr packing 32 sign bits (dims off..off+31, 0-based) of the
+    * `embedding` column into an int64: bit i set iff the f32 dim is
+    * >= 0 (the ivf_eval sign convention). Two 32-bit halves instead of
+    * one 64-bit word keep every intermediate in non-negative int64 —
+    * a single word would need the sign bit (1L<<63) and the engines'
+    * signed-overflow conventions differ; two halves cost one extra
+    * XOR+POPCNT and are portable everywhere. Pure codegen HOF. */
+  private def packSignBits(off: Int): String =
+    s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+      s"acc + IF(embedding[i + $off] >= 0, shiftleft(1L, i), 0L))"
+
+  /** vec_id + the two packed 32-bit sign halves (hi = dims 33-64,
+    * lo = dims 1-32). Shared by every Hamming rung; stays inside the
+    * scan's codegen stage — binarization at 100 TB is a free rider on
+    * whatever pass reads the vectors. */
+  private def binaryCodes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      expr(packSignBits(32)).as("code_hi"),
+      expr(packSignBits(0)).as("code_lo"))
+
+  /** Spark-side 64-bit Hamming distance between (code_hi, code_lo) and
+    * the broadcast query halves (qhi, qlo). */
+  private val hammingExpr =
+    "CAST(bit_count(code_hi ^ qhi) + bit_count(code_lo ^ qlo) AS BIGINT)"
+
+  /** Declared binarization rung: the packed code plus the population
+    * count (a balance diagnostic — a healthy embedding distribution
+    * binarizes to ~half the bits set; heavy skew means the sign grid
+    * carries little information and Hamming recall will be poor). */
+  private val embedBinarize: QFn = (s, d) =>
+    Tables.embeddings(s, d).select(col("vec_id"),
+      expr(packSignBits(32)).as("code_hi"),
+      expr(packSignBits(0)).as("code_lo"),
+      expr("aggregate(embedding, 0L, (acc, x) -> acc + IF(x >= 0, 1L, 0L))")
+        .as("n_pos"))
+      .orderBy(col("vec_id"))
+
+  /** Hamming top-10 for 5 query codes over the binarized corpus — the
+    * cheap first-pass retrieval: one corpus pass × a broadcast query
+    * batch (sim_knn_batch's shape), distance = 2 XOR+POPCNT inside
+    * codegen, per-query rank window on the integer distance with
+    * vec_id tie-break (total order — Hamming ties are common by
+    * construction, so the tie-break is load-bearing here). 100 TB:
+    * linear scan of 8-byte codes, no corpus shuffle. */
+  private val simKnnHamming: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val c = binaryCodes(s, d)
+    val q = c.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"),
+        col("code_hi").as("qhi"), col("code_lo").as("qlo"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    c.filter(col("vec_id") >= 5L)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), expr(hammingExpr).as("ham"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn").cast(LongType).as("rank"),
+        col("vec_id"), col("ham"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Detector-quality rung for the 64-bit sign code (ivf_eval posture):
+    * per query, exact full-precision cosine top-10 is truth, Hamming
+    * top-10 is the candidate, overlap = recall@10. This is the number
+    * that justifies (or kills) shipping the 64×-compressed index — and
+    * unlike ivf_eval's 3-bit grid this measures the code actually
+    * deployed by sim_knn_hamming/sim_knn_rerank. */
+  private val hammingEval: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      expr(packSignBits(32)).as("code_hi"), expr(packSignBits(0)).as("code_lo"))
+    val q = e.filter(col("vec_id") < 20L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("code_hi").as("qhi"), col("code_lo").as("qlo"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cs"),
+        expr(hammingExpr).as("ham"))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id"))
+    val exact = cand.withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val approx = cand.withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / 10.0).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
+  /** Two-stage retrieval cascade — how binary codes are actually
+    * deployed: a Hamming shortlist (top-50 by the 8-byte code, the
+    * only pass that touches the whole corpus) re-ranked by exact f32
+    * cosine (touches 50 vectors). Stage 1 is a
+    * TakeOrderedAndProject over codegen'd XOR+POPCNT; stage 2 reads
+    * full vectors ONLY for the shortlist — at 100 TB that's the
+    * difference between streaming 8 B/vector and 256 B/vector through
+    * the scan. The final order is on the rounded cosine with vec_id
+    * tie-break (sim_knn's determinism recipe). */
+  private val simKnnRerank: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      expr(packSignBits(32)).as("code_hi"), expr(packSignBits(0)).as("code_lo"))
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"),
+        col("code_hi").as("qhi"), col("code_lo").as("qlo"))
+    e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .withColumn("ham", expr(hammingExpr))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+      .limit(50)
+      .select(col("vec_id"), col("ham"),
+        (round(expr("cosine_f32(embedding, qe)"), 6) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Contrastive hard-negative mining — the embedding-TRAINING data
+    * operator (every dual-encoder recipe needs, per anchor, the most
+    * similar examples that are NOT the same class): for 10 anchor
+    * vectors, the top-3 by cosine among vectors with a different
+    * `label`, capped below 0.95 to exclude near-duplicates (a
+    * duplicate mislabeled as a negative poisons the loss — the
+    * false-negative filter every large-scale mining pipeline runs).
+    * Broadcast anchor batch × one corpus pass; ranking on the raw
+    * double cosine (identical fold both engines — the ivf_eval
+    * precedent) with vec_id tie-break. 100 TB: per-anchor cost is one
+    * corpus scan amortized across the whole broadcast batch; the
+    * at-scale variant shards anchors into batches exactly like
+    * sim_knn_batch. */
+  private val simHardNegatives: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlab"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlab"))
+      .withColumn("cs", cosine(col("embedding"), col("qe")))
+      .filter(col("cs") < 0.95)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast(LongType).as("rank"), col("vec_id"),
+        col("label").as("neg_label"),
+        (round(col("cs"), 6) + lit(0.0)).as("cos_sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Voice-activity segmentation over the audio-stub frames — the step
+    * after multimodal_audio_rms's silence gate: group CONSECUTIVE
+    * active frames into speech segments (what an ASR ingest feeds the
+    * transcriber, one segment per utterance). Frames reuse the
+    * audio_rms shape at a FINER 64-byte granularity (VAD hop sizes are
+    * 10-30 ms vs RMS's coarser windows; 64 B gives ~5 frames/doc on the
+    * fixture so segmentation is non-trivial — at 256 B nearly every doc
+    * was one all-active frame) with the in-row exact Σ(b−128)² fold;
+    * active = the all-integer gate ssq ≥ τ²·len at τ=45 (measured to
+    * split the fixture's frames ≈44% active / 56% silent — τ=35, the
+    * RMS rung's gate, marks 98% active here); islands via the
+    * classic gaps-and-islands key (frame − running-active-count) built
+    * with ONE per-doc window pass — no self-join, no second scan — then
+    * two map-side-combining aggregations (per-(doc, island), per-doc).
+    * Inactive frames carry a NULL island so one grouping pass counts
+    * both populations. All outputs integer or exact-rational. 100 TB:
+    * the window partitions by doc (bounded by blob size), the shuffles
+    * carry (doc, frame) rows — linear. */
+  private val multimodalAudioVad: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (length(text) - 1) div 64), f -> substring(text, f * 64 + 1, 64))"))
+        .as(Seq("frame", "chunk")))
+      .select(col("doc_id"), col("frame").cast(LongType).as("frame"),
+        length(col("chunk")).cast(LongType).as("flen"),
+        expr("""aggregate(transform(split(chunk, ''),
+                  c -> CAST(ascii(c) AS BIGINT)),
+                  CAST(0 AS BIGINT), (acc, b) -> acc + (b - 128) * (b - 128))""")
+          .as("ssq"))
+      .withColumn("active", col("ssq") >= lit(2025L) * col("flen"))
+      .withColumn("apre",
+        sum(when(col("active"), 1L).otherwise(0L)).over(w))
+      .withColumn("isl", when(col("active"), col("frame") - col("apre")))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_frames"),
+           sum(when(col("isl").isNotNull, col("n")).otherwise(0L)).as("n_active"),
+           count(col("isl")).as("n_segments"),
+           coalesce(max(when(col("isl").isNotNull, col("n"))), lit(0L))
+             .as("longest_seg"))
+      .select(col("doc_id"), col("n_frames"), col("n_active"),
+        col("n_segments"), col("longest_seg"),
+        round(col("n_active").cast(DoubleType) / col("n_frames"), 6)
+          .as("active_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sim_cosine_pairs" -> simCosinePairs,
     "sim_knn" -> simKnn,
@@ -1481,7 +1699,34 @@ object LlmVector extends QueryGroup {
     "multimodal_frame_dedup" -> multimodalFrameDedup,
     "multimodal_join" -> multimodalJoin,
     "multimodal_clip_filter" -> multimodalClipFilter,
+    "embed_binarize" -> embedBinarize,
+    "sim_knn_hamming" -> simKnnHamming,
+    "hamming_eval" -> hammingEval,
+    "sim_knn_rerank" -> simKnnRerank,
+    "sim_hard_negatives" -> simHardNegatives,
+    "multimodal_audio_vad" -> multimodalAudioVad,
   )
+
+  /** The packed-sign-code construction as a DuckDB CTE ending in
+    * `bc(vec_id, code_hi, code_lo)` — generated from the same >= 0
+    * convention and 32-bit halves as [[packSignBits]], shared by the
+    * binarize/Hamming oracles so they cannot drift apart. */
+  private val duckBinCodesCte: String =
+    """bbit AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+                       CASE WHEN embedding[i + 1] >= 0 THEN 1 ELSE 0 END AS bit
+                FROM embeddings, unnest(range(0, 64)) AS u(i)),
+       bc AS MATERIALIZED (SELECT vec_id,
+               CAST(sum(CASE WHEN i >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                             ELSE 0 END) AS BIGINT) AS code_hi,
+               CAST(sum(CASE WHEN i < 32
+                             THEN bit * (CAST(1 AS BIGINT) << i)
+                             ELSE 0 END) AS BIGINT) AS code_lo,
+               CAST(sum(bit) AS BIGINT) AS n_pos
+             FROM bbit GROUP BY vec_id)"""
+
+  private val duckHam =
+    "CAST(bit_count(xor(code_hi, qhi)) + bit_count(xor(code_lo, qlo)) AS BIGINT)"
 
   private val duckPairCos = duckCos("ea", "eb")
 
@@ -1598,6 +1843,100 @@ object LlmVector extends QueryGroup {
             w3 AS (SELECT i AS j, round(ui / nn, 9) AS wj FROM u3 CROSS JOIN n3)"""
 
   val oracles: Seq[(String, String)] = Seq(
+    "embed_binarize" ->
+      s"""WITH $duckBinCodesCte
+          SELECT vec_id, code_hi, code_lo, n_pos
+          FROM bc ORDER BY vec_id ASC NULLS FIRST""",
+    "sim_knn_hamming" ->
+      s"""WITH $duckBinCodesCte,
+            q AS (SELECT vec_id qid, code_hi qhi, code_lo qlo
+                  FROM bc WHERE vec_id < 5),
+            c AS (SELECT qid, vec_id, $duckHam AS ham
+                  FROM bc CROSS JOIN q WHERE vec_id >= 5),
+            r AS (SELECT qid, vec_id, ham, row_number() OVER (PARTITION BY qid
+                    ORDER BY ham ASC, vec_id ASC) rn FROM c)
+          SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, ham
+          FROM r WHERE rn <= 10
+          ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST""",
+    "hamming_eval" ->
+      s"""WITH $duckBinCodesCte,
+            e AS (SELECT bc.vec_id, CAST(embedding AS DOUBLE[]) ev,
+                         code_hi, code_lo
+                  FROM bc JOIN embeddings USING (vec_id)),
+            q AS (SELECT vec_id qid, ev qe, code_hi qhi, code_lo qlo
+                  FROM e WHERE vec_id < 20),
+            c AS (SELECT qid, vec_id, ${duckCos("ev", "qe")} AS cs, $duckHam AS ham
+                  FROM e CROSS JOIN q WHERE vec_id <> qid),
+            ex AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY cs DESC NULLS LAST, vec_id ASC) rn FROM c) t
+                   WHERE rn <= 10),
+            ap AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY ham ASC, vec_id ASC) rn FROM c) t
+                   WHERE rn <= 10),
+            j AS (SELECT ex.qid,
+                         CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END hit
+                  FROM ex LEFT JOIN ap
+                    ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id)
+          SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(hit) AS BIGINT) AS n_hit,
+                 CAST(sum(hit) AS DOUBLE) / 10.0 AS recall_at_10
+          FROM j GROUP BY qid ORDER BY qid ASC NULLS FIRST""",
+    "sim_knn_rerank" ->
+      s"""WITH $duckBinCodesCte,
+            e AS (SELECT bc.vec_id, CAST(embedding AS DOUBLE[]) ev,
+                         code_hi, code_lo
+                  FROM bc JOIN embeddings USING (vec_id)),
+            q AS (SELECT ev qe, code_hi qhi, code_lo qlo FROM e WHERE vec_id = 0),
+            sl AS (SELECT vec_id, ev, $duckHam AS ham
+                   FROM e CROSS JOIN q WHERE vec_id <> 0
+                   ORDER BY ham ASC, vec_id ASC LIMIT 50)
+          SELECT vec_id, ham,
+                 round(${duckCos("ev", "qe")}, 6) + 0.0 AS cos_sim
+          FROM sl CROSS JOIN q
+          ORDER BY cos_sim DESC NULLS LAST, vec_id ASC LIMIT 10""",
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev, label
+                     FROM embeddings),
+            q AS (SELECT vec_id qid, ev qe, label qlab FROM e WHERE vec_id < 10),
+            c AS (SELECT qid, vec_id, label, ${duckCos("ev", "qe")} AS cs
+                  FROM e CROSS JOIN q WHERE label <> qlab),
+            r AS (SELECT qid, vec_id, label, cs, row_number() OVER (
+                    PARTITION BY qid ORDER BY cs DESC NULLS LAST, vec_id ASC) rn
+                  FROM c WHERE cs < 0.95)
+          SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id,
+                 label AS neg_label, round(cs, 6) + 0.0 AS cos_sim
+          FROM r WHERE rn <= 3
+          ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST""",
+    "multimodal_audio_vad" ->
+      """WITH ch AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                            CAST(ascii(substr(text, i, 1)) AS BIGINT) AS b
+                     FROM documents, unnest(range(1, length(text) + 1)) r(i)),
+            fr AS (SELECT doc_id, pos // 64 AS frame, count(*) AS flen,
+                          CAST(sum((b - 128) * (b - 128)) AS BIGINT) AS ssq
+                   FROM ch GROUP BY doc_id, pos // 64),
+            ac AS (SELECT doc_id, frame,
+                          CASE WHEN ssq >= 2025 * flen THEN 1 ELSE 0 END AS active,
+                          sum(CASE WHEN ssq >= 2025 * flen THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY doc_id ORDER BY frame
+                                  ROWS UNBOUNDED PRECEDING) AS apre
+                   FROM fr),
+            seg AS (SELECT doc_id,
+                           CASE WHEN active = 1 THEN frame - apre END AS isl,
+                           count(*) AS n
+                    FROM ac GROUP BY doc_id,
+                           CASE WHEN active = 1 THEN frame - apre END)
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_frames,
+                 CAST(sum(CASE WHEN isl IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+                   AS n_active,
+                 CAST(count(isl) AS BIGINT) AS n_segments,
+                 CAST(coalesce(max(CASE WHEN isl IS NOT NULL THEN n END), 0)
+                   AS BIGINT) AS longest_seg,
+                 round(CAST(sum(CASE WHEN isl IS NOT NULL THEN n ELSE 0 END)
+                         AS DOUBLE) / sum(n), 6) AS active_ratio
+          FROM seg GROUP BY doc_id
+          ORDER BY doc_id ASC NULLS FIRST""",
     "sim_cosine_pairs" ->
       s"""WITH p AS (
             SELECT a.vec_id ia, b.vec_id ib,
