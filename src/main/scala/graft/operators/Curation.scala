@@ -814,7 +814,54 @@ object Curation extends QueryGroup {
     qualityClassifierScore(s, Tables.documents(s, d)
       .select(col("doc_id"), col("text")))
 
+  /** Flesch readability scoring — the lightweight quality gate HTML
+    * curation stacks run next to the stopword/punct heuristics (a
+    * grade-level band is a standard corpus-mix axis: textbook-style
+    * "easy" prose vs technical "hard" text). The fixture corpus has no
+    * sentence punctuation, so the rung first SYNTHESIZES deterministic
+    * sentence boundaries (the text_boilerplate/text_pii_scan posture:
+    * construction mirrored verbatim in the oracle): a period is
+    * appended to every k-th token, k = 8 + doc_id % 5, plus a terminal
+    * period — then the REAL pipeline runs on the page: sentences =
+    * regexp runs of [.!?]+, words = whitespace tokens, syllables =
+    * vowel-group count with the standard ≥1-per-word floor (vowel-less
+    * tokens contribute 1). Flesch reading-ease and Flesch-Kincaid
+    * grade are fixed-shape double expressions over these exact integer
+    * counts — identical IEEE on both engines, so the band gate
+    * compares the raw double, never a rounded rendering. Zero shuffle:
+    * pure row functions + the final ORDER BY; at 100 TB this rides the
+    * ingest scan like text_normalize. */
+  private val textReadability: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("k", (col("doc_id") % 5 + 8).cast(IntegerType))
+      .withColumn("page", concat(expr(
+        """array_join(transform(split(text, ' '),
+             (w, i) -> IF((i + 1) % k = 0, concat(w, '.'), w)), ' ')"""),
+        lit(".")))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        size(expr("regexp_extract_all(page, '[.!?]+', 0)")).cast(LongType)
+          .as("n_sentences"),
+        (size(expr("regexp_extract_all(lower(page), '[aeiouy]+', 0)"))
+          .cast(LongType)
+          + size(expr("filter(split(lower(text), ' '), w -> NOT (w rlike '[aeiouy]'))"))
+            .cast(LongType)).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words").cast(DoubleType) / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast(DoubleType) / col("n_words")))
+          .as("fre_raw"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (round(col("fre_raw"), 6) + lit(0.0)).as("flesch"),
+        when(col("fre_raw") >= 60.0, "easy")
+          .when(col("fre_raw") >= 30.0, "medium")
+          .otherwise("hard").as("band"))
+      .orderBy(col("doc_id"))
+
   val queries: Seq[(String, QFn)] = Seq(
+    "text_readability" -> textReadability,
     "text_quality_classifier" -> textQualityClassifier,
     "profile_topk" -> profileTopk,
     "profile_kanon" -> profileKanon,
@@ -837,6 +884,37 @@ object Curation extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                           8 + doc_id % 5 AS k
+                    FROM documents),
+            pg AS (SELECT doc_id, toks,
+                     array_to_string(list_transform(range(1, len(toks) + 1),
+                       i -> CASE WHEN i % k = 0 THEN toks[i] || '.'
+                                 ELSE toks[i] END), ' ') || '.' AS page
+                   FROM t),
+            m AS (SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_words,
+                    CAST(len(regexp_extract_all(page, '[.!?]+')) AS BIGINT)
+                      AS n_sentences,
+                    CAST(len(regexp_extract_all(lower(page), '[aeiouy]+'))
+                      AS BIGINT)
+                    + CAST(len(list_filter(toks,
+                        w -> NOT regexp_matches(lower(w), '[aeiouy]')))
+                      AS BIGINT) AS n_syllables
+                  FROM pg),
+            r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+                    206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+                      AS fre_raw
+                  FROM m)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                round(fre_raw, 6) + 0.0 AS flesch,
+                CASE WHEN fre_raw >= 60.0 THEN 'easy'
+                     WHEN fre_raw >= 30.0 THEN 'medium'
+                     ELSE 'hard' END AS band
+         FROM r ORDER BY doc_id ASC NULLS FIRST""",
     "profile_kanon" ->
       """WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
                       FROM customer GROUP BY 1, 2),

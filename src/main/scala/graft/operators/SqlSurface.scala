@@ -755,7 +755,73 @@ object SqlSurface extends QueryGroup {
       ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""")
   }
 
+  /** TPC-H Q13 analog (customer order-count distribution) — the DOUBLE
+    * aggregation over an OUTER join, the one relational shape the suite
+    * didn't yet pin: per-customer order counts must keep zero-order
+    * customers (LEFT OUTER with the exclusion predicate INSIDE the join
+    * condition — moving it to WHERE would silently turn the join inner
+    * and drop the c_count=0 bucket), then a second aggregation
+    * histograms the counts. Q13 excludes 'special requests' orders; the
+    * fixture carries no comment column, so the urgent-priority class
+    * stands in. Catalyst plans customer⋈orders as one equality
+    * shuffle (both sides fact-scale at 100 TB — no broadcast), and both
+    * aggregates are two-phase with map-side combine; the second one
+    * reduces customer-count-sized data, negligible. count(o_orderkey)
+    * counts non-NULL fact keys only — the LEFT-OUTER-safe spelling. */
+  private val sqlQ13: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_c13_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o13_v")
+    s.sql("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM graft_c13_v c LEFT OUTER JOIN graft_o13_v o
+              ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  }
+
+  /** TPC-H Q22 analog (well-funded inactive customers) — the remaining
+    * subquery pairing: an UNCORRELATED scalar aggregate threshold (the
+    * global positive-balance average) gating the outer scan, plus a
+    * correlated NOT EXISTS planned as a LEFT ANTI join. Q22's country
+    * code is substring(c_phone); the fixture has no phone, so
+    * c_nationkey is the code and 'no urgent order' stands in for 'no
+    * order' (every fixture customer has orders). Exactness: balances
+    * are quantized to integer MICROS (floor(x·1e6 + 0.5), the portable
+    * recipe — a DECIMAL cast of a DOUBLE rounds differently per
+    * engine), and the threshold compare is CROSS-MULTIPLIED
+    * (bal_u · n > sum_u) so no division ever happens — the boundary
+    * customer cannot flip engines. int64 bound: bal_u ≤ 1e10 µ and the
+    * product must stay < 2^63, so this spelling holds to ~1e8 positive
+    * customers; past that, pre-divide the threshold once (sum_u DIV n,
+    * with the ±1 µ boundary documented) or lift the sum to
+    * DECIMAL(38,0). Catalyst broadcasts the 1-row aggregate and plans
+    * the NOT EXISTS as a broadcast/shuffle anti join on o_custkey. */
+  private val sqlQ22: QFn = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_c22_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o22_v")
+    s.sql("""
+      WITH pos AS (SELECT CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) AS bal_u
+                   FROM graft_c22_v WHERE c_acctbal > 0.0),
+           thr AS (SELECT CAST(sum(bal_u) AS BIGINT) AS su,
+                          CAST(count(*) AS BIGINT) AS n FROM pos)
+      SELECT c_nationkey AS cntrycode,
+             count(*) AS numcust,
+             sum(CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT)) AS totbal_micro
+      FROM graft_c22_v CROSS JOIN thr
+      WHERE CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) * thr.n > thr.su
+        AND NOT EXISTS (SELECT 1 FROM graft_o22_v o
+                        WHERE o.o_custkey = c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey
+      ORDER BY cntrycode ASC""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    "sql_q13" -> sqlQ13,
+    "sql_q22" -> sqlQ22,
     "sql_q2" -> sqlQ2,
     "sql_q3" -> sqlQ3,
     "sql_q19" -> sqlQ19,
@@ -781,6 +847,31 @@ object SqlSurface extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+               FROM customer c LEFT OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+               GROUP BY c.c_custkey) c_orders
+         GROUP BY c_count
+         ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""",
+    "sql_q22" ->
+      """WITH pos AS (SELECT CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) AS bal_u
+                      FROM customer WHERE c_acctbal > 0.0),
+            thr AS (SELECT CAST(sum(bal_u) AS BIGINT) AS su,
+                           CAST(count(*) AS BIGINT) AS n FROM pos)
+         SELECT c_nationkey AS cntrycode,
+                CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS totbal_micro
+         FROM customer CROSS JOIN thr
+         WHERE CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) * thr.n > thr.su
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey
+         ORDER BY cntrycode ASC NULLS FIRST""",
     "sql_q2" ->
       """SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
                 l_extendedprice AS best_price, l_orderkey, l_linenumber

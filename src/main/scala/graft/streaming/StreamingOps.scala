@@ -263,6 +263,62 @@ object StreamingOps {
         (col("sraw") > tau).as("kept"))
   }
 
+  /** Streaming near-dup gate — dedup_incremental's as-data-lands twin:
+    * each arriving doc is MinHash-signed IN THE ROW (the same 16-hash /
+    * 8-band construction as the persisted corpus index, but as pure
+    * array HOFs — no shuffle touches the signature: a streaming groupBy
+    * per doc would force an aggregation where none is needed) and its 8
+    * band keys are probed against the static band index; a doc is novel
+    * iff NO band matches. The static side is the index's DISTINCT
+    * (band, s0, s1) key set — distinct because several corpus docs can
+    * share a band key and an outer join would multiply stream rows.
+    * The only stateful operator is the post-join per-doc verdict
+    * aggregation ((window, doc_id) keyed, 10 min watermark, append
+    * emits each verdict exactly once) — state is 8 band verdicts per
+    * in-flight doc, watermark-bounded. In production the distinct key
+    * set is persisted next to the index (here it's derived, computed
+    * per micro-batch — fine for KB-scale fixtures, a real deployment
+    * reads the precomputed keys); index growth goes through
+    * dedup_incremental/ann_upsert-style batch appends. min over
+    * per-shingle hashes equals the index's min over DISTINCT shingles,
+    * so the signatures are bit-identical to minhashBands' (the
+    * StreamingSpec twin proves it against the declared batch rung). */
+  def nearDupGate(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val mins = (0 until 16).map { i =>
+      expr(s"array_min(transform(hm, x -> (x * ${2 * i + 3} + ${7919 * i + 13}) % $P))")
+        .as(s"mh$i")
+    }
+    val idxKeys = bandIndex.select(col("band"), col("s0"), col("s1"))
+      .distinct().withColumn("hit", lit(1L))
+    docs
+      .withColumn("t", split(col("text"), " "))
+      // sequence(0, negative) DESCENDS and fabricates phantom shingles
+      // for a <3-token doc (the multimodal_audio_rms guard convention);
+      // such docs keep an EMPTY shingle set → null band keys → no index
+      // match → novel, which is the right verdict for unsignable docs
+      .withColumn("hm", expr(
+        s"""transform(
+              CASE WHEN size(t) >= 3
+                   THEN transform(sequence(0, size(t) - 3),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+                   ELSE CAST(array() AS ARRAY<STRING>) END,
+              s -> CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT) % $P)"""))
+      .select(Seq(col("doc_id"), col("ts_us")) ++ mins: _*)
+      .select(col("doc_id"), col("ts_us"), explode(array((0 until 8).map { j =>
+        struct(lit(j).as("band"), col(s"mh${2 * j}").as("s0"),
+          col(s"mh${2 * j + 1}").as("s1"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("ts_us"), col("b.band").as("band"),
+        col("b.s0").as("s0"), col("b.s1").as("s1"))
+      .withWatermark("ts_us", "10 minutes")
+      .join(idxKeys, Seq("band", "s0", "s1"), "left")
+      .groupBy(window(col("ts_us"), "1 hour"), col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit_bands"))
+      .select(col("doc_id"), col("n_hit_bands"),
+        (col("n_hit_bands") === 0L).as("novel"))
+  }
+
   /** Per-user hourly rate-limit flags — events_quota's streaming twin
     * (the batch rung audits history; this flags bursts while the stream
     * runs): tumbling 1 h windows keyed by user, a 1 h watermark bounds

@@ -942,4 +942,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("psi") < 0.0).count() == 0, "negative PSI")
     q.stop()
   }
+
+  test("stream_neardup: streaming near-dup gate matches the incremental batch probe") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.Doc
+    // the persisted corpus band index (doc_id % 5 != 0) — the same
+    // artifact the declared dedup_incremental rung probes
+    val idxPath = operators.LlmText.ensureMinhashIndex(spark, TestSpark.sf)
+    val idx = spark.read.parquet(s"$idxPath/bands")
+    val base = 1700000000000L
+    // the delta batch (doc_id % 5 == 0) arrives as a stream
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => Doc(r.getLong(0),
+        new java.sql.Timestamp(base + r.getLong(0) * 1000L),
+        r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id).toSeq
+    val in = MemoryStream[Doc]
+    val q = StreamingOps.nearDupGate(in.toDF(), idx)
+      .writeStream.format("memory").queryName("st_neardup")
+      .outputMode("append").start()
+    in.addData(docs.take(docs.length / 2)); q.processAllAvailable()
+    in.addData(docs.drop(docs.length / 2)); q.processAllAvailable()
+    // sentinel advances the watermark past every real window; its own
+    // <3-token text is unsignable by construction and filtered by id
+    val sentinel = Doc(-1L,
+      new java.sql.Timestamp(base + 100L * 86400 * 1000), "en", "a b")
+    in.addData(Seq(sentinel)); q.processAllAvailable()
+    val got = spark.table("st_neardup").filter(col("doc_id") >= 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // same function, batch evaluation (watermark no-ops in batch)
+    val exp = StreamingOps.nearDupGate(spark.createDataset(docs).toDF(), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == exp, s"stream-batch drift: ${got.diff(exp)} / ${exp.diff(got)}")
+    assert(got.size == docs.size, "one verdict per doc")
+    // novelty ties back to the DECLARED rung: dedup_incremental's
+    // matched new_ids are exactly the gate's novel = false docs
+    val matched = SparkEntry.queries("dedup_incremental")(spark, TestSpark.sf)
+      .select(col("new_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gateDup = got.filter(!_._3).map(_._1)
+    assert(gateDup == matched,
+      s"gate/incremental drift: ${gateDup.diff(matched)} / ${matched.diff(gateDup)}")
+    // the gate must catch something AND pass something on this fixture
+    assert(gateDup.nonEmpty && gateDup.size < docs.size, "degenerate gate")
+    q.stop()
+  }
 }
