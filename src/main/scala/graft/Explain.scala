@@ -41,7 +41,10 @@ object Explain {
     "scan_file_metadata", "events_ab_test", "fn_mask", "join_asof_tol",
     "text_bpe_apply", "pipeline_multimodal_e2e", "sql_q2",
     "text_quality_classifier", "sql_q19", "multimodal_clip_filter",
-    "sql_q16", "profile_kanon", "agg_bitmap_intersect", "join_asof_fwd")
+    "sql_q16", "profile_kanon", "agg_bitmap_intersect", "join_asof_fwd",
+    "embed_binarize", "sim_knn_hamming", "hamming_eval", "sim_knn_rerank",
+    "sim_hard_negatives", "multimodal_audio_vad", "text_stupid_backoff",
+    "text_readability", "sql_q13", "sql_q22")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

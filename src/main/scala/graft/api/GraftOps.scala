@@ -1110,4 +1110,57 @@ object GraftOps {
                 / (col("deg") * (col("deg") - 1L)).cast(DoubleType), 6) + lit(0.0))
           .otherwise(lit(0.0)))
   }
+
+  /** 1-bit sign binarization of an embedding column — embed_binarize's
+    * construction over a caller vector: bit i set iff dim i is >= 0,
+    * packed into two 32-dim int64 halves (code_hi = dims 33-64,
+    * code_lo = dims 1-32; one 64-bit word would need the sign bit and
+    * engines disagree on signed overflow). Returns
+    * struct(code_hi, code_lo, n_pos). Unrolled literal sums, not
+    * aggregate() HOFs, so the packing stays inside whole-stage codegen
+    * and rides the scan: the 64x index-compression step costs nothing
+    * extra at 100 TB. Assumes >= 64 dims (extra dims are ignored, the
+    * multimodal stub contract). */
+  def signBinarize(vec: Column): Column = {
+    def pack(off: Int): Column = (0 until 32)
+      .map(i => when(element_at(vec, i + off + 1) >= 0.0, lit(1L << i))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    val nPos = (0 until 64)
+      .map(i => when(element_at(vec, i + 1) >= 0.0, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    struct(pack(32).as("code_hi"), pack(0).as("code_lo"), nPos.as("n_pos"))
+  }
+
+  /** 64-bit Hamming distance between two packed sign codes (the
+    * signBinarize halves) — two XOR+POPCNT ops, the sim_knn_hamming /
+    * sim_knn_rerank first-pass distance. */
+  def hammingDistance(hiA: Column, loA: Column,
+                      hiB: Column, loB: Column): Column =
+    (bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB)))
+      .cast(LongType)
+
+  /** Flesch reading-ease over a page string — text_readability's scoring
+    * half for caller pages that HAVE sentence punctuation (the declared
+    * rung synthesizes boundaries first because the fixture has none):
+    * words = whitespace tokens, sentences = max(1, runs of [.!?]+),
+    * syllables = vowel groups with the standard >= 1-per-word floor.
+    * Returns struct(n_words, n_sentences, n_syllables, flesch) where
+    * flesch is the raw double (callers gate on it; round only for
+    * display). Pure row functions — rides the ingest scan. */
+  def fleschReadingEase(page: Column): Column = {
+    val words = split(page, " ")
+    val nWords = size(words).cast(LongType)
+    val nSents = greatest(lit(1L),
+      size(regexp_extract_all(page, lit("[.!?]+"), lit(0))).cast(LongType))
+    val nSyl = (size(regexp_extract_all(lower(page), lit("[aeiouy]+"), lit(0)))
+      .cast(LongType)
+      + size(filter(transform(words, w => lower(w)),
+          w => !w.rlike("[aeiouy]"))).cast(LongType))
+    struct(nWords.as("n_words"), nSents.as("n_sentences"),
+      nSyl.as("n_syllables"),
+      (lit(206.835)
+        - lit(1.015) * (nWords.cast(DoubleType) / nSents)
+        - lit(84.6) * (nSyl.cast(DoubleType) / nWords)).as("flesch"))
+  }
 }

@@ -1466,15 +1466,24 @@ object LlmVector extends QueryGroup {
     * one 64-bit word keep every intermediate in non-negative int64 —
     * a single word would need the sign bit (1L<<63) and the engines'
     * signed-overflow conventions differ; two halves cost one extra
-    * XOR+POPCNT and are portable everywhere. Pure codegen HOF. */
+    * XOR+POPCNT and are portable everywhere. UNROLLED as a 32-term
+    * literal sum rather than an `aggregate` HOF: plain conditionals
+    * stay inside whole-stage codegen (HOFs are eval-mode), so the
+    * packing is a true free rider on the scan. */
   private def packSignBits(off: Int): String =
-    s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
-      s"acc + IF(embedding[i + $off] >= 0, shiftleft(1L, i), 0L))"
+    (0 until 32).map(i => s"IF(embedding[${i + off}] >= 0, ${1L << i}L, 0L)")
+      .mkString("(", " + ", ")")
+
+  /** Unrolled 64-term popcount of positive dims (same codegen rationale
+    * as [[packSignBits]]). */
+  private val nPosExpr: String =
+    (0 until 64).map(i => s"IF(embedding[$i] >= 0, 1L, 0L)")
+      .mkString("(", " + ", ")")
 
   /** vec_id + the two packed 32-bit sign halves (hi = dims 33-64,
-    * lo = dims 1-32). Shared by every Hamming rung; stays inside the
-    * scan's codegen stage — binarization at 100 TB is a free rider on
-    * whatever pass reads the vectors. */
+    * lo = dims 1-32). Shared by every Hamming rung; one shuffle-free
+    * codegen projection over the scan — binarization at 100 TB is a
+    * free rider on whatever pass reads the vectors. */
   private def binaryCodes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
       expr(packSignBits(32)).as("code_hi"),
@@ -1493,8 +1502,7 @@ object LlmVector extends QueryGroup {
     Tables.embeddings(s, d).select(col("vec_id"),
       expr(packSignBits(32)).as("code_hi"),
       expr(packSignBits(0)).as("code_lo"),
-      expr("aggregate(embedding, 0L, (acc, x) -> acc + IF(x >= 0, 1L, 0L))")
-        .as("n_pos"))
+      expr(nPosExpr).as("n_pos"))
       .orderBy(col("vec_id"))
 
   /** Hamming top-10 for 5 query codes over the binarized corpus — the

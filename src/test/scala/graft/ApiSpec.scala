@@ -674,4 +674,52 @@ class ApiSpec extends AnyFunSuite {
       .select(col("doc_id"), col("clip_score"), col("kept"))
     assert(rows(api) == rows(declared))
   }
+
+  test("signBinarize on a caller column equals embed_binarize") {
+    val api = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        GraftOps.signBinarize(col("embedding")).as("b"))
+      .select(col("vec_id"), col("b.code_hi").as("code_hi"),
+        col("b.code_lo").as("code_lo"), col("b.n_pos").as("n_pos"))
+    val declared = SparkEntry.queries("embed_binarize")(spark, sf)
+    assert(rows(api) == rows(declared))
+  }
+
+  test("hammingDistance reproduces sim_knn_hamming's distances") {
+    val c = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), GraftOps.signBinarize(col("embedding")).as("b"))
+      .select(col("vec_id"), col("b.code_hi").as("hi"), col("b.code_lo").as("lo"))
+    val q = c.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("hi").as("qhi"), col("lo").as("qlo"))
+    val api = c.filter(col("vec_id") >= 5L).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        GraftOps.hammingDistance(col("hi"), col("lo"),
+          col("qhi"), col("qlo")).as("ham"))
+    val declared = SparkEntry.queries("sim_knn_hamming")(spark, sf)
+      .select(col("qid"), col("vec_id"), col("ham"))
+    // declared is the top-10 per query; the API pairs must agree on it
+    val apiMap = api.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    declared.collect().foreach { r =>
+      assert(apiMap((r.getLong(0), r.getLong(1))) == r.getLong(2), r.toString)
+    }
+  }
+
+  test("fleschReadingEase on the rung's synthesized pages equals text_readability") {
+    val api = Tables.documents(spark, sf)
+      .withColumn("k", (col("doc_id") % 5 + 8).cast("int"))
+      .withColumn("page", concat(expr(
+        """array_join(transform(split(text, ' '),
+             (w, i) -> IF((i + 1) % k = 0, concat(w, '.'), w)), ' ')"""),
+        lit(".")))
+      .select(col("doc_id"), GraftOps.fleschReadingEase(col("page")).as("f"))
+      .select(col("doc_id"), col("f.n_words").as("n_words"),
+        col("f.n_sentences").as("n_sentences"),
+        col("f.n_syllables").as("n_syllables"),
+        (round(col("f.flesch"), 6) + lit(0.0)).as("flesch"))
+    val declared = SparkEntry.queries("text_readability")(spark, sf)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch"))
+    assert(rows(api) == rows(declared))
+  }
 }

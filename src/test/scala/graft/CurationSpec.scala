@@ -354,4 +354,26 @@ class CurationSpec extends AnyFunSuite {
       abs(col("mix_weight") * col("token_share") - lit(1.0) / ns) > 0.001)
     assert(bad.count() == 0)
   }
+
+  test("fleschReadingEase orders a monosyllabic page above a polysyllabic one") {
+    val sp = spark
+    import sp.implicits._
+    import graft.api.GraftOps
+    // same word/sentence structure, different syllable load - the
+    // formula must order them and both counts must be exact
+    val rows = Seq(
+      ("easy", "the cat sat on the mat. the dog ran to the den."),
+      ("hard", "organizational bureaucracies institutionalize " +
+        "administrative methodologies. multidimensional characterization " +
+        "necessitates computational infrastructure."))
+      .toDF("which", "page")
+      .select(col("which"), GraftOps.fleschReadingEase(col("page")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    val easy = rows("easy"); val hard = rows("hard")
+    assert(easy.getLong(1) == 2L && hard.getLong(1) == 2L, "sentence counts")
+    assert(easy.getDouble(3) > hard.getDouble(3),
+      s"flesch ordering: ${easy.getDouble(3)} <= ${hard.getDouble(3)}")
+    // monosyllabic page: syllables == words exactly
+    assert(easy.getLong(2) == easy.getLong(0), "monosyllabic page drifted")
+  }
 }

@@ -148,6 +148,17 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_bitmap_intersect", // bitmap OR/popcount folds; ppm int division
     "join_asof_fwd",       // unique (ts, event_id) window order; int lead
     "multimodal_clip_filter", // micro-quantized int64 dot/norms, one closing division
+    "embed_binarize",      // pure row function: unrolled integer bit packs
+    "sim_knn_hamming",     // integer XOR/popcount distances, tie-broken rank
+    "hamming_eval",        // exact integer hit counts; recall = n_hit/10
+    "sim_knn_rerank",      // per-row cosine on identical doubles; int shortlist
+                           // order; final order tie-broken on (rounded, id)
+    "sim_hard_negatives",  // per-row cosine; rank order (raw cs, vec_id) total
+    "multimodal_audio_vad",// all-integer frame gates, island keys, counts
+    "text_stupid_backoff", // nano-quantized int64 ln terms; exact counts
+    "text_readability",    // pure row function (regex counts, fixed formula)
+    "sql_q13",             // integer order counts histogrammed
+    "sql_q22",             // integer-micro balances, cross-multiplied gate
   )
 
   private val postRounded = Seq(

@@ -835,4 +835,21 @@ class LawsSpec extends AnyFunSuite {
       java.nio.file.Files.deleteIfExists(tmp)
     }
   }
+
+  test("text_stupid_backoff: training-half docs never back off; scores are log-probabilities <= 0") {
+    val out = SparkEntry.queries("text_stupid_backoff")(spark, TestSpark.sf)
+      .collect()
+    // every trigram of an even (training) doc is in the count table by
+    // construction, so the trigram arm always fires for them
+    val trainBackoffs = out.filter(r => r.getLong(0) % 2 == 0)
+      .map(r => r.getLong(3) + r.getLong(4)).sum
+    assert(trainBackoffs == 0L, s"training docs backed off $trainBackoffs times")
+    // every arm's score is a probability-like ratio <= 1 (trigram
+    // c123/c12 <= 1; backoffs carry 0.4 / 0.16 factors), so ln <= 0
+    assert(out.forall(_.getDouble(5) <= 0.0), "positive mean log score")
+    // the held-out half must actually exercise the backoff paths
+    val heldBackoffs = out.filter(r => r.getLong(0) % 2 == 1)
+      .map(r => r.getLong(3) + r.getLong(4)).sum
+    assert(heldBackoffs > 0L, "no backoff fired - the split is not held out")
+  }
 }

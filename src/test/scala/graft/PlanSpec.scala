@@ -853,6 +853,74 @@ class PlanSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("embed_binarize packs codes inside the scan stage: no shuffle before the sort") {
+    // the 64x compression must be a free rider on the read — one
+    // codegen projection over the scan (the packing is an UNROLLED
+    // literal sum precisely so it codegens; an aggregate() HOF would be
+    // eval-mode); any hash exchange here means the packing got planned
+    // as an aggregation by mistake
+    val p = plan("embed_binarize")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+
+  test("sim_knn_rerank: both stages are TakeOrderedAndProject, full vectors never sort globally") {
+    // stage 1 (Hamming shortlist) and stage 2 (cosine rerank) must both
+    // plan as top-k — a rangepartitioning exchange anywhere means a
+    // global sort of corpus-sized data snuck in
+    val p = plan("sim_knn_rerank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("sim_hard_negatives broadcasts the anchor batch over one corpus pass") {
+    // the anchor set rides a broadcast nested-loop (a 10-row cross
+    // join); the corpus itself must not hash-exchange before the
+    // per-anchor rank window (window keys = qid arrive with the rows)
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("multimodal_audio_vad shuffles the frames exactly once") {
+    // the window partitions by doc_id, and BOTH aggregations (per-
+    // (doc, island), per-doc) must reuse that clustering — hashing by
+    // doc_id already co-locates every (doc_id, isl) group, so a second
+    // or third hash exchange is a plan regression (the frames table is
+    // the data-sized thing here: blobs/256 rows)
+    val p = plan("multimodal_audio_vad")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 frame shuffle, got $exchanges:\n$p")
+  }
+
+  test("text_stupid_backoff count tables are two-phase and ride broadcasts") {
+    // the ONE corpus-sized aggregation (trigram counts) must map-side
+    // combine, and every count-table join must broadcast — a shuffle
+    // join on w-keys would re-shuffle the corpus once per n-gram order
+    val p = plan("text_stupid_backoff")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sql_q13 keeps the outer join and double-aggregates two-phase") {
+    // the exclusion predicate lives in the JOIN condition, so the
+    // planner must keep LeftOuter (an inner rewrite silently drops the
+    // zero-order customers) and both aggregates must partial-combine
+    val p = plan("sql_q13")
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("sql_q22 plans the NOT EXISTS as an anti join and broadcasts the 1-row threshold") {
+    val p = plan("sql_q22")
+    assert(p.contains("LeftAnti"), p)
+    // the scalar-aggregate threshold is a 1-row build side — either a
+    // BNLJ broadcast or a subquery reuse, never a data-sized cross
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)

@@ -234,4 +234,36 @@ class VectorSpec extends AnyFunSuite {
     assert(pc.forall(v => math.abs(v) <= 1.5 * maxNorm),
       s"projection exceeds the Cauchy-Schwarz bound: ${pc.maxBy(math.abs)}")
   }
+
+  test("binary-code ladder: code sanity, recall floor, and rerank dominates the raw Hamming rank") {
+    val sf = TestSpark.sf
+    // embed_binarize: each 32-bit half stays in [0, 2^32), n_pos = total
+    // set bits across both halves (the packing and the popcount must
+    // count the SAME >= 0 convention)
+    val codes = SparkEntry.queries("embed_binarize")(spark, sf).collect()
+    assert(codes.forall { r =>
+      val (hi, lo) = (r.getLong(1), r.getLong(2))
+      hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32) &&
+        java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo) == r.getLong(3)
+    }, "code half out of range or popcount drift")
+    // hamming_eval: the deployed 64-bit sign code must beat noise —
+    // random top-10 of ~500 candidates recalls ~0.02; floor at 0.1
+    val ev = SparkEntry.queries("hamming_eval")(spark, sf)
+      .agg(avg(col("recall_at_10"))).collect()(0).getDouble(0)
+    assert(ev >= 0.1, s"mean Hamming recall@10 $ev below floor")
+    // rerank law (provable, asserted as a regression tripwire): every
+    // exact-top-10 member that survives the Hamming shortlist is kept
+    // by the cosine rerank, so rerank recall >= raw-Hamming-top-10
+    // recall for the same query
+    val exact = SparkEntry.queries("sim_knn")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rerank = SparkEntry.queries("sim_knn_rerank")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val hamTop = SparkEntry.queries("sim_knn_hamming")(spark, sf)
+      .filter(col("qid") === 0L).collect().map(_.getLong(2)).toSet
+    assert((rerank & exact).size >= (hamTop & exact).size,
+      s"rerank recall ${(rerank & exact).size} < raw Hamming ${(hamTop & exact).size}")
+    // and on this fixture the cascade must genuinely help (not both 0)
+    assert((rerank & exact).size >= 5, s"rerank overlap ${(rerank & exact).size}")
+  }
 }
