@@ -44,7 +44,8 @@ object Explain {
     "sql_q16", "profile_kanon", "agg_bitmap_intersect", "join_asof_fwd",
     "embed_binarize", "sim_knn_hamming", "hamming_eval", "sim_knn_rerank",
     "sim_hard_negatives", "multimodal_audio_vad", "text_stupid_backoff",
-    "text_readability", "sql_q13", "sql_q22")
+    "text_readability", "sql_q13", "sql_q22",
+    "sql_q11", "sql_q15", "dedup_lsh_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

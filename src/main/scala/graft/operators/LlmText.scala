@@ -877,6 +877,74 @@ object LlmText extends QueryGroup {
   private val dedupEval: QFn = (s, d) =>
     detectorEval(s, d, cap = 150L, minhashPairsCached(s, d))
 
+  /** LSH calibration curve — the S-curve behind every banding choice
+    * made measurable: for EVERY pair on the capped exact range (not
+    * just near-dups), the exact 3-token-shingle Jaccard bucketed into
+    * deciles vs the fraction of that decile the 8-band × r=2 minhash
+    * index emits as candidates. Theory says P(candidate | j) =
+    * 1−(1−j²)⁸ — ~2% at j=0.1, ~50% at j=0.5, ~99.6% at j=0.8 — and
+    * this rung is the measured curve an operator reads before moving
+    * the banding (more bands → the curve shifts left → more
+    * candidates to verify; fewer → near-dups slip through). The
+    * element sets are UNIGRAM tokens, not the dedup pipeline's 3-token
+    * shingles: P(candidate | j) depends only on j, never on what the
+    * set elements are, and the fixture's unigram pairs populate every
+    * decile (18/163/…/498/22 pairs across 0-10) where its 3-gram
+    * Jaccard mass sits entirely in {0, 0.9+} and would measure two
+    * points of the curve. Same capped posture as dedup_eval (the
+    * all-pairs truth is the explicit quadratic guard); candidates that
+    * share NO token (pure hash collisions) land in decile 0 via the
+    * full outer join with j=0. decile 10 is the exact-set bucket
+    * (j = 1.0). All counts integer; cand_rate is one exact-int
+    * division. At 100 TB the same curve is measured on exactly this
+    * kind of capped sample — the banding constants it tunes then apply
+    * corpus-wide. */
+  private val dedupLshCurve: QFn = (s, d) => {
+    val P = 2147483647L
+    val g = Tables.documents(s, d).filter(col("doc_id") < 150L)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("s"))
+      .distinct()
+      // shingle set feeds counts, the pair intersection (twice), and
+      // the signature build — checkpoint so the explode runs once
+      .localCheckpoint()
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = g.select(col("doc_id").as("da"), col("s"))
+      .join(g.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")))
+          .as("j"))
+    val hashed = g.withColumn("hm", tokHash(col("s")) % P)
+    val mins = (0 until 16).map { i =>
+      min((col("hm") * (2L * i + 3L) + (7919L * i + 13L)) % P).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array((0 until 8).map { j =>
+        struct(lit(j).as("band"), col(s"mh${2 * j}").as("s0"),
+          col(s"mh${2 * j + 1}").as("s1"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.s0").as("s0"), col("b.s1").as("s1"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.s0") === col("y.s0") &&
+          col("x.s1") === col("y.s1") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+      .withColumn("c", lit(1L))
+    truth.join(cand, Seq("da", "db"), "full")
+      .select(floor(coalesce(col("j"), lit(0.0)) * 10.0).cast(LongType)
+          .as("decile"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("n_cand"))
+      .select(col("decile"), col("n_pairs"), col("n_cand"),
+        round(col("n_cand").cast(DoubleType) / col("n_pairs"), 6)
+          .as("cand_rate"))
+      .orderBy(col("decile"))
+  }
+
   /** The symmetric simhash detector-quality rung (round-6 verdict item
     * 6): the emitted hamming ≤ 3 simhash pair set scored against the
     * SAME exact-Jaccard ≥ 0.8 ground truth dedup_eval uses. Unlike
@@ -1447,6 +1515,7 @@ object LlmText extends QueryGroup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_eval" -> dedupEval,
+    "dedup_lsh_curve" -> dedupLshCurve,
     "dedup_eval_simhash" -> dedupEvalSimhash,
     "dedup_incremental" -> dedupIncremental,
   )
@@ -1547,7 +1616,56 @@ object LlmText extends QueryGroup {
           WHERE tp.j IS NULL
           GROUP BY u.doc_id)"""
 
+  /** dedup_lsh_curve's oracle — capped 150-doc shingle/jaccard/minhash
+    * CTE chain with the SAME 16-hash constants as
+    * [[duckMinhashPairsCtes]] (cl-prefixed so it can't collide), but
+    * keeping EVERY jaccard pair (no 0.8 verify) and the raw band
+    * candidates, full-outer-joined into the decile histogram. */
+  private val duckLshCurveSql: String = {
+    val P = 2147483647L
+    val mins = (0 until 16)
+      .map(i => s"min((hm * ${2 * i + 3} + ${7919 * i + 13}) % $P) AS mh$i")
+      .mkString(", ")
+    val s0 = (0 until 8).map(j => s"WHEN $j THEN mh${2 * j}").mkString(" ")
+    val s1 = (0 until 8).map(j => s"WHEN $j THEN mh${2 * j + 1}").mkString(" ")
+    s"""WITH cltoks AS (SELECT doc_id, string_split(text, ' ') t
+                        FROM documents WHERE doc_id < 150),
+          clsh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] AS s
+                 FROM cltoks, unnest(range(1, len(t) + 1)) r(i)),
+          clcnt AS (SELECT doc_id, count(*) n FROM clsh GROUP BY doc_id),
+          clint AS (SELECT a.doc_id da, b.doc_id db, count(*) ni
+                    FROM clsh a JOIN clsh b
+                      ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id),
+          cltruth AS (SELECT da, db,
+                        CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS j
+                      FROM clint JOIN clcnt ca ON ca.doc_id = da
+                                 JOIN clcnt cb ON cb.doc_id = db),
+          clhm AS (SELECT doc_id,
+                     ('0x' || substr(md5(s), 1, 12))::BIGINT % $P AS hm
+                   FROM clsh),
+          clsig AS (SELECT doc_id, $mins FROM clhm GROUP BY doc_id),
+          clbands AS (SELECT doc_id, j AS band,
+                        CASE j $s0 END AS s0, CASE j $s1 END AS s1
+                      FROM clsig CROSS JOIN (SELECT unnest(range(8)) AS j) b),
+          clcand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
+                     FROM clbands x JOIN clbands y
+                       ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+                      AND x.doc_id < y.doc_id),
+          clj AS (SELECT CAST(floor(coalesce(t.j, 0.0) * 10.0) AS BIGINT)
+                    AS decile,
+                    CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS c
+                  FROM cltruth t FULL OUTER JOIN clcand c
+                    ON t.da = c.da AND t.db = c.db)
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(c) AS BIGINT) AS n_cand,
+               round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS cand_rate
+        FROM clj GROUP BY decile
+        ORDER BY decile ASC NULLS FIRST"""
+  }
+
   val oracles: Seq[(String, String)] = Seq(
+    "dedup_lsh_curve" -> duckLshCurveSql,
     "text_stupid_backoff" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
                     WHERE len(string_split(text, ' ')) >= 3),

@@ -819,7 +819,66 @@ object SqlSurface extends QueryGroup {
       ORDER BY cntrycode ASC""")
   }
 
+  /** TPC-H Q11 analog (important stock) — the remaining HAVING shape:
+    * a grouped aggregate filtered against UNCORRELATED scalar
+    * subqueries over the SAME grouped table (keep parts whose value
+    * exceeds 1.5× the mean part value — Q11's fixed 0.0001 fraction is
+    * deliberately replaced by a mean-relative gate because the spec's
+    * own `0.0001 / SF` scaling admits it isn't scale-invariant; this
+    * spelling selects ~1.2% of parts at every fixture SF where the
+    * fixed fraction selects 0 at sf0.1). The threshold compare is
+    * CROSS-MULTIPLIED with integer factors only (s · n · 2 > total ·
+    * 3 — decimal × integer stays exact) so no fraction literal ever
+    * mixes double into the gate; the display value rounds AFTER the
+    * gate. Catalyst plans both scalars as subqueries feeding a
+    * post-aggregation Filter over the re-inlined CTE — the price of
+    * exact global stats; at 100 TB those two numbers ride a
+    * pre-computed stats table instead. */
+  private val sqlQ11: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l11_v")
+    s.sql("""
+      WITH p AS (SELECT l_partkey,
+                        sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS s
+                 FROM graft_l11_v GROUP BY l_partkey)
+      SELECT l_partkey,
+             round(CAST(s AS DOUBLE), 4) AS value
+      FROM p
+      WHERE s * (SELECT count(*) FROM p) * 2 > (SELECT sum(s) FROM p) * 3
+      ORDER BY value DESC, l_partkey ASC""")
+  }
+
+  /** TPC-H Q15 analog (top supplier) — the max-over-aggregate shape:
+    * a revenue view referenced TWICE (once joined to the dim, once
+    * under max()) with equality on the exact DECIMAL revenue picking
+    * the winner — ties would return multiple rows, exactly like the
+    * spec's Q15, and the exact-decimal equality is what makes that
+    * deterministic cross-engine (a double revenue could disagree in
+    * the last bit and drop the winner on one engine). Catalyst inlines
+    * the CTE into both references; the quarter filter pushes into both
+    * fact scans, and the supplier join broadcasts. */
+  private val sqlQ15: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l15_v")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s15_v")
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS total_rev
+        FROM graft_l15_v
+        WHERE l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+          AND l_shipdate < CAST('1997-04-01' AS TIMESTAMP_NTZ)
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+             round(CAST(total_rev AS DOUBLE), 4) AS total_rev
+      FROM graft_s15_v JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      ORDER BY s_suppkey ASC""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
+    "sql_q11" -> sqlQ11,
+    "sql_q15" -> sqlQ15,
     "sql_q13" -> sqlQ13,
     "sql_q22" -> sqlQ22,
     "sql_q2" -> sqlQ2,
@@ -847,6 +906,30 @@ object SqlSurface extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sql_q11" ->
+      """WITH p AS (SELECT l_partkey,
+                           sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(18,6))) AS s
+                    FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey,
+                round(CAST(s AS DOUBLE), 4) AS value
+         FROM p
+         WHERE s * (SELECT count(*) FROM p) * 2 > (SELECT sum(s) FROM p) * 3
+         ORDER BY value DESC NULLS LAST, l_partkey ASC NULLS FIRST""",
+    "sql_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,6))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+                round(CAST(total_rev AS DOUBLE), 4) AS total_rev
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+         ORDER BY s_suppkey ASC NULLS FIRST""",
     "sql_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
          FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count

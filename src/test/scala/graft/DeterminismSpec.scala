@@ -159,6 +159,9 @@ class DeterminismSpec extends AnyFunSuite {
     "text_readability",    // pure row function (regex counts, fixed formula)
     "sql_q13",             // integer order counts histogrammed
     "sql_q22",             // integer-micro balances, cross-multiplied gate
+    "sql_q11",             // exact-decimal sums, cross-multiplied HAVING gate
+    "sql_q15",             // exact-decimal revenue equality picks the winner
+    "dedup_lsh_curve",     // integer pair/candidate counts per decile
   )
 
   private val postRounded = Seq(

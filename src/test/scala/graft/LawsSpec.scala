@@ -852,4 +852,20 @@ class LawsSpec extends AnyFunSuite {
       .map(r => r.getLong(3) + r.getLong(4)).sum
     assert(heldBackoffs > 0L, "no backoff fired - the split is not held out")
   }
+
+  test("dedup_lsh_curve is a real S-curve: low deciles rare, high deciles certain") {
+    val rows = SparkEntry.queries("dedup_lsh_curve")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // sanity: decile domain, candidates never exceed pairs
+    assert(rows.forall { case (d, np, nc, _) => d >= 0 && d <= 10 && nc <= np })
+    // the curve must be measurable across the range, not two points
+    assert(rows.length >= 8, s"only ${rows.length} deciles populated")
+    // banding theory (8 bands x r=2): P(cand | j<=0.2) <= 0.166+slack,
+    // P(cand | j>=0.7) >= 0.993-slack - the S-curve's two shoulders
+    rows.filter(_._1 <= 1).foreach { case (d, _, _, rate) =>
+      assert(rate <= 0.35, s"decile $d rate $rate - low shoulder broke") }
+    rows.filter(_._1 >= 7).foreach { case (d, _, _, rate) =>
+      assert(rate >= 0.9, s"decile $d rate $rate - high shoulder broke") }
+  }
 }

@@ -925,6 +925,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q11 HAVING threshold is a scalar subquery over a two-phase aggregate") {
+    // the per-part aggregation must map-side combine, and the global
+    // total must plan as ONE scalar subquery feeding the filter — a
+    // correlated rewrite (re-running the total per group) would scan
+    // the fact once per part at 100 TB
+    val p = plan("sql_q11")
+    assert(p.contains("partial_sum"), p)
+    assert(p.toLowerCase.contains("subquery"), p)
+  }
+
+  test("sql_q15 pushes the quarter filter into both fact scans and broadcasts the dim") {
+    val p = plan("sql_q15")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the CTE is referenced twice; BOTH fact scans must carry the
+    // pushed shipdate range or one of them reads the whole year
+    val pushed = "GreaterThanOrEqual\\(l_shipdate".r.findAllIn(p).length
+    assert(pushed >= 2, s"expected the quarter filter on both scans:\n$p")
+  }
+
+  test("dedup_lsh_curve joins stay equi-keyed with partial aggregation") {
+    // the all-pairs truth is the explicit capped quadratic — but it
+    // must be realized as equality joins on shingle/band keys plus
+    // two-phase counts, never a cartesian of the capped set
+    val p = plan("dedup_lsh_curve")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the flagship pipeline") {
     // codegen spans only materialize in the final adaptive plan
     val df = SparkEntry.queries("agg_pricing_summary")(spark, TestSpark.sf)
