@@ -420,47 +420,135 @@ object LlmText extends QueryGroup {
     * references the edge set once per unrolled iteration, and without
     * caching each reference would re-derive the whole minhash pipeline
     * (the round-1 reuse-pessimization lesson). Key suffixes: `#mhp`
-    * minhash pairs, `#shp` simhash pairs, bare = minhash cluster edges,
-    * `#all` = union cluster edges. */
+    * minhash pairs, `#shp` simhash pairs, `#multi` = the tagged union
+    * cluster edge list (the one [[multiLabelProp]] input). */
   private val pairCache =
     new FingerprintCache
 
-  /** One CONVERGED cluster result per cluster query per (session, sf
-    * dir, fixture fingerprint) — the pairCache convention applied one
-    * level up. Each clustering query (dedup_clusters / _all /
-    * _multimodal) used to re-run the 4-round unrolled label propagation
-    * over its (already cached) edge graph on every evaluation, making
-    * the three of them the suite's slowest steady-state queries. The
-    * converged labels are localCheckpoint()ed — materialized once AND
-    * lineage-truncated to a LogicalRDD — because persist() alone is not
-    * enough: every sink action wraps the DataFrame in a fresh
-    * QueryExecution, so the 4-round unrolled tree was re-ANALYZED per
-    * evaluation, and for the three-detector multimodal graph that
-    * driver-side planning cost ~2 s/eval, dwarfing the actual cached
-    * read. After truncation each evaluation plans a 4-node tree.
-    * (On a real cluster: checkpoint(reliable) instead, the
-    * labelPropUntilFixed note.) Labels are a pure function of the edge
-    * graph, so the cache shares the graph's staleness key. Key
-    * suffixes: `#lab` minhash, `#all#lab` union, `#mm#lab` multimodal. */
+  /** One CONVERGED label/cluster result per (session, sf dir, fixture
+    * fingerprint) — the pairCache convention applied one level up. Each
+    * clustering query (dedup_clusters / _all / _multimodal) used to
+    * re-run its own 4-round unrolled label propagation over its (already
+    * cached) edge graph on every evaluation, making the three of them
+    * the suite's slowest steady-state queries — and even after per-query
+    * memoization they were three separate propagation passes over graphs
+    * that share most of their edges (~22 s combined at sf0.1). Round 15
+    * consolidated them: ONE [[multiLabelProp]] pass over the tagged
+    * union graph under key `#multi#lab`; per-slice cluster aggregates
+    * under `#{mh,all,mm}#clusters`. The converged labels are
+    * localCheckpoint()ed — materialized once AND lineage-truncated to a
+    * LogicalRDD — because persist() alone is not enough: every sink
+    * action wraps the DataFrame in a fresh QueryExecution, so the
+    * 4-round unrolled tree was re-ANALYZED per evaluation, and for the
+    * three-detector multimodal graph that driver-side planning cost
+    * ~2 s/eval, dwarfing the actual cached read. After truncation each
+    * evaluation plans a 4-node tree. (On a real cluster:
+    * checkpoint(reliable) instead, the labelPropUntilFixed note.)
+    * Labels are a pure function of the edge graph, so the cache shares
+    * the graph's staleness key. */
   private val labelCache =
     new FingerprintCache
 
-  /** Converged per-NODE labels for `edges`, localCheckpoint()ed and
-    * memoized under `key#nodes` — the shared substrate of the cluster
-    * aggregate ([[clustersCached]]) and any per-member policy query
-    * (dedup_survivor_quality): label prop runs ONCE per (session,
-    * graph, fingerprint) no matter how many consumers read it. */
-  private def nodeLabelsCached(s: SparkSession, key: String, fp: String,
-                               edges: => DataFrame): DataFrame =
-    labelCache.getOrElseUpdate(s, s"$key#nodes", fp)(
-      labelPropEdges(edges, iters = 4).localCheckpoint())
+  /** Combined staleness key for everything derived from the tagged
+    * union pair graph: the graph folds in the embedding-cosine detector,
+    * so even the minhash-only label slice is rebuilt (identically) when
+    * either fixture regenerates — cheap insurance over a stale slice. */
+  private def unionFp(d: String): String =
+    Tables.fingerprint(d, "documents") + "/" + Tables.fingerprint(d, "embeddings")
 
-  /** Survivor/size clusters for `edges`: converged labels materialized
-    * + lineage-truncated, final aggregate memoized under `key`. */
-  private def clustersCached(s: SparkSession, key: String, fp: String,
-                             edges: => DataFrame): DataFrame =
-    labelCache.getOrElseUpdate(s, key, fp)(
-      nodeLabelsCached(s, key, fp, edges)
+  /** The TAGGED cross-modal union pair graph: one symmetric, self-looped
+    * edge list over minhash ∪ simhash ∪ embedding-cosine verified pairs,
+    * each edge carrying `m` (in the minhash subgraph) and `a` (in the
+    * minhash ∪ simhash subgraph; every edge is in the full union by
+    * construction). A vertex's self-loop aggregates the memberships of
+    * its incident edges (max over booleans), so a subgraph vertex always
+    * keeps its own label for that subgraph during propagation. Built
+    * from the SAME persisted per-detector pair graphs the pair-listing
+    * queries read — no detector pipeline is re-derived here. */
+  private[graft] def taggedUnionEdges(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashPairsCached(s, d).select(col("da"), col("db"),
+      lit(true).as("m"), lit(true).as("a"))
+    val sh = simhashPairsCached(s, d).select(col("da"), col("db"),
+      lit(false).as("m"), lit(true).as("a"))
+    val em = LlmVector.embcosPairsCached(s, d).select(col("ia").as("da"),
+      col("ib").as("db"), lit(false).as("m"), lit(false).as("a"))
+    val tagged = mh.union(sh).union(em)
+    val sym = tagged.union(tagged.select(col("db").as("da"), col("da").as("db"),
+      col("m"), col("a")))
+    val loops = sym.groupBy(col("da"))
+      .agg(max(col("m")).as("m"), max(col("a")).as("a"))
+      .select(col("da"), col("da").as("db"), col("m"), col("a"))
+    sym.union(loops)
+      .groupBy(col("da"), col("db"))
+      .agg(max(col("m")).as("m"), max(col("a")).as("a"))
+      .select(col("da").as("src"), col("db").as("dst"), col("m"), col("a"))
+  }
+
+  /** ONE label propagation, THREE label columns — the round-15
+    * consolidation of what used to be three separate 4-round label-prop
+    * builds (minhash / minhash∪simhash / cross-modal union), measured
+    * ~22 s of the sf0.1 build block combined. Each round is still one
+    * equality join on dst + one aggregation shuffle on src over the
+    * union graph, but the per-subgraph restriction rides inside the SAME
+    * shuffle as a conditional aggregate: `min(when(m, lm))` propagates
+    * minhash labels across minhash edges only, `min(when(a, la))` across
+    * minhash ∪ simhash edges, `min(lu)` across everything. Exactness:
+    * an `m`-edge has both endpoints in the minhash subgraph, a subgraph
+    * vertex's self-loop carries `m = true`, and min ignores the nulls
+    * produced by non-member groups — so `lm` restricted to non-null rows
+    * is, round for round, the [[labelPropEdges]] recursion over the
+    * minhash subgraph alone (LawsSpec certifies the agreement on the
+    * live fixture graphs). Non-member vertices go null in round 1 and
+    * stay null: null never enters a member's min because no `m`-edge
+    * reaches one. At 100 TB this is the difference between one pass and
+    * three over graphs that share most of their edges. */
+  private[graft] def multiLabelProp(edges: DataFrame, iters: Int): DataFrame = {
+    var lab = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lm"), col("v").as("la"), col("v").as("lu"))
+    for (_ <- 1 to iters) {
+      lab = edges
+        .join(lab.select(col("v").as("dst"), col("lm"), col("la"), col("lu")), "dst")
+        .groupBy(col("src"))
+        .agg(min(when(col("m"), col("lm"))).as("lm"),
+             min(when(col("a"), col("la"))).as("la"),
+             min(col("lu")).as("lu"))
+        .select(col("src").as("v"), col("lm"), col("la"), col("lu"))
+    }
+    lab
+  }
+
+  /** The one converged multi-label table per (session, sf, fixtures):
+    * 4 unrolled [[multiLabelProp]] rounds over the cached tagged union
+    * graph, localCheckpoint()ed (materialize + lineage-truncate — see
+    * the labelCache note). Every dedup_clusters* rung and the survivor
+    * policy query project their slice out of THIS table. */
+  private def multiLabelsCached(s: SparkSession, d: String): DataFrame =
+    labelCache.getOrElseUpdate(s, s"$d#multi#lab", unionFp(d))(
+      multiLabelProp(
+        pairCache.getOrElseUpdate(s, s"$d#multi", unionFp(d))(
+          taggedUnionEdges(s, d)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+        iters = 4).localCheckpoint())
+
+  /** Per-subgraph node labels, projected from the multi-label table:
+    * `mh` = minhash graph (lm non-null), `all` = minhash ∪ simhash
+    * (la non-null), `mm` = the full cross-modal union. Cheap select
+    * over a checkpointed LogicalRDD — label prop itself never re-runs
+    * per consumer. */
+  private def unionNodeLabels(s: SparkSession, d: String, which: String): DataFrame = {
+    val c = multiLabelsCached(s, d)
+    which match {
+      case "mh"  => c.filter(col("lm").isNotNull).select(col("v"), col("lm").as("lab"))
+      case "all" => c.filter(col("la").isNotNull).select(col("v"), col("la").as("lab"))
+      case _     => c.select(col("v"), col("lu").as("lab"))
+    }
+  }
+
+  /** Survivor/size clusters for one subgraph slice, final aggregate
+    * memoized per (session, sf, fixtures, slice). */
+  private def unionClusters(s: SparkSession, d: String, which: String): DataFrame =
+    labelCache.getOrElseUpdate(s, s"$d#$which#clusters", unionFp(d))(
+      unionNodeLabels(s, d, which)
         .groupBy(col("lab").as("survivor"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("survivor")))
@@ -569,43 +657,26 @@ object LlmText extends QueryGroup {
     * surviving doc (minimum member id) and the cluster size. This is the
     * output a training pipeline actually consumes — the transitive
     * closure the pair list alone doesn't give (A~B and B~C put A, C in
-    * one cluster even when A~C itself fell below the threshold). */
-  /** Pairs → persisted self-loop edge list (the labelPropEdges input). */
-  private def symEdges(pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-    sym.union(sym.select(col("src"), col("src").as("dst")).distinct())
-  }
-
-  private val dedupClusters: QFn = (s, d) => {
-    val fp = Tables.fingerprint(d, "documents")
-    clustersCached(s, s"$d#lab", fp, {
-      pairCache.getOrElseUpdate(s, d, fp)(
-        symEdges(minhashPairsCached(s, d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
-  }
+    * one cluster even when A~C itself fell below the threshold). The
+    * minhash-only labels are the `lm` slice of the shared
+    * [[multiLabelProp]] pass — no per-query propagation. */
+  private val dedupClusters: QFn = (s, d) => unionClusters(s, d, "mh")
 
   /** Quality-aware survivor selection — the curation policy choice
     * dedup_clusters' min-id survivor sidesteps: inside each near-dup
     * cluster keep the HIGHEST-QUALITY member (longest in tokens, doc_id
     * tie-break), the common "keep the fullest version of the page"
-    * rule. Reads the SAME cached sym-edge graph and 4-round label prop
-    * as dedup_clusters (zero extra detector cost), joins the |cluster
+    * rule. Reads the SAME minhash label slice of the shared multi-label
+    * pass as dedup_clusters (zero extra detector cost), joins the |cluster
     * nodes|-row label table to per-doc token counts, and picks the
     * survivor with ONE min-struct aggregate ((-ntok, id) — no window).
     * `quality_differs` reports where the quality pick disagrees with
     * the naive min-id pick — the rows where the policy actually
     * matters. */
   private val dedupSurvivorQuality: QFn = (s, d) => {
-    val fp = Tables.fingerprint(d, "documents")
-    // the SAME node-label table dedup_clusters aggregates (cached
-    // checkpoint — label prop never re-runs for this query)
-    val labels = nodeLabelsCached(s, s"$d#lab", fp, {
-      pairCache.getOrElseUpdate(s, d, fp)(
-        symEdges(minhashPairsCached(s, d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+    // the SAME node-label slice dedup_clusters aggregates (checkpointed
+    // multi-label table — label prop never re-runs for this query)
+    val labels = unionNodeLabels(s, d, "mh")
     val ntok = Tables.documents(s, d)
       .select(col("doc_id").as("v"),
         when(length(col("text")) >= 1, size(split(col("text"), " ")))
@@ -665,20 +736,12 @@ object LlmText extends QueryGroup {
     * minhash and simhash verified pair graphs — two detectors with
     * different blind spots (token-shingle Jaccard vs bit-vote hamming)
     * feeding one duplicate-cluster map, the way a production dedup pass
-    * composes its signals. Same bounded label propagation as
-    * dedup_clusters; the union is one distinct over (da, db) edges,
-    * built from the SAME persisted pair graphs the individual queries
-    * read — the union never re-derives either detector pipeline. */
-  private val dedupClustersAll: QFn = (s, d) => {
-    val fp = Tables.fingerprint(d, "documents")
-    clustersCached(s, s"$d#all#lab", fp, {
-      pairCache.getOrElseUpdate(s, s"$d#all", fp)(
-        symEdges(minhashPairsCached(s, d).select(col("da"), col("db"))
-            .union(simhashPairsCached(s, d).select(col("da"), col("db")))
-            .distinct())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
-  }
+    * composes its signals. The labels are the `la` slice (minhash ∪
+    * simhash edges) of the shared [[multiLabelProp]] pass over the
+    * tagged union graph, built from the SAME persisted pair graphs the
+    * individual queries read — no detector pipeline is re-derived and
+    * no separate propagation runs for this rung. */
+  private val dedupClustersAll: QFn = (s, d) => unionClusters(s, d, "all")
 
   /** CROSS-MODAL near-dup clustering — closes the round-5 README gap
     * ("folding in embcos pairs needs a doc_id↔vec_id bridge choice"):
@@ -690,24 +753,10 @@ object LlmText extends QueryGroup {
     * but near-identical embeddings merge, and a text-near pair pulls in
     * its embedding-near neighbors transitively. All three detector
     * pipelines are the shared per-(session, sf, fingerprint) cached
-    * pair graphs, so this query adds one union + label-prop on top of
-    * work its siblings already paid for. */
-  private val dedupClustersMultimodal: QFn = (s, d) => {
-    // The cross-modal graph derives from BOTH fixtures, so its staleness
-    // key concatenates both fingerprints — a regenerated embeddings
-    // fixture mid-session gets a fresh graph, not a stale embcos slice.
-    val fp = Tables.fingerprint(d, "documents") + "/" +
-      Tables.fingerprint(d, "embeddings")
-    clustersCached(s, s"$d#mm#lab", fp, {
-      pairCache.getOrElseUpdate(s, s"$d#mm", fp)(
-        symEdges(minhashPairsCached(s, d).select(col("da"), col("db"))
-            .union(simhashPairsCached(s, d).select(col("da"), col("db")))
-            .union(LlmVector.embcosPairsCached(s, d)
-              .select(col("ia").as("da"), col("ib").as("db")))
-            .distinct())
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
-  }
+    * pair graphs, and the labels are the unrestricted `lu` column of
+    * the ONE shared [[multiLabelProp]] pass — this rung pays nothing
+    * its siblings haven't already paid. */
+  private val dedupClustersMultimodal: QFn = (s, d) => unionClusters(s, d, "mm")
 
   /** 16-minhash LSH bands (8 bands × r=2) for an arbitrary
     * (doc_id, text) frame — the [[minhashPairs]] signature construction

@@ -129,6 +129,36 @@ class LawsSpec extends AnyFunSuite {
     pairs.unpersist(); edges.unpersist()
   }
 
+  test("multiLabelProp slices agree with per-graph labelProp on all three fixture graphs") {
+    // the round-15 consolidation contract: one conditional-aggregate
+    // pass over the tagged union graph must reproduce, exactly, the
+    // three independent 4-round propagations it replaced
+    val combined = operators.LlmText
+      .multiLabelProp(operators.LlmText.taggedUnionEdges(spark, sf), iters = 4)
+      .persist()
+    def slice(c: String): Set[(Long, Long)] = combined
+      .filter(col(c).isNotNull).select(col("v"), col(c))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def independent(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val p = pairs.select(col("da"), col("db"))
+      val sym = p.select(col("da").as("src"), col("db").as("dst"))
+        .union(p.select(col("db").as("src"), col("da").as("dst")))
+      operators.LlmText.labelProp(sym, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val mh = operators.LlmText.minhashPairs(spark, sf)
+    val sh = operators.LlmText.simhashPairs(spark, sf)
+    val em = operators.LlmVector.embcosPairsCached(spark, sf)
+      .select(col("ia").as("da"), col("ib").as("db"))
+    assert(slice("lm") == independent(mh))
+    assert(slice("la") == independent(
+      mh.select(col("da"), col("db")).union(sh.select(col("da"), col("db"))).distinct()))
+    assert(slice("lu") == independent(
+      mh.select(col("da"), col("db")).union(sh.select(col("da"), col("db")))
+        .union(em).distinct()))
+    combined.unpersist()
+  }
+
   test("labelPropUntilFixed converges on a diameter-10 chain the 4-round unroll cannot") {
     // 0-1-2-…-10: min label 0 needs 10 hops to reach vertex 10; the
     // bounded form stops early by design, the guarded form must not
