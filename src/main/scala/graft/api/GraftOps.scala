@@ -1119,16 +1119,19 @@ object GraftOps {
     * struct(code_hi, code_lo, n_pos). Unrolled literal sums, not
     * aggregate() HOFs, so the packing stays inside whole-stage codegen
     * and rides the scan: the 64x index-compression step costs nothing
-    * extra at 100 TB. Assumes >= 64 dims (extra dims are ignored, the
-    * multimodal stub contract). */
+    * extra at 100 TB. Dims beyond 64 are ignored; vectors SHORTER than
+    * 64 dims degrade gracefully — missing dims contribute a 0 bit (as
+    * if negative), guarded with a size() check per bit so ANSI mode
+    * never raises INVALID_ARRAY_INDEX (round-13 advice fix; the guard
+    * is a constant-foldable comparison, still codegen'd). */
   def signBinarize(vec: Column): Column = {
+    def bit(i: Int): Column =
+      when(size(vec) > i && element_at(vec, i + 1) >= 0.0, lit(1L))
+        .otherwise(lit(0L))
     def pack(off: Int): Column = (0 until 32)
-      .map(i => when(element_at(vec, i + off + 1) >= 0.0, lit(1L << i))
-        .otherwise(lit(0L)))
+      .map(i => bit(i + off) * lit(1L << i))
       .reduce(_ + _)
-    val nPos = (0 until 64)
-      .map(i => when(element_at(vec, i + 1) >= 0.0, lit(1L)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    val nPos = (0 until 64).map(bit).reduce(_ + _)
     struct(pack(32).as("code_hi"), pack(0).as("code_lo"), nPos.as("n_pos"))
   }
 
@@ -1145,11 +1148,15 @@ object GraftOps {
     * rung synthesizes boundaries first because the fixture has none):
     * words = whitespace tokens, sentences = max(1, runs of [.!?]+),
     * syllables = vowel groups with the standard >= 1-per-word floor.
-    * Returns struct(n_words, n_sentences, n_syllables, flesch) where
-    * flesch is the raw double (callers gate on it; round only for
-    * display). Pure row functions — rides the ingest scan. */
+    * Words split on runs of ANY whitespace (`\s+`) with empty tokens
+    * dropped, so tab/newline/multi-space pages count words correctly —
+    * unlike the declared rung, whose fixture contract is single-space
+    * text (round-13 advice fix). Returns struct(n_words, n_sentences,
+    * n_syllables, flesch) where flesch is the raw double (callers gate
+    * on it; round only for display). Pure row functions — rides the
+    * ingest scan. */
   def fleschReadingEase(page: Column): Column = {
-    val words = split(page, " ")
+    val words = filter(split(page, "\\s+"), w => length(w) > 0)
     val nWords = size(words).cast(LongType)
     val nSents = greatest(lit(1L),
       size(regexp_extract_all(page, lit("[.!?]+"), lit(0))).cast(LongType))

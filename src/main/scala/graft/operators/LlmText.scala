@@ -1475,10 +1475,15 @@ object LlmText extends QueryGroup {
     * Determinism: each ln(S) term is quantized to integer NANOS
     * (floor(x·1e9 + 0.5)) and summed as int64 — the text_js_divergence
     * recipe; S itself is a fixed-shape double expression over integer
-    * counts, identical IEEE on both engines. Scale: count tables are
-    * vocab³-bounded (broadcast here; at data-sized vocab they'd join as
-    * plain equality shuffles — drop the hints, AQE decides), the corpus
-    * is touched by exactly two linear passes (count + score). */
+    * counts, identical IEEE on both engines. Scale: the LOWER-order
+    * count tables (c12/c23/c2/c3) are vocab²-bounded and carry explicit
+    * broadcast hints; the trigram table c123 is corpus-derived —
+    * bounded only by observed trigram TYPES, which tracks corpus size
+    * for diverse text — so it is deliberately UNHINTED (round-13 advice
+    * fix): AQE broadcasts it while it's small and falls back to an
+    * equality-shuffle join when it isn't, instead of a forced driver
+    * collect that OOMs at diverse-text scale. The corpus is touched by
+    * exactly two linear passes (count + score). */
   private val textStupidBackoff: QFn = (s, d) => {
     val tg = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
@@ -1499,7 +1504,7 @@ object LlmText extends QueryGroup {
     val c2 = c123.groupBy(col("w2")).agg(sum(col("c123")).as("c2"))
     val c3 = c123.groupBy(col("w3")).agg(sum(col("c123")).as("c3"))
     val nn = c123.agg(sum(col("c123")).as("n"))
-    tg.join(broadcast(c123), Seq("w1", "w2", "w3"), "left")
+    tg.join(c123, Seq("w1", "w2", "w3"), "left")
       .join(broadcast(c12), Seq("w1", "w2"), "left")
       .join(broadcast(c23), Seq("w2", "w3"), "left")
       .join(broadcast(c2), Seq("w2"), "left")

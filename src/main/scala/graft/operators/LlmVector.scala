@@ -269,7 +269,7 @@ object LlmVector extends QueryGroup {
       .agg(count(lit(1)).as("n_exact"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("qid"), col("n_exact"), col("n_hit"),
-        (col("n_hit").cast(DoubleType) / 10.0).as("recall_at_10"))
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_10"))
       .orderBy(col("qid"))
   }
 
@@ -310,7 +310,7 @@ object LlmVector extends QueryGroup {
       .agg(count(lit(1)).as("n_exact"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("qid"), col("n_exact"), col("n_hit"),
-        (col("n_hit").cast(DoubleType) / 10.0).as("recall_at_10"))
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_10"))
       .orderBy(col("qid"))
   }
 
@@ -1560,7 +1560,7 @@ object LlmVector extends QueryGroup {
       .agg(count(lit(1)).as("n_exact"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("qid"), col("n_exact"), col("n_hit"),
-        (col("n_hit").cast(DoubleType) / 10.0).as("recall_at_10"))
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_10"))
       .orderBy(col("qid"))
   }
 
@@ -1889,7 +1889,7 @@ object LlmVector extends QueryGroup {
                     ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id)
           SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
                  CAST(sum(hit) AS BIGINT) AS n_hit,
-                 CAST(sum(hit) AS DOUBLE) / 10.0 AS recall_at_10
+                 CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_10
           FROM j GROUP BY qid ORDER BY qid ASC NULLS FIRST""",
     "sim_knn_rerank" ->
       s"""WITH $duckBinCodesCte,
@@ -1989,7 +1989,7 @@ object LlmVector extends QueryGroup {
                     ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id)
           SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
                  CAST(sum(hit) AS BIGINT) AS n_hit,
-                 CAST(sum(hit) AS DOUBLE) / 10.0 AS recall_at_10
+                 CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_10
           FROM j GROUP BY qid ORDER BY qid ASC NULLS FIRST""",
     "embed_truncate_eval" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
@@ -2012,7 +2012,7 @@ object LlmVector extends QueryGroup {
                     ON ex.qid = tr.qid AND ex.vec_id = tr.vec_id)
           SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
                  CAST(sum(hit) AS BIGINT) AS n_hit,
-                 CAST(sum(hit) AS DOUBLE) / 10.0 AS recall_at_10
+                 CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_10
           FROM j GROUP BY qid ORDER BY qid ASC NULLS FIRST""",
     "sim_mmr" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),

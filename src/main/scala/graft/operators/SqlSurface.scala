@@ -830,21 +830,32 @@ object SqlSurface extends QueryGroup {
     * CROSS-MULTIPLIED with integer factors only (s · n · 2 > total ·
     * 3 — decimal × integer stays exact) so no fraction literal ever
     * mixes double into the gate; the display value rounds AFTER the
-    * gate. Catalyst plans both scalars as subqueries feeding a
-    * post-aggregation Filter over the re-inlined CTE — the price of
-    * exact global stats; at 100 TB those two numbers ride a
-    * pre-computed stats table instead. */
+    * gate. Plan shape (round-15 fix): Catalyst INLINES a
+    * multiply-referenced CTE, so spelling `p` as a CTE evaluated the
+    * grouped aggregate three times — three full lineitem scans for one
+    * statement, the single worst plan-level scale cost the round-13/14
+    * audits found. The aggregate now runs ONCE and is localCheckpointed
+    * BEFORE the statement (the sql_recursive idiom; on a cluster:
+    * checkpoint(reliable) or a stats table), and both global stats
+    * collapse into ONE 1-row cross-joined subquery over the
+    * parts-sized checkpoint — one fact scan, one tiny stats pass,
+    * however many references the statement spells. */
   private val sqlQ11: QFn = (s, d) => {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_l11_v")
     s.sql("""
-      WITH p AS (SELECT l_partkey,
-                        sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(18,6))) AS s
-                 FROM graft_l11_v GROUP BY l_partkey)
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,6))) AS s
+      FROM graft_l11_v GROUP BY l_partkey""")
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_p11_v")
+    s.sql("""
       SELECT l_partkey,
              round(CAST(s AS DOUBLE), 4) AS value
-      FROM p
-      WHERE s * (SELECT count(*) FROM p) * 2 > (SELECT sum(s) FROM p) * 3
+      FROM graft_p11_v
+           CROSS JOIN (SELECT count(*) AS n, sum(s) AS t
+                       FROM graft_p11_v) g
+      WHERE s * g.n * 2 > g.t * 3
       ORDER BY value DESC, l_partkey ASC""")
   }
 

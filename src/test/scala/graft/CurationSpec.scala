@@ -376,4 +376,22 @@ class CurationSpec extends AnyFunSuite {
     // monosyllabic page: syllables == words exactly
     assert(easy.getLong(2) == easy.getLong(0), "monosyllabic page drifted")
   }
+
+  test("fleschReadingEase is whitespace-run invariant (round-13 advice fix)") {
+    val sp = spark
+    import sp.implicits._
+    import graft.api.GraftOps
+    // tabs/newlines/multi-spaces must not inflate n_words or n_syllables
+    val rows = Seq(
+      ("clean", "the cat sat. the dog ran."),
+      ("messy", "  the\tcat   sat. \n the  dog\t\tran.  "))
+      .toDF("which", "page")
+      .select(col("which"), GraftOps.fleschReadingEase(col("page")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    val c = rows("clean"); val m = rows("messy")
+    assert(c.getLong(0) == 6L && m.getLong(0) == c.getLong(0), "n_words")
+    assert(m.getLong(1) == c.getLong(1), "n_sentences")
+    assert(m.getLong(2) == c.getLong(2), "n_syllables")
+    assert(m.getDouble(3) == c.getDouble(3), "flesch")
+  }
 }
