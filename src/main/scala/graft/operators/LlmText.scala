@@ -71,6 +71,78 @@ object LlmText extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** Okapi BM25 top-10 ranking core (Robertson et al., TREC-3; the
+    * Lucene always-positive idf variant) over arbitrary (doc_id, text)
+    * docs and (qid, term) queries — factored so CurationSpec can feed a
+    * planted corpus. Per matched (query, doc, term):
+    *
+    *   idf = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *   c   = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with k1 = 1.2, b = 0.75 as literals (1−b spelled 0.25, never
+    * computed). tf/df/dl/N are exact integers, avgdl divides exact
+    * integers once, and every other operation is a fixed-shape double
+    * expression mirrored op-for-op in the oracle — identical IEEE on
+    * both engines. Each term contribution is NANO-quantized
+    * (⌊c·10⁹+0.5⌋, the agg_chisq device) BEFORE the per-(qid, doc) fold
+    * so the unordered sum is integer-exact on any partitioning.
+    * Scale shape: ONE corpus tokenize/count pass (tf; df re-aggregates
+    * it — the text_tfidf ReuseExchange posture), the query-term table
+    * is query-workload-sized and broadcast, so only matching postings
+    * survive the join; dl rides a second columnar scan; the top-10 is
+    * a per-qid rank window, never a global sort. 100 TB: this is the
+    * standard posting-list scoring join — nothing data-sized crosses
+    * the final stage but the (qid, doc) partial sums. */
+  private[graft] def bm25Rank(docs: DataFrame, queryTerms: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val qt = queryTerms.select(col("qid"), col("term").as("tok"))
+      .join(df, "tok").select(col("qid"), col("tok"), col("df"))
+    val scored = tf.join(broadcast(qt), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n").cast(DoubleType) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("avgdl", col("sdl").cast(DoubleType) / col("n"))
+      .withColumn("cn", floor(
+        col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+          * lit(1e9) + lit(0.5)).cast(LongType))
+      .groupBy(col("qid"), col("doc_id")).agg(sum(col("cn")).as("sn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sn").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("doc_id"),
+        (round(col("sn").cast(DoubleType) / lit(1e9), 6) + lit(0.0)).as("bm25"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** BM25 retrieval scoring — the ranking a RAG pipeline actually
+    * serves, completing the ladder text_tfidf starts (tf·idf tags
+    * documents; BM25 ranks them for a query). The query workload is
+    * derived deterministically from the corpus so the rung is
+    * scale-robust: terms ranked by (df DESC, tok ASC), query q gets
+    * ranks 3q+1..3q+3, q = 0..4 — five 3-term queries. The top-15 term
+    * pick is a distributed TakeOrderedAndProject (orderBy + limit);
+    * only the 15 surviving rows see a single-partition rank window
+    * (bounded by construction). Scoring itself is [[bm25Rank]]. */
+  private val textBm25: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val df = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val top15 = df.orderBy(col("df").desc, col("tok").asc).limit(15)
+    val wq = Window.orderBy(col("df").desc, col("tok").asc)
+    val qt = top15.withColumn("r", row_number().over(wq))
+      .select(expr("CAST((r - 1) DIV 3 AS BIGINT)").as("qid"), col("tok").as("term"))
+    bm25Rank(docs, qt)
+  }
+
   /** Per-document keyword extraction — the metadata-enrichment step a
     * corpus pipeline runs to tag every document (search facets, topic
     * routing, dataset cards): top-3 tokens by tf·idf, emitted as one
@@ -1538,6 +1610,7 @@ object LlmText extends QueryGroup {
     "text_normalize" -> textNormalize,
     "text_tokens" -> textTokens,
     "text_tfidf" -> textTfidf,
+    "text_bm25" -> textBm25,
     "text_keyword_extract" -> textKeywordExtract,
     "text_lang_stats" -> textLangStats,
     "text_sentiment" -> textSentiment,
@@ -1875,6 +1948,41 @@ object LlmText extends QueryGroup {
                     ORDER BY tfidf DESC NULLS LAST, tok ASC) AS rn
            FROM scored) t
          WHERE rn = 1 ORDER BY doc_id ASC NULLS FIRST""",
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) tf FROM toks GROUP BY 1, 2),
+              df AS (SELECT tok, count(*) df FROM tf GROUP BY tok),
+              qt AS (SELECT CAST((r - 1) // 3 AS BIGINT) qid, tok, df FROM (
+                       SELECT tok, df,
+                              row_number() OVER (ORDER BY df DESC, tok ASC) r
+                       FROM df) t
+                     WHERE r <= 15),
+              dl AS (SELECT doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) dl
+                     FROM documents),
+              st AS (SELECT CAST(count(*) AS BIGINT) n,
+                            CAST(sum(dl) AS BIGINT) sdl FROM dl),
+              c AS (SELECT q.qid, t.doc_id,
+                           CAST(floor(
+                             ln((CAST(st.n AS DOUBLE) - q.df + 0.5)
+                                / (q.df + 0.5) + 1.0)
+                             * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (0.25 + 0.75
+                                * (d.dl / (CAST(st.sdl AS DOUBLE) / st.n))))
+                             * 1000000000.0 + 0.5) AS BIGINT) cn
+                    FROM tf t JOIN qt q USING (tok)
+                         JOIN dl d ON d.doc_id = t.doc_id
+                         CROSS JOIN st),
+              sc AS (SELECT qid, doc_id, CAST(sum(cn) AS BIGINT) sn
+                     FROM c GROUP BY 1, 2)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+                round(CAST(sn AS DOUBLE) / 1000000000.0, 6) + 0.0 AS bm25
+         FROM (SELECT qid, doc_id, sn,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY sn DESC, doc_id ASC) rank
+               FROM sc) t
+         WHERE rank <= 10
+         ORDER BY qid ASC NULLS FIRST, rank ASC""",
     "text_keyword_extract" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
               tf AS (SELECT doc_id, tok, count(*) tf FROM toks GROUP BY 1, 2),

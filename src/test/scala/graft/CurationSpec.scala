@@ -377,6 +377,31 @@ class CurationSpec extends AnyFunSuite {
     assert(easy.getLong(2) == easy.getLong(0), "monosyllabic page drifted")
   }
 
+  test("bm25 ranks a term-stuffed doc below a balanced multi-term doc") {
+    val sp = spark
+    import sp.implicits._
+    // query = {alpha, beta}. Doc 1 stuffs "alpha" 30 times (classic
+    // keyword spam); doc 2 covers BOTH terms at modest tf. BM25's tf
+    // saturation + idf-weighted multi-term coverage must rank the
+    // balanced doc first — the property that makes it a spam-resistant
+    // retrieval scorer where raw tf ranks the stuffed doc first.
+    val docs = (Seq(
+      (1L, Seq.fill(30)("alpha").mkString(" ")),
+      (2L, "alpha beta alpha beta alpha beta")) ++
+      (3L to 6L).map(i => (i, Seq.fill(10)(s"filler$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val queries = Seq((0L, "alpha"), (0L, "beta")).toDF("qid", "term")
+    val out = operators.LlmText.bm25Rank(docs, queries)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
+    val rank = out.map(t => t._1 -> t._2).toMap
+    assert(rank(2L) == 1L && rank(1L) == 2L,
+      s"balanced doc must outrank the stuffed one: $out")
+    // raw tf would invert this: the stuffed doc has 10x the query-term
+    // occurrences of the balanced one
+    val score = out.map(t => t._1 -> t._3).toMap
+    assert(score(2L) > score(1L))
+  }
+
   test("fleschReadingEase is whitespace-run invariant (round-13 advice fix)") {
     val sp = spark
     import sp.implicits._
