@@ -600,7 +600,8 @@ object Aggregates extends QueryGroup {
     * (3 narrow columns) because both the mad fit and the outlier count
     * re-read it; at 100 TB swap the exact percentiles for
     * approx_percentile (agg_approx_quantiles' constant-memory path)
-    * without changing the plan shape. */
+    * without changing the plan shape — text_quality_bucket_approx is
+    * the proven in-repo cutpoint recipe. */
   private val aggMad: QFn = (s, d) => {
     val docs = Tables.documents(s, d)
     val med = docs.groupBy(col("lang"))

@@ -421,7 +421,8 @@ object EventsBatch extends QueryGroup {
     * the three windows; the global ntile sorts ~24 B/user — the
     * text_quality_bucket posture, and past ~10⁹ users the same swap
     * applies (broadcast approx_percentile cutpoints instead of a
-    * global sort). */
+    * global sort — text_quality_bucket_approx is the proven in-repo
+    * recipe: same CASE-on-cutpoints shape, LawsSpec-bounded). */
   private val eventsRfm: QFn = (s, d) => {
     val e = Tables.events(s, d)
     val per = e.groupBy(col("user_id"))

@@ -114,6 +114,33 @@ class LawsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("topk5"), e.getMessage)
   }
 
+  test("text_quality_bucket_approx agrees with the exact thirds within the sketch's rank error") {
+    val exact = SparkEntry.queries("text_quality_bucket")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val approx = SparkEntry.queries("text_quality_bucket_approx")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = approx.length
+    assert(n == exact.size)
+    // bucket sizes within the GK sketch's rank error (n/10^4, floor 2 —
+    // boundary ties can move at most that many docs across a cut)
+    val tol = math.max(2L, n / 10000L)
+    val sizes = approx.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    for (b <- Seq("head", "middle", "tail")) {
+      val want = n / 3L
+      assert(math.abs(sizes.getOrElse(b, 0L) - want) <= tol + 1,
+        s"$b: ${sizes.getOrElse(b, 0L)} vs ~$want ± $tol")
+    }
+    // bucketing is monotone in score by construction: every head score
+    // >= every middle score >= every tail score
+    def scoresOf(b: String) = approx.filter(_._3 == b).map(_._2)
+    assert(scoresOf("head").min >= scoresOf("middle").max)
+    assert(scoresOf("middle").min >= scoresOf("tail").max)
+    // disagreement with the exact rung is confined to cut boundaries:
+    // count it and bound it by the two cuts' combined rank error
+    val moved = approx.count { case (id, _, b) => exact(id) != b }
+    assert(moved <= 2 * (tol + 1), s"$moved docs changed bucket")
+  }
+
   test("labelPropUntilFixed agrees with the unrolled form on the fixture graph") {
     val pairs = operators.LlmText.minhashPairs(spark, sf)
       .select(col("da"), col("db")).persist()

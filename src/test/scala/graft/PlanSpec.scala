@@ -934,6 +934,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("text_quality_bucket_approx plans no window and no global sort before the display ORDER BY") {
+    // the whole point of the twin: the bucket assignment must be a
+    // broadcast CASE over sketch cutpoints — zero WindowExec (the exact
+    // rung's single-partition ntile) and no sort other than the
+    // display-only final orderBy
+    val p = plan("text_quality_bucket_approx")
+    assert(!p.contains("Window"), s"window leaked into the approx twin:\n$p")
+    // the cutpoint aggregate must partial-combine (constant-memory GK
+    // sketch merged map-side, never a single-node percentile)
+    assert(p.contains("partial_approx_percentile"), p)
+  }
+
   test("sql_q11 scans lineitem exactly once (checkpointed aggregate, no CTE re-inline)") {
     // the round-15 fix: the CTE spelling evaluated the grouped
     // aggregate three times (main + two scalar subqueries = three full
