@@ -1,9 +1,11 @@
 #!/bin/sh
-# Regenerate PLANS.md — the committed explain("formatted") snapshot for the
-# Explain.headline query set (round-6 verdict item 8: regenerate in the same
-# commit that changes any headline query instead of hand-running it).
+# Regenerate the committed explain("formatted") snapshots for the
+# Explain.headline query set — ONE FILE PER KEY under plans/ plus the
+# PLANS.md index (round-15 verdict item 7: the old 21k-line monolith
+# buried real plan diffs under wholesale regeneration noise; now a
+# round's git diff touches only the keys whose plans actually changed).
 #
-# Usage: scripts/plans.sh            # sf0.01 fixtures, writes PLANS.md
+# Usage: scripts/plans.sh            # sf0.01 fixtures
 #        SPARK_GRAFT_SF_DIR=... scripts/plans.sh
 set -e
 cd "$(dirname "$0")/.."
@@ -13,12 +15,40 @@ export SPARK_GRAFT_SF_DIR
 # anything before the first plan header
 sbt -batch "runMain graft.Explain" 2>/dev/null \
   | grep -v '^\[' \
-  | awk '/^## /{found=1} found' > PLANS.md.tmp
-n=$(grep -c '^## ' PLANS.md.tmp)
+  | awk '/^## /{found=1} found' > PLANS.tmp
+n=$(grep -c '^## ' PLANS.tmp)
 if [ "$n" -lt 1 ]; then
-  echo "plans.sh: no plans captured — aborting without touching PLANS.md" >&2
-  rm -f PLANS.md.tmp
+  echo "plans.sh: no plans captured — aborting without touching plans/" >&2
+  rm -f PLANS.tmp
   exit 1
 fi
-mv PLANS.md.tmp PLANS.md
-echo "wrote PLANS.md ($n plans)"
+mkdir -p plans
+# split: each '## <key>' section becomes plans/<key>.txt (md fences and
+# leading blank lines stripped)
+awk '
+  /^## /  { key=$2; out="plans/" key ".txt"; started=0; printf "" > out; next }
+  /^```$/ { next }
+  out != "" {
+    if (!started && $0 == "") next
+    started = 1
+    print >> out
+  }
+' PLANS.tmp
+# index: one line per key, so PLANS.md stays a stable table of contents
+{
+  echo '# PLANS — explain("formatted") snapshots'
+  echo
+  echo 'One snapshot per headline query under plans/<key>.txt, regenerated'
+  echo 'by scripts/plans.sh in the same commit that changes any headline'
+  echo 'query. A round'"'"'s git diff touches only keys whose plan changed.'
+  echo
+  grep '^## ' PLANS.tmp | sed 's|^## \(.*\)$|- [\1](plans/\1.txt)|'
+} > PLANS.md
+# drop stale snapshots for keys no longer in the headline set
+for f in plans/*.txt; do
+  [ -e "$f" ] || continue
+  k=$(basename "$f" .txt)
+  grep -q "^## $k\$" PLANS.tmp || rm -f "$f"
+done
+rm -f PLANS.tmp
+echo "wrote PLANS.md index + $n plan files under plans/"
