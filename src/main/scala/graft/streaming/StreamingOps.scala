@@ -583,6 +583,59 @@ object StreamingOps {
         java.nio.charset.StandardCharsets.UTF_8).trim))
   }
 
+  /** Retention vacuum for the upsert-state dir — sink_vacuum's reclaim
+    * verb composed with the streaming writer (round-15): every
+    * version dir SUPERSEDED by the published pointer is garbage — a
+    * strictly older batch's dir, or an older ATTEMPT of the published
+    * batch (the flip-then-crash replay's leftovers) — and is deleted
+    * after the same audit-log-before-delete dance as the batch vacuum
+    * (a crash mid-delete re-runs with the survivors; the log unions).
+    * Safe under a live writer by construction: the writer never
+    * appends into an existing dir (every attempt writes a FRESH
+    * v_<batch>_a<k>) and publication is an atomic pointer flip, so
+    * the only racing dirs — a NEWER batch landed but not yet flipped,
+    * or a replay attempt of the published batch with a HIGHER attempt
+    * index — are exactly the ones the (batch, attempt) < (curBatch,
+    * curAttempt) doom rule keeps. Readers hold the pointer's dir,
+    * which is never doomed. Returns the deleted dir names. */
+  def retentionVacuum(stateDir: String): Seq[String] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val ptr = java.nio.file.Paths.get(s"$stateDir/_CURRENT")
+    if (!java.nio.file.Files.exists(ptr)) return Seq.empty
+    val cur = new String(java.nio.file.Files.readAllBytes(ptr), utf8).trim
+    def key(name: String): (Long, Long) = name.split("_") match {
+      // v_<batch>_a<attempt>
+      case Array("v", b, a) if a.startsWith("a") =>
+        (b.toLong, a.drop(1).toLong)
+      case _ => (Long.MaxValue, Long.MaxValue) // unparseable: never doom
+    }
+    val curKey = key(cur)
+    val doomed = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v_") &&
+        f.getName != cur &&
+        (key(f.getName)._1 < curKey._1 ||
+          (key(f.getName)._1 == curKey._1 && key(f.getName)._2 < curKey._2)))
+      .sortBy(_.getName)
+    // audit log lands BEFORE any delete; union with a prior log so a
+    // crashed-and-rerun vacuum never loses a deletion it performed
+    val logPath = java.nio.file.Paths.get(s"$stateDir/_VACUUM_LOG")
+    val prior =
+      if (java.nio.file.Files.exists(logPath))
+        new String(java.nio.file.Files.readAllBytes(logPath), utf8)
+          .split("\n").filter(_.nonEmpty).toSeq
+      else Seq.empty[String]
+    val logTmp = java.nio.file.Paths.get(s"$stateDir/_VACUUM_LOG.tmp")
+    java.nio.file.Files.write(logTmp,
+      (prior ++ doomed.map(_.getName)).distinct.sorted.mkString("\n")
+        .getBytes(utf8))
+    java.nio.file.Files.move(logTmp, logPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    doomed.foreach(d => graft.Tables.deleteRecursively(d))
+    doomed.map(_.getName).toSeq
+  }
+
   /** Per-window population-stability-index drift monitor — the
     * streaming twin of the agg_ks/agg_chisq batch screens and the shape
     * a production ingest runs to catch distribution drift as data

@@ -343,6 +343,103 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q2.stop(); Tables.deleteRecursively(new java.io.File(base)) }
   }
 
+  test("stream_upsert retention vacuum under a live writer with a restart across it") {
+    // round-15 verdict item 8: compose sink_vacuum's reclaim verb with
+    // the streaming writer. Generations expire WHILE batches land (the
+    // vacuum runs with the query live, between micro-batches), the
+    // retained read is byte-stable across the reclaim, and a
+    // flip-then-crash replay DRIVEN ACROSS THE VACUUM (commit marker
+    // deleted, real checkpoint restart) still overwrites cleanly —
+    // the replay's fresh attempt dir can't collide with anything the
+    // vacuum touched.
+    val sp = spark
+    import sp.implicits._
+    val base = s"${Tables.scratchDir}/st_upsert_vacuum"
+    Tables.deleteRecursively(new java.io.File(base))
+    val srcDir = s"$base/src"; val state = s"$base/state"; val ckpt = s"$base/ckpt"
+    new java.io.File(state).mkdirs()
+    val chunks = evs.grouped((evs.length / 4) + 1).toSeq
+    def feed(cs: Seq[Seq[Ev]]): Unit = cs.foreach { c =>
+      spark.createDataset(c).coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def startQ() = StreamingOps.upsertSink(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[Ev].schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir),
+        state)
+      .option("checkpointLocation", ckpt)
+      .start()
+    def versionDirs(): Set[String] = Option(new java.io.File(state).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .map(_.getName).toSet
+    def snapBytes(): Map[String, String] = {
+      val ptr = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$state/_CURRENT")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      new java.io.File(s"$state/$ptr").listFiles().filter(_.isFile).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getName -> md.map("%02x".format(_)).mkString
+      }.toMap
+    }
+    feed(chunks.take(2))
+    val q1 = startQ()
+    try {
+      q1.processAllAvailable()
+      assert(versionDirs().size >= 2, "need superseded generations to reclaim")
+      // VACUUM WITH THE WRITER LIVE (idle between micro-batches): the
+      // retained read must be byte-stable across the reclaim
+      val rowsBefore = StreamingOps.currentUpsertState(spark, state)
+        .getOrElse(fail("no state")).orderBy(col("user_id"))
+        .collect().map(_.toString).toSeq
+      val bytesBefore = snapBytes()
+      val reclaimed = StreamingOps.retentionVacuum(state)
+      assert(reclaimed.nonEmpty, "vacuum reclaimed nothing")
+      assert(versionDirs().size == 1, s"one live generation expected: ${versionDirs()}")
+      assert(snapBytes() == bytesBefore, "retained generation's bytes changed")
+      val rowsAfter = StreamingOps.currentUpsertState(spark, state)
+        .getOrElse(fail("no state")).orderBy(col("user_id"))
+        .collect().map(_.toString).toSeq
+      assert(rowsAfter == rowsBefore, "retained read drifted across the reclaim")
+      // next batch lands ON TOP of the vacuumed layout, same query
+      feed(chunks.slice(2, 3))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // crash window ACROSS the vacuum: drop the last commit marker so the
+    // restart replays batch 2 into a state dir the vacuum just pruned
+    val commits = new java.io.File(s"$ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit))
+    assert(commits.nonEmpty)
+    val last = commits.maxBy(_.getName.toLong)
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    assert(last.delete())
+    StreamingOps.retentionVacuum(state) // reclaim again, mid-crash-window
+    feed(chunks.drop(3))
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val got = StreamingOps.currentUpsertState(spark, state)
+        .getOrElse(fail("no published state"))
+        .orderBy(col("user_id")).collect().map(_.toString).toSeq
+      val exp = StreamingOps.upsertMerge(
+          batchDf(evs).select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"), col("value")).limit(0),
+          batchDf(evs))
+        .orderBy(col("user_id")).collect().map(_.toString).toSeq
+      assert(got == exp, "state drifted from the batch merge across vacuum + replay")
+      // the audit log names every reclaimed generation, and no doomed
+      // dir survived
+      val log = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$state/_VACUUM_LOG")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(log.trim.nonEmpty)
+      assert(log.split("\n").forall(n => !versionDirs().contains(n)),
+        "a logged-deleted generation is still on disk")
+    } finally { q2.stop(); Tables.deleteRecursively(new java.io.File(base)) }
+  }
+
   test("stream_topk per-window trending types equal the batch rank") {
     val sp = spark
     import sp.implicits._
