@@ -131,7 +131,7 @@ object LlmText extends QueryGroup {
     * pick is a distributed TakeOrderedAndProject (orderBy + limit);
     * only the 15 surviving rows see a single-partition rank window
     * (bounded by construction). Scoring itself is [[bm25Rank]]. */
-  private val textBm25: QFn = (s, d) => {
+  private[graft] def bm25TopK(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val df = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -142,6 +142,8 @@ object LlmText extends QueryGroup {
       .select(expr("CAST((r - 1) DIV 3 AS BIGINT)").as("qid"), col("tok").as("term"))
     bm25Rank(docs, qt)
   }
+
+  private val textBm25: QFn = (s, d) => bm25TopK(s, d)
 
   /** Per-document keyword extraction — the metadata-enrichment step a
     * corpus pipeline runs to tag every document (search facets, topic
@@ -1791,6 +1793,43 @@ object LlmText extends QueryGroup {
         ORDER BY decile ASC NULLS FIRST"""
   }
 
+  /** Shared DuckDB CTE chain for the BM25 leg — mirrors [[bm25Rank]] +
+    * [[bm25TopK]]'s query-workload derivation op-for-op; ends in
+    * bml(qid, doc_id, sn, rb) = every scored (query, doc) with its
+    * nano-quantized score sum and its per-query rank. Used by the
+    * text_bm25 oracle here and the sim_hybrid_rrf oracle in LlmVector. */
+  private[graft] val bm25OracleCtes: String =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) tf FROM toks GROUP BY 1, 2),
+              df AS (SELECT tok, count(*) df FROM tf GROUP BY tok),
+              qt AS (SELECT CAST((r - 1) // 3 AS BIGINT) qid, tok, df FROM (
+                       SELECT tok, df,
+                              row_number() OVER (ORDER BY df DESC, tok ASC) r
+                       FROM df) t
+                     WHERE r <= 15),
+              dl AS (SELECT doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) dl
+                     FROM documents),
+              st AS (SELECT CAST(count(*) AS BIGINT) n,
+                            CAST(sum(dl) AS BIGINT) sdl FROM dl),
+              c AS (SELECT q.qid, t.doc_id,
+                           CAST(floor(
+                             ln((CAST(st.n AS DOUBLE) - q.df + 0.5)
+                                / (q.df + 0.5) + 1.0)
+                             * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (0.25 + 0.75
+                                * (d.dl / (CAST(st.sdl AS DOUBLE) / st.n))))
+                             * 1000000000.0 + 0.5) AS BIGINT) cn
+                    FROM tf t JOIN qt q USING (tok)
+                         JOIN dl d ON d.doc_id = t.doc_id
+                         CROSS JOIN st),
+              sc AS (SELECT qid, doc_id, CAST(sum(cn) AS BIGINT) sn
+                     FROM c GROUP BY 1, 2),
+              bml AS (SELECT qid, doc_id, sn,
+                             row_number() OVER (PARTITION BY qid
+                               ORDER BY sn DESC, doc_id ASC) rb
+                      FROM sc)"""
+
   val oracles: Seq[(String, String)] = Seq(
     "dedup_lsh_curve" -> duckLshCurveSql,
     "text_stupid_backoff" ->
@@ -1949,39 +1988,11 @@ object LlmText extends QueryGroup {
            FROM scored) t
          WHERE rn = 1 ORDER BY doc_id ASC NULLS FIRST""",
     "text_bm25" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
-              tf AS (SELECT doc_id, tok, count(*) tf FROM toks GROUP BY 1, 2),
-              df AS (SELECT tok, count(*) df FROM tf GROUP BY tok),
-              qt AS (SELECT CAST((r - 1) // 3 AS BIGINT) qid, tok, df FROM (
-                       SELECT tok, df,
-                              row_number() OVER (ORDER BY df DESC, tok ASC) r
-                       FROM df) t
-                     WHERE r <= 15),
-              dl AS (SELECT doc_id,
-                            CAST(len(string_split(text, ' ')) AS BIGINT) dl
-                     FROM documents),
-              st AS (SELECT CAST(count(*) AS BIGINT) n,
-                            CAST(sum(dl) AS BIGINT) sdl FROM dl),
-              c AS (SELECT q.qid, t.doc_id,
-                           CAST(floor(
-                             ln((CAST(st.n AS DOUBLE) - q.df + 0.5)
-                                / (q.df + 0.5) + 1.0)
-                             * (t.tf * 2.2)
-                             / (t.tf + 1.2 * (0.25 + 0.75
-                                * (d.dl / (CAST(st.sdl AS DOUBLE) / st.n))))
-                             * 1000000000.0 + 0.5) AS BIGINT) cn
-                    FROM tf t JOIN qt q USING (tok)
-                         JOIN dl d ON d.doc_id = t.doc_id
-                         CROSS JOIN st),
-              sc AS (SELECT qid, doc_id, CAST(sum(cn) AS BIGINT) sn
-                     FROM c GROUP BY 1, 2)
-         SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+      s"""WITH $bm25OracleCtes
+         SELECT qid, CAST(rb AS BIGINT) AS rank, doc_id,
                 round(CAST(sn AS DOUBLE) / 1000000000.0, 6) + 0.0 AS bm25
-         FROM (SELECT qid, doc_id, sn,
-                      row_number() OVER (PARTITION BY qid
-                        ORDER BY sn DESC, doc_id ASC) rank
-               FROM sc) t
-         WHERE rank <= 10
+         FROM bml
+         WHERE rb <= 10
          ORDER BY qid ASC NULLS FIRST, rank ASC""",
     "text_keyword_extract" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),

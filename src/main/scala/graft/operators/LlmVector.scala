@@ -1623,6 +1623,62 @@ object LlmVector extends QueryGroup {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack,
+    * Clarke & Buettcher 2009; k = 60, the standard constant) over the
+    * two retrieval legs this engine already serves: the text_bm25
+    * lexical ranking and the exact-cosine semantic ranking, bridged by
+    * the fixture's doc_id == vec_id contract. This is the fusion step
+    * a production RAG stack runs between retrieval and rerank — BM25
+    * catches exact-term matches embeddings miss, embeddings catch
+    * paraphrases BM25 misses, and RRF folds the two WITHOUT score
+    * calibration (ranks only):
+    *
+    *   rrf(q, d) = Σ_legs 1/(60 + rank_leg(q, d)), missing leg → 0
+    *
+    * Determinism: both legs' ranks are exact integers (tie-broken
+    * rank windows), each 1/(60+r) term is a double of exact-integer
+    * input mirrored op-for-op in the oracle, the two-term sum has a
+    * fixed spelling (bm-term + cos-term), and the fused ranking
+    * tie-breaks on doc_id — engine-exact end to end, so the rung is
+    * fully oracled (rare for a fusion stage). A provable structural
+    * law rides the constants: min both-leg score 2/70 > max
+    * single-leg score 1/61, so every doc in BOTH top-10s outranks
+    * every single-leg doc (VectorSpec asserts it live). Scale: each
+    * leg is its own bounded top-10 (the legs' own 100 TB shapes —
+    * posting-list join, broadcast query batch × one corpus pass); the
+    * fusion itself joins two ≤10·|queries|-row tables — free. */
+  private val simHybridRrf: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bm = LlmText.bm25TopK(s, d)
+      .select(col("qid"), col("doc_id"), col("rank").as("rb"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("vec_id").asc)
+    val ct = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cs"))
+      .withColumn("rc", row_number().over(wC))
+      .filter(col("rc") <= 10)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rc").cast(LongType).as("rc"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    bm.join(ct, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("rc")), lit(0.0))).as("rrf"),
+        (when(col("rb").isNotNull, 1L).otherwise(0L)
+          + when(col("rc").isNotNull, 1L).otherwise(0L)).as("n_legs"))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("doc_id"),
+        (round(col("rrf"), 6) + lit(0.0)).as("rrf"), col("n_legs"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Voice-activity segmentation over the audio-stub frames — the step
     * after multimodal_audio_rms's silence gate: group CONSECUTIVE
     * active frames into speech segments (what an ASR ingest feeds the
@@ -1712,6 +1768,7 @@ object LlmVector extends QueryGroup {
     "hamming_eval" -> hammingEval,
     "sim_knn_rerank" -> simKnnRerank,
     "sim_hard_negatives" -> simHardNegatives,
+    "sim_hybrid_rrf" -> simHybridRrf,
     "multimodal_audio_vad" -> multimodalAudioVad,
   )
 
@@ -1917,6 +1974,34 @@ object LlmVector extends QueryGroup {
                  label AS neg_label, round(cs, 6) + 0.0 AS cos_sim
           FROM r WHERE rn <= 3
           ORDER BY qid ASC NULLS FIRST, rank ASC NULLS FIRST""",
+    "sim_hybrid_rrf" ->
+      s"""WITH ${LlmText.bm25OracleCtes},
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev
+                  FROM embeddings),
+            q AS (SELECT vec_id qid, ev qe FROM e WHERE vec_id < 5),
+            cc AS (SELECT qid, vec_id, ${duckCos("ev", "qe")} AS cs
+                   FROM e CROSS JOIN q WHERE vec_id <> qid),
+            ct AS (SELECT qid, vec_id AS doc_id, rc FROM (
+                     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY cs DESC NULLS LAST, vec_id ASC) rc
+                     FROM cc) t
+                   WHERE rc <= 10),
+            bl AS (SELECT qid, doc_id, rb FROM bml WHERE rb <= 10),
+            f AS (SELECT qid, doc_id,
+                         coalesce(1.0 / (60.0 + rb), 0.0)
+                           + coalesce(1.0 / (60.0 + rc), 0.0) AS rrf,
+                         CAST((CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END)
+                            + (CASE WHEN rc IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_legs
+                  FROM bl FULL JOIN ct USING (qid, doc_id))
+          SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id,
+                 round(rrf, 6) + 0.0 AS rrf, n_legs
+          FROM (SELECT qid, doc_id, rrf, n_legs,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY rrf DESC, doc_id ASC) rank
+                FROM f) t
+          WHERE rank <= 10
+          ORDER BY qid ASC NULLS FIRST, rank ASC""",
     "multimodal_audio_vad" ->
       """WITH ch AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                             CAST(ascii(substr(text, i, 1)) AS BIGINT) AS b

@@ -266,4 +266,38 @@ class VectorSpec extends AnyFunSuite {
     // and on this fixture the cascade must genuinely help (not both 0)
     assert((rerank & exact).size >= 5, s"rerank overlap ${(rerank & exact).size}")
   }
+
+  test("sim_hybrid_rrf fuses both legs and both-leg docs outrank every single-leg doc") {
+    // the provable RRF constant law: min both-leg score 2/(60+10) =
+    // 0.02857 > max single-leg score 1/(60+1) = 0.01639, so ANY doc in
+    // both top-10s must rank above ANY single-leg doc for its query
+    val fused = SparkEntry.queries("sim_hybrid_rrf")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(fused.nonEmpty)
+    fused.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      // scores are non-increasing in fused rank
+      assert(byRank.map(_._4).sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+        s"qid $qid: rrf not monotone in rank")
+      val worstBoth = rows.filter(_._5 == 2L).map(_._2).maxOption
+      val bestSingle = rows.filter(_._5 == 1L).map(_._2).minOption
+      (worstBoth, bestSingle) match {
+        case (Some(wb), Some(bs)) =>
+          assert(wb < bs, s"qid $qid: single-leg doc at rank $bs above a both-leg doc at $wb")
+        case _ => ()
+      }
+    }
+    // the fusion is genuinely hybrid on the fixture: at least one query
+    // surfaces docs from both legs in its fused top-10
+    assert(fused.exists(_._5 == 2L) || {
+      // degenerate fixtures may have disjoint legs; then every doc is
+      // single-leg and the law above is vacuous — require both LEGS
+      // present instead (some docs from bm25, some from cosine)
+      val bm = SparkEntry.queries("text_bm25")(spark, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      fused.exists(t => bm.contains((t._1, t._3))) &&
+        fused.exists(t => !bm.contains((t._1, t._3)))
+    }, "fusion degenerated to a single leg")
+  }
 }
