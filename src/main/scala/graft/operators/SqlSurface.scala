@@ -887,9 +887,39 @@ object SqlSurface extends QueryGroup {
       ORDER BY s_suppkey ASC""")
   }
 
+  /** TPC-H Q17 analog (small-quantity-order revenue) — the correlated
+    * SCALAR-AGGREGATE shape: each fact row gated against an aggregate
+    * of ITS OWN group (quantity below 20% of the part's average).
+    * Catalyst must decorrelate the subquery into ONE per-part
+    * aggregate joined back on l_partkey — the naive interpretation
+    * re-runs the aggregate per outer row, a full fact scan per row at
+    * 100 TB (PlanSpec pins the decorrelated two-phase avg + equality
+    * join, no nested loop). Exactness: l_quantity is integral-valued,
+    * so Σ quantity is exact in doubles on any partitioning and
+    * avg = exact-sum / count is the SAME IEEE double on both engines;
+    * `0.2 * avg` spells the same literal both sides and the < gate
+    * compares identical bits — no quantization needed (the fn_trig
+    * identical-inputs precedent, unlike sums of non-integral doubles
+    * which always quantize). Revenue output goes through the exact
+    * DECIMAL cast; /7.0 mirrors Q17's spec constant. */
+  private val sqlQ17: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l17_v")
+    Tables.part(s, d).createOrReplaceTempView("graft_p17_v")
+    s.sql("""
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                     AS DOUBLE) / 7.0, 4) AS avg_yearly,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM graft_l17_v l JOIN graft_p17_v p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#2' AND p.p_type = 'ECONOMY'
+        AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM graft_l17_v l2
+                            WHERE l2.l_partkey = l.l_partkey)""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q11" -> sqlQ11,
     "sql_q15" -> sqlQ15,
+    "sql_q17" -> sqlQ17,
     "sql_q13" -> sqlQ13,
     "sql_q22" -> sqlQ22,
     "sql_q2" -> sqlQ2,
@@ -941,6 +971,15 @@ object SqlSurface extends QueryGroup {
          FROM supplier JOIN revenue ON s_suppkey = supplier_no
          WHERE total_rev = (SELECT max(total_rev) FROM revenue)
          ORDER BY s_suppkey ASC NULLS FIRST""",
+    "sql_q17" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                        AS DOUBLE) / 7.0, 4) AS avg_yearly,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#2' AND p.p_type = 'ECONOMY'
+           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)""",
     "sql_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
          FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count

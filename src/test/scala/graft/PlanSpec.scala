@@ -959,6 +959,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q17 decorrelates the per-part average into one aggregate + equality join") {
+    // the correlated scalar subquery (quantity < 0.2 * the part's own
+    // average) must plan as ONE two-phase per-part aggregate joined
+    // back on l_partkey — a nested-loop re-execution of the aggregate
+    // per outer row is a full fact scan per row at 100 TB
+    val p = plan("sql_q17")
+    assert(p.contains("partial_avg"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sql_q15 pushes the quarter filter into both fact scans and broadcasts the dim") {
     val p = plan("sql_q15")
     assert(p.contains("BroadcastHashJoin"), p)
