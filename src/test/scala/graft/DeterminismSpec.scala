@@ -43,6 +43,9 @@ class DeterminismSpec extends AnyFunSuite {
     "events_markov",       // exact integer pair counts, exact-int division
     "text_collocations",   // integer counts; score/pmi from identical doubles
     "graph_degree",        // exact integer edge counts/weights
+    "text_bm25",           // nano-quantized per-term fold; int rank tie-break
+    "sim_hybrid_rrf",      // RRF of exact int ranks; fused rank tie-broken
+    "sql_q17",             // exact integral-double avg gate + decimal revenue
     "dedup_containment",   // exact integer shingle counts
     "win_streak",          // all-integer island ids and counts
     "sql_window",          // decimal frame sums through the SQL surface
