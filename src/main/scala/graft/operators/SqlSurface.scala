@@ -916,10 +916,90 @@ object SqlSurface extends QueryGroup {
                             WHERE l2.l_partkey = l.l_partkey)""")
   }
 
+  /** TPC-H Q8 analog (national market share) — the WIDEST join tree in
+    * the suite: the fact joined to part + supplier + orders + customer
+    * with nation rendered TWICE (customer side filtered through the
+    * region snowflake, supplier side labeling the volume) — 8 relation
+    * references, 7 joins. Every dimension is broadcast; the one
+    * data-sized exchange is the lineitem ⋈ orders fact-fact join on
+    * orderkey (PlanSpec pins ≥5 broadcast joins and no nested loop).
+    * Share = ΣCASE(volume)/Σvolume per order year: both sums are
+    * exact DECIMAL (the CASE's else arm is a DECIMAL zero so the
+    * branch types unify without a double detour), the ratio divides
+    * two identical exact values — engine-identical, rounded
+    * output-only. */
+  private val sqlQ8: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l8_v")
+    Tables.part(s, d).createOrReplaceTempView("graft_p8_v")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s8_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o8_v")
+    Tables.customer(s, d).createOrReplaceTempView("graft_c8_v")
+    Tables.nation(s, d).createOrReplaceTempView("graft_n8_v")
+    Tables.region(s, d).createOrReplaceTempView("graft_r8_v")
+    s.sql("""
+      WITH an AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                    AS DECIMAL(18,6)) AS volume,
+               s_n.n_name AS supp_nation
+        FROM graft_p8_v p
+             JOIN graft_l8_v l ON p.p_partkey = l.l_partkey
+             JOIN graft_s8_v s ON s.s_suppkey = l.l_suppkey
+             JOIN graft_o8_v o ON o.o_orderkey = l.l_orderkey
+             JOIN graft_c8_v c ON c.c_custkey = o.o_custkey
+             JOIN graft_n8_v c_n ON c_n.n_nationkey = c.c_nationkey
+             JOIN graft_r8_v r ON r.r_regionkey = c_n.n_regionkey
+             JOIN graft_n8_v s_n ON s_n.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+          AND o.o_orderdate < CAST('1998-01-01' AS TIMESTAMP_NTZ))
+      SELECT CAST(o_year AS BIGINT) AS o_year,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / CAST(sum(volume) AS DOUBLE), 6) + 0.0 AS mkt_share
+      FROM an GROUP BY o_year
+      ORDER BY o_year ASC""")
+  }
+
+  /** TPC-H Q9 analog (product-line revenue by nation and year) — the
+    * substring-predicate shape: parts selected by `p_name LIKE
+    * '%bolt%'`, which Catalyst must push into the part scan as a
+    * StringContains parquet filter (PlanSpec asserts it — an unpushed
+    * contains() re-reads the whole dim at every scale), feeding a
+    * 5-table join grouped by (supplier nation, order year). The spec's
+    * profit term needs partsupp.ps_supplycost, which the fixture
+    * doesn't carry; revenue keeps the plan shape identical. Exact
+    * DECIMAL volume sums; year from the timestamp on both engines. */
+  private val sqlQ9: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l9_v")
+    Tables.part(s, d).createOrReplaceTempView("graft_p9_v")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s9_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_o9_v")
+    Tables.nation(s, d).createOrReplaceTempView("graft_n9_v")
+    s.sql("""
+      SELECT n_name AS nation, CAST(o_year AS BIGINT) AS o_year,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(CAST(sum(volume) AS DOUBLE), 4) AS sum_profit
+      FROM (SELECT s_n.n_name, year(o.o_orderdate) AS o_year,
+                   CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                        AS DECIMAL(18,6)) AS volume
+            FROM graft_p9_v p
+                 JOIN graft_l9_v l ON p.p_partkey = l.l_partkey
+                 JOIN graft_s9_v s ON s.s_suppkey = l.l_suppkey
+                 JOIN graft_o9_v o ON o.o_orderkey = l.l_orderkey
+                 JOIN graft_n9_v s_n ON s_n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%bolt%') profit
+      GROUP BY n_name, o_year
+      ORDER BY nation ASC, o_year DESC""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q11" -> sqlQ11,
     "sql_q15" -> sqlQ15,
     "sql_q17" -> sqlQ17,
+    "sql_q8" -> sqlQ8,
+    "sql_q9" -> sqlQ9,
     "sql_q13" -> sqlQ13,
     "sql_q22" -> sqlQ22,
     "sql_q2" -> sqlQ2,
@@ -980,6 +1060,45 @@ object SqlSurface extends QueryGroup {
            AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                                FROM lineitem l2
                                WHERE l2.l_partkey = l.l_partkey)""",
+    "sql_q8" ->
+      """WITH an AS (
+           SELECT year(o.o_orderdate) AS o_year,
+                  CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                       AS DECIMAL(18,6)) AS volume,
+                  s_n.n_name AS supp_nation
+           FROM part p
+                JOIN lineitem l ON p.p_partkey = l.l_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation c_n ON c_n.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = c_n.n_regionkey
+                JOIN nation s_n ON s_n.n_nationkey = s.s_nationkey
+           WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+             AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate < TIMESTAMP '1998-01-01')
+         SELECT CAST(o_year AS BIGINT) AS o_year,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                      / CAST(sum(volume) AS DOUBLE), 6) + 0.0 AS mkt_share
+         FROM an GROUP BY o_year
+         ORDER BY o_year ASC NULLS FIRST""",
+    "sql_q9" ->
+      """SELECT n_name AS nation, CAST(o_year AS BIGINT) AS o_year,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                round(CAST(sum(volume) AS DOUBLE), 4) AS sum_profit
+         FROM (SELECT s_n.n_name, year(o.o_orderdate) AS o_year,
+                      CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(18,6)) AS volume
+               FROM part p
+                    JOIN lineitem l ON p.p_partkey = l.l_partkey
+                    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                    JOIN orders o ON o.o_orderkey = l.l_orderkey
+                    JOIN nation s_n ON s_n.n_nationkey = s.s_nationkey
+               WHERE p.p_name LIKE '%bolt%') profit
+         GROUP BY n_name, o_year
+         ORDER BY nation ASC NULLS FIRST, o_year DESC NULLS LAST""",
     "sql_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
          FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count

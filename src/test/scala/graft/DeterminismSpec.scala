@@ -46,6 +46,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bm25",           // nano-quantized per-term fold; int rank tie-break
     "sim_hybrid_rrf",      // RRF of exact int ranks; fused rank tie-broken
     "sql_q17",             // exact integral-double avg gate + decimal revenue
+    "sql_q8",              // exact-DECIMAL share ratio over the 7-join tree
     "dedup_containment",   // exact integer shingle counts
     "win_streak",          // all-integer island ids and counts
     "sql_window",          // decimal frame sums through the SQL surface

@@ -959,6 +959,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_q8 broadcasts every dimension of the 7-join tree; no nested loop") {
+    // the widest join tree in the suite: part/supplier/customer/
+    // nation×2/region must all ride broadcasts — the only data-sized
+    // exchange is the lineitem ⋈ orders fact-fact join
+    val p = plan("sql_q8")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 5, s"expected >=5 broadcast dims, got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("sql_q9 pushes the LIKE '%bolt%' into the part scan as StringContains") {
+    val p = plan("sql_q9")
+    assert(p.contains("StringContains(p_name,bolt)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("sql_q17 decorrelates the per-part average into one aggregate + equality join") {
     // the correlated scalar subquery (quantity < 0.2 * the part's own
     // average) must plan as ONE two-phase per-part aggregate joined
