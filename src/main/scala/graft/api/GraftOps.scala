@@ -119,6 +119,49 @@ object GraftOps {
     graft.operators.LlmText.labelProp(sym, rounds)
   }
 
+  /** Okapi BM25 top-10 retrieval ranking over caller docs and query
+    * terms — text_bm25's scoring core parameterized (Lucene idf,
+    * k1 = 1.2 / b = 0.75, exact integer tf/df/doclen, per-term
+    * contributions nano-quantized before the per-(query, doc) fold so
+    * the ranking is partitioning-exact). `docs` supplies one row per
+    * document, `queries` one row per (query id, term). Returns
+    * (qid, rank, doc_id, bm25) — the per-query top-10. Scale shape:
+    * one corpus tokenize/count pass, broadcast query-term join, rank
+    * window per qid. */
+  def bm25Rank(docs: DataFrame, id: Column, text: Column,
+               queries: DataFrame, qid: Column, term: Column): DataFrame =
+    graft.operators.LlmText.bm25Rank(
+      docs.select(id.as("doc_id"), text.as("text")),
+      queries.select(qid.as("qid"), term.as("term")))
+
+  /** Reciprocal Rank Fusion (Cormack et al. 2009, k-constant 60) of
+    * two per-query rankings — sim_hybrid_rrf's fusion step over
+    * ARBITRARY legs (BM25 + vector, two vector indexes, anything that
+    * ranks): each input carries (qid, doc_id, rank) with rank ≥ 1; a
+    * doc missing from one leg contributes 0 for it. Returns the fused
+    * per-query top-`k` as (qid, rank, doc_id, rrf, n_legs), fused rank
+    * tie-broken on doc_id. Exact-integer ranks in → engine- and
+    * partitioning-exact fusion out; the join touches only the two
+    * ≤topN·|queries|-row legs, never a corpus. */
+  def rrfFuse(legA: DataFrame, legB: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = legA.select(col("qid"), col("doc_id"), col("rank").as("ra"))
+    val b = legB.select(col("qid"), col("doc_id"), col("rank").as("rb"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    a.join(b, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("ra")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0))).as("rrf"),
+        (when(col("ra").isNotNull, 1L).otherwise(0L)
+          + when(col("rb").isNotNull, 1L).otherwise(0L)).as("n_legs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("doc_id"),
+        (round(col("rrf"), 6) + lit(0.0)).as("rrf"), col("n_legs"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** [[connectedComponents]] with NO diameter bound — the shape for
     * graphs whose diameter isn't known ≤ rounds (the 100 TB default):
     * checkpoint-per-round min-label propagation that stops when a round

@@ -685,6 +685,52 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(declared))
   }
 
+  test("bm25Rank on caller columns equals text_bm25") {
+    // the API takes arbitrary column names; feed it the fixture under
+    // renamed columns plus the rung's own df-derived query workload
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("my_id"), col("text").as("my_text"))
+    val df = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wq = Window.orderBy(col("df").desc, col("tok").asc)
+    val queries = df.orderBy(col("df").desc, col("tok").asc).limit(15)
+      .withColumn("r", row_number().over(wq))
+      .select(expr("CAST((r - 1) DIV 3 AS BIGINT)").as("q"), col("tok").as("t"))
+    val api = GraftOps.bm25Rank(docs, col("my_id"), col("my_text"),
+      queries, col("q"), col("t"))
+    val declared = SparkEntry.queries("text_bm25")(spark, sf)
+    assert(rows(api) == rows(declared))
+  }
+
+  test("rrfFuse on the two legs equals sim_hybrid_rrf") {
+    import org.apache.spark.sql.expressions.Window
+    val bmLeg = operators.LlmText.bm25TopK(spark, sf)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val wC = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id").asc)
+    val cosLeg = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotc(col("embedding"), col("qe"))
+          / (sqrt(dotc(col("embedding"), col("embedding")))
+            * sqrt(dotc(col("qe"), col("qe"))))).as("cs"))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+    val api = GraftOps.rrfFuse(bmLeg, cosLeg)
+    val declared = SparkEntry.queries("sim_hybrid_rrf")(spark, sf)
+    assert(rows(api) == rows(declared))
+  }
+
   test("signBinarize degrades gracefully on <64-dim vectors under ANSI") {
     val sp = spark
     import sp.implicits._
