@@ -13,8 +13,13 @@ cd "$(dirname "$0")/.."
 export SPARK_GRAFT_SF_DIR
 # program stdout is unprefixed; drop sbt's own [info]/[success] lines and
 # anything before the first plan header
+# Expression IDs (#NNNN), plan_ids, and subquery ids are session-global
+# counters: adding ONE query renumbers every later plan, which buries the
+# real diffs this split exists to expose. Normalize them — a snapshot
+# diff must mean the plan CHANGED, not that the run order did.
 sbt -batch "runMain graft.Explain" 2>/dev/null \
   | grep -v '^\[' \
+  | sed -E 's/#[0-9]+/#N/g; s/plan_id=[0-9]+/plan_id=N/g; s/\[id=#N\]/[id=#N]/g; s/(Subquery|subquery|cte)([ _]?)[0-9]+/\1\2N/g' \
   | awk '/^## /{found=1} found' > PLANS.tmp
 n=$(grep -c '^## ' PLANS.tmp)
 if [ "$n" -lt 1 ]; then

@@ -994,12 +994,200 @@ object SqlSurface extends QueryGroup {
       ORDER BY nation ASC, o_year DESC""")
   }
 
+  /** TPC-H Q1, the full spec statement (pricing summary with the
+    * shipdate cutoff) — distinct from the DSL flagship
+    * `agg_pricing_summary`, which omits the WHERE gate and the
+    * tax-bearing charge term: this one carries the spec's
+    * `l_shipdate <= date - 90 days` predicate (pushed to the scan) and
+    * sum_charge = Σ price·(1−disc)·(1+tax). With it the SQL surface
+    * spells ALL 22 TPC-H statements as sql_q* keys. Exactness: each
+    * charge element is two IEEE products of read bits cast to DECIMAL
+    * BEFORE summation, so every aggregate is partitioning-proof; the
+    * averages divide exact sums by exact counts, rounded output-only.
+    * Scale: one filtered fact pass, 6-row result, two-phase agg. */
+  private val sqlQ1: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l1_v")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                        AS DOUBLE), 4) AS sum_base_price,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS sum_disc_price,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                   * (1.0 + l_tax)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS sum_charge,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*), 6) AS avg_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*), 6) AS avg_disc,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM graft_l1_v
+      WHERE l_shipdate <= CAST('2001-09-02' AS TIMESTAMP_NTZ)
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag ASC, l_linestatus ASC""")
+  }
+
+  /** TPC-H Q6 analog (forecast-revenue change) — the pure
+    * SCAN-FILTER-AGGREGATE statement, deliberately join-free: one fact
+    * pass, three conjunctive range predicates, one ungrouped sum. This
+    * is the pushdown showcase: all three predicates are
+    * parquet-pushable comparisons, so the scan itself discards
+    * everything but the ~2% qualifying slice (PlanSpec asserts
+    * PushedFilters carries the shipdate range) and the aggregate sees
+    * only survivors — at 100 TB the statement costs one filtered
+    * columnar scan of three columns plus a 32-partial-row final fold,
+    * no shuffle of data rows at all. The revenue term is the
+    * per-element exact DECIMAL cast of `l_extendedprice * l_discount`
+    * (both operands read bits, the product one IEEE op — identical on
+    * both engines), so the sum is partitioning-proof. */
+  private val sqlQ6: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l6_v")
+    s.sql("""
+      SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM graft_l6_v
+      WHERE l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+        AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP_NTZ)
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24.0""")
+  }
+
+  /** TPC-H Q4 analog (order-priority checking) — the correlated-EXISTS
+    * count: orders from one half-year counted per priority when at
+    * least one of their lines shipped late. The spec's lateness test
+    * (l_commitdate < l_receiptdate) uses columns the fixture doesn't
+    * carry, so lateness here is "shipped more than 60 days after the
+    * order date" — which keeps the structurally interesting part: the
+    * EXISTS correlates on BOTH the join key and an outer-column
+    * comparison (l_shipdate > o_orderdate + 60 days). Catalyst
+    * decorrelates that into ONE left-semi join with the non-equi term
+    * as a join residual (PlanSpec pins LeftSemi and no nested loop) —
+    * the naive reading re-scans lineitem per order, which at 100 TB is
+    * a full fact scan per fact row. Semi-join semantics also
+    * deduplicate for free: an order with five late lines counts once,
+    * with no DISTINCT pass. Output is pure integer counts. */
+  private val sqlQ4: QFn = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_o4_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l4_v")
+    s.sql("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM graft_o4_v o
+      WHERE o_orderdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+        AND o_orderdate < CAST('1997-07-01' AS TIMESTAMP_NTZ)
+        AND EXISTS (SELECT 1 FROM graft_l4_v l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority ASC""")
+  }
+
+  /** TPC-H Q12 analog (late-line priority split) — the fact-fact join
+    * with CONDITIONAL counting: lineitem ⋈ orders on orderkey, lines
+    * that shipped late (>90 days after the order date — the fixture
+    * has no shipmode/receiptdate, so the lateness predicate and the
+    * returnflag grouping stand in for Q12's shipmode slice), split per
+    * returnflag into high-priority (URGENT/HIGH) vs low-priority
+    * counts via two CASE sums in one pass. Scale: the one data-sized
+    * exchange is the orderkey shuffle both facts already need; the
+    * shipdate year-range prunes the lineitem scan BEFORE the join
+    * (pushed to parquet), the join-residual lateness test needs both
+    * sides so it evaluates as a post-join filter, and the CASE sums
+    * are exact BIGINTs — no second pass, no pivot shuffle. */
+  private val sqlQ12: QFn = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("graft_o12_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l12_v")
+    s.sql("""
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM graft_o12_v o JOIN graft_l12_v l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL '90' DAY
+        AND l.l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+        AND l.l_shipdate < CAST('1998-01-01' AS TIMESTAMP_NTZ)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC""")
+  }
+
+  /** TPC-H Q14 analog (promo-revenue share) — the GLOBAL-RATIO shape:
+    * one quarter of the fact joined to the part dim, and the answer is
+    * a single row, 100 × Σ(promo revenue) / Σ(all revenue). The
+    * fixture's p_type domain carries 'PROMO' literally, so the spec's
+    * `LIKE 'PROMO%'` gate is the exact equality here. Scale: part
+    * broadcasts (PlanSpec pins it — a 20M-row dim is still KBs per
+    * p_type/p_partkey projection next to a 100 TB fact), the quarter
+    * range is pushed into the fact scan, and both sums ride ONE
+    * aggregation — the CASE's else arm is a DECIMAL zero so the branch
+    * types unify exactly and numerator/denominator accumulate in the
+    * same exact-DECIMAL pass; the closing division is one double op on
+    * engine-identical operands, rounded output-only (sql_q8's idiom,
+    * `+ 0.0` normalizing a signed zero). */
+  private val sqlQ14: QFn = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l14_v")
+    Tables.part(s, d).createOrReplaceTempView("graft_p14_v")
+    s.sql("""
+      SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0
+               AS promo_revenue,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM graft_l14_v l JOIN graft_p14_v p ON l.l_partkey = p.p_partkey
+      WHERE l_shipdate >= CAST('1997-06-01' AS TIMESTAMP_NTZ)
+        AND l_shipdate < CAST('1997-09-01' AS TIMESTAMP_NTZ)""")
+  }
+
+  /** TPC-H Q20 analog (potential part promotion) — the NESTED-IN
+    * shape: suppliers selected by an IN whose subquery itself filters
+    * by another IN (parts named like '%bolt%'), with a HAVING
+    * threshold on per-(supplier, part) shipped quantity standing in
+    * for the spec's partsupp.ps_availqty comparison (the fixture has
+    * no partsupp table). Catalyst rewrites BOTH membership tests into
+    * left-semi joins — the inner one gates the fact scan against the
+    * ~KB bolt-part key set (broadcast semi), the outer one gates the
+    * 100-row supplier dim against the surviving aggregated supplier
+    * keys (PlanSpec pins two LeftSemis and no nested loop). Scale: one
+    * pruned fact pass, one (suppkey, partkey) partial+final aggregate,
+    * then dim-sized work only. l_quantity is integral-valued so the
+    * HAVING sum is exact in doubles on any partitioning. */
+  private val sqlQ20: QFn = (s, d) => {
+    Tables.supplier(s, d).createOrReplaceTempView("graft_s20_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_l20_v")
+    Tables.part(s, d).createOrReplaceTempView("graft_p20_v")
+    s.sql("""
+      SELECT s_suppkey, s_name
+      FROM graft_s20_v
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM graft_l20_v
+        WHERE l_partkey IN (SELECT p_partkey FROM graft_p20_v
+                            WHERE p_name LIKE '%bolt%')
+          AND l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
+          AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP_NTZ)
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 60.0)
+      ORDER BY s_suppkey ASC""")
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sql_q11" -> sqlQ11,
     "sql_q15" -> sqlQ15,
     "sql_q17" -> sqlQ17,
     "sql_q8" -> sqlQ8,
     "sql_q9" -> sqlQ9,
+    "sql_q1" -> sqlQ1,
+    "sql_q4" -> sqlQ4,
+    "sql_q6" -> sqlQ6,
+    "sql_q12" -> sqlQ12,
+    "sql_q14" -> sqlQ14,
+    "sql_q20" -> sqlQ20,
     "sql_q13" -> sqlQ13,
     "sql_q22" -> sqlQ22,
     "sql_q2" -> sqlQ2,
@@ -1099,6 +1287,83 @@ object SqlSurface extends QueryGroup {
                WHERE p.p_name LIKE '%bolt%') profit
          GROUP BY n_name, o_year
          ORDER BY nation ASC NULLS FIRST, o_year DESC NULLS LAST""",
+    "sql_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                           AS DOUBLE), 4) AS sum_base_price,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS sum_disc_price,
+                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                      * (1.0 + l_tax)
+                                    AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS sum_charge,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                           AS DOUBLE) / count(*), 6) AS avg_price,
+                round(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+                           AS DOUBLE) / count(*), 6) AS avg_disc,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "sql_q6" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24.0""",
+    "sql_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority ASC NULLS FIRST""",
+    "sql_q12" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+           AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag ASC NULLS FIRST""",
+    "sql_q14" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,6))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,6))) AS DOUBLE), 6) + 0.0
+                  AS promo_revenue,
+                CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+           AND l_shipdate < TIMESTAMP '1997-09-01'""",
+    "sql_q20" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE '%bolt%')
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY l_suppkey, l_partkey
+           HAVING sum(l_quantity) > 60.0)
+         ORDER BY s_suppkey ASC NULLS FIRST""",
     "sql_q13" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
          FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count

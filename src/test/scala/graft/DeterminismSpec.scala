@@ -47,6 +47,12 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_hybrid_rrf",      // RRF of exact int ranks; fused rank tie-broken
     "sql_q17",             // exact integral-double avg gate + decimal revenue
     "sql_q8",              // exact-DECIMAL share ratio over the 7-join tree
+    "sql_q1",              // spec Q1: exact-DECIMAL charge terms, exact counts
+    "sql_q6",              // join-free exact-DECIMAL sum + count
+    "sql_q4",              // pure integer semi-join counts
+    "sql_q12",             // exact BIGINT CASE counts over the fact-fact join
+    "sql_q14",             // exact-DECIMAL promo ratio (sql_q8's idiom)
+    "sql_q20",             // integral-double HAVING gate; key/name output
     "dedup_containment",   // exact integer shingle counts
     "win_streak",          // all-integer island ids and counts
     "sql_window",          // decimal frame sums through the SQL surface

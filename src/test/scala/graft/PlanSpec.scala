@@ -12,6 +12,13 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString
 
+  // toString truncates long field lists (PushedFilters past ~100 chars);
+  // the formatted mode prints them whole — use it when the assertion
+  // targets a filter that isn't first in the pushed list
+  private def planFull(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   test("scan_pruned pushes the shipdate range into the parquet scan") {
     val p = plan("scan_pruned")
     assert(p.contains("PushedFilters: ["), p)
@@ -995,6 +1002,65 @@ class PlanSpec extends AnyFunSuite {
     // pushed shipdate range or one of them reads the whole year
     val pushed = "GreaterThanOrEqual\\(l_shipdate".r.findAllIn(p).length
     assert(pushed >= 2, s"expected the quarter filter on both scans:\n$p")
+  }
+
+  test("sql_q1 pushes the shipdate cutoff; all aggregates ride one two-phase pass") {
+    val p = planFull("sql_q1")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+    // 8 aggregates over 6 groups: one hash aggregate pair, no expand,
+    // no second exchange beyond the 6-row group shuffle
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("sql_q6 pushes all three range predicates into the fact scan") {
+    // the join-free scan-filter-aggregate: every predicate is a
+    // parquet-pushable comparison; an unpushed one re-reads the year
+    val p = planFull("sql_q6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Exchange hashpartitioning"), s"ungrouped agg needs no hash exchange:\n$p")
+  }
+
+  test("sql_q4 decorrelates the dated EXISTS into one left-semi join") {
+    // EXISTS correlated on the key AND an outer-date comparison must
+    // plan as ONE semi join with the non-equi term as residual — a
+    // per-row re-scan of lineitem is a fact scan per fact row at scale
+    val p = plan("sql_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the half-year order filter is pushed to the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("sql_q12 prunes the fact scan before the join; one pass for both CASE sums") {
+    val p = planFull("sql_q12")
+    // the year range reaches the lineitem parquet scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // both conditional counts ride one aggregate (partial+final), not
+    // a pivot or second join
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_q14 broadcasts the part dim; ratio rides one aggregation") {
+    val p = plan("sql_q14")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin"), s"the dim join must not shuffle the fact:\n$p")
+  }
+
+  test("sql_q20 plans both nested INs as semi joins, no nested loop") {
+    val p = plan("sql_q20")
+    val semis = "LeftSemi".r.findAllIn(p).length
+    assert(semis >= 2, s"expected both INs as semi joins, got $semis:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the year filter reaches the fact scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
   }
 
   test("dedup_lsh_curve joins stay equi-keyed with partial aggregation") {
