@@ -270,6 +270,87 @@ object LlmText extends QueryGroup {
       size(array_distinct(split(col("text"), " "))).cast(LongType).as("distinct_tokens"),
     ).orderBy(col("doc_id"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): in every window of W=4 consecutive word
+    * 3-gram hashes, select the minimum hash (rightmost position on
+    * ties, the paper's convention), then dedup selections — the
+    * fingerprint set GUARANTEES any shared run of ≥ W+K-1 tokens
+    * between two documents shares at least one fingerprint, the
+    * property plain every-Nth sampling (text_fingerprint's rolling
+    * sum) cannot give. Engine-portability trick: "min hash, rightmost
+    * pos" is ONE integer min over enc = h·10⁵ + (10⁵−1−pos), h bounded
+    * to 32 bits (8 md5 hex chars) so enc can't overflow int64 — the
+    * same sliding ROWS frame and the same decode run on both engines.
+    * Scale: one token pass, per-doc windows only (WindowExec
+    * partitioned by doc_id — never a global sort), distinct on
+    * (doc, hash, pos) is the only shuffle, and shuffles carry 16-byte
+    * rows, never text. Expected density 2/(W+1) of gram count; laws
+    * (CurationSpec): identical-text docs fingerprint identically,
+    * per-doc counts within [n_windows/W, n_windows], every window is
+    * covered. */
+  private[operators] def winnowFps(s: SparkSession, d: String): DataFrame = {
+    val W = 4
+    val P = 100000L // position radix: fixture docs are ≪ 1e5 tokens
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = tokens(s, d)
+      .withColumn("t2", lead(col("tok"), 1).over(byDoc))
+      .withColumn("t3", lead(col("tok"), 2).over(byDoc))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        conv(substring(md5(concat_ws(" ", col("tok"), col("t2"), col("t3"))), 1, 8), 16, 10)
+          .cast(LongType).as("h"))
+    grams
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("enc",
+        min(col("h") * P + (lit(P - 1L) - col("pos")))
+          .over(byDoc.rowsBetween(0, W - 1)))
+      .filter(col("pos") <= col("n_grams") - W) // full windows only
+      .select(col("doc_id"),
+        (lit(P - 1L) - (col("enc") % P)).as("fp_pos"),
+        expr("enc DIV 100000").as("fp_hash")) // int division — no double detour
+      .distinct()
+  }
+
+  private val textWinnowing: QFn = (s, d) =>
+    winnowFps(s, d).orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
+
+  /** Winnowing near-dup detection — what the fingerprints exist FOR
+    * (MOSS's application): candidate pairs are docs sharing ≥2
+    * fingerprint hashes, scored by fingerprint-set Jaccard. The third
+    * detector family next to minhash (probabilistic) and simhash
+    * (distance-coded): winnowing candidates come with the GUARANTEE —
+    * any shared ≥6-token run forces a shared fingerprint — so a missed
+    * long overlap is impossible, not just unlikely. Scale posture is
+    * the LSH one: pair enumeration is an EQUALITY join on fp_hash
+    * (band-bucket shape, never all-pairs), shuffles carry (doc, hash)
+    * int64 pairs, and MOSS's boilerplate-stop step caps bucket width —
+    * hashes seen in >50 docs are dropped BEFORE the join (the fixture's
+    * max is 9, so the cap is latent here; at 100 TB it is what keeps
+    * any bucket from going quadratic, like dedup_near_minhash's band
+    * cap). Jaccard divides exact distinct-int counts once at output. */
+  private val dedupWinnowing: QFn = (s, d) => {
+    val fp = winnowFps(s, d).select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint() // one fingerprint build feeds freq + both join legs
+    val rare = fp.join(
+      fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= 50L).select(col("fp_hash")),
+      Seq("fp_hash"))
+    val nFps = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("fp_hash"), col("doc_id").as("doc_b")), Seq("fp_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L)
+    pairs
+      .join(nFps.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), Seq("doc_a"))
+      .join(nFps.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast(DoubleType)
+          / (col("na") + col("nb") - col("n_shared"))).as("fp_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Position-weighted rolling fingerprint over md5 token hashes:
     * fp = Σ (h(tok) mod M) · (pos+1)  mod M. Order-sensitive, portable. */
   private val textFingerprint: QFn = (s, d) => {
@@ -1620,6 +1701,8 @@ object LlmText extends QueryGroup {
     "text_quality" -> textQuality,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
+    "text_winnowing" -> textWinnowing,
+    "dedup_winnowing" -> dedupWinnowing,
     "text_scrub" -> textScrub,
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_bigram_lm" -> textBigramLm,
@@ -2107,6 +2190,76 @@ object LlmText extends QueryGroup {
                 CAST(sum((('0x' || substr(md5(tok), 1, 12))::BIGINT % 1000003)
                          * (pos + 1)) % 1000003 AS BIGINT) AS fingerprint
          FROM toks GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""",
+    "text_winnowing" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         g AS (
+           SELECT doc_id, pos, tok,
+                  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+                  lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+           FROM toks),
+         h AS (
+           SELECT doc_id, pos,
+                  ('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 8))::BIGINT AS hh
+           FROM g WHERE t3 IS NOT NULL),
+         wnd AS (
+           SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY doc_id) AS n_grams,
+                  min(hh * 100000 + (99999 - pos))
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
+           FROM h)
+         SELECT DISTINCT doc_id,
+                CAST(99999 - (enc % 100000) AS BIGINT) AS fp_pos,
+                CAST(enc // 100000 AS BIGINT) AS fp_hash
+         FROM wnd WHERE pos <= n_grams - 4
+         ORDER BY doc_id ASC NULLS FIRST, fp_pos ASC NULLS FIRST,
+                  fp_hash ASC NULLS FIRST""",
+    "dedup_winnowing" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         g AS (
+           SELECT doc_id, pos, tok,
+                  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+                  lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+           FROM toks),
+         h AS (
+           SELECT doc_id, pos,
+                  ('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 8))::BIGINT AS hh
+           FROM g WHERE t3 IS NOT NULL),
+         wnd AS (
+           SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY doc_id) AS n_grams,
+                  min(hh * 100000 + (99999 - pos))
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
+           FROM h),
+         fp AS (SELECT DISTINCT doc_id, CAST(enc // 100000 AS BIGINT) AS fp_hash
+                FROM wnd WHERE pos <= n_grams - 4),
+         freq AS (SELECT fp_hash, count(*) AS nd FROM fp GROUP BY fp_hash),
+         rare AS (SELECT fp.doc_id, fp.fp_hash FROM fp
+                  JOIN freq USING (fp_hash) WHERE nd <= 50),
+         nfp AS (SELECT doc_id, count(*) AS n_fp FROM rare GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+           FROM rare a JOIN rare b
+             ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+           HAVING count(*) >= 2)
+         SELECT doc_a, doc_b, n_shared,
+                CAST(n_shared AS DOUBLE) / (na.n_fp + nb.n_fp - n_shared)
+                  AS fp_jaccard
+         FROM pairs
+         JOIN nfp na ON na.doc_id = doc_a
+         JOIN nfp nb ON nb.doc_id = doc_b
+         ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""",
     "dedup_exact" ->
       """SELECT doc_id, n_copies FROM (
            SELECT doc_id,

@@ -273,6 +273,71 @@ object LlmVector extends QueryGroup {
       .orderBy(col("qid"))
   }
 
+  /** IVF nprobe calibration curve — dedup_lsh_curve's posture applied
+    * to the vector index (the curve an operator reads BEFORE picking
+    * nprobe, instead of trusting one point measurement): recall@10 of
+    * the sign-grid coarse quantizer at EVERY probe radius 0..3
+    * (probe own cell → +Hamming-1 → +Hamming-2 → all 8 cells; nprobe
+    * 1/4/7/8 of 8). Radius 3 probes everything, so its recall is
+    * EXACTLY 1.0 by construction and the curve's monotone rise to it
+    * is law-asserted (VectorSpec) — a curve that doesn't end at 1.0
+    * means the harness, not the index, is broken. Grid cells are a
+    * pure row function (ivf_eval's device), so the whole sweep — all
+    * four radii, both rankings — is DuckDB-mirrorable and hash-oracled,
+    * unlike the k-means index it calibrates for. Scale: ONE candidate
+    * materialization (20-query broadcast × corpus — the capped
+    * ground-truth companion) reused by all radii via a 4-row broadcast
+    * explode; per-(radius, query) ranking partitions the window, never
+    * a global sort. Output micro-averages over the query set: exact
+    * int hit/truth sums per radius, one closing division. */
+  private val ivfNprobeCurve: QFn = (s, d) => {
+    def bit(c: Column, i: Int): Column =
+      when(c.getItem(i) >= 0.0, 1).otherwise(0)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        bit(col("embedding"), 0).as("b0"),
+        bit(col("embedding"), 1).as("b1"),
+        bit(col("embedding"), 2).as("b2"))
+    val q = e.filter(col("vec_id") < 20L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("b0").as("q0"), col("b1").as("q1"), col("b2").as("q2"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qe")).as("cs"),
+        (abs(col("b0") - col("q0")) + abs(col("b1") - col("q1"))
+          + abs(col("b2") - col("q2"))).as("ham"))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
+    val exact = cand.withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val radii = s.range(0, 4)
+      .select(col("id").cast(IntegerType).as("radius"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("radius"), col("qid"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    val approx = cand.crossJoin(broadcast(radii))
+      .filter(col("ham") <= col("radius"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= 10)
+      .select(col("radius"), col("qid"), col("vec_id"), lit(1L).as("hit"))
+    // both join sides are query-set-bounded (≤ 10·|Q|·|radii| rows by
+    // the rn<=10 cut), but Spark's estimator only sees corpus-derived
+    // children — hint the hash-set side so the truth join never SMJs
+    exact.crossJoin(broadcast(radii))
+      .join(broadcast(approx), Seq("radius", "qid", "vec_id"), "left")
+      .groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("radius"),
+        // nprobe = Σ C(3,i) for i ≤ radius: 1, 4, 7, 8 cells of 8
+        when(col("radius") === 0, 1).when(col("radius") === 1, 4)
+          .when(col("radius") === 2, 7).otherwise(8).as("nprobe"),
+        col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_10"))
+      .orderBy(col("radius"))
+  }
+
   /** Dimension-truncation retrieval eval — the Matryoshka (MRL) storage
     * question made measurable: if the index keeps only the FIRST 16 of
     * 64 dimensions (4× cheaper storage + bandwidth, the standard
@@ -1740,6 +1805,7 @@ object LlmVector extends QueryGroup {
     "sim_knn_ivf" -> simKnnIvf,
     "ann_upsert" -> annUpsert,
     "ivf_eval" -> ivfEval,
+    "ivf_nprobe_curve" -> ivfNprobeCurve,
     "embed_truncate_eval" -> embedTruncateEval,
     "sim_mmr" -> simMmr,
     "sim_knn_ivfpq" -> simKnnIvfPq,
@@ -2076,6 +2142,40 @@ object LlmVector extends QueryGroup {
                  CAST(sum(hit) AS BIGINT) AS n_hit,
                  CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_10
           FROM j GROUP BY qid ORDER BY qid ASC NULLS FIRST""",
+    "ivf_nprobe_curve" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev,
+                     CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END b0,
+                     CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END b1,
+                     CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END b2
+              FROM embeddings),
+            q AS (SELECT vec_id qid, ev qe, b0 q0, b1 q1, b2 q2
+                  FROM e WHERE vec_id < 20),
+            c AS (SELECT qid, vec_id, ${duckCos("ev", "qe")} AS cs,
+                         abs(b0 - q0) + abs(b1 - q1) + abs(b2 - q2) AS ham
+                  FROM e CROSS JOIN q WHERE vec_id <> qid),
+            r AS (SELECT * FROM (VALUES (0, 1), (1, 4), (2, 7), (3, 8))
+                  AS t(radius, nprobe)),
+            ex AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                       ORDER BY cs DESC NULLS LAST, vec_id ASC) rn FROM c) t
+                   WHERE rn <= 10),
+            ap AS (SELECT radius, qid, vec_id FROM (
+                     SELECT r.radius, qid, vec_id,
+                            row_number() OVER (PARTITION BY r.radius, qid
+                              ORDER BY cs DESC NULLS LAST, vec_id ASC) rn
+                     FROM c JOIN r ON c.ham <= r.radius) t
+                   WHERE rn <= 10),
+            j AS (SELECT r.radius, r.nprobe,
+                         CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END hit
+                  FROM ex CROSS JOIN r
+                  LEFT JOIN ap ON ap.radius = r.radius AND ap.qid = ex.qid
+                              AND ap.vec_id = ex.vec_id)
+          SELECT radius, nprobe,
+                 CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(hit) AS BIGINT) AS n_hit,
+                 CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_10
+          FROM j GROUP BY radius, nprobe
+          ORDER BY radius ASC NULLS FIRST""",
     "embed_truncate_eval" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings),
             q AS (SELECT vec_id qid, ev qe FROM e WHERE vec_id < 20),

@@ -188,8 +188,52 @@ object Sampling extends QueryGroup {
       .orderBy(col("source"))
   }
 
+  /** Deterministic curriculum ordering — the last pipeline stage before
+    * tokenization, and the one the sample_* family doesn't cover: the
+    * SELECTED corpus must become a training ORDER (easy→hard staging,
+    * Bengio et al. curriculum learning) without long single-source runs
+    * (within-stage source interleave — consecutive same-source batches
+    * are the classic loss-spike cause in mixed corpora). Difficulty =
+    * whitespace token count staged by fixed literals (<40 easy, <69
+    * medium — the fixture's terciles; at 100 TB the same literals or
+    * approx-quantile cutpoints, the text_quality_bucket_approx recipe).
+    * The SCALE point: ordering is NOT a global sort/ntile — the
+    * curriculum key is pure arithmetic, stage·10¹² + (r−1)·S + src_idx,
+    * where r is row_number over the (stage, source) partition (many
+    * balanced partitions, never a single reducer) and the round-robin
+    * interleave is the (r, src_idx) lexicographic order made one
+    * integer. Keys are sparse when sources exhaust — a training order
+    * needs monotone, not dense (the writer range-partitions by key; the
+    * int64 holds to ~5·10¹⁰ docs per (stage, source)). Per-doc shuffle
+    * payload is 16 bytes, never text. CurationSpec law: stages are
+    * contiguous in key order, and within a stage every full block of
+    * S=20 consecutive ranks carries 20 DISTINCT sources. */
+  private val sampleCurriculum: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val S = 20L // fixture sources src0..src19
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("ntok"))
+      .withColumn("stage",
+        when(col("ntok") < 40L, 0L).when(col("ntok") < 69L, 1L)
+          .otherwise(2L))
+      .withColumn("src_idx",
+        regexp_extract(col("source"), "([0-9]+)", 1).cast(LongType))
+      .withColumn("u48",
+        conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":cur"))),
+          1, 12), 16, 10).cast(LongType))
+    val w = Window.partitionBy(col("stage"), col("src_idx"))
+      .orderBy(col("u48"), col("doc_id"))
+    base.withColumn("r", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("stage"), col("src_idx"),
+        (col("stage") * 1000000000000L + (col("r") - 1L) * S
+          + col("src_idx")).as("curriculum_key"))
+      .orderBy(col("curriculum_key"), col("doc_id"))
+  }
+
   val queries: Seq[(String, QFn)] = Seq(
     "sample_hash" -> sampleHash,
+    "sample_curriculum" -> sampleCurriculum,
     "sample_epochs" -> sampleEpochs,
     "sample_balanced" -> sampleBalanced,
     "split_train_val" -> splitTrainVal,
@@ -199,6 +243,27 @@ object Sampling extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sample_curriculum" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
+                       WHEN len(string_split(text, ' ')) < 69 THEN 1
+                       ELSE 2 END AS stage,
+                  CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_idx,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 12))::BIGINT
+                    AS u48
+           FROM documents),
+         r AS (
+           SELECT doc_id, stage, src_idx,
+                  row_number() OVER (PARTITION BY stage, src_idx
+                                     ORDER BY u48 ASC, doc_id ASC) AS r
+           FROM b)
+         SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+                src_idx,
+                CAST(stage * 1000000000000 + (r - 1) * 20 + src_idx AS BIGINT)
+                  AS curriculum_key
+         FROM r
+         ORDER BY curriculum_key ASC NULLS FIRST, doc_id ASC NULLS FIRST""",
     "sample_epochs" ->
       """WITH b AS (
            SELECT source, doc_id,

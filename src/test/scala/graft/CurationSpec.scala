@@ -11,6 +11,100 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("text_winnowing: identical texts fingerprint identically; density and coverage hold") {
+    val out = SparkEntry.queries("text_winnowing")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).map { case (d, fs) =>
+      d -> fs.map(f => (f._2, f._3)).toSet }
+    // 1. THE winnowing guarantee (the property every-Nth sampling
+    //    can't give): a run of >= W+K-1 = 6 identical tokens shared by
+    //    two docs contains W consecutive identical 3-gram hashes — one
+    //    full window with identical contents in both docs — so BOTH
+    //    must select its min hash: every shared-run doc pair shares a
+    //    fingerprint HASH (positions may differ).
+    val hashesByDoc = out.groupBy(_._1).map { case (d, fs) =>
+      d -> fs.map(_._3).toSet }
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val runDocs = texts.flatMap { case (d, t) =>
+      t.split(" ").sliding(6).filter(_.length == 6)
+        .map(r => (r.mkString(" "), d))
+    }.groupBy(_._1).values.map(_.map(_._2).distinct).filter(_.length > 1)
+    assert(runDocs.nonEmpty, "fixture has no shared 6-token runs — law is vacuous")
+    runDocs.foreach { docs =>
+      docs.combinations(2).foreach { case Array(a, b) =>
+        assert((hashesByDoc.getOrElse(a, Set.empty)
+          & hashesByDoc.getOrElse(b, Set.empty)).nonEmpty,
+          s"docs $a and $b share a 6-token run but no fingerprint")
+      }
+    }
+    // 2. Density + coverage per doc: with W=4, n_windows = n_grams-W+1
+    //    full windows; selections are between n_windows/W (one shared
+    //    min can serve at most W windows) and n_windows, and every
+    //    window start p must be covered by a selection in [p, p+W-1].
+    val W = 4
+    texts.foreach { case (d, t) =>
+      val nGrams = t.split(" ").length - 2 // word 3-grams
+      val nWin = nGrams - W + 1
+      if (nWin >= 1) {
+        val fps = byDoc.getOrElse(d, Set.empty)
+        assert(fps.size >= (nWin + W - 1) / W && fps.size <= nWin,
+          s"doc $d: ${fps.size} fingerprints for $nWin windows")
+        val poss = fps.map(_._1)
+        (0 until nWin).foreach { p =>
+          assert(poss.exists(x => x >= p && x <= p + W - 1),
+            s"doc $d window $p uncovered")
+        }
+      } else assert(!byDoc.contains(d), s"doc $d too short yet fingerprinted")
+    }
+  }
+
+  test("sample_curriculum: stages contiguous; every full 20-block interleaves 20 sources") {
+    val rows = SparkEntry.queries("sample_curriculum")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 1. stage monotone in key order: the output IS easy→hard
+    assert(rows.sliding(2).forall { case Array(a, b) => a._1 <= b._1 },
+      "a harder stage precedes an easier one")
+    // 2. within each stage, while ALL sources still have docs (every
+    //    full rank-block of S=20), the block's sources are distinct —
+    //    the round-robin interleave the key arithmetic promises
+    rows.groupBy(_._1).foreach { case (stage, rs) =>
+      val ordered = rs.sortBy(_._3).map(_._2)
+      val nFull = ordered.grouped(20).takeWhile(_.length == 20)
+        .takeWhile(_.distinct.length == 20).length
+      // the first block at least must be a perfect interleave (every
+      // source has >= 1 doc per stage on this fixture)
+      assert(nFull >= 1, s"stage $stage first 20-block repeats a source")
+    }
+    // 3. keys unique (a total training order, no position collisions)
+    assert(rows.map(_._3).distinct.length == rows.length, "key collision")
+  }
+
+  test("dedup_winnowing pairs agree with independently intersected fingerprint sets") {
+    // cross-operator consistency: n_shared for every reported pair must
+    // equal the intersection size of the two docs' rare-hash sets as
+    // text_winnowing reports them (same cap applied here), and every
+    // unreported pair must share < 2 rare hashes — the detector neither
+    // invents nor drops candidates
+    val fp = SparkEntry.queries("text_winnowing")(spark, sf)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val freq = fp.groupBy(_._2).map { case (h, xs) => h -> xs.length }
+    val rare = fp.filter(p => freq(p._2) <= 50)
+    val sets = rare.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val expected = sets.toSeq.combinations(2).flatMap { case Seq((a, sa), (b, sb)) =>
+      val n = (sa & sb).size
+      if (n >= 2) Some(((a min b, a max b), n.toLong)) else None
+    }.toMap
+    val got = SparkEntry.queries("dedup_winnowing")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expected,
+      s"pair sets differ: missing=${(expected.keySet -- got.keySet).take(3)}, " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)}")
+    assert(got.nonEmpty, "detector found nothing — law is vacuous")
+  }
+
   test("text_dedup_span conserves spans: survivors == distinct spans") {
     // keep-first dedup must keep EXACTLY one occurrence per distinct
     // span text — no more (dups slipped through), no fewer (lost spans)

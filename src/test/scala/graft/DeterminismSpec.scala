@@ -59,6 +59,10 @@ class DeterminismSpec extends AnyFunSuite {
     "join_range_exec",     // custom sweep: exact integer band counts
     "dedup_eval",          // exact integer hit/truth counts and ratios
     "ivf_eval",            // exact integer hit counts; recall = n_hit/10
+    "ivf_nprobe_curve",    // exact int hit/truth sums per radius, one division
+    "text_winnowing",      // all-integer encoded min; pure row-function hashes
+    "sample_curriculum",   // pure-hash ranks, all-integer key arithmetic
+    "dedup_winnowing",     // exact distinct-int counts; one closing division
     "sql_insert",          // decimal sums through the catalog DML path
     "join_asof_exec",      // unique (key, time) → unambiguous latest pick
     "multimodal_audio_rms", // integer frame sums; µ-unit mean, no round()

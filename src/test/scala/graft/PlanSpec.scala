@@ -1063,6 +1063,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
   }
 
+  test("text_winnowing windows stay doc-partitioned; dedup is a hash aggregate") {
+    // the sliding-min frame and the lead() grams must partition by
+    // doc_id — a single-partition WindowExec serializes the corpus
+    // through one task at scale
+    val p = plan("text_winnowing")
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!p.contains("Exchange SinglePartition"), s"corpus serialized through one task:\n$p")
+    assert(p.contains("HashAggregate"), s"distinct must hash-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ivf_nprobe_curve broadcasts query set and radii; corpus never shuffles as rows") {
+    // the corpus legs join the 20-query set and the 4-row radii table
+    // only through broadcasts; the only exchanges key the bounded
+    // (radius, qid) ranking windows and the 4-row final group
+    val p = plan("ivf_nprobe_curve")
+    val bc = "BroadcastExchange".r.findAllIn(p).length
+    assert(bc >= 2, s"expected broadcast query+radii legs, got $bc:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no data-sized equi shuffle expected:\n$p")
+  }
+
+  test("sample_curriculum ranks inside (stage, source) partitions — never a global sort for the order") {
+    // the curriculum ORDER comes from key arithmetic over per-partition
+    // row_numbers; the only global exchange allowed is the declared
+    // output sort's range partitioning
+    val p = plan("sample_curriculum")
+    assert(p.contains("windowspecdefinition(stage"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"curriculum must not serialize through one task:\n$p")
+  }
+
+  test("dedup_winnowing enumerates pairs via an equality join on fp_hash, never all-pairs") {
+    val p = plan("dedup_winnowing")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), s"pair counts must be two-phase:\n$p")
+  }
+
   test("dedup_lsh_curve joins stay equi-keyed with partial aggregation") {
     // the all-pairs truth is the explicit capped quadratic — but it
     // must be realized as equality joins on shingle/band keys plus

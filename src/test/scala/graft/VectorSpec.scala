@@ -267,6 +267,24 @@ class VectorSpec extends AnyFunSuite {
     assert((rerank & exact).size >= 5, s"rerank overlap ${(rerank & exact).size}")
   }
 
+  test("ivf_nprobe_curve is monotone and ends at recall exactly 1.0") {
+    // the two provable curve laws: widening the probe set can only add
+    // candidates (recall non-decreasing in radius), and radius 3 probes
+    // ALL 8 grid cells so the approx ranking IS the exact ranking —
+    // terminal recall must be exactly 1.0, not approximately
+    val rows = SparkEntry.queries("ivf_nprobe_curve")(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3), "radii 0..3")
+    assert(rows.map(_._2).toSeq == Seq(1, 4, 7, 8), "nprobe 1/4/7/8 of 8")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._5 >= a._5 },
+      s"recall not monotone: ${rows.map(_._5).toSeq}")
+    assert(rows.last._4 == rows.last._3 && rows.last._5 == 1.0,
+      s"full probe must recall everything: ${rows.last}")
+    // and every radius retrieves over the same ground truth
+    assert(rows.map(_._3).distinct.length == 1, "n_exact differs per radius")
+  }
+
   test("sim_hybrid_rrf fuses both legs and both-leg docs outrank every single-leg doc") {
     // the provable RRF constant law: min both-leg score 2/(60+10) =
     // 0.02857 > max single-leg score 1/(60+1) = 0.01639, so ANY doc in
