@@ -288,11 +288,19 @@ object LlmText extends QueryGroup {
     * (CurationSpec): identical-text docs fingerprint identically,
     * per-doc counts within [n_windows/W, n_windows], every window is
     * covered. */
-  private[operators] def winnowFps(s: SparkSession, d: String): DataFrame = {
+  private[operators] def winnowFps(s: SparkSession, d: String): DataFrame =
+    winnowFpsOf(Tables.documents(s, d))
+
+  /** The fingerprint construction over any (doc_id, text) frame —
+    * factored out so DedupProps can property-test it against a plain
+    * Scala reference on GENERATED docs, not just the fixture. */
+  private[graft] def winnowFpsOf(docs: DataFrame): DataFrame = {
     val W = 4
     val P = 100000L // position radix: fixture docs are ≪ 1e5 tokens
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = tokens(s, d)
+    val grams = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "tok")
       .withColumn("t2", lead(col("tok"), 1).over(byDoc))
       .withColumn("t3", lead(col("tok"), 2).over(byDoc))
       .filter(col("t3").isNotNull)

@@ -43,6 +43,42 @@ class DedupProps extends Properties("graft") {
       }
     }
 
+  /** Plain-Scala winnowing reference (Schleimer et al.): word 3-gram
+    * hashes (first 8 md5 hex chars → int64, the operator's exact
+    * recipe), min per 4-window with the RIGHTMOST position on ties,
+    * full windows only, deduped (pos, hash) selections. */
+  private def refWinnow(tokens: Seq[String]): Set[(Long, Long)] = {
+    def h8(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val grams = tokens.sliding(3).filter(_.length == 3)
+      .map(g => h8(g.mkString(" "))).toVector
+    val W = 4
+    (0 to grams.length - W).map { p =>
+      val win = (p until p + W).map(i => (grams(i), i))
+      val (h, pos) = win.minBy { case (hh, pp) => (hh, -pp) }
+      (pos.toLong, h)
+    }.toSet
+  }
+
+  property("spark winnowing equals the reference on generated docs") =
+    Prop.forAll(Gen.listOfN(3, Gen.choose(6, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("the", "fast", "key", "order", "sort",
+        "table", "scan", "merge", "slow", "value"))))) { docs =>
+      val spark = TestSpark.spark
+      val df = spark.createDataFrame(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) })
+        .toDF("doc_id", "text")
+      val got = operators.LlmText.winnowFpsOf(df).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSet
+      val want = docs.zipWithIndex.flatMap { case (t, i) =>
+        refWinnow(t).map(fp => (i.toLong, fp))
+      }.toSet
+      got == want
+    }
+
   property("ntile closed form matches the ceil/floor split for every n") =
     Prop.forAll(Gen.choose(1, 200)) { n =>
       // reference semantics: the first n%4 tiles get ceil(n/4) rows,
