@@ -337,6 +337,42 @@ object Curation extends QueryGroup {
       .orderBy(col("source"))
   }
 
+  /** Per-source n-gram novelty — the data-mixer's MARGINAL-value
+    * question next to text_domain_mix's share arithmetic ("src7 is 5%
+    * of tokens, but does it contain anything the other 19 sources
+    * don't?"): for each source, the fraction of its distinct word
+    * 3-grams that appear in NO other source. A redundant source scores
+    * near 0 and is a deduplication target however many tokens it has; a
+    * high scorer is irreplaceable at any share. Scale: grams are
+    * md5-hashed to int64 BEFORE any shuffle (both engines hash
+    * identically, so the oracle carries the same negligible collision
+    * behavior) and deduped to (source, hash) pairs — the gram-keyed
+    * source-count aggregate is the only data-sized exchange, two-phase,
+    * carrying 16-byte rows. Counts exact; one rounded division at
+    * output. */
+  private val textNgramNovelty: QFn = (s, d) => {
+    val sg = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast(LongType).as("gh"))
+      .distinct()
+      // feeds the per-gram source counts AND the per-source fold
+      .localCheckpoint()
+    val perGram = sg.groupBy(col("gh")).agg(count(lit(1)).as("n_src"))
+    sg.join(perGram, Seq("gh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("n_src") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        (round(col("n_novel").cast(DoubleType) / col("n_grams"), 6) + lit(0.0))
+          .as("novelty_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature-scaled source sampling (the multilingual-mixing recipe
     * popularized by multilingual BERT / mT5: sample source s with
     * probability ∝ p_s^(1/T), T > 1 flattening the mix toward uniform
@@ -914,6 +950,7 @@ object Curation extends QueryGroup {
     "profile_observe" -> profileObserve,
     "profile_columns" -> profileColumns,
     "text_domain_mix" -> textDomainMix,
+    "text_ngram_novelty" -> textNgramNovelty,
     "sample_temperature" -> sampleTemperature,
     "text_quality_bucket" -> textQualityBucket,
     "text_quality_bucket_approx" -> textQualityBucketApprox,
@@ -1285,6 +1322,23 @@ object Curation extends QueryGroup {
                 round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share,
                 round((CAST(1.0 AS DOUBLE) / n_sources) / (CAST(n_tokens AS DOUBLE) / tot), 6) AS mix_weight
          FROM persrc CROSS JOIN tot
+         ORDER BY source ASC NULLS FIRST""",
+    "text_ngram_novelty" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS t
+                    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           sg AS (SELECT DISTINCT source,
+                         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                         1, 12))::BIGINT AS gh
+                  FROM t, unnest(range(1, len(t) - 1)) r(i)),
+           pergram AS (SELECT gh, count(*) AS n_src FROM sg GROUP BY gh)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_novel,
+                round(CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) + 0.0 AS novelty_rate
+         FROM sg JOIN pergram USING (gh)
+         GROUP BY source
          ORDER BY source ASC NULLS FIRST""",
     "sample_temperature" ->
       """WITH perdoc AS (SELECT source,

@@ -274,6 +274,53 @@ object Joins extends QueryGroup {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of — the third as-of mode, completing the triad
+    * (join_asof looks back, join_asof_fwd looks forward; this takes
+    * whichever purchase is CLOSER in time, either side, within a ±1h
+    * tolerance — the sensor-fusion / feature-alignment rule when the
+    * signal is symmetric around the observation). Both candidates come
+    * from the SAME per-user sort join_asof already pays — one backward
+    * frame (last purchase before) and one forward frame (first after) —
+    * then the pick is a pure row CASE: backward wins ties (the earlier
+    * observation, a deterministic rule spelled identically in both
+    * engines' three-valued logic: an out-of-tolerance or absent side
+    * never blocks the other). offset_s is SIGNED exact integer seconds
+    * (negative = matched purchase precedes the click); unmatched clicks
+    * stay rows with matched=false — the trainer decides, not the join.
+    * Scale: one window sort per user partition, no pair enumeration,
+    * no second shuffle. */
+  private val joinAsofNearest: QFn = (s, d) => {
+    val tolS = 3600L
+    val wB = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wF = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+      .withColumn("pt", when(col("event_type") === "purchase", col("ts")))
+      .withColumn("prev_v", last(col("pv"), ignoreNulls = true).over(wB))
+      .withColumn("prev_t", last(col("pt"), ignoreNulls = true).over(wB))
+      .withColumn("next_v", first(col("pv"), ignoreNulls = true).over(wF))
+      .withColumn("next_t", first(col("pt"), ignoreNulls = true).over(wF))
+      .filter(col("event_type") === "click")
+      .withColumn("back_s", expr("(ts - prev_t) div 1000000000"))
+      .withColumn("fwd_s", expr("(next_t - ts) div 1000000000"))
+      .withColumn("sel",
+        when(col("back_s").isNotNull && col("back_s") <= tolS &&
+             (col("fwd_s").isNull || col("fwd_s") > tolS
+               || col("back_s") <= col("fwd_s")), lit("b"))
+        .when(col("fwd_s").isNotNull && col("fwd_s") <= tolS, lit("f")))
+      .select(col("event_id"), col("user_id"),
+        when(col("sel") === "b", col("prev_v"))
+          .when(col("sel") === "f", col("next_v")).as("nearest_value"),
+        when(col("sel") === "b", -col("back_s"))
+          .when(col("sel") === "f", col("fwd_s")).as("offset_s"),
+        col("sel").isNotNull.as("matched"))
+      .orderBy(col("event_id"))
+  }
+
   /** The as-of mode of the custom RangeJoinExec sweep (pickLatest):
     * for each purchase, the most recent click strictly before it within
     * a 10-year lag window — join_asof's semantics on these fixtures
@@ -466,6 +513,7 @@ object Joins extends QueryGroup {
     "join_asof" -> joinAsof,
     "join_asof_tol" -> joinAsofTol,
     "join_asof_fwd" -> joinAsofFwd,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_asof_exec" -> joinAsofExec,
     "join_salted" -> joinSalted,
     "join_star" -> joinStar,
@@ -607,6 +655,43 @@ object Joins extends QueryGroup {
                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
          ) t
          WHERE event_type = 'click'
+         ORDER BY event_id ASC NULLS FIRST""",
+    "join_asof_nearest" ->
+      """SELECT event_id, user_id,
+                CASE sel WHEN 'b' THEN prev_v WHEN 'f' THEN next_v END
+                  AS nearest_value,
+                CASE sel WHEN 'b' THEN -back_s WHEN 'f' THEN fwd_s END
+                  AS offset_s,
+                (sel IS NOT NULL) AS matched
+         FROM (
+           SELECT event_id, user_id, back_s, fwd_s, prev_v, next_v,
+                  CASE
+                    WHEN back_s IS NOT NULL AND back_s <= 3600
+                     AND (fwd_s IS NULL OR fwd_s > 3600 OR back_s <= fwd_s)
+                    THEN 'b'
+                    WHEN fwd_s IS NOT NULL AND fwd_s <= 3600 THEN 'f'
+                  END AS sel
+           FROM (
+             SELECT event_id, user_id, event_type,
+                    (epoch_ns(ts) -
+                     last_value(CASE WHEN event_type = 'purchase'
+                                     THEN epoch_ns(ts) END IGNORE NULLS)
+                       OVER wb) // 1000000000 AS back_s,
+                    (first_value(CASE WHEN event_type = 'purchase'
+                                      THEN epoch_ns(ts) END IGNORE NULLS)
+                       OVER wf - epoch_ns(ts)) // 1000000000 AS fwd_s,
+                    last_value(CASE WHEN event_type = 'purchase' THEN value END
+                               IGNORE NULLS) OVER wb AS prev_v,
+                    first_value(CASE WHEN event_type = 'purchase' THEN value END
+                                IGNORE NULLS) OVER wf AS next_v
+             FROM events
+             WINDOW wb AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           ) inner_t
+           WHERE event_type = 'click'
+         ) t
          ORDER BY event_id ASC NULLS FIRST""",
     "join_asof_tol" ->
       """SELECT event_id, user_id, prev_click_value,

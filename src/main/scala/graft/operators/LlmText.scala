@@ -336,7 +336,10 @@ object LlmText extends QueryGroup {
     * max is 9, so the cap is latent here; at 100 TB it is what keeps
     * any bucket from going quadratic, like dedup_near_minhash's band
     * cap). Jaccard divides exact distinct-int counts once at output. */
-  private val dedupWinnowing: QFn = (s, d) => {
+  /** The (doc_a, doc_b, n_shared, na, nb) candidate construction shared
+    * by dedup_winnowing (scored output) and dedup_eval_winnowing (the
+    * detector-quality measurement). */
+  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
     val fp = winnowFps(s, d).select(col("doc_id"), col("fp_hash")).distinct()
       .localCheckpoint() // one fingerprint build feeds freq + both join legs
     val rare = fp.join(
@@ -344,20 +347,35 @@ object LlmText extends QueryGroup {
         .filter(col("nd") <= 50L).select(col("fp_hash")),
       Seq("fp_hash"))
     val nFps = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    val pairs = rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
+    rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
       .join(rare.select(col("fp_hash"), col("doc_id").as("doc_b")), Seq("fp_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2L)
-    pairs
       .join(nFps.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), Seq("doc_a"))
       .join(nFps.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), Seq("doc_b"))
+  }
+
+  private val dedupWinnowing: QFn = (s, d) =>
+    winnowPairs(s, d)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         (col("n_shared").cast(DoubleType)
           / (col("na") + col("nb") - col("n_shared"))).as("fp_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  /** Detector-quality eval for the winnowing detector — the same
+    * scaffold as dedup_eval (minhash) and dedup_eval_simhash, closing
+    * the symmetry: every detector family ships with its measured
+    * precision/recall against the exact ≥0.8 3-gram-Jaccard truth on
+    * the capped range. The expected shape is the guarantee made
+    * visible: recall 1.0 (a ≥0.8-Jaccard pair shares long runs, and a
+    * shared ≥6-token run FORCES shared fingerprints), precision below
+    * it (winnowing also surfaces shorter shared runs — real overlap,
+    * below the 0.8 truth bar). */
+  private val dedupEvalWinnowing: QFn = (s, d) =>
+    detectorEval(s, d, cap = 150L,
+      winnowPairs(s, d).select(col("doc_a").as("da"), col("doc_b").as("db")))
 
   /** Position-weighted rolling fingerprint over md5 token hashes:
     * fp = Σ (h(tok) mod M) · (pos+1)  mod M. Order-sensitive, portable. */
@@ -1737,6 +1755,7 @@ object LlmText extends QueryGroup {
     "dedup_eval" -> dedupEval,
     "dedup_lsh_curve" -> dedupLshCurve,
     "dedup_eval_simhash" -> dedupEvalSimhash,
+    "dedup_eval_winnowing" -> dedupEvalWinnowing,
     "dedup_incremental" -> dedupIncremental,
   )
 
@@ -2458,6 +2477,8 @@ object LlmText extends QueryGroup {
     "dedup_eval" -> duckDetectorEval(duckMinhashPairsCtes, "pairs", 150),
     "dedup_eval_simhash" ->
       duckDetectorEval(duckSimhashPairsCtes, "simpairs", 450),
+    "dedup_eval_winnowing" ->
+      duckDetectorEval(duckWinnowPairsCtes, "wx_pairs", 150),
   )
 
   /** The [[detectorEval]] scaffold in SQL: emitted pairs from `emFrom`
@@ -2465,6 +2486,47 @@ object LlmText extends QueryGroup {
     * against exact all-pairs ≥ 0.8 word-3-gram Jaccard truth — shared
     * verbatim by dedup_eval and dedup_eval_simhash so the two rungs
     * cannot drift apart. */
+  /** The winnowing pair construction as DuckDB CTEs ending in
+    * `wx_pairs(da, db)` — the dedup_winnowing oracle's construction
+    * (same constants: 8-hex-char md5 3-gram hashes, W=4 min-encode,
+    * full windows, >50-doc boilerplate-stop, ≥2 shared), `wx_`-prefixed
+    * so it composes with the shared eval scaffold in one WITH clause. */
+  // lazy: referenced from the `oracles` val above — a strict val here
+  // would still be null (object-init order) when that Seq is built
+  private[operators] lazy val duckWinnowPairsCtes: String =
+    """wx_toks AS (
+         SELECT doc_id,
+                CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos,
+                unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       wx_g AS (
+         SELECT doc_id, pos, tok,
+                lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+                lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+         FROM wx_toks),
+       wx_h AS (
+         SELECT doc_id, pos,
+                ('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 8))::BIGINT AS hh
+         FROM wx_g WHERE t3 IS NOT NULL),
+       wx_wnd AS (
+         SELECT doc_id, pos,
+                count(*) OVER (PARTITION BY doc_id) AS n_grams,
+                min(hh * 100000 + (99999 - pos))
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
+         FROM wx_h),
+       wx_fp AS (SELECT DISTINCT doc_id, CAST(enc // 100000 AS BIGINT) AS fp_hash
+                 FROM wx_wnd WHERE pos <= n_grams - 4),
+       wx_freq AS (SELECT fp_hash, count(*) AS nd FROM wx_fp GROUP BY fp_hash),
+       wx_rare AS (SELECT wx_fp.doc_id, wx_fp.fp_hash FROM wx_fp
+                   JOIN wx_freq USING (fp_hash) WHERE nd <= 50),
+       wx_pairs AS (
+         SELECT a.doc_id AS da, b.doc_id AS db
+         FROM wx_rare a JOIN wx_rare b
+           ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id
+         HAVING count(*) >= 2)"""
+
   private def duckDetectorEval(pairCtes: String, emFrom: String,
                                cap: Int): String =
     s"""WITH $pairCtes,

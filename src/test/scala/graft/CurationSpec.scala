@@ -105,6 +105,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty, "detector found nothing — law is vacuous")
   }
 
+  test("dedup_eval_winnowing: the guarantee shows up as recall 1.0 on the fixture") {
+    // a >= 0.8 3-gram-Jaccard pair on these docs shares nearly every
+    // gram — many full shared windows, so the >= 2-shared-fingerprint
+    // detector cannot miss it (the strict theorem guarantees >= 1 per
+    // shared window; >= 2 is a fixture-verified tripwire, not a proof)
+    val r = SparkEntry.queries("dedup_eval_winnowing")(spark, sf).collect()(0)
+    assert(r.getLong(1) >= 1L, "truth set empty — eval is vacuous")
+    assert(r.getDouble(4) == 1.0, s"winnowing missed a truth pair: $r")
+    // and the detector emits MORE than the truth (shorter real overlaps
+    // below the 0.8 bar) — precision strictly below recall here
+    assert(r.getLong(0) > r.getLong(2), s"expected sub-0.8 extras: $r")
+  }
+
   test("text_dedup_span conserves spans: survivors == distinct spans") {
     // keep-first dedup must keep EXACTLY one occurrence per distinct
     // span text — no more (dups slipped through), no fewer (lost spans)

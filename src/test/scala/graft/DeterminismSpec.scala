@@ -63,6 +63,9 @@ class DeterminismSpec extends AnyFunSuite {
     "text_winnowing",      // all-integer encoded min; pure row-function hashes
     "sample_curriculum",   // pure-hash ranks, all-integer key arithmetic
     "dedup_winnowing",     // exact distinct-int counts; one closing division
+    "dedup_eval_winnowing", // exact integer hit/truth/emitted counts
+    "join_asof_nearest",   // exact int offsets; unique (user, ts) picks
+    "text_ngram_novelty",  // exact distinct-int counts; one rounded division
     "sql_insert",          // decimal sums through the catalog DML path
     "join_asof_exec",      // unique (key, time) → unambiguous latest pick
     "multimodal_audio_rms", // integer frame sums; µ-unit mean, no round()

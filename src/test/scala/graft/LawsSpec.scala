@@ -509,6 +509,39 @@ class LawsSpec extends AnyFunSuite {
       viaWindow.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("asof nearest picks the true time-minimum purchase within tolerance") {
+    // independent ground truth: for each click, scan ALL purchases of
+    // that user and take min |Δt| (ties → the earlier purchase) — the
+    // window composition must match it row for row
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val purchByUser = ev.filter(_._3 == "purchase").groupBy(_._2)
+    val truth = ev.filter(_._3 == "click").map { case (id, u, _, t, _) =>
+      val cands = purchByUser.getOrElse(u, Array.empty)
+        .map { case (_, _, _, pt, pv) => ((pt - t) / 1000000000L, pv, pt) }
+        .filter { case (off, _, pt) => math.abs(if (pt >= t) (pt - t) / 1000000000L else -((t - pt) / 1000000000L)) <= 3600 }
+      if (cands.isEmpty) id -> None
+      else {
+        // exact integer offsets, floor-div like the operator
+        val scored = cands.map { case (_, pv, pt) =>
+          val off = if (pt >= t) (pt - t) / 1000000000L else -((t - pt) / 1000000000L)
+          (math.abs(off), off <= 0, off, pv) // backward (off<=0) wins ties
+        }
+        val best = scored.minBy { case (a, back, _, _) => (a, !back) }
+        id -> Some((best._3, best._4))
+      }
+    }.toMap
+    val got = SparkEntry.queries("join_asof_nearest")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.getBoolean(4))
+        Some((r.getLong(3), r.getDouble(2))) else None)).toMap
+    assert(got.keySet == truth.keySet, "click set mismatch")
+    val diffs = got.filter { case (k, v) => truth(k) != v }
+    assert(diffs.isEmpty, s"nearest disagrees with scan truth: ${diffs.take(3)}")
+  }
+
   test("compression ratio is a repetitiveness signal (bounded; tracks TTR)") {
     val cr = SparkEntry.queries("text_compress_ratio")(spark, sf)
       .select(col("doc_id"), col("ratio"))

@@ -1094,6 +1094,16 @@ class PlanSpec extends AnyFunSuite {
       s"curriculum must not serialize through one task:\n$p")
   }
 
+  test("join_asof_nearest: both frames ride ONE user partition exchange") {
+    // backward and forward candidates come from the same per-user sort;
+    // a second hash exchange would mean the triad pays twice for what
+    // join_asof pays once
+    val p = plan("join_asof_nearest")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one user_id exchange, got $hashEx:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("dedup_winnowing enumerates pairs via an equality join on fp_hash, never all-pairs") {
     val p = plan("dedup_winnowing")
     assert(!p.contains("CartesianProduct"), p)
