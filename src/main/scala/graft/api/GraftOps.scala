@@ -119,6 +119,19 @@ object GraftOps {
     graft.operators.LlmText.labelProp(sym, rounds)
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03/MOSS) over
+    * caller docs — text_winnowing's construction parameterized: min
+    * word-3-gram md5 hash per 4-window, rightmost position on ties,
+    * full windows only, deduped. Returns (doc_id, fp_pos, fp_hash)
+    * with the guarantee that any shared run of ≥ 6 tokens between two
+    * docs yields a shared fp_hash — feed the output to an equality
+    * self-join on fp_hash (cap hashes seen in too many docs first,
+    * the boilerplate-stop step) for guarantee-backed near-dup
+    * candidates. Scale: per-doc windows only, 16-byte shuffle rows. */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column): DataFrame =
+    graft.operators.LlmText.winnowFpsOf(
+      docs.select(id.as("doc_id"), text.as("text")))
+
   /** Okapi BM25 top-10 retrieval ranking over caller docs and query
     * terms — text_bm25's scoring core parameterized (Lucene idf,
     * k1 = 1.2 / b = 0.75, exact integer tf/df/doclen, per-term

@@ -685,6 +685,15 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(declared))
   }
 
+  test("winnowFingerprints on caller columns equals text_winnowing") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("k"), col("text").as("page"))
+    val api = GraftOps.winnowFingerprints(docs, col("k"), col("page"))
+      .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
+    val declared = SparkEntry.queries("text_winnowing")(spark, sf)
+    assert(rows(api) == rows(declared))
+  }
+
   test("bm25Rank on caller columns equals text_bm25") {
     // the API takes arbitrary column names; feed it the fixture under
     // renamed columns plus the rung's own df-derived query workload
