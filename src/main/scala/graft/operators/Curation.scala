@@ -310,6 +310,29 @@ object Curation extends QueryGroup {
       .orderBy(col("col_name"))
   }
 
+  /** Data-freshness audit — the SLA table a pipeline operator reads
+    * before trusting a partition ("is every event stream still
+    * landing?"): per event_type, volume, last-seen timestamp, and
+    * staleness measured against the CORPUS max (the newest row defines
+    * "now" — the audit needs no wall clock, so it is reproducible and
+    * oracle-able; a production run substitutes the batch watermark).
+    * Staleness is exact integer seconds on the raw int64 ns column;
+    * the 1800 s SLA flag is an integer compare (the fixture's types
+    * split 0–2009 s around it). One groupBy + a broadcast 1-row max —
+    * no second scan, no shuffle beyond the |types|-row aggregate. */
+  private val profileFreshness: QFn = (s, d) => {
+    val perType = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .localCheckpoint() // feeds the corpus max AND the output
+    val now = perType.agg(max(col("last_ts")).as("now_ts"))
+    perType.crossJoin(broadcast(now))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        expr("(now_ts - last_ts) div 1000000000").as("staleness_s"))
+      .withColumn("sla_ok", col("staleness_s") <= 1800L)
+      .orderBy(col("event_type"))
+  }
+
   /** Domain-mixture weighting — the reweighting step every multi-source
     * training mix runs (DoReMi / The Pile recipe shape): per source,
     * doc and token counts, realized token share, and the uniform-target
@@ -949,6 +972,7 @@ object Curation extends QueryGroup {
     "text_decontaminate" -> textDecontaminate,
     "profile_observe" -> profileObserve,
     "profile_columns" -> profileColumns,
+    "profile_freshness" -> profileFreshness,
     "text_domain_mix" -> textDomainMix,
     "text_ngram_novelty" -> textNgramNovelty,
     "sample_temperature" -> sampleTemperature,
@@ -1323,6 +1347,17 @@ object Curation extends QueryGroup {
                 round((CAST(1.0 AS DOUBLE) / n_sources) / (CAST(n_tokens AS DOUBLE) / tot), 6) AS mix_weight
          FROM persrc CROSS JOIN tot
          ORDER BY source ASC NULLS FIRST""",
+    "profile_freshness" ->
+      """WITH pertype AS (
+           SELECT event_type, count(*) AS n_events,
+                  max(epoch_ns(ts)) AS last_ts
+           FROM events GROUP BY event_type),
+         now_t AS (SELECT max(last_ts) AS now_ts FROM pertype)
+         SELECT event_type, n_events, last_ts,
+                (now_ts - last_ts) // 1000000000 AS staleness_s,
+                ((now_ts - last_ts) // 1000000000 <= 1800) AS sla_ok
+         FROM pertype CROSS JOIN now_t
+         ORDER BY event_type ASC NULLS FIRST""",
     "text_ngram_novelty" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS t
                     FROM documents WHERE len(string_split(text, ' ')) >= 3),

@@ -42,6 +42,28 @@ object Sampling extends QueryGroup {
            sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** Deterministic k-fold assignment (k = 5) — split_train_val's
+    * generalization to cross-validation: fold = hash-bucket of the
+    * stable id, so every engine, run, and partitioning assigns each
+    * doc the SAME fold, folds are disjoint and exhaustive BY
+    * CONSTRUCTION (a row has exactly one bucket — the property a
+    * random split needs checking for), and the complement of any fold
+    * is its training set with no materialization. Declared output is
+    * the audit a CV harness reads: per (fold, lang) counts — fold
+    * balance AND stratification skew in one table (hash folds are
+    * uniform over ids, NOT stratified; a skewed lang × fold cell is
+    * the signal to switch the bucket key to (lang, id)). Pure row
+    * function → rides the scan, no shuffle before the audit
+    * aggregation. */
+  private val sampleKfold: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("fold", hashBucket(concat(col("doc_id").cast(StringType),
+        lit(":fold")).cast(StringType), 5))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("fold"), col("lang"))
+
   /** Stratified deterministic sampling — re-balance a corpus by
     * stratum (the language-rebalancing move every multilingual training
     * mix makes): per-lang keep rates expressed as hash-bucket
@@ -234,6 +256,7 @@ object Sampling extends QueryGroup {
   val queries: Seq[(String, QFn)] = Seq(
     "sample_hash" -> sampleHash,
     "sample_curriculum" -> sampleCurriculum,
+    "sample_kfold" -> sampleKfold,
     "sample_epochs" -> sampleEpochs,
     "sample_balanced" -> sampleBalanced,
     "split_train_val" -> splitTrainVal,
@@ -243,6 +266,15 @@ object Sampling extends QueryGroup {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sample_kfold" ->
+      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fold'), 1, 12))::BIGINT % 5
+                  AS fold,
+                lang,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         GROUP BY 1, 2
+         ORDER BY fold ASC NULLS FIRST, lang ASC NULLS FIRST""",
     "sample_curriculum" ->
       """WITH b AS (
            SELECT doc_id,

@@ -118,6 +118,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(0) > r.getLong(2), s"expected sub-0.8 extras: $r")
   }
 
+  test("sample_kfold folds are exhaustive and every fold is populated") {
+    val rows = SparkEntry.queries("sample_kfold")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sf).count(),
+      "folds must partition the corpus exactly")
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      "all 5 folds populated")
+  }
+
+  test("profile_freshness: staleness non-negative; the newest type reads exactly 0") {
+    val rows = SparkEntry.queries("profile_freshness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+    assert(rows.forall(_._2 >= 0L), "staleness against the corpus max cannot go negative")
+    assert(rows.count(_._2 == 0L) >= 1, "the newest stream defines now — someone must read 0")
+    assert(rows.forall { case (_, s, ok) => ok == (s <= 1800L) }, "SLA flag drifted from its literal")
+  }
+
   test("text_dedup_span conserves spans: survivors == distinct spans") {
     // keep-first dedup must keep EXACTLY one occurrence per distinct
     // span text — no more (dups slipped through), no fewer (lost spans)

@@ -66,6 +66,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_eval_winnowing", // exact integer hit/truth/emitted counts
     "join_asof_nearest",   // exact int offsets; unique (user, ts) picks
     "text_ngram_novelty",  // exact distinct-int counts; one rounded division
+    "sample_kfold",        // pure-hash fold membership, integer counts
+    "profile_freshness",   // exact int64 ns staleness, integer SLA compare
     "sql_insert",          // decimal sums through the catalog DML path
     "join_asof_exec",      // unique (key, time) → unambiguous latest pick
     "multimodal_audio_rms", // integer frame sums; µ-unit mean, no round()
