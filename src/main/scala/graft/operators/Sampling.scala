@@ -230,10 +230,17 @@ object Sampling extends QueryGroup {
     * payload is 16 bytes, never text. CurationSpec law: stages are
     * contiguous in key order, and within a stage every full block of
     * S=20 consecutive ranks carries 20 DISTINCT sources. */
-  private val sampleCurriculum: QFn = (s, d) => {
+  private val sampleCurriculum: QFn = (s, d) =>
+    curriculumOf(Tables.documents(s, d))
+
+  /** The ordering over any (doc_id, source, text) frame — factored out
+    * so SamplingProps can property-test the rank/tie/key arithmetic on
+    * GENERATED corpora against a plain-Scala reference. */
+  private[graft] def curriculumOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val S = 20L // fixture sources src0..src19
-    val base = Tables.documents(s, d)
+    val base = docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("ntok"))
       .withColumn("stage",

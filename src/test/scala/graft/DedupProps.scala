@@ -79,6 +79,42 @@ class DedupProps extends Properties("graft") {
       got == want
     }
 
+  /** Plain-Scala curriculum reference: stage by token-count literals,
+    * rank inside (stage, src) by (md5-u48 of "id:cur", id), key =
+    * stage·10¹² + (r−1)·20 + src — the operator's exact recipe. */
+  private def refCurriculum(docs: Seq[(Long, Long, Int)]): Map[Long, Long] = {
+    // docs: (doc_id, src_idx, ntok)
+    def u48(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:cur".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    docs.map { case (id, src, ntok) =>
+      val stage = if (ntok < 40) 0L else if (ntok < 69) 1L else 2L
+      (id, src, stage)
+    }.groupBy { case (_, src, stage) => (stage, src) }
+      .flatMap { case ((stage, src), grp) =>
+        grp.sortBy { case (id, _, _) => (u48(id), id) }.zipWithIndex.map {
+          case ((id, _, _), i) => id -> (stage * 1000000000000L + i * 20L + src)
+        }
+      }
+  }
+
+  property("spark curriculum key equals the reference on generated corpora") =
+    Prop.forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 19L),
+      Gen.choose(8, 110)))) { specs =>
+      val docs = specs.zipWithIndex.map { case ((src, ntok), i) =>
+        (i.toLong, s"src$src", Seq.fill(ntok)("w").mkString(" "))
+      }
+      val spark = TestSpark.spark
+      val df = spark.createDataFrame(docs).toDF("doc_id", "source", "text")
+      val got = operators.Sampling.curriculumOf(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val want = refCurriculum(docs.map { case (id, s, t) =>
+        (id, s.drop(3).toLong, t.split(" ").length) })
+      got == want
+    }
+
   property("ntile closed form matches the ceil/floor split for every n") =
     Prop.forAll(Gen.choose(1, 200)) { n =>
       // reference semantics: the first n%4 tiles get ceil(n/4) rows,
