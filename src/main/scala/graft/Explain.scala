@@ -50,7 +50,8 @@ object Explain {
     "sql_q1", "sql_q4", "sql_q6", "sql_q12", "sql_q14", "sql_q20",
     "text_winnowing", "ivf_nprobe_curve", "sample_curriculum",
     "dedup_winnowing", "dedup_eval_winnowing", "join_asof_nearest",
-    "text_ngram_novelty", "sample_kfold", "profile_freshness")
+    "text_ngram_novelty", "sample_kfold", "profile_freshness",
+    "events_rfm_approx", "sample_dsir_approx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

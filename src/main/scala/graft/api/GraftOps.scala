@@ -127,10 +127,69 @@ object GraftOps {
     * docs yields a shared fp_hash — feed the output to an equality
     * self-join on fp_hash (cap hashes seen in too many docs first,
     * the boilerplate-stop step) for guarantee-backed near-dup
-    * candidates. Scale: per-doc windows only, 16-byte shuffle rows. */
+    * candidates. Scale: per-doc windows only, 16-byte shuffle rows.
+    * Per-doc token cap: the (hash, position) pair is packed into one
+    * int64 with a 2³¹ position radix, so documents up to 2³¹ ≈ 2.1e9
+    * tokens encode exactly; beyond that the packing would overflow
+    * (no real document approaches it — a row that long does not fit
+    * in Spark's 2 GiB string limit either). */
   def winnowFingerprints(docs: DataFrame, id: Column, text: Column): DataFrame =
     graft.operators.LlmText.winnowFpsOf(
       docs.select(id.as("doc_id"), text.as("text")))
+
+  /** Global [start, end) token interval per row in stable id order —
+    * sample_pack / sample_token_budget's distributed two-pass prefix
+    * sum parameterized: per-range-bucket totals get a one-row-per-
+    * bucket offset window (the only global pass), broadcast back, and
+    * each row's interval = bucket offset + within-bucket running sum.
+    * The [start, end) intervals are what sequence packing, budget
+    * cutoffs, and shard assignment all derive from. `id` must be
+    * non-negative and unique. Eagerly materializes the narrow
+    * (id, ntok) projection (it is read twice — one job runs at call
+    * time), so pass the cheapest id/ntok expressions you have. */
+  def tokenIntervals(df: DataFrame, id: Column, ntok: Column,
+                     bucket: Long = 1000L): DataFrame =
+    graft.operators.Curation.tokenIntervalsOf(
+      df.select(id.cast(LongType).as("doc_id"),
+                ntok.cast(LongType).as("ntok")).localCheckpoint(),
+      bucket)
+
+  /** Deterministic curriculum ordering keys over caller-staged docs —
+    * sample_curriculum's key arithmetic parameterized: the caller
+    * supplies difficulty `stage` (0 = easiest, ordered ascending) and
+    * a dense source index `srcIdx` in [0, nSources); the returned
+    * curriculum_key stages easy→hard and round-robins sources within
+    * each stage (no long single-source runs). Pure arithmetic over
+    * per-(stage, source) row_numbers — stage·10¹² + (rank−1)·S + src —
+    * never a global sort/ntile; keys are sparse-but-monotone when
+    * sources exhaust. Returns (doc_id, stage, src_idx,
+    * curriculum_key); sort by curriculum_key to materialize the
+    * training order. */
+  def curriculumKeys(df: DataFrame, id: Column, stage: Column,
+                     srcIdx: Column, nSources: Long): DataFrame =
+    graft.operators.Sampling.curriculumKeysOf(
+      df.select(id.as("doc_id"), stage.cast(LongType).as("stage"),
+                srcIdx.cast(LongType).as("src_idx")),
+      nSources)
+
+  /** DSIR-style importance weights (Xie et al. 2023's hashed-n-gram
+    * importance resampling) over caller docs — sample_dsir's weight
+    * pipeline with the target slice as a caller predicate: per-doc
+    * importance = Σ_tokens ln p_target(bucket)/p_raw(bucket) over 256
+    * md5 hash buckets, both distributions Laplace-smoothed,
+    * deterministic to the bit (per-bucket log-ratios nano-quantized in
+    * the 256-row unit table, doc weights exact integer sums). Returns
+    * (doc_id, n_tokens, w_nano, imp_nano) — rank or threshold on
+    * imp_nano to select; `imp_nano` is the floored integer nano-mean.
+    * Scale: token-sized work is two map-side-combining groupBys + one
+    * 256-row broadcast; output is |docs|-row. */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+                  isTarget: Column): DataFrame =
+    graft.operators.Curation.dsirPerDocOf(
+      docs.select(id.as("doc_id"), isTarget.as("is_tgt"), text.as("text")))
+      .select(col("doc_id"), col("n_tokens"), col("w_nano"),
+        floor(col("w_nano").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .cast(LongType).as("imp_nano"))
 
   /** Okapi BM25 top-10 retrieval ranking over caller docs and query
     * terms — text_bm25's scoring core parameterized (Lucene idf,

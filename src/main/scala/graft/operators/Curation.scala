@@ -374,14 +374,12 @@ object Curation extends QueryGroup {
     * carrying 16-byte rows. Counts exact; one rounded division at
     * output. */
   private val textNgramNovelty: QFn = (s, d) => {
-    val sg = Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("g"))
-      .select(col("source"),
-        conv(substring(md5(col("g")), 1, 12), 16, 10).cast(LongType).as("gh"))
+    // gram hashes come from the SHARED gram base (one tokenize+md5
+    // pass per session+fixture — LlmText.gramsCached); this rung's gh
+    // was already the same 48-bit md5 prefix, so the value is
+    // bit-identical and the oracle is untouched
+    val sg = LlmText.gramsCached(s, d)
+      .select(col("source"), col("gh"))
       .distinct()
       // feeds the per-gram source counts AND the per-source fold
       .localCheckpoint()
@@ -580,28 +578,42 @@ object Curation extends QueryGroup {
     * IEEE division on identical ints. Shapes: token-sized work is two
     * map-side-combining groupBys (per-bucket counts, per-doc sums) and
     * one broadcast of the 256-row unit table; the rank is a |docs|-row
-    * window over per-doc aggregates — never tokens — with the same
-    * at-scale approx swap note as events_rfm (a 100 TB run thresholds
-    * on an approx_percentile of mean_imp instead of ranking —
-    * text_quality_bucket_approx is the proven in-repo recipe). */
-  private val sampleDsir: QFn = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
+    * window over per-doc aggregates — never tokens. This rung is the
+    * declared EXACT companion; at 100 TB run its shipped twin
+    * `sample_dsir_approx`, which thresholds on one broadcast
+    * approx_percentile of mean importance instead of ranking (zero
+    * WindowExec, LawsSpec-bounded against this rung). */
+  /** The per-doc DSIR weight table (doc_id, n_tokens, w_nano) shared
+    * by the exact and approx selection rungs — all the token-sized
+    * work lives here; both consumers only differ in how they turn the
+    * |docs|-row weights into a top-quarter selection. */
+  private def dsirPerDoc(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame =
+    dsirPerDocOf(Tables.documents(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("is_tgt"), col("text")))
+
+  /** The construction over any (doc_id, is_tgt, text) frame — the
+    * target slice is a caller predicate instead of the fixture's
+    * lang = 'en', which is what the GraftOps.dsirWeights API surfaces
+    * (ApiSpec pins equality with the declared rung on the fixture). */
+  private[graft] def dsirPerDocOf(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val B = 256L
     // ONE tokenize+hash pass, collapsed map-side to the per-(doc, bucket)
     // count table — bounded by |docs|·256, a fraction of token count —
     // and checkpointed: the two distributions AND the per-doc weights
     // all fold from it (three consumers, one corpus scan; re-deriving
     // from the explode would re-tokenize the corpus per consumer)
-    val docBkt = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
+    val docBkt = docsIn
+      .select(col("doc_id"), col("is_tgt"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("bkt",
         conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % B)
-      .groupBy(col("doc_id"), col("lang"), col("bkt"))
+      .groupBy(col("doc_id"), col("is_tgt"), col("bkt"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val all = docBkt.groupBy(col("bkt")).agg(sum(col("c")).as("a"))
-    val tgt = docBkt.filter(col("lang") === "en")
+    val tgt = docBkt.filter(col("is_tgt"))
       .groupBy(col("bkt")).agg(sum(col("c")).as("t"))
     val totA = all.agg(sum(col("a")).as("ta"))
     val totT = tgt.agg(sum(col("t")).as("tt"))
@@ -613,10 +625,15 @@ object Curation extends QueryGroup {
              - log((col("a") + lit(1L)).cast(DoubleType)
                  / (col("ta") + lit(B)).cast(DoubleType))) * 1e9 + 0.5)
           .cast(LongType).as("unit"))
-    val perDoc = docBkt.join(broadcast(units), Seq("bkt"))
+    docBkt.join(broadcast(units), Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * col("unit")).as("w_nano"))
+  }
+
+  private val sampleDsir: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = dsirPerDoc(s, d)
     val nd = perDoc.agg(count(lit(1)).as("nd"))
     val w = Window.orderBy(
       (col("w_nano").cast(DoubleType) / col("n_tokens").cast(DoubleType)).desc,
@@ -636,6 +653,31 @@ object Curation extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
+  /** The RUNNABLE 100 TB twin of sample_dsir (round-15 verdict item 1
+    * — the text_quality_bucket_approx recipe applied to the last of
+    * the three exact-rank rungs): identical per-doc integer weights,
+    * but "top quarter" comes from ONE broadcast approx_percentile
+    * cutpoint of the mean importance (Greenwald-Khanna, accuracy 10⁴)
+    * instead of a |docs|-row global row_number. selected = imp >= cut
+    * — no global sort, zero WindowExec (PlanSpec-pinned). Threshold
+    * semantics keep importance TIES together where the exact rung
+    * splits them by doc_id; LawsSpec bounds both the selected-count
+    * deviation and the per-doc disagreement by tie mass + rank error.
+    * Not oracled: the sketch is engine-specific — sample_dsir remains
+    * the oracled shape. */
+  private val sampleDsirApprox: QFn = (s, d) => {
+    val perDoc = dsirPerDoc(s, d)
+    val imp = col("w_nano").cast(DoubleType) / col("n_tokens").cast(DoubleType)
+    val cut = perDoc.agg(
+      expr("approx_percentile(CAST(w_nano AS DOUBLE) / CAST(n_tokens AS DOUBLE), 0.75D, 10000)")
+        .as("c"))
+    perDoc.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_tokens"), col("w_nano"),
+        floor(imp).cast(LongType).as("imp_nano"),
+        (imp >= col("c")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing — the concat-and-chop materialization every LLM
     * pretraining loader runs (docs concatenated in stable doc_id order,
     * the token stream chopped into fixed 2048-token training sequences):
@@ -651,22 +693,26 @@ object Curation extends QueryGroup {
     * integer, engine-exact). Total exploded rows ≈ n_docs + n_tokens/2048
     * — never token-sized. The oracle is the plain global-window
     * spelling over the same interval math. */
-  private val samplePack: QFn = (s, d) => {
+  /** The distributed two-pass prefix sum shared by sample_pack,
+    * sample_token_budget, and the GraftOps.tokenIntervals API: each doc
+    * gets its global [start, end) token interval in stable doc_id
+    * order from bucket offsets + within-bucket running sums. Expects a
+    * MATERIALIZED (doc_id, ntok) frame (callers localCheckpoint the
+    * narrow projection — it is read twice here); every corpus-sized
+    * stage is key-partitioned by bucket, the only global pass is the
+    * one-row-per-bucket offset window. */
+  private[graft] def tokenIntervalsOf(docs0: org.apache.spark.sql.DataFrame,
+                                      bucket: Long = 1000L)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val B = 2048L
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        when(length(col("text")) >= 1, size(split(col("text"), " ")))
-          .otherwise(0).cast(LongType).as("ntok"))
-      .withColumn("bkt", expr("doc_id div 1000L"))
-      .localCheckpoint()
+    val docs = docs0.withColumn("bkt", expr(s"doc_id div ${bucket}L"))
     val offsets = docs.groupBy(col("bkt")).agg(sum(col("ntok")).as("bt"))
       .withColumn("off",
         coalesce(sum(col("bt")).over(
           Window.orderBy(col("bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bkt"), col("off"))
-    val spans = docs
+    docs
       .withColumn("run",
         sum(col("ntok")).over(Window.partitionBy(col("bkt"))
           .orderBy(col("doc_id"))
@@ -675,6 +721,16 @@ object Curation extends QueryGroup {
       .select(col("doc_id"), col("ntok"),
         (col("off") + col("run") - col("ntok")).as("start"),
         (col("off") + col("run")).as("end"))
+  }
+
+  private val samplePack: QFn = (s, d) => {
+    val B = 2048L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0).cast(LongType).as("ntok"))
+      .localCheckpoint()
+    val spans = tokenIntervalsOf(docs)
       .filter(col("ntok") > 0L)
       .select(col("doc_id"), col("start"), col("end"),
         explode(expr(s"sequence(start div ${B}L, (`end` - 1L) div ${B}L)"))
@@ -705,37 +761,24 @@ object Curation extends QueryGroup {
     * key-partitioned by bucket. The oracle is the plain global-window
     * spelling, proving the two-pass formulation exact. */
   private val sampleTokenBudget: QFn = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    // eager localCheckpoint of the NARROW (doc_id, ntok, bkt) projection
-    // (~24 B/doc — GBs where the text is TBs): budget, offsets, and the
+    // eager localCheckpoint of the NARROW (doc_id, ntok) projection
+    // (~16 B/doc — GBs where the text is TBs): budget, offsets, and the
     // running-sum pass all read it; without it each would re-scan and
-    // re-tokenize the full text column
+    // re-tokenize the full text column. The bucket id inside
+    // tokenIntervalsOf uses true integer `div` (doc_id non-negative by
+    // fixture construction): long/long `/` routes through DOUBLE,
+    // inexact above 2^53 — the prefixBudgetKeep contract.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         when(length(col("text")) >= 1, size(split(col("text"), " ")))
           .otherwise(0).cast(LongType).as("ntok"))
-      // true integer division (doc_id is non-negative by fixture
-      // construction): long/long `/` routes through DOUBLE, which is
-      // inexact above 2^53 — the prefixBudgetKeep contract, same fix
-      .withColumn("bkt", expr("doc_id div 1000L"))
       .localCheckpoint()
     val budget = docs.agg(expr("sum(ntok) div 2L").as("budget"))
-    val offsets = docs.groupBy(col("bkt")).agg(sum(col("ntok")).as("bt"))
-      .withColumn("off",
-        coalesce(sum(col("bt")).over(
-          Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bkt"), col("off"))
-    docs
-      .withColumn("run",
-        sum(col("ntok")).over(Window.partitionBy(col("bkt"))
-          .orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offsets), Seq("bkt"))
+    tokenIntervalsOf(docs)
       .crossJoin(broadcast(budget))
       .select(col("doc_id"), col("ntok"),
-        (col("off") + col("run")).as("cum_tokens"),
-        (col("off") + col("run") <= col("budget")).as("kept"))
+        col("end").as("cum_tokens"),
+        (col("end") <= col("budget")).as("kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -966,6 +1009,7 @@ object Curation extends QueryGroup {
     "sample_token_budget" -> sampleTokenBudget,
     "sample_pack" -> samplePack,
     "sample_dsir" -> sampleDsir,
+    "sample_dsir_approx" -> sampleDsirApprox,
     "text_dedup_span" -> textDedupSpan,
     "text_dedup_substring" -> textDedupSubstring,
     "text_boilerplate" -> textBoilerplate,

@@ -419,11 +419,15 @@ object EventsBatch extends QueryGroup {
     * would be partitioning-dependent). Scale shape: one map-side-
     * combining groupBy(user) collapses events to |users| rows before
     * the three windows; the global ntile sorts ~24 B/user — the
-    * text_quality_bucket posture, and past ~10⁹ users the same swap
-    * applies (broadcast approx_percentile cutpoints instead of a
-    * global sort — text_quality_bucket_approx is the proven in-repo
-    * recipe: same CASE-on-cutpoints shape, LawsSpec-bounded). */
-  private val eventsRfm: QFn = (s, d) => {
+    * text_quality_bucket posture. This rung is the declared EXACT
+    * companion; past ~10⁹ users run its shipped twin
+    * `events_rfm_approx` (broadcast approx_percentile cutpoints, zero
+    * WindowExec, LawsSpec-bounded against this rung). */
+  /** The per-user (recency, frequency, monetary) aggregate shared by
+    * the exact and approx RFM rungs: one map-side-combining
+    * groupBy(user) + one broadcast 1-row corpus max. */
+  private def rfmBase(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
     val e = Tables.events(s, d)
     val per = e.groupBy(col("user_id"))
       .agg(max(col("ts")).as("last_ts"),
@@ -432,16 +436,62 @@ object EventsBatch extends QueryGroup {
                  expr("CAST(value AS DECIMAL(18,6))"))
                .otherwise(expr("CAST(0 AS DECIMAL(18,6))"))).as("mon_dec"))
     val mx = e.agg(max(col("ts")).as("max_ts")) // broadcast 1-row total
-    val wR = Window.orderBy(col("r_hours").asc, col("user_id").asc)
-    val wF = Window.orderBy(col("frequency").desc, col("user_id").asc)
-    val wM = Window.orderBy(col("mon_dec").desc, col("user_id").asc)
     per.crossJoin(broadcast(mx))
       .select(col("user_id"),
         expr("(max_ts - last_ts) div 3600000000000").as("r_hours"),
         col("frequency"), col("mon_dec"))
+  }
+
+  private val eventsRfm: QFn = (s, d) => {
+    val wR = Window.orderBy(col("r_hours").asc, col("user_id").asc)
+    val wF = Window.orderBy(col("frequency").desc, col("user_id").asc)
+    val wM = Window.orderBy(col("mon_dec").desc, col("user_id").asc)
+    rfmBase(s, d)
       .withColumn("r_score", ntile(5).over(wR).cast("long"))
       .withColumn("f_score", ntile(5).over(wF).cast("long"))
       .withColumn("m_score", ntile(5).over(wM).cast("long"))
+      .select(col("user_id"), col("r_hours"), col("frequency"),
+        round(col("mon_dec").cast("double"), 4).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+               col("m_score").cast("string")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The RUNNABLE 100 TB twin of events_rfm (round-15 verdict item 1 —
+    * the text_quality_bucket_approx recipe applied to the second of
+    * the three exact-ntile rungs): the same per-user base, but all
+    * three quintile scores come from approx_percentile cutpoints
+    * (Greenwald-Khanna, accuracy 10⁴) computed in ONE constant-memory
+    * aggregation pass over the |users|-row base and broadcast into
+    * CASE arithmetic. No global sort, zero WindowExec anywhere in the
+    * plan (PlanSpec-pinned). Tie semantics differ from the exact rung
+    * by design: ntile splits equal values across buckets by user_id,
+    * a value threshold keeps them together — LawsSpec bounds the
+    * disagreement by the boundary tie mass plus the sketch's rank
+    * error. Not oracled: the sketch is engine-specific — events_rfm
+    * remains the oracled shape, this twin is the scale path. */
+  private val eventsRfmApprox: QFn = (s, d) => {
+    val base = rfmBase(s, d)
+    val acc = 10000
+    val cuts = base.agg(
+      expr(s"approx_percentile(CAST(r_hours AS DOUBLE), array(0.2D, 0.4D, 0.6D, 0.8D), $acc)").as("cr"),
+      expr(s"approx_percentile(CAST(frequency AS DOUBLE), array(0.8D, 0.6D, 0.4D, 0.2D), $acc)").as("cf"),
+      expr(s"approx_percentile(CAST(mon_dec AS DOUBLE), array(0.8D, 0.6D, 0.4D, 0.2D), $acc)").as("cm"))
+    // ascending dim (recency): score s covers (c_{(s−1)/5}, c_{s/5}];
+    // descending dims (frequency, monetary): score s covers the top
+    // (s−1)/5..s/5 quantile slice, ties kept in the better bucket
+    import org.apache.spark.sql.Column
+    def asc(v: Column, c: Column): Column = (1 to 4)
+      .map(k => when(v > element_at(c, k), 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    def desc(v: Column, c: Column): Column = (1 to 4)
+      .map(k => when(v < element_at(c, k), 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    base.crossJoin(broadcast(cuts))
+      .withColumn("r_score", asc(col("r_hours").cast("double"), col("cr")))
+      .withColumn("f_score", desc(col("frequency").cast("double"), col("cf")))
+      .withColumn("m_score", desc(col("mon_dec").cast("double"), col("cm")))
       .select(col("user_id"), col("r_hours"), col("frequency"),
         round(col("mon_dec").cast("double"), 4).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
@@ -552,6 +602,7 @@ object EventsBatch extends QueryGroup {
     "events_ab_test" -> eventsAbTest,
     "events_quota" -> eventsQuota,
     "events_rfm" -> eventsRfm,
+    "events_rfm_approx" -> eventsRfmApprox,
     "events_sequence" -> eventsSequence,
     "events_dau_wau" -> eventsDauWau,
     "events_cumulative_users" -> eventsCumulativeUsers,

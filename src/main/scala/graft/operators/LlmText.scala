@@ -32,6 +32,37 @@ object LlmText extends QueryGroup {
       .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "tok")
 
+  /** Every word 3-gram of a (doc_id, text) frame as
+    * (doc_id [, extras], pos, gh), gh = the 48-bit md5 prefix of the
+    * space-joined gram ([[tokHash]]). This is the ONE tokenize+hash
+    * pass behind all three gram consumers (round-15 advice item 2 —
+    * they each re-shingled the corpus): minhash shingles take gh % P,
+    * winnowing takes the 8-hex prefix gh DIV 16⁴, the novelty table
+    * takes gh itself. Grams leave this operator already hashed: every
+    * downstream shuffle carries 8-byte digests, never text. */
+  private[graft] def gramsOf(docs: DataFrame, extras: Seq[String] = Nil): DataFrame =
+    docs.withColumn("t", split(col("text"), " "))
+      // <3-token docs have no 3-grams; without this filter
+      // sequence(0, size-3) would DESCEND (default step -1) and
+      // fabricate null-padded grams no consumer's oracle produces
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id") +: extras.map(col) :+ posexplode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")): _*)
+      .select((col("doc_id") +: extras.map(col)) ++ Seq(
+        col("pos").cast(LongType).as("pos"), tokHash(col("col")).as("gh")): _*)
+
+  /** The session-lifetime gram base over the fixture corpus — one
+    * persisted (doc_id, source, pos, gh) table per (session, sf dir,
+    * fixture fingerprint), feeding minhash signature building AND
+    * winnowing AND the n-gram novelty table. 32 bytes/gram, a fraction
+    * of the text it derives from; at 100 TB this is the shingle table
+    * a pipeline checkpoints to the cluster store once per ingest. */
+  private val gramCache = new FingerprintCache
+  private[graft] def gramsCached(s: SparkSession, d: String): DataFrame =
+    gramCache.getOrElseUpdate(s, d, Tables.fingerprint(d, "documents"))(
+      gramsOf(Tables.documents(s, d), Seq("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** lowercase, strip non-alnum, collapse whitespace. */
   private val textNormalize: QFn = (s, d) =>
     Tables.documents(s, d).select(
@@ -278,9 +309,10 @@ object LlmText extends QueryGroup {
     * between two documents shares at least one fingerprint, the
     * property plain every-Nth sampling (text_fingerprint's rolling
     * sum) cannot give. Engine-portability trick: "min hash, rightmost
-    * pos" is ONE integer min over enc = h·10⁵ + (10⁵−1−pos), h bounded
-    * to 32 bits (8 md5 hex chars) so enc can't overflow int64 — the
-    * same sliding ROWS frame and the same decode run on both engines.
+    * pos" is ONE integer min over enc = h·2³¹ + (2³¹−1−pos), h bounded
+    * to 32 bits (8 md5 hex chars) so enc can't overflow int64 and any
+    * document up to ~2.1e9 tokens encodes correctly — the same sliding
+    * ROWS frame and the same decode run on both engines.
     * Scale: one token pass, per-doc windows only (WindowExec
     * partitioned by doc_id — never a global sort), distinct on
     * (doc, hash, pos) is the only shuffle, and shuffles carry 16-byte
@@ -289,25 +321,29 @@ object LlmText extends QueryGroup {
     * per-doc counts within [n_windows/W, n_windows], every window is
     * covered. */
   private[operators] def winnowFps(s: SparkSession, d: String): DataFrame =
-    winnowFpsOf(Tables.documents(s, d))
+    winnowFromGrams(gramsCached(s, d))
 
   /** The fingerprint construction over any (doc_id, text) frame —
     * factored out so DedupProps can property-test it against a plain
     * Scala reference on GENERATED docs, not just the fixture. */
-  private[graft] def winnowFpsOf(docs: DataFrame): DataFrame = {
+  private[graft] def winnowFpsOf(docs: DataFrame): DataFrame =
+    winnowFromGrams(gramsOf(docs))
+
+  private def winnowFromGrams(grams: DataFrame): DataFrame = {
     val W = 4
-    val P = 100000L // position radix: fixture docs are ≪ 1e5 tokens
+    // Position radix 2³¹ (round-15 advice: the old 10⁵ silently broke
+    // the shared-fingerprint guarantee past 1e5 tokens/doc — enc went
+    // negative and decoded to a wrong hash). h is 32 bits (8 md5 hex
+    // chars), so max enc = (2³²−1)·2³¹ + (2³¹−1) = 2⁶³−1: exactly
+    // int64, no overflow under ANSI, and the per-doc token cap is now
+    // ~2.1e9 — the guarantee holds for any document Spark can hold in
+    // a row. Min over enc = h·P + (P−1−pos) is still lexicographic in
+    // (h, −pos): min hash, rightmost position on ties.
+    val P = 2147483648L
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "tok")
-      .withColumn("t2", lead(col("tok"), 1).over(byDoc))
-      .withColumn("t3", lead(col("tok"), 2).over(byDoc))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        conv(substring(md5(concat_ws(" ", col("tok"), col("t2"), col("t3"))), 1, 8), 16, 10)
-          .cast(LongType).as("h"))
     grams
+      // first 8 of the 12 md5 hex chars: gh DIV 16⁴ — exact, no re-hash
+      .select(col("doc_id"), col("pos"), expr("gh DIV 65536").as("h"))
       .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("enc",
         min(col("h") * P + (lit(P - 1L) - col("pos")))
@@ -315,7 +351,7 @@ object LlmText extends QueryGroup {
       .filter(col("pos") <= col("n_grams") - W) // full windows only
       .select(col("doc_id"),
         (lit(P - 1L) - (col("enc") % P)).as("fp_pos"),
-        expr("enc DIV 100000").as("fp_hash")) // int division — no double detour
+        expr("enc DIV 2147483648").as("fp_hash")) // int division — no double detour
       .distinct()
   }
 
@@ -339,12 +375,21 @@ object LlmText extends QueryGroup {
   /** The (doc_a, doc_b, n_shared, na, nb) candidate construction shared
     * by dedup_winnowing (scored output) and dedup_eval_winnowing (the
     * detector-quality measurement). */
-  private def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val fp = winnowFps(s, d).select(col("doc_id"), col("fp_hash")).distinct()
-      .localCheckpoint() // one fingerprint build feeds freq + both join legs
+  private def winnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowPairsOfFps(
+      winnowFps(s, d).select(col("doc_id"), col("fp_hash")).distinct()
+        .localCheckpoint(), // one fingerprint build feeds freq + both join legs
+      cap = 50L)
+
+  /** The candidate construction over any (doc_id, fp_hash) frame —
+    * factored so CurationSpec can drive the boilerplate-stop cap on a
+    * synthetic heavy-hitter corpus (the fixture's max bucket is 9, so
+    * the cap is latent there; at 100 TB it is the anti-quadratic
+    * bound, and a bound needs a live test, not a comment). */
+  private[graft] def winnowPairsOfFps(fp: DataFrame, cap: Long): DataFrame = {
     val rare = fp.join(
       fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("nd"))
-        .filter(col("nd") <= 50L).select(col("fp_hash")),
+        .filter(col("nd") <= cap).select(col("fp_hash")),
       Seq("fp_hash"))
     val nFps = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
@@ -547,23 +592,22 @@ object LlmText extends QueryGroup {
     * (dedup_clusters). */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val P = 2147483647L
+    // Distinct HASHED shingle set derived from the shared gram base
+    // (round-15 advice: one tokenize+hash pass for all gram consumers).
+    // Distinct-on-gh equals distinct-on-string modulo 48-bit collisions;
+    // the oracle mirrors the same hash-first construction, so the two
+    // engines share identical (negligible) collision behavior — and the
+    // verify joins below now shuffle 8-byte digests instead of shingle
+    // text, the shape the scaladoc always claimed for 100 TB.
     val sh = shCache.getOrElseUpdate(s, d, Tables.fingerprint(d, "documents"))(
-      Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
-      // <3-token docs have no 3-shingles; without this filter
-      // sequence(0, size-3) would DESCEND (default step -1) and fabricate
-      // null-padded shingles the oracle's empty range never produces
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("s"))
+      gramsCached(s, d)
+      .select(col("doc_id"), col("gh"))
       .distinct()
       // the shingle set feeds signature building AND both verify joins —
-      // persisted, the tokenize/explode/distinct pipeline runs once per
-      // evaluation instead of three times (at 100 TB: checkpoint to the
-      // cluster store instead)
+      // persisted, the distinct runs once per evaluation instead of
+      // three times (at 100 TB: checkpoint to the cluster store instead)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val hashed = sh.withColumn("hm", tokHash(col("s")) % P)
+    val hashed = sh.withColumn("hm", col("gh") % P)
     // All 16 minhashes in ONE partial-aggregating groupBy (no 16× row
     // blow-up via a params crossJoin — that shape shuffles 16× the
     // shingle set and cannot survive 100 TB).
@@ -585,8 +629,8 @@ object LlmText extends QueryGroup {
     // the banding pipeline is never re-derived.
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .join(sh.select(col("doc_id").as("da"), col("gh")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("gh")), Seq("db", "gh"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
     inter
       .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
@@ -939,20 +983,15 @@ object LlmText extends QueryGroup {
     * its siblings haven't already paid. */
   private val dedupClustersMultimodal: QFn = (s, d) => unionClusters(s, d, "mm")
 
-  /** 16-minhash LSH bands (8 bands × r=2) for an arbitrary
-    * (doc_id, text) frame — the [[minhashPairs]] signature construction
-    * (identical constants) factored so it can run over a SUBSET: the
-    * incremental path signatures only the new batch, never the corpus. */
-  private def minhashBands(docs: DataFrame): DataFrame = {
+  /** 16-minhash LSH bands (8 bands × r=2) over a (doc_id, gh) gram
+    * frame — the [[minhashPairs]] signature construction (identical
+    * constants) factored so it can run over a SUBSET of the shared
+    * gram base: the incremental path signatures only the new batch,
+    * never the corpus. */
+  private def minhashBands(grams: DataFrame): DataFrame = {
     val P = 2147483647L
-    val sh = docs
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("s"))
-      .distinct()
-    val hashed = sh.withColumn("hm", tokHash(col("s")) % P)
+    val sh = grams.select(col("doc_id"), col("gh")).distinct()
+    val hashed = sh.withColumn("hm", col("gh") % P)
     val mins = (0 until 16).map { i =>
       min((col("hm") * (2L * i + 3L) + (7919L * i + 13L)) % P).as(s"mh$i")
     }
@@ -974,7 +1013,7 @@ object LlmText extends QueryGroup {
       s"_${Tables.fingerprint(d, "documents")}"
     val done = new java.io.File(s"$path/_DONE")
     if (!done.exists()) {
-      minhashBands(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
+      minhashBands(gramsCached(s, d).filter(col("doc_id") % 5 =!= 0))
         .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
       done.createNewFile()
     }
@@ -995,7 +1034,7 @@ object LlmText extends QueryGroup {
     val idx = s.read.parquet(s"$path/bands")
       .select(col("doc_id").as("corpus_id"), col("band"), col("s0"), col("s1"))
     val delta = minhashBands(
-        Tables.documents(s, d).filter(col("doc_id") % 5 === 0))
+        gramsCached(s, d).filter(col("doc_id") % 5 === 0))
       .select(col("doc_id").as("new_id"), col("band"), col("s0"), col("s1"))
     idx.join(delta, Seq("band", "s0", "s1"))
       .select(col("corpus_id"), col("new_id")).distinct()
@@ -1773,9 +1812,10 @@ object LlmText extends QueryGroup {
     val s0 = (0 until 8).map(j => s"WHEN $j THEN mh${2 * j}").mkString(" ")
     val s1 = (0 until 8).map(j => s"WHEN $j THEN mh${2 * j + 1}").mkString(" ")
     s"""toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-        sh AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 12))::BIGINT AS gh
                FROM toks, unnest(range(1, len(t) - 1)) r(i)),
-        hm AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT % $P AS hm FROM sh),
+        hm AS (SELECT doc_id, gh % $P AS hm FROM sh),
         sig AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id),
         bands AS (SELECT doc_id, j AS band,
                          CASE j $s0 END AS s0, CASE j $s1 END AS s1
@@ -1787,7 +1827,7 @@ object LlmText extends QueryGroup {
         cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
         inter AS (SELECT da, db, count(*) ni
                   FROM cand JOIN sh a ON a.doc_id = da
-                            JOIN sh b ON b.doc_id = db AND b.s = a.s
+                            JOIN sh b ON b.doc_id = db AND b.gh = a.gh
                   GROUP BY da, db),
         pairs AS MATERIALIZED (SELECT da, db, j FROM (
                     SELECT da, db, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS j
@@ -2235,13 +2275,13 @@ object LlmText extends QueryGroup {
          wnd AS (
            SELECT doc_id, pos,
                   count(*) OVER (PARTITION BY doc_id) AS n_grams,
-                  min(hh * 100000 + (99999 - pos))
+                  min(hh * 2147483648 + (2147483647 - pos))
                     OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
            FROM h)
          SELECT DISTINCT doc_id,
-                CAST(99999 - (enc % 100000) AS BIGINT) AS fp_pos,
-                CAST(enc // 100000 AS BIGINT) AS fp_hash
+                CAST(2147483647 - (enc % 2147483648) AS BIGINT) AS fp_pos,
+                CAST(enc // 2147483648 AS BIGINT) AS fp_hash
          FROM wnd WHERE pos <= n_grams - 4
          ORDER BY doc_id ASC NULLS FIRST, fp_pos ASC NULLS FIRST,
                   fp_hash ASC NULLS FIRST""",
@@ -2263,11 +2303,11 @@ object LlmText extends QueryGroup {
          wnd AS (
            SELECT doc_id, pos,
                   count(*) OVER (PARTITION BY doc_id) AS n_grams,
-                  min(hh * 100000 + (99999 - pos))
+                  min(hh * 2147483648 + (2147483647 - pos))
                     OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
            FROM h),
-         fp AS (SELECT DISTINCT doc_id, CAST(enc // 100000 AS BIGINT) AS fp_hash
+         fp AS (SELECT DISTINCT doc_id, CAST(enc // 2147483648 AS BIGINT) AS fp_hash
                 FROM wnd WHERE pos <= n_grams - 4),
          freq AS (SELECT fp_hash, count(*) AS nd FROM fp GROUP BY fp_hash),
          rare AS (SELECT fp.doc_id, fp.fp_hash FROM fp
@@ -2511,11 +2551,11 @@ object LlmText extends QueryGroup {
        wx_wnd AS (
          SELECT doc_id, pos,
                 count(*) OVER (PARTITION BY doc_id) AS n_grams,
-                min(hh * 100000 + (99999 - pos))
+                min(hh * 2147483648 + (2147483647 - pos))
                   OVER (PARTITION BY doc_id ORDER BY pos
                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
          FROM wx_h),
-       wx_fp AS (SELECT DISTINCT doc_id, CAST(enc // 100000 AS BIGINT) AS fp_hash
+       wx_fp AS (SELECT DISTINCT doc_id, CAST(enc // 2147483648 AS BIGINT) AS fp_hash
                  FROM wx_wnd WHERE pos <= n_grams - 4),
        wx_freq AS (SELECT fp_hash, count(*) AS nd FROM wx_fp GROUP BY fp_hash),
        wx_rare AS (SELECT wx_fp.doc_id, wx_fp.fp_hash FROM wx_fp

@@ -237,27 +237,40 @@ object Sampling extends QueryGroup {
     * so SamplingProps can property-test the rank/tie/key arithmetic on
     * GENERATED corpora against a plain-Scala reference. */
   private[graft] def curriculumOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    curriculumKeysOf(
+      docs
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("ntok"))
+        .withColumn("stage",
+          when(col("ntok") < 40L, 0L).when(col("ntok") < 69L, 1L)
+            .otherwise(2L))
+        .withColumn("src_idx",
+          regexp_extract(col("source"), "([0-9]+)", 1).cast(LongType)),
+      nSources = 20L) // fixture sources src0..src19
+      .orderBy(col("curriculum_key"), col("doc_id"))
+
+  /** The key arithmetic over any (doc_id, stage, src_idx) frame — the
+    * caller supplies its own difficulty staging and source indexing;
+    * this is what GraftOps.curriculumKeys surfaces (ApiSpec pins
+    * equality with the declared rung on the fixture, DedupProps
+    * property-tests the arithmetic against plain Scala). Keys are pure
+    * arithmetic over per-(stage, src) row_numbers — stage·10¹² +
+    * (r−1)·S + src_idx — never a global sort or ntile. */
+  private[graft] def curriculumKeysOf(base: org.apache.spark.sql.DataFrame,
+                                      nSources: Long)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val S = 20L // fixture sources src0..src19
-    val base = docs
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast(LongType).as("ntok"))
-      .withColumn("stage",
-        when(col("ntok") < 40L, 0L).when(col("ntok") < 69L, 1L)
-          .otherwise(2L))
-      .withColumn("src_idx",
-        regexp_extract(col("source"), "([0-9]+)", 1).cast(LongType))
+    val w = Window.partitionBy(col("stage"), col("src_idx"))
+      .orderBy(col("u48"), col("doc_id"))
+    base
       .withColumn("u48",
         conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":cur"))),
           1, 12), 16, 10).cast(LongType))
-    val w = Window.partitionBy(col("stage"), col("src_idx"))
-      .orderBy(col("u48"), col("doc_id"))
-    base.withColumn("r", row_number().over(w).cast(LongType))
+      .withColumn("r", row_number().over(w).cast(LongType))
       .select(col("doc_id"), col("stage"), col("src_idx"),
-        (col("stage") * 1000000000000L + (col("r") - 1L) * S
+        (col("stage") * 1000000000000L + (col("r") - 1L) * nSources
           + col("src_idx")).as("curriculum_key"))
-      .orderBy(col("curriculum_key"), col("doc_id"))
   }
 
   val queries: Seq[(String, QFn)] = Seq(

@@ -998,7 +998,10 @@ object SqlSurface extends QueryGroup {
     * shipdate cutoff) — distinct from the DSL flagship
     * `agg_pricing_summary`, which omits the WHERE gate and the
     * tax-bearing charge term: this one carries the spec's
-    * `l_shipdate <= date - 90 days` predicate (pushed to the scan) and
+    * `l_shipdate <= date - 90 days` predicate SHAPE (pushed to the
+    * scan) — the literal cutoff 2001-09-02 is shifted to the fixture's
+    * date range, not the spec's 1998-09-02, the same analog treatment
+    * sql_q4/q6/q12/q14/q20 get — and
     * sum_charge = Σ price·(1−disc)·(1+tax). With it the SQL surface
     * spells ALL 22 TPC-H statements as sql_q* keys. Exactness: each
     * charge element is two IEEE products of read bits cast to DECIMAL

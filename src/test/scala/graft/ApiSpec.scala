@@ -798,4 +798,43 @@ class ApiSpec extends AnyFunSuite {
         col("n_syllables"), col("flesch"))
     assert(rows(api) == rows(declared))
   }
+
+  test("tokenIntervals interval ends equal sample_token_budget's running totals") {
+    val api = GraftOps.tokenIntervals(
+        Tables.documents(spark, sf),
+        col("doc_id"),
+        when(length(col("text")) >= 1, size(split(col("text"), " ")))
+          .otherwise(0))
+      .select(col("doc_id"), col("end").as("cum_tokens"))
+    val declared = SparkEntry.queries("sample_token_budget")(spark, sf)
+      .select(col("doc_id"), col("cum_tokens"))
+    assert(rows(api) == rows(declared))
+    // and intervals tile the token stream exactly: sorted by id,
+    // each start equals the previous end, first start is 0
+    val iv = GraftOps.tokenIntervals(Tables.documents(spark, sf),
+        col("doc_id"), size(split(col("text"), " ")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(iv.head._2 == 0L)
+    assert(iv.sliding(2).forall(p => p(0)._3 == p(1)._2), "intervals must tile")
+  }
+
+  test("curriculumKeys with the fixture staging equals sample_curriculum") {
+    val api = GraftOps.curriculumKeys(
+        Tables.documents(spark, sf)
+          .withColumn("ntok", size(split(col("text"), " ")).cast("long")),
+        col("doc_id"),
+        when(col("ntok") < 40L, 0L).when(col("ntok") < 69L, 1L).otherwise(2L),
+        regexp_extract(col("source"), "([0-9]+)", 1),
+        nSources = 20L)
+    assert(rows(api) == rows(SparkEntry.queries("sample_curriculum")(spark, sf)))
+  }
+
+  test("dsirWeights with isTarget = (lang = 'en') equals sample_dsir's weight columns") {
+    val api = GraftOps.dsirWeights(Tables.documents(spark, sf),
+      col("doc_id"), col("text"), col("lang") === "en")
+    val declared = SparkEntry.queries("sample_dsir")(spark, sf)
+      .select(col("doc_id"), col("n_tokens"), col("w_nano"), col("imp_nano"))
+    assert(rows(api) == rows(declared))
+  }
 }

@@ -55,8 +55,11 @@ class CacheSpec extends AnyFunSuite {
       val sp = spark
       import sp.implicits._
       val tmp = s"$base/_tmp"
-      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "text").coalesce(1)
+      // source column: the shared gram base (LlmText.gramsCached)
+      // carries it for the novelty consumer, so the synthetic fixture
+      // needs the real table's shape
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, s"src${i % 3}") }
+        .toDF("doc_id", "text", "source").coalesce(1)
         .write.mode("overwrite").parquet(tmp)
       // Tables.fingerprint needs a FILE at <dir>/documents.parquet (the
       // driver fixtures are single files): move the lone part file there

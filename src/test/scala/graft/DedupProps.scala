@@ -21,6 +21,47 @@ class DedupProps extends Properties("graft") {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size
   }
 
+  /** Plain-Scala twin of the repo's load-bearing portable-hash idiom:
+    * parse md5 hex chars [off, off+len) as an int64 — the
+    * `conv(substring(md5(x), 1+off, len), 16, 10)` spelling every
+    * sample_/split_/dsir/hash_features bucket derives from. */
+  private def refMdSlice(s: String, off: Int, len: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.slice(off, off + len), 16)
+  }
+
+  property("conv-md5 slice, bucket, and weighted-keep arithmetic equal plain Scala") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.oneOf(
+        Gen.choose(0L, Long.MaxValue).map(_.toString),
+        Gen.alphaNumStr.suchThat(_.nonEmpty),
+        Gen.const("naïve—文"))), // multibyte: UTF-8 agreement matters
+      Gen.oneOf(10, 64, 256, 1024),
+      Gen.choose(1L, 4096L)) { (keys, b, w) =>
+      import org.apache.spark.sql.functions._
+      val spark = TestSpark.spark
+      val df = spark.createDataFrame(
+        keys.distinct.zipWithIndex.map { case (k, i) => (i.toLong, k) })
+        .toDF("id", "k")
+      val got = df.select(col("id"),
+          expr("conv(substring(md5(k), 1, 12), 16, 10)").cast("long").as("u48"),
+          (expr("conv(substring(md5(k), 1, 12), 16, 10)").cast("long") % b).as("bkt"),
+          expr("conv(substring(md5(k), 1, 8), 16, 10)").cast("long").as("u32"),
+          expr("conv(substring(md5(k), 1, 15), 16, 10)").cast("long").as("u60"),
+          expr("conv(substring(md5(k), 9, 8), 16, 10)").cast("long").as("mid"),
+          api.GraftOps.weightedKeep(col("k"), lit(w), cap = 4096L).as("keep"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getLong(5), r.getBoolean(6))).toMap
+      keys.distinct.zipWithIndex.forall { case (k, i) =>
+        val u48 = refMdSlice(k, 0, 12)
+        got(i.toLong) == ((u48, u48 % b, refMdSlice(k, 0, 8),
+          refMdSlice(k, 0, 15), refMdSlice(k, 8, 8),
+          u48 < w * ((1L << 48) / 4096L)))
+      }
+    }
+
   property("jaccard symmetric") = Prop.forAll(tokenGen, tokenGen) { (a, b) =>
     math.abs(jaccard(a, b) - jaccard(b, a)) < 1e-15
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -139,6 +140,84 @@ class LawsSpec extends AnyFunSuite {
     // count it and bound it by the two cuts' combined rank error
     val moved = approx.count { case (id, _, b) => exact(id) != b }
     assert(moved <= 2 * (tol + 1), s"$moved docs changed bucket")
+  }
+
+  test("events_rfm_approx agrees with the exact quintiles within tie mass + rank error") {
+    val exact = SparkEntry.queries("events_rfm")(spark, sf).collect()
+    val approx = SparkEntry.queries("events_rfm_approx")(spark, sf).collect()
+    val n = approx.length
+    assert(n == exact.length && n > 0)
+    assert(exact.head.schema == approx.head.schema, "twin must mirror the exact schema")
+    val tol = math.max(2L, n / 10000L) // GK rank error at accuracy 10⁴
+    // value-threshold scoring is monotone by construction: sorting by
+    // the dimension value must sort the score (exact-int dims only;
+    // monetary is rounded in the output so ties there are ambiguous)
+    val byR = approx.sortBy(r => (r.getLong(1), r.getLong(0)))
+    assert(byR.sliding(2).forall(p => p(0).getLong(4) <= p(1).getLong(4)),
+      "r_score not monotone in r_hours")
+    val byF = approx.sortBy(r => (-r.getLong(2), r.getLong(0)))
+    assert(byF.sliding(2).forall(p => p(0).getLong(5) <= p(1).getLong(5)),
+      "f_score not monotone in frequency")
+    // disagreement with the exact ntile is confined to quintile
+    // boundaries: bounded by the boundary-value tie mass (ntile splits
+    // equal values by user_id, a threshold keeps them together) plus
+    // the sketch's rank error per cut
+    def movedBound(dim: Int, value: Row => Long, asc: Boolean): Unit = {
+      val exactByUser = exact.map(r => r.getLong(0) -> r.getLong(dim)).toMap
+      val moved = approx.count(r => r.getLong(dim) != exactByUser(r.getLong(0)))
+      val ties = (1L to 4L).map { k =>
+        val bucket = exact.filter(_.getLong(dim) == k).map(value)
+        if (bucket.isEmpty) 0L
+        else {
+          val boundary = if (asc) bucket.max else bucket.min
+          exact.count(value(_) == boundary).toLong
+        }
+      }.sum
+      assert(moved <= ties + 8 * tol,
+        s"dim $dim: $moved moved > tie mass $ties + 8·$tol")
+    }
+    movedBound(4, _.getLong(1), asc = true)   // r_score vs r_hours
+    movedBound(5, _.getLong(2), asc = false)  // f_score vs frequency
+    // monetary: compare via the rounded output value (ties on the
+    // rounded value are a superset of ties on the exact DECIMAL)
+    val exactM = exact.map(r => r.getLong(0) -> r.getLong(6)).toMap
+    val movedM = approx.count(r => r.getLong(6) != exactM(r.getLong(0)))
+    val tiesM = (1L to 4L).map { k =>
+      val bucket = exact.filter(_.getLong(6) == k).map(_.getDouble(3))
+      if (bucket.isEmpty) 0L else exact.count(_.getDouble(3) == bucket.min).toLong
+    }.sum
+    assert(movedM <= tiesM + 8 * tol, s"m_score: $movedM moved > $tiesM + 8·$tol")
+  }
+
+  test("sample_dsir_approx shares exact weights and agrees with the exact quarter at the boundary") {
+    val exact = SparkEntry.queries("sample_dsir")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val approx = SparkEntry.queries("sample_dsir_approx")(spark, sf).collect()
+    val n = approx.length
+    assert(n == exact.size && n > 0)
+    // the twin differs ONLY in selection: n_tokens, w_nano, imp_nano
+    // must be bit-identical per doc (shared dsirPerDoc construction)
+    approx.foreach { r =>
+      val e = exact(r.getLong(0))
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2) &&
+             r.getLong(3) == e.getLong(3), s"weights diverged for doc ${r.getLong(0)}")
+    }
+    // threshold selection is separated by construction: every selected
+    // importance >= every unselected importance
+    def imp(r: Row): Double = r.getLong(2).toDouble / r.getLong(1).toDouble
+    val selImp = approx.filter(_.getBoolean(4)).map(imp)
+    val unselImp = approx.filterNot(_.getBoolean(4)).map(imp)
+    assert(selImp.nonEmpty && unselImp.nonEmpty, "selection must split the corpus")
+    assert(selImp.min >= unselImp.max, "threshold separation violated")
+    // disagreement with the exact rank-based quarter is confined to the
+    // boundary: ties at the exact rung's last-selected importance plus
+    // the sketch's rank error
+    val tol = math.max(2L, n / 10000L)
+    val exactSel = exact.values.filter(_.getBoolean(4)).toSeq
+    val boundary = exactSel.map(imp).min
+    val ties = exact.values.count(r => imp(r) == boundary).toLong
+    val moved = approx.count(r => r.getBoolean(4) != exact(r.getLong(0)).getBoolean(4))
+    assert(moved <= ties + 2 * tol, s"$moved docs changed selection > $ties + 2·$tol")
   }
 
   test("labelPropUntilFixed agrees with the unrolled form on the fixture graph") {

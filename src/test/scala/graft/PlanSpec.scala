@@ -953,6 +953,59 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_approx_percentile"), p)
   }
 
+  test("events_rfm_approx and sample_dsir_approx plan no window; sketch partial-combines") {
+    // the whole point of the twins (round-15 verdict item 1): the
+    // score/selection must be broadcast CASE/threshold arithmetic over
+    // sketch cutpoints — zero WindowExec (the exact rungs'
+    // single-partition ntile/row_number), and the cutpoint aggregate
+    // must partial-combine (constant-memory GK sketch merged map-side)
+    for (k <- Seq("events_rfm_approx", "sample_dsir_approx")) {
+      val p = plan(k)
+      assert(!p.contains("Window"), s"window leaked into $k:\n$p")
+      assert(p.contains("partial_approx_percentile"), s"$k:\n$p")
+    }
+  }
+
+  test("no un-partitioned Window outside declared exact companions and bounded inputs") {
+    // The round-15 'done' criterion for retiring the global-window
+    // rungs, held as an invariant over the WHOLE query surface: an
+    // un-partitioned logical Window is a single-task sort of its input
+    // at scale, so it is only allowed where (a) the rung is the
+    // declared exact companion of a shipped approx twin, or (b) the
+    // window's input is provably bounded (per-group aggregates, model
+    // tables, top-k slices — never corpus-sized rows).
+    val exactCompanions = Set(
+      "events_rfm",          // twin: events_rfm_approx
+      "text_quality_bucket", // twin: text_quality_bucket_approx
+      "sample_dsir")         // twin: sample_dsir_approx
+    val boundedInputs = Set(
+      // each justified by its input's cardinality bound, not its size
+      // on the fixture:
+      "agg_ks",                  // CDF window over the ≤~60k centi-unit
+                                 // grid (aggregated buckets, never rows)
+      "events_cumulative_users", // running sum over |days| per-day rows
+      "win_ntile_pctrank",       // bucket-offset window over ≤32 rows
+                                 // (the range-bucketed global-rank recipe)
+      "sample_token_budget",     // offset window over one-row-per-bucket
+      "sample_pack",             // prefix-sum aggregates (|buckets| rows)
+      "text_bm25",               // query-term rank over the 15-row
+      "sim_hybrid_rrf")          // TakeOrdered term slice (and rrf's
+                                 // legs rank ≤ |queries|·k fused rows)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (exactCompanions(name)) None
+      else {
+        val lp = fn(spark, TestSpark.sf).queryExecution.optimizedPlan
+        val global = lp.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty && !boundedInputs(name)) Some(name) else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"un-partitioned Window over unbounded input in: ${offenders.mkString(", ")}")
+  }
+
   test("sql_q11 scans lineitem exactly once (checkpointed aggregate, no CTE re-inline)") {
     // the round-15 fix: the CTE spelling evaluated the grouped
     // aggregate three times (main + two scalar subqueries = three full

@@ -1040,6 +1040,74 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("concurrent queries on ONE source: dedup gate + drift monitor + tumbling agg, per-query checkpoints") {
+    // Round-15 verdict item 6: every other rung runs one query at a
+    // time, but a production ingest runs its gates AGAINST THE SAME
+    // SOURCE concurrently. Three queries share one MemoryStream, each
+    // with its own checkpoint; offsets are deliberately staggered (the
+    // dedup leg races a chunk ahead) so the test exercises independent
+    // progress tracking, then each leg must equal its batch twin on
+    // exactly the rows it was fed.
+    // a MemoryStream cannot serve two queries (single-consumer commit
+    // tracking) — the shared source is a FILE stream, which is also
+    // the shape a real multi-gate ingest has: one landing directory,
+    // N independent readers at independent offsets
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_conc_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_concurrent").toString
+    def feed(rows: Seq[Ev]): Unit =
+      batchDf(rows).coalesce(1).write.mode("append").parquet(srcDir)
+    val refCounts = batchDf(evs)
+      .select(floor(col("value") / 50.0).cast("long").as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = refCounts.values.sum.toDouble
+    val k = refCounts.size
+    val refProb = refCounts.map { case (b, n) => b -> (n + 0.5) / (tot + 0.5 * k) }
+    feed(evs.take(500)) // data exists before the schema-inferring start
+    val src = spark.readStream.schema(batchDf(evs.take(1)).schema).parquet(srcDir)
+    val qDedup = StreamingOps.dedupWithinWatermark(src)
+      .writeStream.format("memory").queryName("st_c_dedup")
+      .option("checkpointLocation", s"$ck/dedup")
+      .outputMode("append").start()
+    val qDrift = StreamingOps.driftPsi(src, refProb)
+      .writeStream.format("memory").queryName("st_c_drift")
+      .option("checkpointLocation", s"$ck/drift")
+      .outputMode("append").start()
+    val qTumb = StreamingOps.tumblingCounts(src)
+      .writeStream.format("memory").queryName("st_c_tumb")
+      .option("checkpointLocation", s"$ck/tumb")
+      .outputMode("complete").start()
+    val recent = evs.filter(_.ts_us.getTime >= maxTs - 30L * 60 * 1000)
+    assert(recent.nonEmpty)
+    // stagger: dedup processes chunk 1 while drift/tumbling lag behind
+    qDedup.processAllAvailable()
+    feed(evs.drop(500))
+    Seq(qDedup, qDrift, qTumb).foreach(_.processAllAvailable())
+    // duplicates for the dedup leg (their own micro-batch, processed
+    // under the pre-sentinel watermark), then the window-closing sentinel
+    feed(recent)
+    Seq(qDedup, qDrift, qTumb).foreach(_.processAllAvailable())
+    val sentinel = Ev(-1L,
+      new java.sql.Timestamp(maxTs + 100L * 86400 * 1000), 999999L, "click", 0.0)
+    feed(Seq(sentinel))
+    Seq(qDedup, qDrift, qTumb).foreach(_.processAllAvailable())
+    // dedup leg: re-fed recent rows are all duplicates — exactly the
+    // original ids (plus the sentinel) survive
+    val dedup = spark.table("st_c_dedup").filter(col("event_id") =!= -1L)
+    assert(dedup.count() == evs.length, "dedup leg lost or duplicated rows")
+    // drift leg: equals its batch twin over everything except the
+    // sentinel (whose window never closes)
+    assertEquivalent(spark.table("st_c_drift"),
+      StreamingOps.driftPsi(batchDf(evs ++ recent), refProb),
+      Seq("bucket_s", "tot"), Seq("psi"))
+    // tumbling leg (complete mode): equals the batch aggregate over
+    // every fed row, duplicates and sentinel included
+    assertEquivalent(spark.table("st_c_tumb"),
+      StreamingOps.tumblingCounts(batchDf((evs ++ recent) :+ sentinel)),
+      Seq("bucket_s", "event_type", "n"), Seq("sum_v"))
+    Seq(qDedup, qDrift, qTumb).foreach(_.stop())
+  }
+
   test("stream_neardup: streaming near-dup gate matches the incremental batch probe") {
     val sp = spark
     import sp.implicits._
