@@ -422,6 +422,57 @@ object LlmText extends QueryGroup {
     detectorEval(s, d, cap = 150L,
       winnowPairs(s, d).select(col("doc_a").as("da"), col("doc_b").as("db")))
 
+  /** Persisted winnowing fingerprint index of the "already-ingested"
+    * corpus slice (doc_id % 5 ≠ 0), hash-bucketed by fp_hash % 16 —
+    * the layout an incremental ingest keeps between runs so each new
+    * batch is screened against the corpus WITHOUT re-reading or
+    * re-tokenizing corpus text, with the winnowing GUARANTEE the
+    * minhash index can't give (a shared ≥6-token run cannot slip
+    * past). Fingerprint-keyed like the minhash index; built once per
+    * session+sf from the shared gram base. */
+  private[graft] def ensureWinnowIndex(s: SparkSession, d: String): String = {
+    val path = s"${graft.Tables.scratchDir}/wn_index_${new java.io.File(d).getName}" +
+      s"_${Tables.fingerprint(d, "documents")}"
+    val done = new java.io.File(s"$path/_DONE")
+    if (!done.exists()) {
+      winnowFromGrams(gramsCached(s, d).filter(col("doc_id") % 5 =!= 0))
+        .select(col("doc_id"), col("fp_hash")).distinct()
+        .withColumn("hb", (col("fp_hash") % 16L).cast("int"))
+        .write.mode("overwrite").partitionBy("hb").parquet(s"$path/fps")
+      done.createNewFile()
+    }
+    path
+  }
+
+  /** Incremental winnowing near-dup screen — dedup_incremental's
+    * production-ingest shape with the guarantee-backed detector:
+    * fingerprint the NEW batch (doc_id % 5 = 0, ~20%), equality-probe
+    * the persisted corpus fingerprint index, emit (corpus doc, new
+    * doc, shared count) candidates at the batch path's ≥2 bar. The
+    * boilerplate-stop cap runs on CORPUS frequency (what an ingest
+    * knows without scanning the batch): hashes in >50 corpus docs are
+    * dropped before the join — the anti-quadratic bound again. Cost
+    * scales with the BATCH: the index read is a columnar scan of
+    * 16-byte fingerprint rows, the probe is one equality shuffle on
+    * fp_hash, and corpus text is never touched. The oracle mirrors
+    * the fingerprint construction over the same split. */
+  private val dedupWinnowingIncremental: QFn = (s, d) => {
+    val path = ensureWinnowIndex(s, d)
+    val idx = s.read.parquet(s"$path/fps")
+      .select(col("doc_id").as("corpus_id"), col("fp_hash"))
+    val rareIdx = idx.join(
+      idx.groupBy(col("fp_hash")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= 50L).select(col("fp_hash")),
+      Seq("fp_hash"))
+    val delta = winnowFromGrams(gramsCached(s, d).filter(col("doc_id") % 5 === 0))
+      .select(col("doc_id").as("new_id"), col("fp_hash")).distinct()
+    rareIdx.join(delta, Seq("fp_hash"))
+      .groupBy(col("corpus_id"), col("new_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L)
+      .orderBy(col("corpus_id"), col("new_id"))
+  }
+
   /** Position-weighted rolling fingerprint over md5 token hashes:
     * fp = Σ (h(tok) mod M) · (pos+1)  mod M. Order-sensitive, portable. */
   private val textFingerprint: QFn = (s, d) => {
@@ -1768,6 +1819,7 @@ object LlmText extends QueryGroup {
     "text_fingerprint" -> textFingerprint,
     "text_winnowing" -> textWinnowing,
     "dedup_winnowing" -> dedupWinnowing,
+    "dedup_winnowing_incremental" -> dedupWinnowingIncremental,
     "text_scrub" -> textScrub,
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_bigram_lm" -> textBigramLm,
@@ -2285,6 +2337,37 @@ object LlmText extends QueryGroup {
          FROM wnd WHERE pos <= n_grams - 4
          ORDER BY doc_id ASC NULLS FIRST, fp_pos ASC NULLS FIRST,
                   fp_hash ASC NULLS FIRST""",
+    "dedup_winnowing_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CAST(unnest(range(len(string_split(text, ' ')))) AS BIGINT) AS pos,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         g AS (
+           SELECT doc_id, pos, tok,
+                  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+                  lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+           FROM toks),
+         h AS (
+           SELECT doc_id, pos,
+                  ('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3), 1, 8))::BIGINT AS hh
+           FROM g WHERE t3 IS NOT NULL),
+         wnd AS (
+           SELECT doc_id, pos,
+                  count(*) OVER (PARTITION BY doc_id) AS n_grams,
+                  min(hh * 2147483648 + (2147483647 - pos))
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
+           FROM h),
+         fp AS (SELECT DISTINCT doc_id, CAST(enc // 2147483648 AS BIGINT) AS fp_hash
+                FROM wnd WHERE pos <= n_grams - 4),
+         idx AS (SELECT doc_id AS corpus_id, fp_hash FROM fp WHERE doc_id % 5 <> 0),
+         rare AS (SELECT fp_hash FROM idx GROUP BY fp_hash HAVING count(*) <= 50),
+         delta AS (SELECT doc_id AS new_id, fp_hash FROM fp WHERE doc_id % 5 = 0)
+         SELECT corpus_id, new_id, count(*) AS n_shared
+         FROM idx JOIN rare USING (fp_hash) JOIN delta USING (fp_hash)
+         GROUP BY corpus_id, new_id HAVING count(*) >= 2
+         ORDER BY corpus_id ASC NULLS FIRST, new_id ASC NULLS FIRST""",
     "dedup_winnowing" ->
       """WITH toks AS (
            SELECT doc_id,

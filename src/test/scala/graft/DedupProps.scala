@@ -62,6 +62,23 @@ class DedupProps extends Properties("graft") {
       }
     }
 
+  property("tokenIntervalsOf equals the sorted-scan reference on generated corpora") =
+    Prop.forAll(
+      Gen.listOfN(24, Gen.zip(Gen.choose(0L, 5000L), Gen.choose(0L, 50L))),
+      Gen.choose(1L, 13L)) { (pairs0, bucket) =>
+      // sparse, unordered, possibly-duplicate ids → dedup, keep sparse
+      val docs = pairs0.toMap.toSeq
+      val spark = TestSpark.spark
+      val df = spark.createDataFrame(docs).toDF("doc_id", "ntok").localCheckpoint()
+      val got = operators.Curation.tokenIntervalsOf(df, bucket).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      // reference: the plain sequential scan in doc_id order
+      val want = docs.sortBy(_._1).foldLeft((Map.empty[Long, (Long, Long)], 0L)) {
+        case ((m, off), (id, n)) => (m + (id -> (off, off + n)), off + n)
+      }._1
+      got == want
+    }
+
   property("jaccard symmetric") = Prop.forAll(tokenGen, tokenGen) { (a, b) =>
     math.abs(jaccard(a, b) - jaccard(b, a)) < 1e-15
   }
