@@ -319,6 +319,63 @@ object StreamingOps {
         (col("n_hit_bands") === 0L).as("novel"))
   }
 
+  /** As-data-lands WINNOWING gate — stream_neardup's guarantee-backed
+    * sibling, probing the corpus winnowing-fingerprint index
+    * (ensureWinnowIndex / dedup_winnowing_incremental's artifact): any
+    * landing doc that shares a ≥6-token run with an indexed corpus doc
+    * MUST hit at least one indexed fingerprint — the deterministic
+    * screen the banded minhash gate only gives probabilistically.
+    * Winnowing needs per-doc sliding mins, which streaming DataFrames
+    * can't spell as window functions — but a document is one row, so
+    * the whole construction runs as IN-ROW higher-order functions:
+    * gram hashes, the batch rung's exact enc = h·2³¹ + (2³¹−1−pos)
+    * packing, array_min over each 4-slice, decode, distinct. Bit-
+    * identical to the batch fingerprints (StreamingSpec asserts set
+    * equality against winnowFpsOf). Stateless until the verdict
+    * aggregation; the only stream state is the watermark-bounded
+    * per-(window, doc) hit count; the index side is a static distinct
+    * fp set (the same >50-corpus-doc boilerplate cap as the declared
+    * rung, applied before the join). n_hit_fps counts distinct indexed
+    * fingerprints — the declared rung's ≥2-shared-with-one-corpus-doc
+    * candidates are always a subset of n_hit_fps ≥ 2 docs. */
+  def winnowGate(docs: DataFrame, fpIndex: DataFrame): DataFrame = {
+    val P = 2147483648L
+    val W = 4
+    // the same boilerplate-stop the declared incremental rung applies:
+    // fingerprints in >50 corpus docs never count as hits
+    val idxKeys = fpIndex
+      .groupBy(col("fp_hash")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= 50L)
+      .select(col("fp_hash"), lit(1L).as("hit"))
+    docs
+      .withColumn("t", split(col("text"), " "))
+      // enc array: one element per gram, the batch construction's
+      // int64 packing (h from the first 8 md5 hex chars)
+      .withColumn("genc", expr(
+        s"""CASE WHEN size(t) >= 3
+              THEN transform(sequence(0, size(t) - 3),
+                     i -> CAST(conv(substring(md5(
+                            concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8), 16, 10)
+                          AS BIGINT) * ${P}L + (${P - 1}L - i))
+              ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      // min per 4-window, decoded to the hash, deduped — the exact
+      // fingerprint set winnowFpsOf emits for this doc; <W+2-token
+      // docs keep an EMPTY set → no index hit → novel (the right
+      // verdict for unfingerprintable docs)
+      .withColumn("fps", expr(
+        s"""array_distinct(transform(
+              CASE WHEN size(genc) >= $W THEN sequence(0, size(genc) - $W)
+                   ELSE CAST(array() AS ARRAY<INT>) END,
+              i -> array_min(slice(genc, i + 1, $W)) DIV ${P}L))"""))
+      .select(col("doc_id"), col("ts_us"), explode_outer(col("fps")).as("fp_hash"))
+      .withWatermark("ts_us", "10 minutes")
+      .join(idxKeys, Seq("fp_hash"), "left")
+      .groupBy(window(col("ts_us"), "1 hour"), col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit_fps"))
+      .select(col("doc_id"), col("n_hit_fps"),
+        (col("n_hit_fps") === 0L).as("novel"))
+  }
+
   /** Per-user hourly rate-limit flags — events_quota's streaming twin
     * (the batch rung audits history; this flags bursts while the stream
     * runs): tumbling 1 h windows keyed by user, a 1 h watermark bounds

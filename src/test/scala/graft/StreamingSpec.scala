@@ -1108,6 +1108,75 @@ class StreamingSpec extends AnyFunSuite {
     Seq(qDedup, qDrift, qTumb).foreach(_.stop())
   }
 
+  test("stream_winnow_gate: guarantee-backed gate matches batch fingerprints and the incremental rung") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps.Doc
+    // the persisted corpus fingerprint index (doc_id % 5 != 0) — the
+    // artifact the declared dedup_winnowing_incremental rung probes
+    val idxPath = operators.LlmText.ensureWinnowIndex(spark, TestSpark.sf)
+    val idx = spark.read.parquet(s"$idxPath/fps")
+    val base = 1700000000000L
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => Doc(r.getLong(0),
+        new java.sql.Timestamp(base + r.getLong(0) * 1000L),
+        r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id).toSeq
+    val in = MemoryStream[Doc]
+    val q = StreamingOps.winnowGate(in.toDF(), idx)
+      .writeStream.format("memory").queryName("st_winnow_gate")
+      .outputMode("append").start()
+    in.addData(docs.take(docs.length / 2)); q.processAllAvailable()
+    in.addData(docs.drop(docs.length / 2)); q.processAllAvailable()
+    val sentinel = Doc(-1L,
+      new java.sql.Timestamp(base + 100L * 86400 * 1000), "en", "a b")
+    in.addData(Seq(sentinel)); q.processAllAvailable()
+    val got = spark.table("st_winnow_gate").filter(col("doc_id") >= 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // same function, batch evaluation (watermark no-ops in batch)
+    val exp = StreamingOps.winnowGate(spark.createDataset(docs).toDF(), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == exp, s"stream-batch drift: ${got.diff(exp)} / ${exp.diff(got)}")
+    assert(got.size == docs.size, "one verdict per doc")
+    // the in-row HOF fingerprint construction is BIT-IDENTICAL to the
+    // batch operator's window spelling — same (doc, fp_hash) set
+    val inRow = spark.createDataset(docs).toDF()
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("genc", expr(
+        """CASE WHEN size(t) >= 3
+             THEN transform(sequence(0, size(t) - 3),
+                    i -> CAST(conv(substring(md5(
+                           concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8), 16, 10)
+                         AS BIGINT) * 2147483648L + (2147483647L - i))
+             ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .withColumn("fps", expr(
+        """array_distinct(transform(
+             CASE WHEN size(genc) >= 4 THEN sequence(0, size(genc) - 4)
+                  ELSE CAST(array() AS ARRAY<INT>) END,
+             i -> array_min(slice(genc, i + 1, 4)) DIV 2147483648L))"""))
+      .select(col("doc_id"), explode(col("fps")).as("fp_hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchFps = operators.LlmText.winnowFpsOf(
+        spark.createDataset(docs).toDF().select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inRow == batchFps, "in-row fingerprints drifted from the batch operator")
+    // tie-back to the DECLARED rung: its >=2-shared-with-one-corpus-doc
+    // candidates are a subset of the gate's n_hit_fps >= 2 docs, and a
+    // gate-novel doc can never appear in the rung's output
+    val rungIds = SparkEntry.queries("dedup_winnowing_incremental")(spark, TestSpark.sf)
+      .select(col("new_id")).distinct().collect().map(_.getLong(0)).toSet
+    val gate2 = got.filter(_._2 >= 2L).map(_._1)
+    val gateNovel = got.filter(_._3).map(_._1)
+    assert(rungIds.subsetOf(gate2), s"rung candidates missed: ${rungIds.diff(gate2)}")
+    assert(gateNovel.intersect(rungIds).isEmpty, "novel doc in the rung output")
+    assert(gateNovel.nonEmpty && gate2.nonEmpty, "degenerate gate")
+    q.stop()
+  }
+
   test("stream_neardup: streaming near-dup gate matches the incremental batch probe") {
     val sp = spark
     import sp.implicits._
