@@ -191,6 +191,36 @@ object GraftOps {
         floor(col("w_nano").cast(DoubleType) / col("n_tokens").cast(DoubleType))
           .cast(LongType).as("imp_nano"))
 
+  /** Incremental winnowing near-dup candidates — the probe half of the
+    * guarantee-backed ingest screen (dedup_winnowing_incremental
+    * parameterized): `indexFps` is the persisted corpus fingerprint
+    * table (one row per (corpus id, fp_hash) — build it once with
+    * [[winnowFingerprints]] and keep it between ingests), `newDocs` is
+    * the landing batch. Fingerprints seen in more than `cap` corpus
+    * docs are dropped before the join (the boilerplate-stop /
+    * anti-quadratic bound), then every (corpus doc, new doc) pair
+    * sharing ≥ 2 surviving fingerprints is emitted with its shared
+    * count. A new doc sharing a ≥6-token run with any corpus doc
+    * cannot slip past (the winnowing guarantee). Cost scales with the
+    * batch: one equality shuffle on fp_hash, corpus text untouched. */
+  def winnowIncrementalCandidates(indexFps: DataFrame, indexId: Column,
+                                  indexFpHash: Column, newDocs: DataFrame,
+                                  id: Column, text: Column,
+                                  cap: Long = 50L): DataFrame = {
+    val idx = indexFps
+      .select(indexId.as("corpus_id"), indexFpHash.as("fp_hash")).distinct()
+    val rareIdx = idx.join(
+      idx.groupBy(col("fp_hash")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= cap).select(col("fp_hash")),
+      Seq("fp_hash"))
+    val delta = winnowFingerprints(newDocs, id, text)
+      .select(col("doc_id").as("new_id"), col("fp_hash")).distinct()
+    rareIdx.join(delta, Seq("fp_hash"))
+      .groupBy(col("corpus_id"), col("new_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L)
+  }
+
   /** Okapi BM25 top-10 retrieval ranking over caller docs and query
     * terms — text_bm25's scoring core parameterized (Lucene idf,
     * k1 = 1.2 / b = 0.75, exact integer tf/df/doclen, per-term

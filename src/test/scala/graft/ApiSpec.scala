@@ -830,6 +830,18 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("sample_curriculum")(spark, sf)))
   }
 
+  test("winnowIncrementalCandidates on the fixture split equals dedup_winnowing_incremental") {
+    val docs = Tables.documents(spark, sf)
+    val indexFps = GraftOps.winnowFingerprints(
+        docs.filter(col("doc_id") % 5 =!= 0), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val api = GraftOps.winnowIncrementalCandidates(
+      indexFps, col("doc_id"), col("fp_hash"),
+      docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"))
+    assert(rows(api) ==
+      rows(SparkEntry.queries("dedup_winnowing_incremental")(spark, sf)))
+  }
+
   test("dsirWeights with isTarget = (lang = 'en') equals sample_dsir's weight columns") {
     val api = GraftOps.dsirWeights(Tables.documents(spark, sf),
       col("doc_id"), col("text"), col("lang") === "en")

@@ -58,6 +58,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_window",          // decimal frame sums through the SQL surface
     "join_range_exec",     // custom sweep: exact integer band counts
     "dedup_eval",          // exact integer hit/truth counts and ratios
+    "dedup_winnowing_incremental", // integer fp-match counts over md5 hashes
     "ivf_eval",            // exact integer hit counts; recall = n_hit/10
     "ivf_nprobe_curve",    // exact int hit/truth sums per radius, one division
     "text_winnowing",      // all-integer encoded min; pure row-function hashes
