@@ -51,7 +51,8 @@ object Explain {
     "text_winnowing", "ivf_nprobe_curve", "sample_curriculum",
     "dedup_winnowing", "dedup_eval_winnowing", "join_asof_nearest",
     "text_ngram_novelty", "sample_kfold", "profile_freshness",
-    "events_rfm_approx", "sample_dsir_approx", "dedup_winnowing_incremental")
+    "events_rfm_approx", "sample_dsir_approx", "dedup_winnowing_incremental",
+    "split_leakage_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -422,6 +422,35 @@ object LlmText extends QueryGroup {
     detectorEval(s, d, cap = 150L,
       winnowPairs(s, d).select(col("doc_a").as("da"), col("doc_b").as("db")))
 
+  /** Train/val near-dup LEAKAGE audit — the evaluation-integrity number
+    * behind Lee et al. 2021's dedup motivation, made a first-class QA
+    * op: a validation doc with a near-duplicate in train is a leaked
+    * answer, and a split drawn independently of content (the
+    * split_train_val hash rule, reused bit-for-bit) leaks ~2·p·(1−p)
+    * of every near-dup pair by construction — this rung MEASURES it
+    * instead of assuming the split is clean. One pass over the
+    * verified minhash pair graph (the shared cached artifact — no
+    * detector work re-runs), each pair classified by its endpoints'
+    * split sides; all-integer counts, leak rate in exact ppm (int64
+    * DIV). At 100 TB the input is the pair graph, never the corpus:
+    * the audit costs one |pairs|-row aggregate. */
+  private val splitLeakageAudit: QFn = (s, d) => {
+    def side(c: Column): Column =
+      when(Sampling.hashBucket(c, 10) === 9L, lit("val")).otherwise(lit("train"))
+    minhashPairsCached(s, d)
+      .select(side(col("da")).as("sa"), side(col("db")).as("sb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sa") === "train" && col("sb") === "train", 1L)
+          .otherwise(0L)).as("n_train_train"),
+        sum(when(col("sa") === "val" && col("sb") === "val", 1L)
+          .otherwise(0L)).as("n_val_val"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_leaking"))
+      .select(col("n_pairs"), col("n_train_train"), col("n_val_val"),
+        col("n_leaking"),
+        expr("CASE WHEN n_pairs > 0 THEN (n_leaking * 1000000) div n_pairs END")
+          .as("leak_ppm"))
+  }
+
   /** Persisted winnowing fingerprint index of the "already-ingested"
     * corpus slice (doc_id % 5 ≠ 0), hash-bucketed by fp_hash % 16 —
     * the layout an incremental ingest keeps between runs so each new
@@ -1820,6 +1849,7 @@ object LlmText extends QueryGroup {
     "text_winnowing" -> textWinnowing,
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_winnowing_incremental" -> dedupWinnowingIncremental,
+    "split_leakage_audit" -> splitLeakageAudit,
     "text_scrub" -> textScrub,
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_bigram_lm" -> textBigramLm,
@@ -2337,6 +2367,24 @@ object LlmText extends QueryGroup {
          FROM wnd WHERE pos <= n_grams - 4
          ORDER BY doc_id ASC NULLS FIRST, fp_pos ASC NULLS FIRST,
                   fp_hash ASC NULLS FIRST""",
+    "split_leakage_audit" ->
+      s"""WITH $duckMinhashPairsCtes,
+          cls AS (SELECT
+            CASE WHEN ('0x' || substr(md5(CAST(da AS VARCHAR)), 1, 12))::BIGINT % 10 = 9
+                 THEN 'val' ELSE 'train' END AS sa,
+            CASE WHEN ('0x' || substr(md5(CAST(db AS VARCHAR)), 1, 12))::BIGINT % 10 = 9
+                 THEN 'val' ELSE 'train' END AS sb
+          FROM pairs)
+          SELECT count(*) AS n_pairs,
+                 CAST(sum(CASE WHEN sa = 'train' AND sb = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train_train,
+                 CAST(sum(CASE WHEN sa = 'val' AND sb = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_val_val,
+                 CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking,
+                 CASE WHEN count(*) > 0
+                      THEN CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) * 1000000
+                           // count(*) AS BIGINT) END AS leak_ppm
+          FROM cls""",
     "dedup_winnowing_incremental" ->
       """WITH toks AS (
            SELECT doc_id,
