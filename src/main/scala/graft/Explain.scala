@@ -52,7 +52,7 @@ object Explain {
     "dedup_winnowing", "dedup_eval_winnowing", "join_asof_nearest",
     "text_ngram_novelty", "sample_kfold", "profile_freshness",
     "events_rfm_approx", "sample_dsir_approx", "dedup_winnowing_incremental",
-    "split_leakage_audit")
+    "split_leakage_audit", "split_cluster_aware")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

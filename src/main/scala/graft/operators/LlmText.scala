@@ -451,6 +451,40 @@ object LlmText extends QueryGroup {
           .as("leak_ppm"))
   }
 
+  /** Cluster-aware train/val split — the FIX for what
+    * split_leakage_audit measures: hash the near-dup CLUSTER label
+    * instead of the doc id (singletons fall back to their own id,
+    * which is their singleton label), so an entire near-dup cluster
+    * lands on one side and no verified pair can straddle the split —
+    * leakage is zero BY CONSTRUCTION on converged labels (fixture
+    * convergence is law-certified; on arbitrary graphs run
+    * labelPropUntilFixed first). Output is the audit row recomputed
+    * under the cluster rule (n_leaking provably 0, LawsSpec) plus the
+    * split sizes — the val share stays ~10% because cluster-count ≪
+    * doc-count moves only the near-dup mass. Costs one broadcast-sized
+    * join of the cached label table onto the corpus ids plus the
+    * |pairs|-row audit — the corpus text is never touched. */
+  private val splitClusterAware: QFn = (s, d) => {
+    val labels = unionNodeLabels(s, d, "mh")
+    def side(c: Column): Column =
+      when(Sampling.hashBucket(c, 10) === 9L, lit("val")).otherwise(lit("train"))
+    val docSide = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("lab")), Seq("doc_id"), "left")
+      .select(col("doc_id"), side(coalesce(col("lab"), col("doc_id"))).as("sp"))
+    val sizes = docSide.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("sp") === "val", 1L).otherwise(0L)).as("n_val"))
+    val pairSides = minhashPairsCached(s, d)
+      .join(docSide.select(col("doc_id").as("da"), col("sp").as("sa")), Seq("da"))
+      .join(docSide.select(col("doc_id").as("db"), col("sp").as("sb")), Seq("db"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_leaking"))
+    sizes.crossJoin(pairSides)
+      .select(col("n_docs"), (col("n_docs") - col("n_val")).as("n_train"),
+        col("n_val"),
+        expr("(n_val * 1000000) div n_docs").as("val_ppm"),
+        col("n_pairs"), col("n_leaking"))
+  }
+
   /** Persisted winnowing fingerprint index of the "already-ingested"
     * corpus slice (doc_id % 5 ≠ 0), hash-bucketed by fp_hash % 16 —
     * the layout an incremental ingest keeps between runs so each new
@@ -1850,6 +1884,7 @@ object LlmText extends QueryGroup {
     "dedup_winnowing" -> dedupWinnowing,
     "dedup_winnowing_incremental" -> dedupWinnowingIncremental,
     "split_leakage_audit" -> splitLeakageAudit,
+    "split_cluster_aware" -> splitClusterAware,
     "text_scrub" -> textScrub,
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_bigram_lm" -> textBigramLm,
@@ -2367,6 +2402,32 @@ object LlmText extends QueryGroup {
          FROM wnd WHERE pos <= n_grams - 4
          ORDER BY doc_id ASC NULLS FIRST, fp_pos ASC NULLS FIRST,
                   fp_hash ASC NULLS FIRST""",
+    "split_cluster_aware" -> {
+      def round(i: Int): String =
+        s"""l${i + 1} AS MATERIALIZED (SELECT l.v, least(l.lab, min(n.lab)) AS lab
+                          FROM l$i l JOIN sym e ON e.src = l.v
+                                     JOIN l$i n ON n.v = e.dst
+                          GROUP BY l.v, l.lab)"""
+      s"""WITH $duckMinhashPairsCtes,
+          sym AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
+                  UNION ALL SELECT db, da FROM pairs),
+          l0 AS (SELECT v, v AS lab FROM (SELECT DISTINCT src AS v FROM sym) t),
+          ${round(0)}, ${round(1)}, ${round(2)}, ${round(3)},
+          ds AS (SELECT d.doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(coalesce(l4.lab, d.doc_id) AS VARCHAR)), 1, 12))::BIGINT % 10 = 9
+                        THEN 'val' ELSE 'train' END AS sp
+                 FROM documents d LEFT JOIN l4 ON l4.v = d.doc_id),
+          sizes AS (SELECT count(*) AS n_docs,
+                           CAST(sum(CASE WHEN sp = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+                    FROM ds),
+          pa AS (SELECT count(*) AS n_pairs,
+                        CAST(sum(CASE WHEN a.sp <> b.sp THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+                 FROM pairs p JOIN ds a ON a.doc_id = p.da JOIN ds b ON b.doc_id = p.db)
+          SELECT n_docs, CAST(n_docs - n_val AS BIGINT) AS n_train, n_val,
+                 CAST(n_val * 1000000 // n_docs AS BIGINT) AS val_ppm,
+                 n_pairs, n_leaking
+          FROM sizes CROSS JOIN pa"""
+    },
     "split_leakage_audit" ->
       s"""WITH $duckMinhashPairsCtes,
           cls AS (SELECT

@@ -220,6 +220,21 @@ class LawsSpec extends AnyFunSuite {
     assert(moved <= ties + 2 * tol, s"$moved docs changed selection > $ties + 2·$tol")
   }
 
+  test("split_cluster_aware eliminates the leakage split_leakage_audit measures") {
+    val audit = SparkEntry.queries("split_leakage_audit")(spark, sf).collect()(0)
+    assert(audit.getLong(0) > 0L, "no near-dup pairs — the audit is vacuous")
+    assert(audit.getLong(3) > 0L,
+      "the hash split leaks nothing on this fixture — the fix has nothing to show")
+    val fixed = SparkEntry.queries("split_cluster_aware")(spark, sf).collect()(0)
+    // zero by construction on converged labels (an entire cluster
+    // shares one hash side)
+    assert(fixed.getLong(5) == 0L, s"cluster-aware split still leaks: $fixed")
+    // and the split stays a real ~10% split — cluster-level hashing
+    // moves only the near-dup mass, not the whole corpus
+    val valShare = fixed.getLong(2).toDouble / fixed.getLong(0)
+    assert(valShare > 0.05 && valShare < 0.15, s"val share drifted: $valShare")
+  }
+
   test("labelPropUntilFixed agrees with the unrolled form on the fixture graph") {
     val pairs = operators.LlmText.minhashPairs(spark, sf)
       .select(col("da"), col("db")).persist()
