@@ -8,3 +8,9 @@ object Counts {
     println(s"GRAFT_COUNTS queries=${SparkEntry.queries.size} " +
       s"oracled=${SparkEntry.oracleSql.size}")
 }
+
+/** Key dump for the SURVEY §2 set-diff sanity check (build tooling). */
+object DumpKeys {
+  def main(args: Array[String]): Unit =
+    SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+}

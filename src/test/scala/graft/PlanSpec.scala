@@ -953,6 +953,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_approx_percentile"), p)
   }
 
+  test("text_ngram_novelty's gram-count join degrades to a shuffle when broadcast is off") {
+    // the at-scale shape (round-15 verdict item 3): the per-gram
+    // source-count table is data-sized at 100 TB, so the join must be
+    // UNHINTED — AQE may broadcast it while runtime-small, but with
+    // the threshold forced off the plan has to fall back to a shuffle
+    // join, proving no broadcast hint was baked in
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = SparkEntry.queries("text_ngram_novelty")(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"gram-count join is pinned to broadcast — unsafe at scale:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("events_rfm_approx and sample_dsir_approx plan no window; sketch partial-combines") {
     // the whole point of the twins (round-15 verdict item 1): the
     // score/selection must be broadcast CASE/threshold arithmetic over
