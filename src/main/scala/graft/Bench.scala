@@ -69,6 +69,7 @@ object Bench {
     build("gram_base") { operators.LlmText.gramsCached(spark, sfDir).count() }
     build("minhash_index") { operators.LlmText.ensureMinhashIndex(spark, sfDir) }
     build("winnow_index") { operators.LlmText.ensureWinnowIndex(spark, sfDir) }
+    build("winnow_fps") { operators.LlmText.winnowFps(spark, sfDir).count() }
     // the shared per-session pair graphs (eb3d12b): first consumer pays
     // the full detector pipeline otherwise — dedup_clusters_all's bench
     // row read 23 s cold vs 4.4 s steady in the round-6 run

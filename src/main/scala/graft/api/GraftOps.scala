@@ -200,8 +200,13 @@ object GraftOps {
     * docs are dropped before the join (the boilerplate-stop /
     * anti-quadratic bound), then every (corpus doc, new doc) pair
     * sharing ≥ 2 surviving fingerprints is emitted with its shared
-    * count. A new doc sharing a ≥6-token run with any corpus doc
-    * cannot slip past (the winnowing guarantee). Cost scales with the
+    * count. Guarantee at the ≥2 bar: a single shared ≥6-token run
+    * forces ONE shared fingerprint, so a pair with two such runs — or
+    * one run of ≥ ~10 tokens, whose disjoint selection windows force
+    * two — cannot slip past (CurationSpec plants a 12-token copy at
+    * ~2% Jaccard and asserts the deterministic hit); lower the bar to
+    * 1 for the strict single-run guarantee at the cost of singleton-
+    * fingerprint noise. Cost scales with the
     * batch: one equality shuffle on fp_hash, corpus text untouched. */
   def winnowIncrementalCandidates(indexFps: DataFrame, indexId: Column,
                                   indexFpHash: Column, newDocs: DataFrame,

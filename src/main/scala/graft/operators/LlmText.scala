@@ -320,8 +320,17 @@ object LlmText extends QueryGroup {
     * (CurationSpec): identical-text docs fingerprint identically,
     * per-doc counts within [n_windows/W, n_windows], every window is
     * covered. */
-  private[operators] def winnowFps(s: SparkSession, d: String): DataFrame =
-    winnowFromGrams(gramsCached(s, d))
+  /** One persisted fingerprint table per (session, sf, fixture
+    * fingerprint) — the shCache policy applied to winnowing: three
+    * rungs (text_winnowing, dedup_winnowing, dedup_eval_winnowing)
+    * consume the same fingerprints, and without the cache each
+    * evaluation re-ran the per-doc sliding-min window pipeline over
+    * the gram base. 24-byte rows, a fraction of the gram base. */
+  private val winnowCache = new FingerprintCache
+  private[graft] def winnowFps(s: SparkSession, d: String): DataFrame =
+    winnowCache.getOrElseUpdate(s, s"$d#wfp", Tables.fingerprint(d, "documents"))(
+      winnowFromGrams(gramsCached(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The fingerprint construction over any (doc_id, text) frame —
     * factored out so DedupProps can property-test it against a plain
@@ -511,7 +520,10 @@ object LlmText extends QueryGroup {
     * production-ingest shape with the guarantee-backed detector:
     * fingerprint the NEW batch (doc_id % 5 = 0, ~20%), equality-probe
     * the persisted corpus fingerprint index, emit (corpus doc, new
-    * doc, shared count) candidates at the batch path's ≥2 bar. The
+    * doc, shared count) candidates at the batch path's ≥2 bar (one
+    * ≥6-token run forces one shared fingerprint; a ≥ ~10-token run or
+    * two separate runs force the two the bar needs — the deterministic
+    * floor the banded index can't give at any run length). The
     * boilerplate-stop cap runs on CORPUS frequency (what an ingest
     * knows without scanning the batch): hashes in >50 corpus docs are
     * dropped before the join — the anti-quadratic bound again. Cost

@@ -177,6 +177,40 @@ class CurationSpec extends AnyFunSuite {
       s"uncapped should be quadratic in the boilerplate block, got ${uncapped.length}")
   }
 
+  test("a 12-token copy in long documents: winnowing incremental MUST hit where minhash-verify drops") {
+    // the contrast that justifies carrying two detector families: a
+    // short verbatim copy inside two otherwise-disjoint long docs has
+    // tiny 3-gram Jaccard (10 shared grams / ~400 distinct), so the
+    // >=0.8-Jaccard minhash pair path PROVABLY excludes it — while the
+    // winnowing guarantee makes the incremental probe's hit
+    // deterministic: a 12-token run yields 10 shared grams = 7 full
+    // shared windows, and windows 0 and 4 select from DISJOINT gram
+    // sets, forcing >= 2 distinct shared fingerprints — the probe's
+    // candidate bar — where a single >= 6-token run only forces one
+    val run12 = (0 until 12).map(i => s"quoted$i").mkString(" ")
+    val corpusDoc = (0 until 100).map(i => s"ca$i").mkString(" ") +
+      " " + run12 + " " + (0 until 100).map(i => s"cb$i").mkString(" ")
+    val newDoc = (0 until 100).map(i => s"na$i").mkString(" ") +
+      " " + run12 + " " + (0 until 100).map(i => s"nb$i").mkString(" ")
+    val corpus = spark.createDataFrame(Seq((10L, corpusDoc))).toDF("doc_id", "text")
+    val batch = spark.createDataFrame(Seq((20L, newDoc))).toDF("doc_id", "text")
+    import graft.api.GraftOps
+    val idxFps = GraftOps.winnowFingerprints(corpus, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val hits = GraftOps.winnowIncrementalCandidates(
+        idxFps, col("doc_id"), col("fp_hash"),
+        batch, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(hits == Set((10L, 20L)) || hits.map(p => (p._2, p._1)) == Set((10L, 20L)),
+      s"guarantee violated: 12-token copy not caught, got $hits")
+    // and the minhash pair path (verified Jaccard >= 0.8) provably
+    // drops the same pair: 10 shared 3-grams over ~400 distinct
+    val mh = GraftOps.minhashNearDupPairs(
+        corpus.union(batch), col("doc_id"), col("text"))
+      .collect()
+    assert(mh.isEmpty, s"a ~2% Jaccard pair passed the 0.8 verify: ${mh.mkString}")
+  }
+
   test("sample_kfold folds are exhaustive and every fold is populated") {
     val rows = SparkEntry.queries("sample_kfold")(spark, sf).collect()
     val total = rows.map(_.getLong(2)).sum
