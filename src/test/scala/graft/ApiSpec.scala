@@ -830,6 +830,37 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(api) == rows(SparkEntry.queries("sample_curriculum")(spark, sf)))
   }
 
+  test("library functions degrade to empty results on empty and 1-doc corpora, not errors") {
+    // adoption robustness: a pipeline's first run, a filtered-to-zero
+    // partition, or a single-document source must flow through the
+    // dedup/sampling surface as empty (or trivially-sized) results —
+    // never an analysis error or a planner crash
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val one = spark.createDataFrame(Seq((1L, "alpha beta gamma delta epsilon")))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(empty, one)) {
+      val n = docs.count()
+      assert(GraftOps.dedupExact(docs, col("doc_id"), col("text")).count() == n)
+      assert(GraftOps.minhashNearDupPairs(docs, col("doc_id"), col("text")).count() == 0)
+      val fps = GraftOps.winnowFingerprints(docs, col("doc_id"), col("text"))
+      assert(fps.count() >= 0 && (n > 0 || fps.count() == 0))
+      assert(GraftOps.winnowIncrementalCandidates(
+        fps.select(col("doc_id"), col("fp_hash")), col("doc_id"), col("fp_hash"),
+        docs, col("doc_id"), col("text")).count() == 0) // 5 tokens < W+2 floor → zero fps → zero candidates
+      assert(GraftOps.tokenIntervals(docs, col("doc_id"),
+        size(split(col("text"), " "))).count() == n)
+      assert(GraftOps.curriculumKeys(docs, col("doc_id"), lit(0L), lit(0L),
+        nSources = 1L).count() == n)
+      assert(GraftOps.dsirWeights(docs, col("doc_id"), col("text"),
+        lit(true)).count() == n)
+      assert(GraftOps.dedupCorpus(docs, col("doc_id"), col("text")).count() == n)
+    }
+  }
+
   test("winnowIncrementalCandidates on the fixture split equals dedup_winnowing_incremental") {
     val docs = Tables.documents(spark, sf)
     val indexFps = GraftOps.winnowFingerprints(
