@@ -50,42 +50,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     build("jit_entry") { SparkEntry.entry(spark).count() }
-    // Fingerprint-keyed one-time artifact builds (ANN index, embcos
-    // anchor cells, DPP layout): on a cold scratch dir min-of-2 would
-    // otherwise silently absorb them — honest, but a first-run-vs-warm-
-    // run comparison should see the same per-query numbers.
-    build("ann_index") { operators.LlmVector.ensureAnnIndex(spark, sfDir) }
-    build("embcos_anchors") { operators.LlmVector.ensureEmbcosAnchors(spark, sfDir) }
-    build("dpp_layout") { operators.Scans.ensureDppLayout(spark, sfDir) }
-    build("compact_fragments") { operators.Scans.ensureCompactFragments(spark, sfDir) }
-    build("manifest_layout") { operators.Scans.ensureManifestLayout(spark, sfDir) }
-    build("manifest_delta") { operators.Scans.ensureManifestDelta(spark, sfDir) }
-    build("manifest_delete") { operators.Scans.ensureManifestDelete(spark, sfDir) }
-    build("trade_edges") { operators.Graph.tradeEdgesCached(spark, sfDir).count() }
-    // the shared gram base (round-15 advice item 2): ONE tokenize+md5
-    // pass feeding minhash signatures, winnowing, the novelty table,
-    // and the incremental index — warmed here so no single consumer's
-    // timing absorbs the whole corpus pass
-    build("gram_base") { operators.LlmText.gramsCached(spark, sfDir).count() }
-    build("minhash_index") { operators.LlmText.ensureMinhashIndex(spark, sfDir) }
-    build("winnow_index") { operators.LlmText.ensureWinnowIndex(spark, sfDir) }
-    build("winnow_fps") { operators.LlmText.winnowFps(spark, sfDir).count() }
-    // the shared per-session pair graphs (eb3d12b): first consumer pays
-    // the full detector pipeline otherwise — dedup_clusters_all's bench
-    // row read 23 s cold vs 4.4 s steady in the round-6 run
-    build("minhash_pairs") { operators.LlmText.minhashPairsCached(spark, sfDir).count() }
-    build("simhash_pairs") { operators.LlmText.simhashPairsCached(spark, sfDir).count() }
-    build("embcos_pairs") { operators.LlmVector.embcosPairsCached(spark, sfDir).count() }
-    // the converged-cluster caches (round-7): like the pair graphs,
-    // the first evaluation builds fingerprint-keyed session state (the
-    // localCheckpoint'ed label tables); warm it untimed so the timed
-    // min-of-2 measures the serving path for cold AND warm scratch dirs
-    for (q <- Seq("dedup_clusters", "dedup_clusters_all",
-                  "dedup_clusters_multimodal"))
-      build(s"labels_$q") {
-        SparkEntry.queries(q)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      }
+    // The once-per-fixture artifact/cache inventory (ANN index, layout
+    // copies, gram base, pair graphs, converged labels) lives in
+    // [[Warmup.all]] — shared with PlanSpec's whole-surface plan sweep
+    // so neither caller's numbers depend on scratch-state ordering.
+    // Round 17: the pair graphs and labels are ScratchParquet artifacts,
+    // so on a warm scratch dir (driver re-runs, consecutive local runs)
+    // this block is parquet reads, not detector-pipeline rebuilds.
+    builds ++= Warmup.all(spark, sfDir)
     // Second untimed warm-up wave (round-6 verdict item 4): `entry`
     // exercises scan/join/agg codegen but NOT the window or
     // expand-shaped (rollup/cube/grouping-sets) code paths, so the JIT
@@ -155,12 +127,19 @@ object Bench {
     val bs = builds
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // Line order matters for forensics (round-16 verdict item 6): the
+    // driver's artifact keeps only a ~2000-char TAIL of stdout, so the
+    // oversized per-query line goes FIRST and the compact env/builds
+    // lines go after it — that way loadavg and the builds block survive
+    // into the artifact-of-record (the r16 2× breach could only be
+    // diagnosed from local re-runs because both were truncated away).
+    // The total stays the LAST line — the driver parses that one.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"env","loadavg_start":"$loadStart","loadavg_end":"${
       loadavg()}","cpus":"$cpus","timing":"${
       if (median3) "median3" else "min2"}"}""")
     println(s"""{"metric":"builds","builds":$bs,"total":${
       fmt(builds.map(_._2).sum)},"unit":"sec","sf":"$sfDir"}""")
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling slopes for the heaviest rungs (round-16 verdict
+  * item 3): the PlanSpec invariants prove plan SHAPE (no un-partitioned
+  * windows, banded/bucketed pair enumeration, digest-only shuffles);
+  * this main proves SLOPE — each probe runs at sf0.1 (x1) and at a
+  * locally synthesized 10× fixture (x10), and the reported exponent
+  * log10(t10/t1) must stay near 1 for the linear-claimed rungs and
+  * under its documented bound for the rest.
+  *
+  * The x10 fixture derives from sf0.1 deterministically (no RNG — the
+  * replica transform is pure): 10 replicas of documents/embeddings/
+  * events with disjoint id ranges, where replica k ≠ 0 rewrites token
+  * content (per-token `r{k}` prefix) and cyclically rotates embedding
+  * dimensions (norm- and geometry-preserving within a replica). That
+  * keeps per-replica near-dup/ANN structure IDENTICAL to sf0.1 — so
+  * true pair counts scale exactly 10× — while cross-replica content
+  * stays unrelated (prefixed grams never collide with other replicas'
+  * and rotated embeddings decorrelate). Id offsets are multiples of 5,
+  * preserving every doc_id % 5 split the rungs use.
+  *
+  * Run via scripts/scale_probe.sh, which captures the table into
+  * SCALE.md. */
+object ScaleProbe {
+  private val Mult = 10
+  private val DocOff = 1000000L   // % 5 == 0: preserves split membership
+  private val VecOff = 1000000L
+  private val EvOff = 100000000L
+  private val UserOff = 1000000L
+
+  private def writeSingleFile(df: DataFrame, dir: String, table: String): Unit = {
+    val tmp = s"$dir/_tmp_$table"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file for $table"))
+    val dst = new java.io.File(s"$dir/$table.parquet")
+    dst.delete()
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    Tables.deleteRecursively(new java.io.File(tmp))
+  }
+
+  /** Build the x10 fixture once; `_DONE`-guarded like every artifact. */
+  private def ensureScaleFixture(s: SparkSession, src: String, out: String): Unit = {
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val docs = Tables.documents(s, src)
+    val embs = Tables.embeddings(s, src)
+    val evs = s.read.parquet(s"$src/events.parquet")
+    val docReps = (0 until Mult).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + k * DocOff).as("doc_id"),
+        // per-token replica prefix: same token/gram structure, disjoint
+        // gram content across replicas (near-dup pairs stay in-replica)
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"r$k"), t)), " ").as("text"),
+        col("lang"), col("source"), lit(0L).as("n_chars"))
+        .withColumn("n_chars", length(col("text")))
+    }
+    writeSingleFile(docReps.reduce(_.unionByName(_)), out, "documents")
+    val embReps = (0 until Mult).map { k =>
+      if (k == 0) embs
+      else {
+        val shift = (k * 7) % 64 // cyclic dim rotation: norms + in-replica geometry exact
+        embs.select(
+          (col("vec_id") + k * VecOff).as("vec_id"),
+          concat(slice(col("embedding"), shift + 1, 64 - shift),
+            slice(col("embedding"), 1, shift)).as("embedding"),
+          col("label"))
+      }
+    }
+    writeSingleFile(embReps.reduce(_.unionByName(_)), out, "embeddings")
+    val evReps = (0 until Mult).map { k =>
+      if (k == 0) evs
+      else evs.select(
+        (col("event_id") + k * EvOff).as("event_id"), col("ts"),
+        (col("user_id") + k * UserOff).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    writeSingleFile(evReps.reduce(_.unionByName(_)), out, "events")
+    done.createNewFile(); ()
+  }
+
+  /** Wipe this fixture's probed scratch artifacts so every timed build
+    * is COLD — the probe measures construction cost, not warm reads. */
+  private def cleanScratch(sfBase: String): Unit = {
+    val prefixes = Seq("mhp_pairs_", "shp_pairs_", "emb_pairs_", "multilab_",
+      "wn_index_", "mh_index_")
+    Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => prefixes.exists(p => f.getName.startsWith(p + sfBase + "_")))
+      .foreach(f => Tables.deleteRecursively(f))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val x10 = s"${Tables.scratchDir}/sf1eq"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def loadavg(): String =
+      try java.nio.file.Files.readString(
+          java.nio.file.Path.of("/proc/loadavg")).trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "unavailable" }
+
+    ensureScaleFixture(spark, src, x10)
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // Probe list: the suite's heaviest builds + steady-state rungs, each
+    // with its claimed bound. gram_base runs (timed) before its consumers
+    // so no pair build absorbs the corpus tokenize pass; embcos_anchors
+    // likewise fronts embcos_pairs.
+    val probes: Seq[(String, String => Unit)] = Seq(
+      "gram_base" -> ((d: String) => { operators.LlmText.gramsCached(spark, d).count(); () }),
+      "winnow_index" -> ((d: String) => { operators.LlmText.ensureWinnowIndex(spark, d); () }),
+      "minhash_index" -> ((d: String) => { operators.LlmText.ensureMinhashIndex(spark, d); () }),
+      "minhash_pairs" -> ((d: String) => { operators.LlmText.minhashPairsCached(spark, d).count(); () }),
+      "simhash_pairs" -> ((d: String) => { operators.LlmText.simhashPairsCached(spark, d).count(); () }),
+      "embcos_anchors" -> ((d: String) => { operators.LlmVector.ensureEmbcosAnchors(spark, d); () }),
+      "embcos_pairs" -> ((d: String) => { operators.LlmVector.embcosPairsCached(spark, d).count(); () }),
+      "labels_multimodal" -> ((d: String) =>
+        noop(SparkEntry.queries("dedup_clusters_multimodal")(spark, d))),
+      "dedup_winnowing" -> ((d: String) =>
+        noop(SparkEntry.queries("dedup_winnowing")(spark, d))),
+      "dedup_winnowing_incremental" -> ((d: String) =>
+        noop(SparkEntry.queries("dedup_winnowing_incremental")(spark, d))),
+      "text_dedup_substring" -> ((d: String) =>
+        noop(SparkEntry.queries("text_dedup_substring")(spark, d))),
+      "text_ngram_novelty" -> ((d: String) =>
+        noop(SparkEntry.queries("text_ngram_novelty")(spark, d))),
+      "pipeline_multimodal_e2e" -> ((d: String) =>
+        noop(SparkEntry.queries("pipeline_multimodal_e2e")(spark, d))),
+    )
+    // untimed JIT/codegen warm-up at sf0.01 — pays the generated-class
+    // compilation so the x1 timings aren't first-evaluation inflated
+    val warm = src.replace("sf0.1", "sf0.01")
+    if (new java.io.File(warm).isDirectory)
+      probes.foreach { case (_, f) => try f(warm) catch { case _: Throwable => () } }
+
+    cleanScratch(new java.io.File(src).getName)
+    cleanScratch("sf1eq")
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val loadStart = loadavg()
+    val results = probes.map { case (name, f) =>
+      def time(d: String): Double = {
+        val t0 = System.nanoTime()
+        f(d)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = time(src)
+      val t10 = time(x10)
+      val exp = math.log10(t10 / t1)
+      println(s"""{"probe":"$name","t1":${fmt(t1)},"t10":${fmt(t10)},"exponent":${fmt(exp)}}""")
+      (name, t1, t10, exp)
+    }
+    println(s"""{"metric":"scale_env","loadavg_start":"$loadStart","loadavg_end":"${
+      loadavg()}","cpus":"$cpus","x1":"$src","x10":"$x10"}""")
+    println("| probe | t(x1) s | t(x10) s | exponent log10(t10/t1) |")
+    println("| --- | --- | --- | --- |")
+    results.foreach { case (n, t1, t10, e) =>
+      println(s"| $n | ${fmt(t1)} | ${fmt(t10)} | ${fmt(e)} |")
+    }
+    spark.stop()
+  }
+}

@@ -16,6 +16,76 @@ import org.apache.spark.sql.types._
   * keeps the declared queries' scale shapes: digest-keyed dedup shuffles,
   * equality-bucket LSH candidate joins, single-reference label
   * propagation, pure-row-function sampling.
+  *
+  * ==Usage examples==
+  *
+  * Each block below is mirrored verbatim by an ApiSpec test
+  * ("scaladoc usage examples run as written"), so the examples compile
+  * and run, not just render.
+  *
+  * '''Dedup gate''' — normalize, drop exact copies, then screen an
+  * incoming batch against the corpus fingerprint index (winnowing's
+  * ≥6-token-run guarantee; see [[GraftOps.winnowIncrementalCandidates]]
+  * for the precise ≥2-bar statement):
+  * {{{
+  * import graft.api.GraftOps._
+  * import org.apache.spark.sql.functions.col
+  *
+  * val survivors = dedupExact(corpus, col("doc_id"), col("text"))
+  * // persist once per ingest epoch; 16 bytes per (doc, fingerprint)
+  * val index = winnowFingerprints(corpus, col("doc_id"), col("text"))
+  * val nearDupCandidates = winnowIncrementalCandidates(
+  *   index, col("doc_id"), col("fp_hash"),
+  *   newBatch, col("doc_id"), col("text"))   // (corpus_id, new_id, n_shared)
+  * }}}
+  *
+  * '''Retrieval cascade''' — lexical leg + vector leg, fused with RRF:
+  * {{{
+  * import graft.api.GraftOps._
+  * import org.apache.spark.sql.functions.{col, lit}
+  *
+  * val lexical = bm25Rank(corpus, col("doc_id"), col("text"),
+  *   queryTerms, col("qid"), col("term"))          // (qid, rank, doc_id, bm25)
+  * val vector = knnCosine(embeddings, col("vec_id"), col("embedding"),
+  *   queryVecs, col("qid"), col("qvec"), k = 10)   // (qid, rank, doc_id≡vec_id, cos)
+  * val fused = rrfFuse(
+  *   lexical.select(col("qid"), col("doc_id"), col("rank")),
+  *   vector.select(col("qid"), col("vec_id").as("doc_id"), col("rank")),
+  *   k = 10)                                       // (qid, rank, doc_id, rrf, n_legs)
+  * }}}
+  *
+  * '''Split hygiene''' — deterministic train/val membership, then make
+  * the split near-dup-leak-free by hashing the CLUSTER label instead of
+  * the doc id (the split_cluster_aware construction):
+  * {{{
+  * import graft.api.GraftOps._
+  * import org.apache.spark.sql.functions.{coalesce, col}
+  *
+  * val naive = corpus.withColumn("is_val", hashBucket(col("doc_id"), 100) < 10)
+  * val pairs = minhashNearDupPairs(corpus, col("doc_id"), col("text")).persist()
+  * val labels = connectedComponents(pairs, "ida", "idb")     // (v, lab)
+  * val hygienic = corpus
+  *   .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+  *   .withColumn("is_val",
+  *     hashBucket(coalesce(col("lab"), col("doc_id")), 100) < 10)
+  * // near-dup pairs now land on the SAME side by construction
+  * }}}
+  *
+  * '''Curation''' — quality-gate, importance-weight toward a target
+  * slice, and stage a curriculum:
+  * {{{
+  * import graft.api.GraftOps._
+  * import org.apache.spark.sql.functions.{col, lit}
+  *
+  * val scored = corpus.withColumn("q",
+  *   qualityScore(normalizeText(col("text")), Seq("the", "a", "of")))
+  * val weights = dsirWeights(corpus, col("doc_id"), col("text"),
+  *   isTarget = col("source") === "src0")          // (doc_id, …, imp_nano)
+  * val ordered = curriculumKeys(
+  *   scored.withColumn("stage", (col("q") < 1.5).cast("long")),
+  *   col("doc_id"), col("stage"), col("doc_id") % 4, nSources = 4L)
+  * // sort by curriculum_key → easy-first, source-interleaved order
+  * }}}
   */
 object GraftOps {
 
@@ -144,14 +214,19 @@ object GraftOps {
     * each row's interval = bucket offset + within-bucket running sum.
     * The [start, end) intervals are what sequence packing, budget
     * cutoffs, and shard assignment all derive from. `id` must be
-    * non-negative and unique. Eagerly materializes the narrow
-    * (id, ntok) projection (it is read twice — one job runs at call
-    * time), so pass the cheapest id/ntok expressions you have. */
+    * non-negative and unique. The narrow (id, ntok) projection is
+    * checkpointed LAZILY (it is read twice — once for the bucket
+    * totals, once for the per-row sum — so the input job must not run
+    * twice), materializing on the FIRST action against the result
+    * rather than at call time: a library entry point must not run a
+    * Spark job on the caller's frame before any action is requested
+    * (round-16 ADVICE item 4). Pass the cheapest id/ntok expressions
+    * you have. */
   def tokenIntervals(df: DataFrame, id: Column, ntok: Column,
                      bucket: Long = 1000L): DataFrame =
     graft.operators.Curation.tokenIntervalsOf(
       df.select(id.cast(LongType).as("doc_id"),
-                ntok.cast(LongType).as("ntok")).localCheckpoint(),
+                ntok.cast(LongType).as("ntok")).localCheckpoint(eager = false),
       bucket)
 
   /** Deterministic curriculum ordering keys over caller-staged docs —
@@ -162,7 +237,12 @@ object GraftOps {
     * each stage (no long single-source runs). Pure arithmetic over
     * per-(stage, source) row_numbers — stage·10¹² + (rank−1)·S + src —
     * never a global sort/ntile; keys are sparse-but-monotone when
-    * sources exhaust. Returns (doc_id, stage, src_idx,
+    * sources exhaust. Capacity bound (round-16 ADVICE): the stage
+    * radix is 10¹², so each stage holds at most 10¹²/nSources rows
+    * per source (10⁸ at nSources = 10⁴); exceeding it raises an error
+    * at evaluation time rather than silently colliding keys into the
+    * next stage. Long overflow caps usable stages at ~9.2·10⁶.
+    * Returns (doc_id, stage, src_idx,
     * curriculum_key); sort by curriculum_key to materialize the
     * training order. */
   def curriculumKeys(df: DataFrame, id: Column, stage: Column,
@@ -200,18 +280,28 @@ object GraftOps {
     * docs are dropped before the join (the boilerplate-stop /
     * anti-quadratic bound), then every (corpus doc, new doc) pair
     * sharing ≥ 2 surviving fingerprints is emitted with its shared
-    * count. Guarantee at the ≥2 bar: a single shared ≥6-token run
-    * forces ONE shared fingerprint, so a pair with two such runs — or
-    * one run of ≥ ~10 tokens, whose disjoint selection windows force
-    * two — cannot slip past (CurationSpec plants a 12-token copy at
-    * ~2% Jaccard and asserts the deterministic hit); lower the bar to
-    * 1 for the strict single-run guarantee at the cost of singleton-
+    * count. Guarantee at the ≥2 bar, stated precisely: a single
+    * shared ≥6-token run forces ONE shared fingerprint (n_shared
+    * counts DISTINCT hashes), so the bar is met by (a) two shared
+    * runs with distinct gram content, or (b) one shared run of
+    * ≥ ~10 tokens whose disjoint selection windows contain ≥ 2
+    * DISTINCT 3-grams — window disjointness forces two selections,
+    * but only differing gram content forces two different hashes.
+    * What this does NOT cover: repetitive boilerplate. A run of one
+    * repeated token ("spam spam … spam", any length) winnows to a
+    * single fingerprint, and two copies of the SAME run anywhere in
+    * a doc add nothing new — such pairs stop at n_shared = 1 and
+    * slip the ≥2 filter (CurationSpec documents the miss on a
+    * 12-token repeated-token run, alongside the deterministic hit
+    * on a 12-token distinct-gram copy). Lower the bar to 1 for the
+    * strict any-single-run guarantee at the cost of singleton-
     * fingerprint noise. Cost scales with the
     * batch: one equality shuffle on fp_hash, corpus text untouched. */
   def winnowIncrementalCandidates(indexFps: DataFrame, indexId: Column,
                                   indexFpHash: Column, newDocs: DataFrame,
                                   id: Column, text: Column,
-                                  cap: Long = 50L): DataFrame = {
+                                  cap: Long = 50L,
+                                  minShared: Long = 2L): DataFrame = {
     val idx = indexFps
       .select(indexId.as("corpus_id"), indexFpHash.as("fp_hash")).distinct()
     val rareIdx = idx.join(
@@ -223,7 +313,38 @@ object GraftOps {
     rareIdx.join(delta, Seq("fp_hash"))
       .groupBy(col("corpus_id"), col("new_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2L)
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Exact brute-force cosine top-k — sim_knn_batch's shape
+    * parameterized (the baseline every ANN recall number is measured
+    * against): broadcast the query batch across one corpus pass, score
+    * with the exact double cosine fold ([[cosineSim]] — bit-identical
+    * to the codegen'd cosine_f32, per VectorSpec), rank per query with
+    * a vec_id tie-break (total order → partitioning-exact results).
+    * Returns (qid, rank, vec_id, cos_sim) with cos_sim rounded to 6 dp
+    * for engine portability. `excludeSelf` drops candidates whose id
+    * equals the query id (self-retrieval, when queries come from the
+    * corpus). Scale shape: per-query cost is one corpus scan amortized
+    * across the whole broadcast batch — shard very large query sets
+    * into batches; the corpus is never shuffled. For sub-scan latency
+    * use the IVF/PQ ladder (sim_knn_ivf*), measured against THIS as
+    * ground truth. */
+  def knnCosine(corpus: DataFrame, id: Column, emb: Column,
+                queries: DataFrame, qid: Column, qvec: Column,
+                k: Int = 10, excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(id.as("vec_id"), emb.as("embedding"))
+    val q = queries.select(qid.as("qid"), qvec.as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val cand = e.crossJoin(broadcast(q))
+    (if (excludeSelf) cand.filter(col("vec_id") =!= col("qid")) else cand)
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("vec_id"), (round(col("cos"), 6) + lit(0.0)).as("cos_sim"))
   }
 
   /** Okapi BM25 top-10 retrieval ranking over caller docs and query

@@ -503,8 +503,12 @@ object LlmText extends QueryGroup {
     * past). Fingerprint-keyed like the minhash index; built once per
     * session+sf from the shared gram base. */
   private[graft] def ensureWinnowIndex(s: SparkSession, d: String): String = {
+    // Construction-version salt (round-16 ADVICE item 2): the signature
+    // basis has already changed once (distinct-on-gh, 2³¹ radix) — a
+    // warm scratch dir from an older construction must rebuild, not be
+    // served. The fixture fingerprint alone can't see code changes.
     val path = s"${graft.Tables.scratchDir}/wn_index_${new java.io.File(d).getName}" +
-      s"_${Tables.fingerprint(d, "documents")}"
+      s"_${Tables.fingerprint(d, "documents")}_${ScratchParquet.ConstructionVersion}"
     val done = new java.io.File(s"$path/_DONE")
     if (!done.exists()) {
       winnowFromGrams(gramsCached(s, d).filter(col("doc_id") % 5 =!= 0))
@@ -521,9 +525,14 @@ object LlmText extends QueryGroup {
     * fingerprint the NEW batch (doc_id % 5 = 0, ~20%), equality-probe
     * the persisted corpus fingerprint index, emit (corpus doc, new
     * doc, shared count) candidates at the batch path's ≥2 bar (one
-    * ≥6-token run forces one shared fingerprint; a ≥ ~10-token run or
-    * two separate runs force the two the bar needs — the deterministic
-    * floor the banded index can't give at any run length). The
+    * ≥6-token run forces one shared DISTINCT fingerprint; two runs
+    * with distinct gram content — or one ≥ ~10-token run whose
+    * disjoint selection windows hold ≥ 2 distinct 3-grams — force the
+    * two the bar needs. Repetitive single-gram runs winnow to one
+    * fingerprint at any length and stop at n_shared = 1; see the
+    * GraftOps.winnowIncrementalCandidates scaladoc for the precise
+    * statement — still the deterministic floor the banded index can't
+    * give at any run length). The
     * boilerplate-stop cap runs on CORPUS frequency (what an ingest
     * knows without scanning the batch): hashes in >50 corpus docs are
     * dropped before the join — the anti-quadratic bound again. Cost
@@ -875,11 +884,19 @@ object LlmText extends QueryGroup {
     * policy query project their slice out of THIS table. */
   private def multiLabelsCached(s: SparkSession, d: String): DataFrame =
     labelCache.getOrElseUpdate(s, s"$d#multi#lab", unionFp(d))(
-      multiLabelProp(
-        pairCache.getOrElseUpdate(s, s"$d#multi", unionFp(d))(
-          taggedUnionEdges(s, d)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-        iters = 4).localCheckpoint())
+      // Round 17: converged labels are a ScratchParquet artifact. The
+      // parquet read gives the SAME lineage truncation the old
+      // localCheckpoint gave (a leaf scan node — each consumer plans a
+      // 4-node tree), plus cross-JVM reuse: the 4-round propagation over
+      // the union graph (15.9 s at sf0.1) runs once per fixture
+      // generation, not once per process.
+      ScratchParquet.ensure(s, "multilab", d, unionFp(d))(
+        multiLabelProp(
+          pairCache.getOrElseUpdate(s, s"$d#multi", unionFp(d))(
+            taggedUnionEdges(s, d)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+          iters = 4))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Per-subgraph node labels, projected from the multi-label table:
     * `mh` = minhash graph (lm non-null), `all` = minhash ∪ simhash
@@ -911,17 +928,25 @@ object LlmText extends QueryGroup {
   /** THE minhash pair graph — every consumer (pair listing, single- and
     * cross-source clustering) reads this one persisted lineage, so per
     * (session, sf, fingerprint) the banding + verify pipeline runs once,
-    * not once per consumer. */
-  private[graft] def minhashPairsCached(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate(s, s"$d#mhp", Tables.fingerprint(d, "documents"))(
-      minhashPairs(s, d)
+    * not once per consumer. Round 17: the graph itself is a
+    * [[ScratchParquet]] artifact — built once per (fixture fingerprint,
+    * construction version) and re-read as a parquet scan by every later
+    * JVM, the ensureWinnowIndex posture applied to the heaviest session
+    * builds (6.6 s rebuilt vs a sub-100 ms warm read). */
+  private[graft] def minhashPairsCached(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.fingerprint(d, "documents")
+    pairCache.getOrElseUpdate(s, s"$d#mhp", fp)(
+      ScratchParquet.ensure(s, "mhp_pairs", d, fp)(minhashPairs(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** THE simhash pair graph (see [[minhashPairsCached]]). */
-  private[graft] def simhashPairsCached(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate(s, s"$d#shp", Tables.fingerprint(d, "documents"))(
-      simhashPairs(s, d)
+  private[graft] def simhashPairsCached(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.fingerprint(d, "documents")
+    pairCache.getOrElseUpdate(s, s"$d#shp", fp)(
+      ScratchParquet.ensure(s, "shp_pairs", d, fp)(simhashPairs(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private val dedupNearMinhash: QFn = (s, d) =>
     minhashPairsCached(s, d)
@@ -1135,8 +1160,9 @@ object LlmText extends QueryGroup {
     * against the corpus WITHOUT re-reading or re-shingling corpus text.
     * Fingerprint-keyed like the ANN index; built once per session+sf. */
   private[graft] def ensureMinhashIndex(s: SparkSession, d: String): String = {
+    // Construction-version salt — see [[ensureWinnowIndex]].
     val path = s"${graft.Tables.scratchDir}/mh_index_${new java.io.File(d).getName}" +
-      s"_${Tables.fingerprint(d, "documents")}"
+      s"_${Tables.fingerprint(d, "documents")}_${ScratchParquet.ConstructionVersion}"
     val done = new java.io.File(s"$path/_DONE")
     if (!done.exists()) {
       minhashBands(gramsCached(s, d).filter(col("doc_id") % 5 =!= 0))

@@ -633,11 +633,17 @@ object LlmVector extends QueryGroup {
   private[graft] val AnchorMapWidth = 3   // coarse cells each anchor is reachable from
   private[graft] val CellsPerVector = 4   // anchor cells a vector is assigned to
 
-  private[graft] def embcosPairsCached(s: SparkSession, d: String): DataFrame =
-    embPairCache.getOrElseUpdate(s, s"$d#emb", Tables.fingerprint(d, "embeddings"))( {
-      embcosPairsBuild(s, d, ProbeCoarseCells, AnchorMapWidth, CellsPerVector)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+  private[graft] def embcosPairsCached(s: SparkSession, d: String): DataFrame = {
+    // Round 17: ScratchParquet artifact — the anchor-cell fit + probe +
+    // exact verify (12.0 s at sf0.1, the heaviest session build) runs
+    // once per (fixture fingerprint, construction version); later JVMs
+    // read the finished (ia, ib, cos) parquet.
+    val fp = Tables.fingerprint(d, "embeddings")
+    embPairCache.getOrElseUpdate(s, s"$d#emb", fp)(
+      ScratchParquet.ensure(s, "emb_pairs", d, fp)(
+        embcosPairsBuild(s, d, ProbeCoarseCells, AnchorMapWidth, CellsPerVector))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** The un-cached pair construction, probe widths as parameters so the
     * recall sweep (VectorSpec) can measure alternative settings without

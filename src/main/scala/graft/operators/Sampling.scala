@@ -268,9 +268,21 @@ object Sampling extends QueryGroup {
         conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":cur"))),
           1, 12), 16, 10).cast(LongType))
       .withColumn("r", row_number().over(w).cast(LongType))
+      // Capacity guard (round-16 ADVICE): the stage radix is a fixed
+      // 10¹², so the within-stage offset (r−1)·S + src must stay below
+      // it — at nSources = 10⁴ that is 10⁸ rows per (stage, source).
+      // Past the bound keys would silently collide into the NEXT stage;
+      // raise_error makes the violation loud instead, at zero cost on
+      // the happy path (one codegen'd comparison per row).
+      .withColumn("off", (col("r") - 1L) * nSources + col("src_idx"))
       .select(col("doc_id"), col("stage"), col("src_idx"),
-        (col("stage") * 1000000000000L + (col("r") - 1L) * nSources
-          + col("src_idx")).as("curriculum_key"))
+        (col("stage") * 1000000000000L +
+          when(col("off") < 1000000000000L, col("off"))
+            .otherwise(raise_error(concat(
+              lit("curriculumKeys capacity exceeded: (rank-1)*nSources+src = "),
+              col("off").cast(StringType),
+              lit(" >= 10^12; shrink the stage or use a wider key")))))
+          .as("curriculum_key"))
   }
 
   val queries: Seq[(String, QFn)] = Seq(

@@ -880,4 +880,79 @@ class ApiSpec extends AnyFunSuite {
       .select(col("doc_id"), col("n_tokens"), col("w_nano"), col("imp_nano"))
     assert(rows(api) == rows(declared))
   }
+
+  test("knnCosine(excludeSelf, k=5) equals sim_knn_batch on the fixture queries") {
+    val e = Tables.embeddings(spark, sf)
+    val api = GraftOps.knnCosine(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10L),
+        col("vec_id"), col("embedding"), k = 5, excludeSelf = true)
+      .orderBy(col("qid"), col("rank"))
+    assert(rows(api) == rows(SparkEntry.queries("sim_knn_batch")(spark, sf)))
+  }
+
+  test("scaladoc usage examples run as written") {
+    // These four blocks mirror the GraftOps object scaladoc verbatim
+    // (modulo the fixture bindings below) — if an example drifts from
+    // the API, this test breaks before a reader does.
+    import graft.api.GraftOps._
+    val corpus = Tables.documents(spark, sf)
+    val newBatch = corpus.filter(col("doc_id") % 5 === 0)
+    val embeddings = Tables.embeddings(spark, sf)
+    val queryVecs = embeddings.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val queryTerms = spark.createDataFrame(
+      Seq((0L, "the"), (0L, "fast"), (1L, "merge"))).toDF("qid", "term")
+
+    // dedup gate
+    val survivors = dedupExact(corpus, col("doc_id"), col("text"))
+    val index = winnowFingerprints(corpus, col("doc_id"), col("text"))
+    val nearDupCandidates = winnowIncrementalCandidates(
+      index, col("doc_id"), col("fp_hash"),
+      newBatch, col("doc_id"), col("text"))
+    assert(survivors.count() > 0 && nearDupCandidates.columns.toSeq ==
+      Seq("corpus_id", "new_id", "n_shared"))
+
+    // retrieval cascade
+    val lexical = bm25Rank(corpus, col("doc_id"), col("text"),
+      queryTerms, col("qid"), col("term"))
+    val vector = knnCosine(embeddings, col("vec_id"), col("embedding"),
+      queryVecs, col("qid"), col("qvec"), k = 10)
+    val fused = rrfFuse(
+      lexical.select(col("qid"), col("doc_id"), col("rank")),
+      vector.select(col("qid"), col("vec_id").as("doc_id"), col("rank")),
+      k = 10)
+    assert(fused.columns.toSeq == Seq("qid", "rank", "doc_id", "rrf", "n_legs")
+      && fused.count() > 0)
+
+    // split hygiene
+    val naive = corpus.withColumn("is_val", hashBucket(col("doc_id"), 100) < 10)
+    val pairs = minhashNearDupPairs(corpus, col("doc_id"), col("text")).persist()
+    val labels = connectedComponents(pairs, "ida", "idb")
+    val hygienic = corpus
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("is_val",
+        hashBucket(coalesce(col("lab"), col("doc_id")), 100) < 10)
+    // the example's claim, verified: zero near-dup pairs straddle the split
+    val side = hygienic.select(col("doc_id"), col("is_val"))
+    val leaking = pairs
+      .join(side.select(col("doc_id").as("ida"), col("is_val").as("va")), "ida")
+      .join(side.select(col("doc_id").as("idb"), col("is_val").as("vb")), "idb")
+      .filter(col("va") =!= col("vb")).count()
+    assert(leaking == 0L, s"cluster-aware split leaked $leaking pairs")
+    assert(naive.count() == corpus.count())
+    pairs.unpersist()
+
+    // curation
+    val scored = corpus.withColumn("q",
+      qualityScore(normalizeText(col("text")), Seq("the", "a", "of")))
+    val weights = dsirWeights(corpus, col("doc_id"), col("text"),
+      col("source") === "src0")
+    val ordered = curriculumKeys(
+      scored.withColumn("stage", (col("q") < 1.5).cast("long")),
+      col("doc_id"), col("stage"), col("doc_id") % 4, nSources = 4L)
+    assert(weights.count() == corpus.count() && ordered.count() == corpus.count())
+    assert(ordered.select(countDistinct(col("curriculum_key"))).collect()(0).getLong(0)
+      == corpus.count(), "curriculum keys must be unique")
+  }
 }

@@ -134,4 +134,36 @@ class CacheSpec extends AnyFunSuite {
       assert(operators.LlmText.bpeFitFingerprints(spark, TestSpark.sf) == otherFps,
         "evicting one fixture's fit must not thrash another fixture's slot")
   }
+
+  test("ScratchParquet: build-once, warm read, version/fp invalidation") {
+    val sp = spark
+    import sp.implicits._
+    val d = s"${Tables.scratchDir}/cache_spec_scratch_fixture"
+    new java.io.File(d).mkdirs()
+    var builds = 0
+    def build() = { builds += 1
+      Seq((1L, 0.5, "a"), (2L, 0.25, "b")).toDF("id", "x", "s") }
+    // cold: builds and persists
+    val r1 = operators.ScratchParquet.ensure(spark, "cachespec_art", d, "fpA")(build())
+    assert(builds == 1)
+    assert(r1.orderBy("id").collect().map(_.toSeq.toList).toList ==
+      List(List(1L, 0.5, "a"), List(2L, 0.25, "b")))
+    // warm: SAME (name, fp, version) must NOT rebuild — reads the artifact
+    val r2 = operators.ScratchParquet.ensure(spark, "cachespec_art", d, "fpA")(
+      { builds += 1; fail("warm read must not invoke the builder") })
+    assert(builds == 1)
+    assert(r2.schema == r1.schema, "schema must round-trip exactly")
+    // zero-row artifacts round-trip (pair graph with no near-dups)
+    val e1 = operators.ScratchParquet.ensure(spark, "cachespec_empty", d, "fpA")(
+      Seq.empty[(Long, Long)].toDF("da", "db"))
+    assert(e1.count() == 0 && e1.schema.fieldNames.toList == List("da", "db"))
+    // new fingerprint: rebuilds AND deletes the superseded generation
+    operators.ScratchParquet.ensure(spark, "cachespec_art", d, "fpB")(build())
+    assert(builds == 2)
+    val dirs = Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.startsWith("cachespec_art_cache_spec_scratch_fixture_")).toList
+    assert(dirs.length == 1 && dirs.head.contains("fpB"),
+      s"stale generation must be cleaned up, saw: $dirs")
+  }
 }

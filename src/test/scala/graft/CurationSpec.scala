@@ -211,6 +211,47 @@ class CurationSpec extends AnyFunSuite {
     assert(mh.isEmpty, s"a ~2% Jaccard pair passed the 0.8 verify: ${mh.mkString}")
   }
 
+  test("repeated-token run: the >=2 bar misses (documented), minShared=1 catches") {
+    // The precise guarantee boundary (round-16 ADVICE, medium): winnowing
+    // counts DISTINCT fingerprints, and a run of one repeated token
+    // produces ONE distinct 3-gram at any length — every selection window
+    // picks the same hash, so a shared 12-token "spam ... spam" run stops
+    // at n_shared = 1 and slips the default >=2 filter. This is exactly
+    // the repetitive boilerplate real dedup sees; the documented remedy is
+    // minShared = 1 (strict any-single-run guarantee, singleton noise).
+    val run12 = Seq.fill(12)("spam").mkString(" ")
+    val corpusDoc = (0 until 100).map(i => s"ca$i").mkString(" ") +
+      " " + run12 + " " + (0 until 100).map(i => s"cb$i").mkString(" ")
+    val newDoc = (0 until 100).map(i => s"na$i").mkString(" ") +
+      " " + run12 + " " + (0 until 100).map(i => s"nb$i").mkString(" ")
+    val corpus = spark.createDataFrame(Seq((10L, corpusDoc))).toDF("doc_id", "text")
+    val batch = spark.createDataFrame(Seq((20L, newDoc))).toDF("doc_id", "text")
+    import graft.api.GraftOps
+    val idxFps = GraftOps.winnowFingerprints(corpus, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    // the repeated run contributes exactly one distinct fingerprint…
+    val sharedFps = idxFps.join(
+        GraftOps.winnowFingerprints(batch, col("doc_id"), col("text"))
+          .select(col("fp_hash")).distinct(), Seq("fp_hash"))
+      .select(col("fp_hash")).distinct().count()
+    assert(sharedFps == 1L,
+      s"a single-gram run must winnow to exactly one shared fp, got $sharedFps")
+    // …so the default bar misses the pair (the documented limitation)…
+    val atBar2 = GraftOps.winnowIncrementalCandidates(
+      idxFps, col("doc_id"), col("fp_hash"),
+      batch, col("doc_id"), col("text")).collect()
+    assert(atBar2.isEmpty,
+      s"repeated-token run unexpectedly met the >=2 bar: ${atBar2.mkString}")
+    // …and minShared = 1 restores the strict single-run guarantee
+    val atBar1 = GraftOps.winnowIncrementalCandidates(
+        idxFps, col("doc_id"), col("fp_hash"),
+        batch, col("doc_id"), col("text"), minShared = 1L)
+      .select(col("corpus_id"), col("new_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atBar1 == Set((10L, 20L)),
+      s"minShared=1 must catch the repeated-token copy, got $atBar1")
+  }
+
   test("sample_kfold folds are exhaustive and every fold is populated") {
     val rows = SparkEntry.queries("sample_kfold")(spark, sf).collect()
     val total = rows.map(_.getLong(2)).sum

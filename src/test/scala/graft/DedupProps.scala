@@ -397,4 +397,82 @@ class DedupProps extends Properties("graft") {
           got == clipRef(toks, emb)
         }
     }
+
+  /** Plain-Scala union-find: min-vertex representative per component.
+    * The reference for the label-propagation properties below — an
+    * algorithm with nothing in common with iterated min-joins, so
+    * agreement is evidence, not tautology. */
+  private def unionFind(vs: Set[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(vs.map(v => v -> v).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the MIN representative: union always roots the
+    // smaller id, so find() lands on the component minimum
+    vs.map(v => v -> find(v)).toMap
+  }
+
+  private val graphGen: Gen[(Set[Long], List[(Long, Long)])] = for {
+    n <- Gen.choose(2, 10)
+    // sparse ids — catches any accidental dependence on dense 0..n-1
+    ids <- Gen.listOfN(n, Gen.choose(0L, 500L)).map(_.toSet).suchThat(_.size >= 2)
+    idSeq = ids.toSeq.sorted
+    ne <- Gen.choose(0, 12)
+    es <- Gen.listOfN(ne, Gen.zip(Gen.oneOf(idSeq), Gen.oneOf(idSeq)))
+  } yield (ids, es.filter(e => e._1 != e._2))
+
+  property("labelPropUntilFixed equals union-find components on random graphs") =
+    Prop.forAll(graphGen) { case (vs, es) =>
+      val spark = TestSpark.spark
+      import org.apache.spark.sql.functions._
+      // the caller contract: symmetric edges + a self-loop per vertex
+      val sym = es.flatMap(e => Seq(e, e.swap)) ++ vs.map(v => (v, v))
+      val edges = spark.createDataFrame(sym.distinct).toDF("src", "dst")
+      val got = graft.operators.LlmText.labelPropUntilFixed(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(vs, es)
+      (got == want) :| s"labelPropUntilFixed=$got unionFind=$want"
+    }
+
+  property("multiLabelProp per-tag slices equal union-find over each tagged subgraph") =
+    Prop.forAll(graphGen, Gen.listOfN(24, Gen.oneOf(0, 1, 2))) { case ((vs, es), tags) =>
+      val spark = TestSpark.spark
+      import org.apache.spark.sql.functions._
+      // tag each edge like the cross-modal union graph: tag 0 → minhash
+      // (m=a=true), 1 → simhash (a only), 2 → embcos (union only);
+      // m ⊆ a ⊆ union by construction, like taggedUnionEdges
+      val tagged = es.zipWithIndex.map { case ((a, b), i) =>
+        val t = tags(i % tags.length)
+        (a, b, t == 0, t <= 1)
+      }
+      // the taggedUnionEdges construction: symmetrize, then per-vertex
+      // self-loops carrying max of incident memberships
+      val symT = tagged.flatMap { case (a, b, m, aa) => Seq((a, b, m, aa), (b, a, m, aa)) }
+      val loops = vs.toSeq.map { v =>
+        val inc = symT.filter(_._1 == v)
+        (v, v, inc.exists(_._3), inc.exists(_._4))
+      }
+      val edges = spark.createDataFrame((symT ++ loops).distinct)
+        .toDF("src", "dst", "m", "a")
+      val iters = vs.size // diameter ≤ |V|−1 < iters rounds guarantees convergence
+      val got = graft.operators.LlmText.multiLabelProp(edges, iters)
+        .collect().map(r => (r.getLong(0),
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+           if (r.isNullAt(2)) None else Some(r.getLong(2)),
+           r.getLong(3)))).toMap
+      def slice(p: ((Long, Long, Boolean, Boolean)) => Boolean) = {
+        val se = tagged.filter(p).map(e => (e._1, e._2))
+        val sv = se.flatMap(e => Seq(e._1, e._2)).toSet
+        unionFind(sv, se)
+      }
+      val mRef = slice(_._3); val aRef = slice(_._4); val uRef = unionFind(vs, es)
+      val want = vs.map(v => v -> (mRef.get(v), aRef.get(v), uRef(v))).toMap
+      (got == want) :| s"multiLabelProp=$got want=$want"
+    }
 }

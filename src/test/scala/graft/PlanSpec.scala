@@ -1007,6 +1007,14 @@ class PlanSpec extends AnyFunSuite {
       "text_bm25",               // query-term rank over the 15-row
       "sim_hybrid_rrf")          // TakeOrdered term slice (and rrf's
                                  // legs rank ≤ |queries|·k fused rows)
+    // Pre-warm the once-per-fixture artifact/cache inventory (round-16
+    // ADVICE item 5): rung bodies run ensure* builds and cache persists
+    // as construction-time side effects, so capturing every query's
+    // optimizedPlan was order-dependent on which earlier spec had
+    // warmed which scratch artifact. One named warm-up pass makes the
+    // sweep deterministic; with the ScratchParquet layer the warm cost
+    // is parquet reads, not pipeline rebuilds.
+    Warmup.all(spark, TestSpark.sf)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (exactCompanions(name)) None
       else {
