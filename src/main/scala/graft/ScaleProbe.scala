@@ -89,11 +89,14 @@ object ScaleProbe {
   /** Wipe this fixture's probed scratch artifacts so every timed build
     * is COLD — the probe measures construction cost, not warm reads. */
   private def cleanScratch(sfBase: String): Unit = {
+    // the anchors/ann paths interpose a version token between prefix and
+    // sf base, so match on prefix + an "_<sfBase>_" segment
     val prefixes = Seq("mhp_pairs_", "shp_pairs_", "emb_pairs_", "multilab_",
-      "wn_index_", "mh_index_")
+      "wn_index_", "mh_index_", "embcos_anchors_", "ann_index_")
     Option(new java.io.File(Tables.scratchDir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => prefixes.exists(p => f.getName.startsWith(p + sfBase + "_")))
+      .filter(f => prefixes.exists(p => f.getName.startsWith(p) &&
+        f.getName.contains(s"_${sfBase}_")))
       .foreach(f => Tables.deleteRecursively(f))
   }
 
@@ -151,6 +154,16 @@ object ScaleProbe {
 
     cleanScratch(new java.io.File(src).getName)
     cleanScratch("sf1eq")
+    // The documented complexity bound per probe, as a max exponent over
+    // a 10× step (plus generous headroom for fixed cost + host noise —
+    // the point is catching a QUADRATIC regression, whose exponent is
+    // 2.0, not adjudicating 1.0 vs 1.1). embcos_anchors is the one
+    // super-linear build BY DESIGN below the FitPointsPerAnchor binding
+    // point (k = √n anchors × full-corpus Lloyd = n^1.5 until n ≈ 65k,
+    // linear after — both probe scales sit below the cap).
+    val bounds = Map(
+      "embcos_anchors" -> 1.5,
+    ).withDefaultValue(1.3)
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val loadStart = loadavg()
@@ -168,11 +181,16 @@ object ScaleProbe {
     }
     println(s"""{"metric":"scale_env","loadavg_start":"$loadStart","loadavg_end":"${
       loadavg()}","cpus":"$cpus","x1":"$src","x10":"$x10"}""")
-    println("| probe | t(x1) s | t(x10) s | exponent log10(t10/t1) |")
-    println("| --- | --- | --- | --- |")
+    println("| probe | t(x1) s | t(x10) s | exponent log10(t10/t1) | bound | ok |")
+    println("| --- | --- | --- | --- | --- | --- |")
+    var bad = 0
     results.foreach { case (n, t1, t10, e) =>
-      println(s"| $n | ${fmt(t1)} | ${fmt(t10)} | ${fmt(e)} |")
+      val ok = e <= bounds(n)
+      if (!ok) bad += 1
+      println(s"| $n | ${fmt(t1)} | ${fmt(t10)} | ${fmt(e)} | ${bounds(n)} | ${
+        if (ok) "yes" else "EXCEEDED"} |")
     }
+    println(s"""{"metric":"scale_verdict","exceeded":$bad,"probes":${results.length}}""")
     spark.stop()
   }
 }

@@ -495,13 +495,21 @@ object LlmVector extends QueryGroup {
     * later argmin); the per-(vector, centroid) distances themselves are
     * bit-identical left folds on both sides. Deterministic: init =
     * vectors 0..k-1, ties broken by min cid via struct ordering. */
-  private def anchorsFit(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  private[graft] def anchorsFit(s: SparkSession, d: String, k: Int, iters: Int): DataFrame =
+    anchorsFitOf(Tables.embeddings(s, d), k, iters)
+
+  private[graft] def anchorsFitOf(e0: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = e0.sparkSession
+    val e = e0
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     val centSchema = StructType(Seq(
       StructField("cid", IntegerType),
       StructField("cv", ArrayType(DoubleType))))
-    var cent = e.filter(col("vec_id") < k)
+    // init = the k smallest vec_ids of the fit input — identical to the
+    // historical `vec_id < k` spelling on the dense-id fixtures (what
+    // the DuckDB oracle CTEs mirror), and well-defined on the sampled
+    // input the 100 TB path feeds in
+    var cent = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
       val asg = e.crossJoin(broadcast(cent))
@@ -521,6 +529,21 @@ object LlmVector extends QueryGroup {
     cent
   }
 
+  /** Vectors per anchor in the TRAINING sample cap — the FAISS
+    * convention (max_points_per_centroid = 256): fitting k = ⌈√n⌉
+    * anchors over the FULL corpus costs O(iters · n · k) = O(n^1.5),
+    * the one super-linear build the scale probe surfaced; capping the
+    * training set at 256·k hash-sampled vectors bounds the fit at
+    * O(iters · 256 · k²) = O(256 · n) — linear — while anchor QUALITY
+    * is statistically unchanged (256 points per centroid is far past
+    * Lloyd's stability needs; the probe/verify stages still see every
+    * vector). The cap never binds below n = 256·√n ⇔ n ≈ 65k vectors,
+    * so every oracled fixture (and the 10× probe fixture) trains on
+    * the full corpus, bit-identical to the oracle's CTE mirror; past
+    * it the fit is outside the oracled regime by design — VectorSpec
+    * exercises the sampled branch via [[anchorsFitOf]] directly. */
+  private[graft] val FitPointsPerAnchor = 256L
+
   /** Persisted embcos anchor set for one sf dir, k = ⌈√n⌉ scaling with
     * the corpus (the published IVF/SemDeDup recipe). Path keyed by sf
     * name AND the embeddings file's content fingerprint — the
@@ -528,13 +551,24 @@ object LlmVector extends QueryGroup {
     * be served stale anchors, and repeated evaluations in one session
     * (Verify → Bench min-of-2 → specs) fit exactly once. */
   private[graft] def ensureEmbcosAnchors(s: SparkSession, d: String): String = {
-    val base = s"${graft.Tables.scratchDir}/embcos_anchors_v1_${new java.io.File(d).getName}" +
+    val base = s"${graft.Tables.scratchDir}/embcos_anchors_" +
+      s"${ScratchParquet.ConstructionVersion}_${new java.io.File(d).getName}" +
       s"_${graft.Tables.fingerprint(d, "embeddings")}"
     val done = new java.io.File(s"$base/_DONE")
     if (!done.exists()) {
-      val n = Tables.embeddings(s, d).count()
+      val eAll = Tables.embeddings(s, d)
+      val n = eAll.count()
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      anchorsFit(s, d, k, iters = 2)
+      val cap = FitPointsPerAnchor * k
+      val fitInput = if (n <= cap) eAll else {
+        // deterministic uniform 1-in-m hash sample (portable md5 idiom),
+        // m sized so the expected sample is ~cap
+        val m = (n + cap - 1L) / cap
+        eAll.filter(
+          conv(substring(md5(col("vec_id").cast(StringType)), 1, 12), 16, 10)
+            .cast(LongType) % m === 0L)
+      }
+      anchorsFitOf(fitInput, k, iters = 2)
         .write.mode("overwrite").parquet(s"$base/anchors")
       done.createNewFile()
     }
@@ -606,7 +640,13 @@ object LlmVector extends QueryGroup {
     * Scale shape: no unconditioned self-join — the pair product is
     * partitioned by cell (Σ n_c² with [[CellsPerVector]]× probe
     * replication, cells processed independently after one shuffle on
-    * the cell key).
+    * the cell key). Stated as a bound: with k = ⌈√n⌉ cells the mean
+    * cell load is c·√n, so candidate work is Θ(c²·n^1.5) — the
+    * published SemDeDup behavior, and what the scale probe measures
+    * (exponent ≤ 1.5 over a 10× step). At 100 TB hold the CELL SIZE
+    * constant instead (k ∝ n / target_load): candidate work becomes
+    * linear and the per-cell task fits one executor; the fit cost
+    * stays linear via [[FitPointsPerAnchor]].
     * At this corpus's dedup threshold (0.4 ≈ 66° — near the random-pair
     * angle in 64-dim) sign-random-projection banding cannot separate
     * true pairs from background, so cell partitioning, not bit-LSH, is

@@ -318,4 +318,50 @@ class VectorSpec extends AnyFunSuite {
         fused.exists(t => !bm.contains((t._1, t._3)))
     }, "fusion degenerated to a single leg")
   }
+
+  test("anchorsFitOf on a bounded hash sample: the 100 TB training path stays usable") {
+    // the FitPointsPerAnchor cap (FAISS max_points_per_centroid): past
+    // n = 256·√n the anchors train on a 1-in-m hash sample instead of the
+    // full corpus (O(n) instead of O(n^1.5)). The cap can't bind on any
+    // fixture, so exercise the sampled branch directly: fit on the same
+    // deterministic 1-in-4 md5 sample the ensure path would draw, then
+    // assign EVERY vector — the fit must yield k usable, distinct anchors
+    // that partition the full corpus without empty assignments.
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val dim = 8; val n = 500; val k = 6
+    // deterministic synthetic corpus: 6 well-separated centers + per-id wobble
+    val vecs = (0 until n).map { i =>
+      val c = i % k
+      (i.toLong, Array.tabulate(dim)(j =>
+        (if (j == c) 10.0f else 0.0f) + ((i * 31 + j * 7) % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val m = 4L
+    val sample = vecs.filter(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast("long") % m === 0L)
+    val nSample = sample.count()
+    assert(nSample > k && nSample < n / 2,
+      s"hash sample out of range: $nSample of $n")
+    val anchors = operators.LlmVector.anchorsFitOf(sample, k, iters = 2).collect()
+    assert(anchors.length == k, s"expected $k anchors, got ${anchors.length}")
+    assert(anchors.map(_.getInt(0)).distinct.length == k, "anchor ids must be distinct")
+    // every full-corpus vector assigns to a nearest sampled-fit anchor,
+    // and the fit recovered the cluster structure: >= k-1 distinct cells
+    // populated (one center could theoretically merge under sampling)
+    val aDf = spark.createDataFrame(java.util.Arrays.asList(anchors: _*),
+      anchors.head.schema)
+    val asg = vecs
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .crossJoin(broadcast(aDf))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(
+        aggregate(zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"), col("cid"))).as("mn"))
+      .select(col("mn.cid"))
+    assert(asg.count() == n, "every vector must assign")
+    assert(asg.distinct().count() >= k - 1,
+      "sampled fit must recover the cluster structure")
+  }
 }
