@@ -13,27 +13,36 @@ import org.apache.spark.sql.functions._
 object Aggregates extends QueryGroup {
 
   /** Flagship (TPC-H Q1 analog): pricing summary per (returnflag,
-    * linestatus). Money sums and their averages go through per-element
-    * DECIMAL(18,6) casts (the revenueSum pattern, §7.4): a raw double
-    * sum over ~25k rows per group is accumulation-order dependent, so
-    * its bit pattern changes with partitioning; the decimal sum is
-    * exact and order-free. Averages divide the decimal sum as a double
-    * (identical division both engines), then round 6dp. sum_qty stays a
-    * double sum — quantities are small integers, exactly representable. */
+    * linestatus). Money sums and their averages accumulate integer
+    * MICROS — floor(x·1e6 + 0.5) AS BIGINT, the Q22/sql_q1 portable
+    * recipe (round 17; was per-element DECIMAL(18,6) casts): a raw
+    * double sum over ~25k rows per group is accumulation-order
+    * dependent, so its bit pattern changes with partitioning; the int64
+    * sum is exact, order-free, and one IEEE multiply-floor per row
+    * where the decimal path allocated a Decimal per row and summed on
+    * the widened-precision path. Both engines compute the same doubles,
+    * hence the same integers — parity is by construction. Bound: int64
+    * micros hold to ~9.2e18 µ ≈ $9.2e12 per group; past that (a 100
+    * TB-scale group) lift the accumulator to sum(CAST(u AS
+    * DECIMAL(38,0))) — the per-row floor stays integer. Averages divide
+    * the micros sum as a double (identical division both engines), then
+    * round 6dp. sum_qty stays a double sum — quantities are small
+    * integers, exactly representable. */
   val pricingSummary: QFn = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast("double"), 4)
-          .as("sum_base_price"),
-        round(sum(expr("CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))"))
-          .cast("double"), 4).as("sum_disc_price"),
+        round(sum(expr("CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)"))
+          .cast("double") / 1e6, 4).as("sum_base_price"),
+        round(sum(expr(
+            "CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)"))
+          .cast("double") / 1e6, 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast("double")
-          / count(lit(1)), 6).as("avg_price"),
-        round(sum(expr("CAST(l_discount AS DECIMAL(18,6))")).cast("double")
-          / count(lit(1)), 6).as("avg_disc"),
+        round(sum(expr("CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)"))
+          .cast("double") / 1e6 / count(lit(1)), 6).as("avg_price"),
+        round(sum(expr("CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT)"))
+          .cast("double") / 1e6 / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -823,11 +832,11 @@ object Aggregates extends QueryGroup {
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(l_quantity) AS sum_qty,
-                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
-                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+                round(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6, 4) AS sum_base_price,
+                round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6, 4) AS sum_disc_price,
                 round(avg(l_quantity), 6) AS avg_qty,
-                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
-                round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+                round(CAST(sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS avg_price,
+                round(CAST(sum(CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus

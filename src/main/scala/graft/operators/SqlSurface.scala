@@ -58,8 +58,9 @@ object SqlSurface extends QueryGroup {
     Tables.region(s, d).createOrReplaceTempView("graft_r5_v")
     s.sql("""
       SELECT n_name,
-             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+             round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                         * 1e6 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue
       FROM graft_c5_v c
       JOIN graft_o5_v o ON c.c_custkey = o.o_custkey
       JOIN graft_l5_v l ON l.l_orderkey = o.o_orderkey
@@ -445,20 +446,25 @@ object SqlSurface extends QueryGroup {
     * fully tie-broken (o_orderkey is unique per group) so LIMIT 100 is
     * deterministic. */
   private val sqlQ18: QFn = (s, d) => {
+    // Quantity sums are PLAIN double sums (round 17; was DECIMAL(18,6)
+    // casts): quantities are integral 1..50, so every partial and final
+    // sum is an exact integer far below 2^53 — order-free and
+    // engine-identical with zero per-row Decimal work. The same
+    // reasoning the flagship's sum_qty always used; money columns (none
+    // summed here) keep the integer-micros recipe.
     Tables.customer(s, d).createOrReplaceTempView("graft_c18_v")
     Tables.orders(s, d).createOrReplaceTempView("graft_o18_v")
     Tables.lineitem(s, d).createOrReplaceTempView("graft_l18_v")
     s.sql("""
       SELECT c_name, c_custkey, o_orderkey,
              CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
-             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-                        AS DOUBLE), 4) AS total_qty
+             round(sum(l_quantity), 4) AS total_qty
       FROM graft_c18_v c
       JOIN graft_o18_v o ON c_custkey = o_custkey
       JOIN graft_l18_v l ON o_orderkey = l_orderkey
       WHERE o_orderkey IN (SELECT l_orderkey FROM graft_l18_v
                            GROUP BY l_orderkey
-                           HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200)
+                           HAVING sum(l_quantity) > 200)
       GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
                o_totalprice
       ORDER BY o_totalprice DESC, o_orderkey ASC
@@ -1436,14 +1442,13 @@ object SqlSurface extends QueryGroup {
     "sql_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
                 CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
-                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-                           AS DOUBLE), 4) AS total_qty
+                round(sum(l_quantity), 4) AS total_qty
          FROM customer c
          JOIN orders o ON c_custkey = o_custkey
          JOIN lineitem l ON o_orderkey = l_orderkey
          WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                               GROUP BY l_orderkey
-                              HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200)
+                              HAVING sum(l_quantity) > 200)
          GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE),
                   o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey ASC
@@ -1591,8 +1596,9 @@ object SqlSurface extends QueryGroup {
                   p_type ASC NULLS FIRST, p_size ASC NULLS FIRST""",
     "sql_q5" ->
       """SELECT n_name,
-                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+                round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                            * 1e6 + 0.5)
+                                    AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue
          FROM customer c
          JOIN orders o ON c.c_custkey = o.o_custkey
          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
