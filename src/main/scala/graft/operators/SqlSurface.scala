@@ -24,8 +24,9 @@ object SqlSurface extends QueryGroup {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
     s.sql("""
       SELECT l_orderkey,
-             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+             round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                             * 1e6 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue,
              CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
       FROM graft_customer_v
       JOIN graft_orders_v ON c_custkey = o_custkey
@@ -265,7 +266,8 @@ object SqlSurface extends QueryGroup {
              WHERE l_quantity > 10""")
     s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_li_order_v AS
              SELECT l_orderkey, count(*) AS n_items,
-                    round(CAST(sum(CAST(net AS DECIMAL(18,6))) AS DOUBLE), 4)
+                    round(CAST(sum(CAST(floor(net * 1e6 + 0.5) AS BIGINT))
+                               AS DOUBLE) / 1e6, 4)
                       AS net_total
              FROM graft_li_net_v
              GROUP BY l_orderkey""")
@@ -504,8 +506,9 @@ object SqlSurface extends QueryGroup {
     Tables.nation(s, d).createOrReplaceTempView("graft_n10_v")
     s.sql("""
       SELECT c_custkey, c_name,
-             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+             round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                             * 1e6 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue,
              n_name
       FROM graft_c10_v
       JOIN graft_o10_v ON c_custkey = o_custkey
@@ -539,8 +542,9 @@ object SqlSurface extends QueryGroup {
     s.sql("""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+             round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                             * 1e6 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue,
              count(*) AS n_lines
       FROM graft_s7_v
       JOIN graft_l7_v ON s_suppkey = l_suppkey
@@ -592,8 +596,9 @@ object SqlSurface extends QueryGroup {
     Tables.lineitem(s2, d).createOrReplaceTempView("graft_cbo_lineitem_v")
     s2.sql("""
       SELECT o_orderpriority, count(*) AS n_lines,
-             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+             round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                             * 1e6 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue
       FROM graft_cbo_lineitem_v
       JOIN graft_cbo_orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'
@@ -717,8 +722,9 @@ object SqlSurface extends QueryGroup {
     s.sql("""
       SELECT p_brand,
              count(*) AS n_lines,
-             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                 AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+             round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                             * 1e6 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue
       FROM graft_l19_v JOIN graft_p19_v ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 1 AND 20)
@@ -867,11 +873,13 @@ object SqlSurface extends QueryGroup {
 
   /** TPC-H Q15 analog (top supplier) — the max-over-aggregate shape:
     * a revenue view referenced TWICE (once joined to the dim, once
-    * under max()) with equality on the exact DECIMAL revenue picking
-    * the winner — ties would return multiple rows, exactly like the
-    * spec's Q15, and the exact-decimal equality is what makes that
-    * deterministic cross-engine (a double revenue could disagree in
-    * the last bit and drop the winner on one engine). Catalyst inlines
+    * under max()) with equality on the exact INT64-micros revenue
+    * picking the winner — ties would return multiple rows, exactly
+    * like the spec's Q15, and exact-integer equality is what makes
+    * that deterministic cross-engine (a double revenue could disagree
+    * in the last bit and drop the winner on one engine; round 17 moved
+    * the accumulator from DECIMAL(18,6) to floor-micros int64 — same
+    * guarantee, cheaper per row, sql_q1's bound note applies). Catalyst inlines
     * the CTE into both references; the quarter filter pushes into both
     * fact scans, and the supplier join broadcasts. */
   private val sqlQ15: QFn = (s, d) => {
@@ -880,14 +888,14 @@ object SqlSurface extends QueryGroup {
     s.sql("""
       WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum(CAST(l_extendedprice * (1.0 - l_discount)
-                        AS DECIMAL(18,6))) AS total_rev
+               sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                * 1e6 + 0.5) AS BIGINT)) AS total_rev
         FROM graft_l15_v
         WHERE l_shipdate >= CAST('1997-01-01' AS TIMESTAMP_NTZ)
           AND l_shipdate < CAST('1997-04-01' AS TIMESTAMP_NTZ)
         GROUP BY l_suppkey)
       SELECT s_suppkey, s_name,
-             round(CAST(total_rev AS DOUBLE), 4) AS total_rev
+             round(CAST(total_rev AS DOUBLE) / 1e6, 4) AS total_rev
       FROM graft_s15_v JOIN revenue ON s_suppkey = supplier_no
       WHERE total_rev = (SELECT max(total_rev) FROM revenue)
       ORDER BY s_suppkey ASC""")
@@ -976,7 +984,8 @@ object SqlSurface extends QueryGroup {
     * 5-table join grouped by (supplier nation, order year). The spec's
     * profit term needs partsupp.ps_supplycost, which the fixture
     * doesn't carry; revenue keeps the plan shape identical. Exact
-    * DECIMAL volume sums; year from the timestamp on both engines. */
+    * int64-micros volume sums (the sql_q1 recipe); year from the
+    * timestamp on both engines. */
   private val sqlQ9: QFn = (s, d) => {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_l9_v")
     Tables.part(s, d).createOrReplaceTempView("graft_p9_v")
@@ -986,10 +995,10 @@ object SqlSurface extends QueryGroup {
     s.sql("""
       SELECT n_name AS nation, CAST(o_year AS BIGINT) AS o_year,
              CAST(count(*) AS BIGINT) AS n_rows,
-             round(CAST(sum(volume) AS DOUBLE), 4) AS sum_profit
+             round(CAST(sum(volume) AS DOUBLE) / 1e6, 4) AS sum_profit
       FROM (SELECT s_n.n_name, year(o.o_orderdate) AS o_year,
-                   CAST(l.l_extendedprice * (1.0 - l.l_discount)
-                        AS DECIMAL(18,6)) AS volume
+                   CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                * 1e6 + 0.5) AS BIGINT) AS volume
             FROM graft_p9_v p
                  JOIN graft_l9_v l ON p.p_partkey = l.l_partkey
                  JOIN graft_s9_v s ON s.s_suppkey = l.l_suppkey
@@ -1256,14 +1265,14 @@ object SqlSurface extends QueryGroup {
     "sql_q15" ->
       """WITH revenue AS (
            SELECT l_suppkey AS supplier_no,
-                  sum(CAST(l_extendedprice * (1.0 - l_discount)
-                           AS DECIMAL(18,6))) AS total_rev
+                  sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 1e6 + 0.5) AS BIGINT)) AS total_rev
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
              AND l_shipdate < TIMESTAMP '1997-04-01'
            GROUP BY l_suppkey)
          SELECT s_suppkey, s_name,
-                round(CAST(total_rev AS DOUBLE), 4) AS total_rev
+                round(CAST(total_rev AS DOUBLE) / 1e6, 4) AS total_rev
          FROM supplier JOIN revenue ON s_suppkey = supplier_no
          WHERE total_rev = (SELECT max(total_rev) FROM revenue)
          ORDER BY s_suppkey ASC NULLS FIRST""",
@@ -1303,10 +1312,10 @@ object SqlSurface extends QueryGroup {
     "sql_q9" ->
       """SELECT n_name AS nation, CAST(o_year AS BIGINT) AS o_year,
                 CAST(count(*) AS BIGINT) AS n_rows,
-                round(CAST(sum(volume) AS DOUBLE), 4) AS sum_profit
+                round(CAST(sum(volume) AS DOUBLE) / 1e6, 4) AS sum_profit
          FROM (SELECT s_n.n_name, year(o.o_orderdate) AS o_year,
-                      CAST(l.l_extendedprice * (1.0 - l.l_discount)
-                           AS DECIMAL(18,6)) AS volume
+                      CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                   * 1e6 + 0.5) AS BIGINT) AS volume
                FROM part p
                     JOIN lineitem l ON p.p_partkey = l.l_partkey
                     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1455,8 +1464,9 @@ object SqlSurface extends QueryGroup {
          LIMIT 100""",
     "sql_analyze" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+                round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                                * 1e6 + 0.5)
+                                    AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
@@ -1464,8 +1474,9 @@ object SqlSurface extends QueryGroup {
          ORDER BY o_orderpriority ASC NULLS FIRST""",
     "sql_q10" ->
       """SELECT c_custkey, c_name,
-                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+                round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                                * 1e6 + 0.5)
+                                    AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue,
                 n_name
          FROM customer
          JOIN orders ON c_custkey = o_custkey
@@ -1480,8 +1491,9 @@ object SqlSurface extends QueryGroup {
     "sql_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
-                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+                round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                                * 1e6 + 0.5)
+                                    AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue,
                 count(*) AS n_lines
          FROM supplier
          JOIN lineitem ON s_suppkey = l_suppkey
@@ -1556,8 +1568,9 @@ object SqlSurface extends QueryGroup {
                   metric ASC NULLS FIRST""",
     "sql_q3" ->
       """SELECT l_orderkey,
-                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
+                round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                                * 1e6 + 0.5)
+                                    AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue,
                 CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
          FROM customer
          JOIN orders ON c_custkey = o_custkey
@@ -1571,8 +1584,9 @@ object SqlSurface extends QueryGroup {
     "sql_q19" ->
       """SELECT p_brand,
                 count(*) AS n_lines,
-                round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                    AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+                round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                                * 1e6 + 0.5)
+                                    AS BIGINT)) AS DOUBLE) / 1e6, 4) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 1 AND 20)
@@ -1683,7 +1697,8 @@ object SqlSurface extends QueryGroup {
            WHERE l_quantity > 10),
             ord AS (
            SELECT l_orderkey, count(*) AS n_items,
-                  round(CAST(sum(CAST(net AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  round(CAST(sum(CAST(floor(net * 1e6 + 0.5) AS BIGINT))
+                             AS DOUBLE) / 1e6, 4)
                     AS net_total
            FROM net GROUP BY l_orderkey)
          SELECT l_orderkey, CAST(n_items AS BIGINT) AS n_items, net_total
