@@ -43,9 +43,10 @@ object ScaleProbe {
     Tables.deleteRecursively(new java.io.File(tmp))
   }
 
-  /** Build the x10 fixture once; `_DONE`-guarded like every artifact. */
+  /** Build the x10 fixture once; `_DONE`-guarded like every artifact.
+    * (v2: adds a 10× lineitem so the TPC-H scan-aggregate probes run.) */
   private def ensureScaleFixture(s: SparkSession, src: String, out: String): Unit = {
-    val done = new java.io.File(s"$out/_DONE")
+    val done = new java.io.File(s"$out/_DONE_v2")
     if (done.exists()) return
     new java.io.File(out).mkdirs()
     val docs = Tables.documents(s, src)
@@ -83,6 +84,16 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
     }
     writeSingleFile(evReps.reduce(_.unionByName(_)), out, "events")
+    // 10× lineitem for the TPC-H scan-aggregate probes: only the
+    // orderkey is offset (the group-by columns and money values repeat,
+    // so per-group cardinality grows exactly 10× — the pure scan-agg
+    // scaling case)
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    val liReps = (0 until Mult).map { k =>
+      if (k == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + k * 1000000000L)
+    }
+    writeSingleFile(liReps.reduce(_.unionByName(_)), out, "lineitem")
     done.createNewFile(); ()
   }
 
@@ -145,6 +156,14 @@ object ScaleProbe {
         noop(SparkEntry.queries("text_ngram_novelty")(spark, d))),
       "pipeline_multimodal_e2e" -> ((d: String) =>
         noop(SparkEntry.queries("pipeline_multimodal_e2e")(spark, d))),
+      // TPC-H scan-aggregate side: the flagship summary and the pushdown
+      // showcase over the 10× lineitem — pure linear-scan cases
+      "agg_pricing_summary" -> ((d: String) =>
+        noop(SparkEntry.queries("agg_pricing_summary")(spark, d))),
+      "sql_q1" -> ((d: String) =>
+        noop(SparkEntry.queries("sql_q1")(spark, d))),
+      "sql_q6" -> ((d: String) =>
+        noop(SparkEntry.queries("sql_q6")(spark, d))),
     )
     // untimed JIT/codegen warm-up at sf0.01 — pays the generated-class
     // compilation so the x1 timings aren't first-evaluation inflated
