@@ -23,7 +23,7 @@ class DeterminismSpec extends AnyFunSuite {
   //    else bit-identical. (The driver's hash gate stays exact; this
   //    spec documents the strictly-weaker cross-partitioning promise.)
   private val hardDeterministic = Seq(
-    "agg_pricing_summary", // DECIMAL-pre-cast money sums + derived avgs
+    "agg_pricing_summary", // int64-micros money sums + derived avgs
     "win_running_sum",     // windowed decimal prefix sums
     "join_outer_left",     // decimal total_spent
     "ingest_incremental",  // decimal balance totals over the merged state
@@ -47,7 +47,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_hybrid_rrf",      // RRF of exact int ranks; fused rank tie-broken
     "sql_q17",             // exact integral-double avg gate + decimal revenue
     "sql_q8",              // exact-DECIMAL share ratio over the 7-join tree
-    "sql_q1",              // spec Q1: exact-DECIMAL charge terms, exact counts
+    "sql_q1",              // spec Q1: int64-micros charge terms, exact counts
     "sql_q6",              // join-free exact-DECIMAL sum + count
     "sql_q4",              // pure integer semi-join counts
     "sql_q12",             // exact BIGINT CASE counts over the fact-fact join
@@ -89,7 +89,7 @@ class DeterminismSpec extends AnyFunSuite {
     "text_langid_eval",    // exact integer confusion counts
     "agg_chisq",           // nano-quantized int64 cell terms, exact marginals
     "graph_triangles",     // all-integer triangle corner counts
-    "sql_view",            // decimal sums through the inlined view stack
+    "sql_view",            // int64-micros sums through the inlined view stack
     "agg_ttest",           // exact decimal moments, closed-form Welch t
     "agg_ks",              // all-int64 grid CDF gap, one closing division
     "win_share",           // decimal partition totals; tie-broken cume_dist
@@ -116,7 +116,7 @@ class DeterminismSpec extends AnyFunSuite {
     "embed_project",       // nano-quantized int64 projection terms, one closing division
     "sample_balanced",     // md5 rank membership — pure function of the class id set
     "sink_manifest_append", // integer counts + decimal sums over the composed read
-    "sql_q5",              // DECIMAL-pre-cast revenue sums through the 6-table join
+    "sql_q5",              // int64-micros revenue sums through the 6-table join
     "sql_subquery",        // exact-DECIMAL threshold; row-level semi/anti membership
     "events_sequence",     // integer session ids and triple counts, tie-broken top-10
     "profile_topk",        // integer counts, tie-broken per-column rank
@@ -134,7 +134,7 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_params",          // decimal sums; literals bound pre-analysis
     "sql_lateral",         // decorrelated decimal aggregate per customer
     "multimodal_scene_detect", // int64 sig XOR/popcount; one closing division
-    "sql_q18",             // exact-DECIMAL HAVING threshold + sums; tie-broken LIMIT
+    "sql_q18",             // exact-int quantity HAVING threshold; tie-broken LIMIT
     "sample_pack",         // all-integer interval arithmetic over the exact prefix sum
     "sample_dsir",         // nano-quantized bucket units, exact int doc sums;
                            // rank key = one IEEE division on identical ints
@@ -150,9 +150,9 @@ class DeterminismSpec extends AnyFunSuite {
     "text_boilerplate",    // pure row function (line gates + reassembly)
     "profile_observe",     // decimal pre-cast sums; observation rides along
     "sink_vacuum",         // integer counts + decimal sums over the retained snapshot
-    "sql_q10",             // decimal revenue sums; tie-broken LIMIT 20
-    "sql_q7",              // decimal revenue sums; fully ordered group keys
-    "sql_analyze",         // stats change plans never results; decimal sums
+    "sql_q10",             // int64-micros revenue sums; tie-broken LIMIT 20
+    "sql_q7",              // int64-micros revenue sums; fully ordered group keys
+    "sql_analyze",         // stats change plans never results; micros sums
     "scan_file_metadata",  // integer counts; row_index density per file
     "events_ab_test",      // exact decimal per-user sums, Welch closed form
     "fn_mask",             // pure row functions (regex masking, md5 tokens)
@@ -162,7 +162,7 @@ class DeterminismSpec extends AnyFunSuite {
     "pipeline_multimodal_e2e", // all-integer rollup; L2 nano-quantized pre-sum
     "sql_q2",              // min picks an existing double; tie-broken LIMIT
     "text_quality_classifier", // int-nano weight terms, order-free int64 fold
-    "sql_q19",             // decimal revenue sums; disjunctive row membership
+    "sql_q19",             // int64-micros revenue sums; disjunctive row membership
     "sql_q16",             // exact distinct counts; null-aware anti membership
     "profile_kanon",       // all-integer class sizes and k-sweep counts
     "agg_bitmap_intersect", // bitmap OR/popcount folds; ppm int division
@@ -180,7 +180,9 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_q13",             // integer order counts histogrammed
     "sql_q22",             // integer-micro balances, cross-multiplied gate
     "sql_q11",             // exact-decimal sums, cross-multiplied HAVING gate
-    "sql_q15",             // exact-decimal revenue equality picks the winner
+    "sql_q15",             // exact int64-micros revenue equality picks the winner
+    "sql_q3",              // int64-micros revenue sums; tie-broken LIMIT 10
+    "sql_q9",              // int64-micros volume sums; fully ordered group keys
     "dedup_lsh_curve",     // integer pair/candidate counts per decile
   )
 
