@@ -103,7 +103,8 @@ object ScaleProbe {
     // the anchors/ann paths interpose a version token between prefix and
     // sf base, so match on prefix + an "_<sfBase>_" segment
     val prefixes = Seq("mhp_pairs_", "shp_pairs_", "emb_pairs_", "multilab_",
-      "wn_index_", "mh_index_", "embcos_anchors_", "ann_index_")
+      "wn_index_", "mh_index_", "embcos_anchors_", "ann_index_",
+      "winnow_fps_", "trade_edges_")
     Option(new java.io.File(Tables.scratchDir).listFiles())
       .getOrElse(Array.empty)
       .filter(f => prefixes.exists(p => f.getName.startsWith(p) &&

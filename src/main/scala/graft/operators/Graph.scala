@@ -44,17 +44,21 @@ object Graph extends QueryGroup {
 
   private val edgeCache = new FingerprintCache
 
-  /** The weighted edge table built ONCE per (session, fixture
-    * fingerprint) and localCheckpointed — the pair-graph convention
-    * applied to the graph family: six consumers (degree, pagerank,
-    * triangles, jaccard, components, and components' law harness) each
-    * re-ran the fact-fact aggregation per evaluation; every one now
-    * reads the same ≤|V|² checkpointed rows. Keyed on the lineitem
-    * fingerprint so a regenerated fixture evicts and rebuilds. */
-  private[graft] def tradeEdgesCached(s: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate(s, s"$d#tradeEdges",
-        Tables.fingerprint(d, "lineitem"))(
-      tradeEdges(s, d).localCheckpoint())
+  /** The weighted edge table built ONCE per (fixture fingerprint,
+    * construction version) — a ScratchParquet artifact (round 17; was
+    * rebuilt per JVM, ~2 s of every process's warm-up): six consumers
+    * (degree, pagerank, triangles, jaccard, components, and components'
+    * law harness) read the same ≤|V|² parquet rows, and later JVMs skip
+    * the fact-fact aggregation entirely. The parquet scan leaf gives
+    * the same lineage truncation the old localCheckpoint gave. Keyed on
+    * the lineitem fingerprint so a regenerated fixture evicts and
+    * rebuilds. */
+  private[graft] def tradeEdgesCached(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.fingerprint(d, "lineitem")
+    edgeCache.getOrElseUpdate(s, s"$d#tradeEdges", fp)(
+      ScratchParquet.ensure(s, "trade_edges", d, fp)(tradeEdges(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Degree/strength profile per nation: out/in distinct partners and
     * total edge weights — the graph-summary pass run before any
