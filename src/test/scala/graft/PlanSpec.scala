@@ -441,13 +441,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("graph_pagerank iterates over the materialized edge table, not the facts") {
-    // the 3 unrolled rounds each reference the edge list; localCheckpoint
-    // must have truncated the lineage so the final plan re-reads ≤V²
-    // checkpointed rows — a lineitem scan here means the fact-fact edge
-    // build would re-run once per iteration (fatal at 100 TB)
+    // the 3 unrolled rounds each reference the edge list; the edge table
+    // is a ScratchParquet artifact (round 17; was a localCheckpoint), so
+    // the served plan must leaf at the ≤V²-row artifact scan — a
+    // lineitem scan here means the fact-fact edge build would re-run
+    // once per iteration (fatal at 100 TB)
     val p = plan("graph_pagerank")
     assert(!p.contains("lineitem"), p)
-    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+    assert(p.contains("trade_edges_") || p.contains("InMemoryTableScan"),
+      s"expected the persisted edge-table leaf:\n$p")
   }
 
   test("join_range_exec plans the custom RangeJoinExec sweep, one exchange per side") {
@@ -1143,12 +1145,22 @@ class PlanSpec extends AnyFunSuite {
   test("text_winnowing windows stay doc-partitioned; dedup is a hash aggregate") {
     // the sliding-min frame and the lead() grams must partition by
     // doc_id — a single-partition WindowExec serializes the corpus
-    // through one task at scale
-    val p = plan("text_winnowing")
-    assert(p.contains("windowspecdefinition(doc_id"), p)
-    assert(!p.contains("Exchange SinglePartition"), s"corpus serialized through one task:\n$p")
-    assert(p.contains("HashAggregate"), s"distinct must hash-aggregate:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    // through one task at scale. The SERVED rung now reads the finished
+    // ScratchParquet fingerprint artifact (round 17), so the shape pin
+    // runs against the CONSTRUCTION itself — the plan the artifact
+    // build executes once per fixture generation.
+    val build = operators.LlmText.winnowFpsOf(
+        Tables.documents(spark, TestSpark.sf).select(col("doc_id"), col("text")))
+      .queryExecution.executedPlan.toString
+    assert(build.contains("windowspecdefinition(doc_id"), build)
+    assert(!build.contains("Exchange SinglePartition"),
+      s"corpus serialized through one task:\n$build")
+    assert(build.contains("HashAggregate"), s"distinct must hash-aggregate:\n$build")
+    assert(!build.contains("CartesianProduct"), build)
+    // and the served rung leafs at the artifact scan, never re-deriving
+    val served = plan("text_winnowing")
+    assert(served.contains("winnow_fps_") || served.contains("InMemoryTableScan"),
+      s"expected the persisted fingerprint leaf:\n$served")
   }
 
   test("ivf_nprobe_curve broadcasts query set and radii; corpus never shuffles as rows") {
