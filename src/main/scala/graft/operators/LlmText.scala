@@ -506,23 +506,19 @@ object LlmText extends QueryGroup {
     * minhash index can't give (a shared ≥6-token run cannot slip
     * past). Fingerprint-keyed like the minhash index; built once per
     * session+sf from the shared gram base. */
-  private[graft] def ensureWinnowIndex(s: SparkSession, d: String): String = {
-    // Construction-version salt (round-16 ADVICE item 2): the signature
-    // basis has already changed once (distinct-on-gh, 2³¹ radix) — a
-    // warm scratch dir from an older construction must rebuild, not be
-    // served. The fixture fingerprint alone can't see code changes.
-    val path = s"${graft.Tables.scratchDir}/wn_index_${new java.io.File(d).getName}" +
-      s"_${Tables.fingerprint(d, "documents")}_${ScratchParquet.ConstructionVersion}"
-    val done = new java.io.File(s"$path/_DONE")
-    if (!done.exists()) {
+  private[graft] def ensureWinnowIndex(s: SparkSession, d: String): String =
+    // ScratchParquet carries the construction-version salt (round-16
+    // ADVICE item 2): the signature basis has already changed once
+    // (distinct-on-gh, 2³¹ radix) — a warm scratch dir from an older
+    // construction must rebuild, not be served. The fixture fingerprint
+    // alone can't see code changes.
+    ScratchParquet.ensureDir("wn_index", d,
+        Tables.fingerprint(d, "documents")) { tmp =>
       winnowFromGrams(gramsCached(s, d).filter(col("doc_id") % 5 =!= 0))
         .select(col("doc_id"), col("fp_hash")).distinct()
         .withColumn("hb", (col("fp_hash") % 16L).cast("int"))
-        .write.mode("overwrite").partitionBy("hb").parquet(s"$path/fps")
-      done.createNewFile()
+        .write.mode("overwrite").partitionBy("hb").parquet(s"$tmp/fps")
     }
-    path
-  }
 
   /** Incremental winnowing near-dup screen — dedup_incremental's
     * production-ingest shape with the guarantee-backed detector:
@@ -818,7 +814,10 @@ object LlmText extends QueryGroup {
     * so even the minhash-only label slice is rebuilt (identically) when
     * either fixture regenerates — cheap insurance over a stale slice. */
   private def unionFp(d: String): String =
-    Tables.fingerprint(d, "documents") + "/" + Tables.fingerprint(d, "embeddings")
+    // "+" joiner: the composite lands in ScratchParquet dir and lock
+    // file names, so it must stay free of "/" (the old joiner silently
+    // nested the artifact dir) and of the "=" segment separator
+    Tables.fingerprint(d, "documents") + "+" + Tables.fingerprint(d, "embeddings")
 
   /** The TAGGED cross-modal union pair graph: one symmetric, self-looped
     * edge list over minhash ∪ simhash ∪ embedding-cosine verified pairs,
@@ -1163,18 +1162,14 @@ object LlmText extends QueryGroup {
     * incremental ingest keeps between runs so each new batch is deduped
     * against the corpus WITHOUT re-reading or re-shingling corpus text.
     * Fingerprint-keyed like the ANN index; built once per session+sf. */
-  private[graft] def ensureMinhashIndex(s: SparkSession, d: String): String = {
-    // Construction-version salt — see [[ensureWinnowIndex]].
-    val path = s"${graft.Tables.scratchDir}/mh_index_${new java.io.File(d).getName}" +
-      s"_${Tables.fingerprint(d, "documents")}_${ScratchParquet.ConstructionVersion}"
-    val done = new java.io.File(s"$path/_DONE")
-    if (!done.exists()) {
+  private[graft] def ensureMinhashIndex(s: SparkSession, d: String): String =
+    // Construction-version salt via ScratchParquet — see
+    // [[ensureWinnowIndex]].
+    ScratchParquet.ensureDir("mh_index", d,
+        Tables.fingerprint(d, "documents")) { tmp =>
       minhashBands(gramsCached(s, d).filter(col("doc_id") % 5 =!= 0))
-        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-      done.createNewFile()
+        .write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
     }
-    path
-  }
 
   /** Incremental near-dup candidates: the production ingest shape —
     * signature the NEW batch (doc_id % 5 = 0, ~20%), equality-probe the

@@ -100,34 +100,27 @@ object LlmVector extends QueryGroup {
       .orderBy(col("qid"), col("vec_id"))
   }
 
-  /** Persisted IVF index location for one sf dir: `cells/` holds the
-    * corpus partitioned by coarse cell (hive layout → partition-pruned
-    * probe reads), `centroids/` the k cell means. Deterministic content
-    * (kmeansFit is deterministic), built once per session+sf. */
-  private def annIndexPath(d: String): String =
-    s"${graft.Tables.scratchDir}/ann_index_v1_${new java.io.File(d).getName}" +
-      s"_${graft.Tables.fingerprint(d, "embeddings")}"
-
   /** Build the IVF index if absent: k=8 Lloyd cells over the corpus,
-    * postings written partitionBy(cell), centroids beside them. The
-    * build is the `sink_ann_index` query; the probe (`sim_knn_ivf`)
-    * calls this lazily so it stays self-contained for the driver. */
-  private[graft] def ensureAnnIndex(s: SparkSession, d: String): String = {
-    val path = annIndexPath(d)
-    val done = new java.io.File(s"$path/_DONE")
-    if (!done.exists()) {
+    * postings written partitionBy(cell), centroids beside them —
+    * `cells/` hive-partitioned for partition-pruned probe reads,
+    * `centroids/` the k cell means. Deterministic content (kmeansFit is
+    * deterministic); an atomic fingerprint-keyed [[ScratchParquet]]
+    * artifact (round 18 — this also gives the index the
+    * construction-version salt it previously lacked). The build is the
+    * `sink_ann_index` query; the probe (`sim_knn_ivf`) calls this
+    * lazily so it stays self-contained for the driver. */
+  private[graft] def ensureAnnIndex(s: SparkSession, d: String): String =
+    ScratchParquet.ensureDir("ann_index", d,
+        graft.Tables.fingerprint(d, "embeddings")) { tmp =>
       val asg = kmeansFit(s, d, k = 8, iters = 2)
       val e = Tables.embeddings(s, d)
       asg.select(col("vec_id"), col("cid").as("cell"))
         .join(e, "vec_id")
         .select(col("cell"), col("vec_id"), col("embedding"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
       meanVector(asg, col("cid"), col("v"), "cell", "centroid")
-        .write.mode("overwrite").parquet(s"$path/centroids")
-      done.createNewFile()
+        .write.mode("overwrite").parquet(s"$tmp/centroids")
     }
-    path
-  }
 
   /** Incremental ANN index maintenance — the dedup_incremental posture
     * applied to the vector index (the production ingest shape: vectors
@@ -551,11 +544,8 @@ object LlmVector extends QueryGroup {
     * be served stale anchors, and repeated evaluations in one session
     * (Verify → Bench min-of-2 → specs) fit exactly once. */
   private[graft] def ensureEmbcosAnchors(s: SparkSession, d: String): String = {
-    val base = s"${graft.Tables.scratchDir}/embcos_anchors_" +
-      s"${ScratchParquet.ConstructionVersion}_${new java.io.File(d).getName}" +
-      s"_${graft.Tables.fingerprint(d, "embeddings")}"
-    val done = new java.io.File(s"$base/_DONE")
-    if (!done.exists()) {
+    val base = ScratchParquet.ensureDir("embcos_anchors", d,
+        graft.Tables.fingerprint(d, "embeddings")) { tmp =>
       val eAll = Tables.embeddings(s, d)
       val n = eAll.count()
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
@@ -569,8 +559,7 @@ object LlmVector extends QueryGroup {
             .cast(LongType) % m === 0L)
       }
       anchorsFitOf(fitInput, k, iters = 2)
-        .write.mode("overwrite").parquet(s"$base/anchors")
-      done.createNewFile()
+        .write.mode("overwrite").parquet(s"$tmp/anchors")
     }
     s"$base/anchors"
   }

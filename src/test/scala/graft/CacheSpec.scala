@@ -162,8 +162,107 @@ class CacheSpec extends AnyFunSuite {
     assert(builds == 2)
     val dirs = Option(new java.io.File(Tables.scratchDir).listFiles())
       .getOrElse(Array.empty).map(_.getName)
-      .filter(_.startsWith("cachespec_art_cache_spec_scratch_fixture_")).toList
+      .filter(_.startsWith("cachespec_art=cache_spec_scratch_fixture=")).toList
     assert(dirs.length == 1 && dirs.head.contains("fpB"),
       s"stale generation must be cleaned up, saw: $dirs")
+  }
+
+  test("ScratchParquet: eviction is exact-segment, never prefix (r18 advice 2)") {
+    val sp = spark
+    import sp.implicits._
+    // two fixtures whose basenames extend each other — the round-17
+    // startsWith eviction deleted the sibling's valid artifact here
+    val dA = s"${Tables.scratchDir}/cachespec_fix"
+    val dB = s"${Tables.scratchDir}/cachespec_fix_old"
+    Seq(dA, dB).foreach(p => new java.io.File(p).mkdirs())
+    def one() = Seq((1L, "x")).toDF("id", "s")
+    operators.ScratchParquet.ensure(spark, "cachespec_sib", dB, "fpOld")(one())
+    // building for the SHORTER basename must not sweep the longer one's dir
+    operators.ScratchParquet.ensure(spark, "cachespec_sib", dA, "fpNew")(one())
+    val names = Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.startsWith("cachespec_sib=")).toList.sorted
+    assert(names == List("cachespec_sib=cachespec_fix=fpNew=" +
+        operators.ScratchParquet.ConstructionVersion,
+      "cachespec_sib=cachespec_fix_old=fpOld=" +
+        operators.ScratchParquet.ConstructionVersion),
+      s"sibling fixture's artifact must survive, saw: $names")
+    // warm reads of both still serve without rebuilding
+    operators.ScratchParquet.ensure(spark, "cachespec_sib", dB, "fpOld")(
+      fail("warm read must not invoke the builder"))
+    operators.ScratchParquet.ensure(spark, "cachespec_sib", dA, "fpNew")(
+      fail("warm read must not invoke the builder"))
+  }
+
+  test("ScratchParquet: legacy underscore-format dirs are swept (r18 advice 5)") {
+    val sp = spark
+    import sp.implicits._
+    val d = s"${Tables.scratchDir}/cachespec_legacy_fixture"
+    new java.io.File(d).mkdirs()
+    val base = "cachespec_legacy_fixture"
+    // scratch persists across JVMs: clear this test's published
+    // artifacts so the builds (and with them the sweep) actually run
+    Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("cachespec_leg=") ||
+        f.getName.startsWith("cachespec_leg_v1="))
+      .foreach(Tables.deleteRecursively)
+    // plant pre-round-18-format dirs: name_base_fp_version (the old
+    // ScratchParquet layout) and name_vN_base_fp (the old ann-index /
+    // embcos-anchors layouts) — version bumps used to strand these
+    val legacy = Seq(
+      s"cachespec_leg_${base}_deadbeef_c16",
+      s"cachespec_leg_v1_${base}_deadbeef")
+    legacy.foreach { n =>
+      val f = new java.io.File(Tables.scratchDir, n)
+      f.mkdirs(); new java.io.File(f, "_DONE").createNewFile()
+    }
+    // the v1-style name only matches the legacy rule via its own name
+    // segment; sweep keyed on (name="cachespec_leg", base) catches the
+    // first; keyed on (name="cachespec_leg_v1", base) catches the second
+    operators.ScratchParquet.ensure(spark, "cachespec_leg", d, "fpZ")(
+      Seq((1L, 2L)).toDF("a", "b"))
+    operators.ScratchParquet.ensureDir("cachespec_leg_v1", d, "fpZ") { tmp =>
+      Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$tmp/data")
+    }
+    val left = Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => legacy.contains(n)).toList
+    assert(left.isEmpty, s"legacy dirs must be swept on rebuild, saw: $left")
+  }
+
+  test("ScratchParquet: concurrent ensure builds once, atomically (r18 advice 1)") {
+    val sp = spark
+    import sp.implicits._
+    val d = s"${Tables.scratchDir}/cachespec_conc_fixture"
+    new java.io.File(d).mkdirs()
+    // scratch persists across JVMs: a warm artifact would mean zero
+    // builds and prove nothing about the race
+    Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("cachespec_conc="))
+      .foreach(Tables.deleteRecursively)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def slowBuild() = {
+      builds.incrementAndGet()
+      Thread.sleep(200) // widen the race window
+      Seq((1L, "v")).toDF("id", "s")
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val rows = Await.result(Future.sequence((1 to 4).map(_ => Future {
+      operators.ScratchParquet.ensure(spark, "cachespec_conc", d, "fpC")(
+        slowBuild()).count()
+    })), 2.minutes)
+    assert(rows.forall(_ == 1L), s"every racer must read a complete artifact: $rows")
+    assert(builds.get() == 1,
+      s"the lock must serialize check→build→publish; built ${builds.get()} times")
+    // no temp debris left behind
+    val tmps = Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => n.startsWith(".tmp=") && n.contains("cachespec_conc")).toList
+    assert(tmps.isEmpty, s"temp build dirs must be renamed away or removed: $tmps")
   }
 }
