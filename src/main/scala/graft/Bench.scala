@@ -31,11 +31,16 @@ object Bench {
     // steady-state numbers exclude. The steps stay OUT of the per-query
     // timings on purpose: they run once per fixture lifetime by design
     // (on a cluster they'd be materialized artifacts, not query work).
-    val builds = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // (name, seconds, succeeded) — a failed build step is recorded as
+    // -1 in the JSON (the per-query failed convention) instead of a
+    // misleadingly tiny elapsed time; NonFatal-only, so a fatal error
+    // (OOM) aborts the run rather than benchmarking a broken JVM.
+    val builds = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
     def build(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      builds += name -> ((System.nanoTime() - t0) / 1e9)
+      val ok = try { body; true }
+               catch { case scala.util.control.NonFatal(_) => false }
+      builds += ((name, (System.nanoTime() - t0) / 1e9, ok))
     }
     // JVM/codegen/session one-time costs, paid here rather than
     // attributed to whichever query runs first. Split in two (round-15
@@ -125,7 +130,7 @@ object Bench {
     // truncated oversized single line). The builds line makes the
     // untimed warm-up auditable (once-per-fixture artifact costs).
     val bs = builds
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, ok) => "\"" + k + "\":" + fmt(if (ok) v else -1.0) }
       .mkString("{", ",", "}")
     // Line order matters for forensics (round-16 verdict item 6): the
     // driver's artifact keeps only a ~2000-char TAIL of stdout, so the
@@ -139,7 +144,7 @@ object Bench {
       loadavg()}","cpus":"$cpus","timing":"${
       if (median3) "median3" else "min2"}"}""")
     println(s"""{"metric":"builds","builds":$bs,"total":${
-      fmt(builds.map(_._2).sum)},"unit":"sec","sf":"$sfDir"}""")
+      fmt(builds.collect { case (_, v, true) => v }.sum)},"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

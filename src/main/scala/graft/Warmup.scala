@@ -17,17 +17,22 @@ import org.apache.spark.sql.SparkSession
   *     of order-dependent on which earlier spec happened to warm which
   *     scratch artifact.
   *
-  * Each step is timed individually and failures are swallowed (a build
-  * that fails surfaces in the query that needs it, with its own error;
-  * the warm-up must never mask that attribution). */
+  * Each step is timed individually; NON-fatal failures are absorbed
+  * but FLAGGED (a build that fails still surfaces in the query that
+  * needs it, with its own error — the warm-up must never mask that
+  * attribution — but the step's record says failed instead of emitting
+  * a misleadingly tiny elapsed time, round-18 ADVICE item 4). Fatal
+  * errors (OutOfMemoryError, InterruptedException...) propagate: after
+  * one of those the JVM can't be trusted to keep benchmarking. */
 object Warmup {
-  /** Run every named build; returns (name, seconds) per step. */
-  def all(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
-    val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+  /** Run every named build; returns (name, seconds, succeeded) per step. */
+  def all(spark: SparkSession, sfDir: String): Seq[(String, Double, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
     def build(name: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      out += name -> ((System.nanoTime() - t0) / 1e9)
+      val ok = try { body; true }
+               catch { case scala.util.control.NonFatal(_) => false }
+      out += ((name, (System.nanoTime() - t0) / 1e9, ok))
     }
     // Fingerprint-keyed one-time artifact builds (ANN index, embcos
     // anchor cells, DPP layout): on a cold scratch dir these would
