@@ -13,8 +13,29 @@ import org.apache.spark.sql.functions._
   * operator is written to survive that (no collect, no driver loops).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Exactness contract, enforced in code (round-18 ADVICE item 3): the
+    * money-sum statements (agg_pricing_summary, sql_q1, sql_q22, ...)
+    * accumulate integer micros in BIGINT — exact and order-free, but
+    * finite: ~9.2e18 µ ≈ $9.2e12 per group. Under ANSI mode (the Spark
+    * 4 default) an overflowing group raises ARITHMETIC_OVERFLOW —
+    * pinned in LoaderSpec — the signal to lift that accumulator to
+    * DECIMAL(38,0). A non-ANSI session would WRAP silently instead,
+    * diverging from the oracle exactly in the 100 TB regime where the
+    * oracle is never run, so it is refused here at the one choke point
+    * every query passes through, rather than bounded only in a comment.
+    * A precondition check, not a conf mutation — the consumer's session
+    * config is not this library's to change (the events-loader rule). */
+  private def requireAnsi(spark: SparkSession): Unit =
+    require(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean,
+      "graft: spark.sql.ansi.enabled=false lets the exact BIGINT " +
+      "money-micros accumulators wrap silently past ~$9.2e12 per group; " +
+      "enable ANSI mode (the Spark 4 default) so overflow fails loudly " +
+      "with ARITHMETIC_OVERFLOW instead.")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    requireAnsi(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -24,7 +24,12 @@ object Aggregates extends QueryGroup {
     * hence the same integers — parity is by construction. Bound: int64
     * micros hold to ~9.2e18 µ ≈ $9.2e12 per group; past that (a 100
     * TB-scale group) lift the accumulator to sum(CAST(u AS
-    * DECIMAL(38,0))) — the per-row floor stays integer. Averages divide
+    * DECIMAL(38,0))) — the per-row floor stays integer. The bound is
+    * GUARDED in code, not just documented (round-18 ADVICE item 3):
+    * [[graft.Tables]] refuses non-ANSI sessions at the table choke
+    * point, and under ANSI an overflowing group raises
+    * ARITHMETIC_OVERFLOW (pinned in LoaderSpec) instead of wrapping
+    * silently. Averages divide
     * the micros sum as a double (identical division both engines), then
     * round 6dp. sum_qty stays a double sum — quantities are small
     * integers, exactly representable. */

@@ -128,4 +128,47 @@ class LoaderSpec extends AnyFunSuite {
     assert(consumer.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false",
       "loader must not mutate the consumer session's conf")
   }
+
+  test("money-micros accumulator: overflow throws, never wraps (r18 advice 3)") {
+    // The exact idiom every money statement uses (agg_pricing_summary,
+    // sql_q1, sql_q22...): sum of CAST(floor(x·1e6 + 0.5) AS BIGINT).
+    // Under the session's ANSI mode an overflowing group must raise
+    // ARITHMETIC_OVERFLOW — the in-code guard of the ~$9.2e12-per-group
+    // bound; silent wrap would diverge from the DuckDB oracle (HUGEINT
+    // accumulation) precisely where the oracle is never run.
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "the exactness contract assumes the Spark 4 ANSI default")
+    // SparkArithmeticException extends ArithmeticException, and may or
+    // may not arrive wrapped in a SparkException depending on where the
+    // task fails — walk the cause chain for the error class
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT))
+           FROM VALUES (9.2e12), (9.2e12) t(x)""").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).toList
+    assert(msgs.exists(_.contains("ARITHMETIC_OVERFLOW")),
+      s"overflow must fail loudly, got: ${msgs.mkString(" | ").take(300)}")
+    // the same statement inside the bound stays exact
+    val ok = spark.sql(
+      """SELECT sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS u
+         FROM VALUES (0.1), (0.2) t(x)""").collect()(0).getLong(0)
+    assert(ok == 300000L)
+  }
+
+  test("non-ANSI session is refused at the table choke point (r18 advice 3)") {
+    val consumer = spark.newSession()
+    consumer.conf.set("spark.sql.ansi.enabled", "false")
+    val e = intercept[IllegalArgumentException] {
+      Tables.lineitem(consumer, TestSpark.sf)
+    }
+    assert(e.getMessage.contains("ansi"), e.getMessage)
+    assert(e.getMessage.contains("wrap"), e.getMessage)
+    // the check is a precondition, not a mutation
+    assert(consumer.conf.get("spark.sql.ansi.enabled") == "false",
+      "the guard must not flip the consumer's conf")
+    consumer.conf.set("spark.sql.ansi.enabled", "true")
+    assert(Tables.lineitem(consumer, TestSpark.sf).columns.nonEmpty)
+  }
 }
