@@ -152,6 +152,32 @@ private[graft] object ScratchParquet {
       }
       .foreach(rmTree)
 
+  /** Cross-process critical section for one artifact: a per-JVM monitor
+    * (FileLock throws OverlappingFileLockException if one process locks
+    * twice) around an OS file lock in the scratch dir. Exposed for the
+    * layout builders whose publishes must stay IN PLACE (manifests that
+    * embed absolute file paths, the vacuum layout the rung itself
+    * mutates post-publish) — they can't use the tmp+rename protocol,
+    * but the lock still keeps two JVMs from interleaving writes into
+    * one build. */
+  private[graft] def withLock[T](key: String)(body: => T): T = {
+    require(key.nonEmpty && !key.contains("/"),
+      s"lock key names one lock file in the scratch dir: '$key'")
+    val mon = jvmLocks.getOrElseUpdate(key, new Object)
+    mon.synchronized {
+      val scratch = new java.io.File(graft.Tables.scratchDir)
+      scratch.mkdirs()
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(scratch, s".lock$Sep$key").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
   /** Build-or-reuse a whole artifact DIRECTORY (the general form: an
     * IVF index with cells + centroids, a hive-partitioned fingerprint
     * table...). `build` receives the temp dir to populate; the temp dir
@@ -167,32 +193,23 @@ private[graft] object ScratchParquet {
     val dir = new java.io.File(scratch, dirName)
     val done = new java.io.File(dir, "_DONE")
     if (!done.exists()) {
-      val mon = jvmLocks.getOrElseUpdate(dirName, new Object)
-      mon.synchronized {
-        scratch.mkdirs()
-        val ch = java.nio.channels.FileChannel.open(
-          new java.io.File(scratch, s".lock$Sep$dirName").toPath,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lk = ch.lock()
-          try if (!done.exists()) { // re-check: the lock's previous holder may have published
-            evictSuperseded(name, base, keep = dirName)
-            if (dir.exists()) rmTree(dir) // pre-atomic-era half-write
-            val tmp = new java.io.File(scratch,
-              s".tmp$Sep$dirName$Sep${ProcessHandle.current().pid()}" +
-                s"$Sep${java.util.UUID.randomUUID().toString.take(8)}")
-            rmTree(tmp)
-            build(tmp)
-            new java.io.File(tmp, "_DONE").createNewFile()
-            try java.nio.file.Files.move(tmp.toPath, dir.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch { // a process outside the lock protocol published first
-              case _: java.nio.file.FileAlreadyExistsException => rmTree(tmp)
-              case _: java.nio.file.DirectoryNotEmptyException => rmTree(tmp)
-            }
-          } finally lk.release()
-        } finally ch.close()
+      withLock(dirName) {
+        if (!done.exists()) { // re-check: the lock's previous holder may have published
+          evictSuperseded(name, base, keep = dirName)
+          if (dir.exists()) rmTree(dir) // pre-atomic-era half-write
+          val tmp = new java.io.File(scratch,
+            s".tmp$Sep$dirName$Sep${ProcessHandle.current().pid()}" +
+              s"$Sep${java.util.UUID.randomUUID().toString.take(8)}")
+          rmTree(tmp)
+          build(tmp)
+          new java.io.File(tmp, "_DONE").createNewFile()
+          try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { // a process outside the lock protocol published first
+            case _: java.nio.file.FileAlreadyExistsException => rmTree(tmp)
+            case _: java.nio.file.DirectoryNotEmptyException => rmTree(tmp)
+          }
+        }
       }
     }
     dir.getPath

@@ -317,13 +317,20 @@ object Scans extends QueryGroup {
     def shards(): Int =
       Option(new java.io.File(frag).listFiles()).getOrElse(Array.empty)
         .count(_.getName.endsWith(".parquet"))
-    if (!new java.io.File(s"$frag/_FRAG_DONE").exists() || shards() != 64) {
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-        .repartition(64)
-        .write.mode("overwrite").parquet(frag)
-      new java.io.File(s"$frag/_FRAG_DONE").createNewFile()
-    }
+    def torn(): Boolean =
+      !new java.io.File(s"$frag/_FRAG_DONE").exists() || shards() != 64
+    // in-place + locked (the marker lives beside a shard-count check,
+    // and sink_compact reads the fragmented dir by path)
+    if (torn())
+      ScratchParquet.withLock(new java.io.File(frag).getName) {
+        if (torn()) {
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+            .repartition(64)
+            .write.mode("overwrite").parquet(frag)
+          new java.io.File(s"$frag/_FRAG_DONE").createNewFile()
+        }
+      }
     frag
   }
 
@@ -385,23 +392,18 @@ object Scans extends QueryGroup {
     * for rebuilding the layout. Bench calls this from its untimed
     * warm-up so a cold scratch dir can't be misattributed to whichever
     * query runs first. */
-  private[graft] def ensureDppLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val base = s"${Tables.scratchDir}/dpp_${new java.io.File(d).getName}" +
-      s"_${Tables.fingerprint(d, "orders")}"
-    if (!new java.io.File(s"$base/_DONE").exists()) {
+  private[graft] def ensureDppLayout(s: org.apache.spark.sql.SparkSession, d: String): String =
+    ScratchParquet.ensureDir("dpp", d, Tables.fingerprint(d, "orders")) { tmp =>
       Tables.orders(s, d).write.mode("overwrite")
-        .partitionBy("o_orderstatus").parquet(s"$base/orders")
+        .partitionBy("o_orderstatus").parquet(s"$tmp/orders")
       // the dim must be a file scan filtered on a NON-join column: a filter
       // on the join key would be inferred statically, and a local relation
       // folds the filter away — neither exercises runtime pruning
       Tables.orders(s, d).select(col("o_orderstatus")).distinct()
         .withColumn("status_name",
           when(col("o_orderstatus") === "F", "closed").otherwise("other"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/status_dim")
-      new java.io.File(s"$base/_DONE").createNewFile()
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/status_dim")
     }
-    base
-  }
 
   private val scanDpp: QFn = (s, d) => {
     val base = ensureDppLayout(s, d)
@@ -477,11 +479,16 @@ object Scans extends QueryGroup {
     * instead of returning an empty DataFrame. */
   private val ingestAvro: QFn = (s, d) => {
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-    val out = s"${Tables.scratchDir}/ingest_avro_${Tables.fingerprint(d, "customer")}"
-    val done = new java.io.File(s"$out/_DONE")
     val schemaJson = AvroCustomerSchemaJson
-    if (!done.exists()) {
-      new java.io.File(out).mkdirs()
+    // atomic fingerprint-keyed artifact (round 18): the shard writers
+    // receive the TEMP dir path (a plain string in the task closure);
+    // the rename publishes all four shards and _DONE at once, so the
+    // round-11 torn-layout class (marker outliving some shards) can't
+    // recur — the non-empty listing require below stays as a backstop
+    val out = ScratchParquet.ensureDir("ingest_avro", d,
+        Tables.fingerprint(d, "customer")) { tmp =>
+      tmp.mkdirs() // the avro writer, unlike Spark's sinks, needs the parent
+      val tmpPath = tmp.getPath
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
                 col("c_acctbal"), col("c_mktsegment"))
@@ -491,7 +498,7 @@ object Scans extends QueryGroup {
           val w = new org.apache.avro.file.DataFileWriter(
             new GenericDatumWriter[GenericRecord](schema))
           w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-          w.create(schema, new java.io.File(s"$out/part-$pid.avro"))
+          w.create(schema, new java.io.File(s"$tmpPath/part-$pid.avro"))
           var n = 0L
           try rows.foreach { r =>
             val rec = new GenericData.Record(schema)
@@ -504,7 +511,12 @@ object Scans extends QueryGroup {
           } finally w.close()
           Iterator.single(n)
         }.sum()
-      done.createNewFile()
+      // sweep the pre-round-18 layout (ingest_avro_<fp>, no sf segment —
+      // the generic legacy rule can't match it without a base)
+      Option(new java.io.File(Tables.scratchDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.matches("ingest_avro_[0-9a-f]+"))
+        .foreach(Tables.deleteRecursively)
     }
     val paths = new java.io.File(out).listFiles()
       .filter(_.getName.endsWith(".avro")).map(_.getPath).toSeq.sorted
@@ -626,19 +638,28 @@ object Scans extends QueryGroup {
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val base = s"${Tables.scratchDir}/manifest_${new java.io.File(d).getName}" +
       s"_${Tables.fingerprint(d, "lineitem")}"
-    if (!new java.io.File(s"$base/_DONE").exists()) {
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-        .repartitionByRange(16, col("l_orderkey"))
-        .sortWithinPartitions(col("l_orderkey"))
-        .write.mode("overwrite").parquet(s"$base/data")
-      s.read.parquet(s"$base/data")
-        .groupBy(input_file_name().as("path"))
-        .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
-             count(lit(1)).as("n_rows"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
-      new java.io.File(s"$base/_DONE").createNewFile()
-    }
+    // In-place build, never tmp+rename: the manifest embeds ABSOLUTE
+    // file paths (input_file_name at layout time — the table-format
+    // file index this rung models), which a rename would invalidate;
+    // and the delta/delete generations land INSIDE this dir later.
+    // The cross-process lock still prevents interleaved double-builds;
+    // _DONE handles the crash-half-write case as before.
+    if (!new java.io.File(s"$base/_DONE").exists())
+      ScratchParquet.withLock(new java.io.File(base).getName) {
+        if (!new java.io.File(s"$base/_DONE").exists()) {
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+            .repartitionByRange(16, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey"))
+            .write.mode("overwrite").parquet(s"$base/data")
+          s.read.parquet(s"$base/data")
+            .groupBy(input_file_name().as("path"))
+            .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+                 count(lit(1)).as("n_rows"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+          new java.io.File(s"$base/_DONE").createNewFile()
+        }
+      }
     base
   }
 
@@ -677,21 +698,27 @@ object Scans extends QueryGroup {
     * under the base layout's keyed scratch dir. */
   private[graft] def ensureManifestDelta(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val dd = s"${ensureManifestLayout(s, d)}/delta"
-    if (!new java.io.File(s"$dd/_DONE").exists()) {
-      Tables.lineitem(s, d)
-        .filter(col("l_orderkey") % 97L === 0L)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-        .repartitionByRange(2, col("l_orderkey"))
-        .sortWithinPartitions(col("l_orderkey"))
-        .write.mode("overwrite").parquet(s"$dd/data")
-      s.read.parquet(s"$dd/data")
-        .groupBy(input_file_name().as("path"))
-        .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
-             count(lit(1)).as("n_rows"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dd/manifest")
-      new java.io.File(s"$dd/_DONE").createNewFile()
-    }
+    val layout = ensureManifestLayout(s, d)
+    val dd = s"$layout/delta"
+    // in-place + locked, same reasons as the base layout (absolute
+    // paths in the delta manifest)
+    if (!new java.io.File(s"$dd/_DONE").exists())
+      ScratchParquet.withLock(new java.io.File(layout).getName + "+delta") {
+        if (!new java.io.File(s"$dd/_DONE").exists()) {
+          Tables.lineitem(s, d)
+            .filter(col("l_orderkey") % 97L === 0L)
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+            .repartitionByRange(2, col("l_orderkey"))
+            .sortWithinPartitions(col("l_orderkey"))
+            .write.mode("overwrite").parquet(s"$dd/data")
+          s.read.parquet(s"$dd/data")
+            .groupBy(input_file_name().as("path"))
+            .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+                 count(lit(1)).as("n_rows"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$dd/manifest")
+          new java.io.File(s"$dd/_DONE").createNewFile()
+        }
+      }
     dd
   }
 
@@ -727,14 +754,18 @@ object Scans extends QueryGroup {
     * base layout's keyed scratch dir. */
   private[graft] def ensureManifestDelete(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val dl = s"${ensureManifestLayout(s, d)}/delete"
-    if (!new java.io.File(s"$dl/_DONE").exists()) {
-      Tables.lineitem(s, d)
-        .filter(col("l_orderkey") % 101L === 0L)
-        .select(col("l_orderkey")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(s"$dl/keys")
-      new java.io.File(s"$dl/_DONE").createNewFile()
-    }
+    val layout = ensureManifestLayout(s, d)
+    val dl = s"$layout/delete"
+    if (!new java.io.File(s"$dl/_DONE").exists())
+      ScratchParquet.withLock(new java.io.File(layout).getName + "+delete") {
+        if (!new java.io.File(s"$dl/_DONE").exists()) {
+          Tables.lineitem(s, d)
+            .filter(col("l_orderkey") % 101L === 0L)
+            .select(col("l_orderkey")).distinct()
+            .coalesce(1).write.mode("overwrite").parquet(s"$dl/keys")
+          new java.io.File(s"$dl/_DONE").createNewFile()
+        }
+      }
     dl
   }
 
@@ -833,15 +864,15 @@ object Scans extends QueryGroup {
     * table alone — file-count or row_index plumbing breaks hash-fail.
     * Built once per fixture fingerprint. */
   private val scanFileMetadata: QFn = (s, d) => {
-    val base = s"${Tables.scratchDir}/filemeta_${new java.io.File(d).getName}" +
-      s"_${Tables.fingerprint(d, "lineitem")}"
-    if (!new java.io.File(s"$base/_DONE").exists()) {
+    // rename-safe under the atomic ScratchParquet publish: the read
+    // derives pk from the "pk=N" path SEGMENT, never the absolute path
+    val base = ScratchParquet.ensureDir("filemeta", d,
+        Tables.fingerprint(d, "lineitem")) { tmp =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"))
         .withColumn("pk", pmod(col("l_orderkey"), lit(8L)).cast(IntegerType))
         .repartition(8, col("pk"))
-        .write.partitionBy("pk").mode("overwrite").parquet(s"$base/data")
-      new java.io.File(s"$base/_DONE").createNewFile()
+        .write.partitionBy("pk").mode("overwrite").parquet(s"$tmp/data")
     }
     s.read.parquet(s"$base/data")
       .select(col("l_orderkey"),
@@ -870,6 +901,20 @@ object Scans extends QueryGroup {
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val base = s"${Tables.scratchDir}/vacuum_${new java.io.File(d).getName}" +
       s"_${Tables.fingerprint(d, "lineitem")}"
+    // In-place build, never tmp+rename: the v0/v1/v2 manifests embed
+    // ABSOLUTE file paths (the reference set the vacuum reclaims from),
+    // and the rung itself mutates the layout post-publish. The lock
+    // still keeps two JVMs from interleaving one build (_DONE handles
+    // the crash-half-write case as before).
+    if (!new java.io.File(s"$base/_DONE").exists())
+      ScratchParquet.withLock(new java.io.File(base).getName) {
+        buildVacuumLayout(s, d, base)
+      }
+    base
+  }
+
+  private def buildVacuumLayout(
+      s: org.apache.spark.sql.SparkSession, d: String, base: String): Unit = {
     if (!new java.io.File(s"$base/_DONE").exists()) {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
@@ -893,7 +938,6 @@ object Scans extends QueryGroup {
         .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest/v2")
       new java.io.File(s"$base/_DONE").createNewFile()
     }
-    base
   }
 
   private[graft] def stripFileScheme(p: String): String =
@@ -918,6 +962,16 @@ object Scans extends QueryGroup {
   private[graft] def vacuumRetainLatest(
       s: org.apache.spark.sql.SparkSession, base: String): Unit = {
     if (new java.io.File(s"$base/_VACUUMED").exists()) return
+    // serialized across JVMs like the layout build: two concurrent
+    // vacuums would race each other's Files.delete calls
+    ScratchParquet.withLock(new java.io.File(base).getName + "+vacuum") {
+      if (!new java.io.File(s"$base/_VACUUMED").exists())
+        vacuumRetainLatestLocked(s, base)
+    }
+  }
+
+  private def vacuumRetainLatestLocked(
+      s: org.apache.spark.sql.SparkSession, base: String): Unit = {
     val kept = s.read.parquet(s"$base/manifest/v2")
       .select(col("path")).collect().map(r => stripFileScheme(r.getString(0))).toSet
     val dataRoot = java.nio.file.Paths.get(s"$base/data")
@@ -1022,10 +1076,10 @@ object Scans extends QueryGroup {
     * digest from the nation table itself — no file access — so equality
     * proves the write+scan round-trip byte-lossless end to end. */
   private val ingestBinary: QFn = (s, d) => {
-    val base = s"${Tables.scratchDir}/binary_${new java.io.File(d).getName}" +
-      s"_${Tables.fingerprint(d, "nation")}"
-    if (!new java.io.File(s"$base/_DONE").exists()) {
-      new java.io.File(s"$base/files").mkdirs()
+    // rename-safe: the read keys on the file BASENAME, never the path
+    val base = ScratchParquet.ensureDir("binary", d,
+        Tables.fingerprint(d, "nation")) { tmp =>
+      new java.io.File(s"$tmp/files").mkdirs()
       Tables.nation(s, d)
         .select(col("n_nationkey").cast(LongType), col("n_name"))
         .collect()  // |nation| = 25 rows: fixture synthesis, not a data path
@@ -1033,10 +1087,9 @@ object Scans extends QueryGroup {
           val k = r.getLong(0)
           val payload = (s"${r.getString(1)}|$k|" * (k.toInt + 1))
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$base/files/nation_$k.bin"),
+            java.nio.file.Paths.get(s"$tmp/files/nation_$k.bin"),
             payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-      new java.io.File(s"$base/_DONE").createNewFile()
     }
     s.read.format("binaryFile").load(s"$base/files")
       .select(

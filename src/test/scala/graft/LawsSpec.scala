@@ -997,16 +997,21 @@ class LawsSpec extends AnyFunSuite {
 
   test("ingest_avro fails fast on a torn scratch dir (_DONE but no shards)") {
     // round-11 advice: a surviving _DONE marker over a cleaned shard
-    // dir must raise, never silently return an empty DataFrame. Use a
-    // test-owned copy of the fixture so the real cached layout for the
-    // production sfDir is untouched.
+    // dir must raise, never silently return an empty DataFrame. The
+    // round-18 atomic publish means this state can no longer arise from
+    // a crash (shards and marker rename into place together) — plant it
+    // at the published artifact path directly (external tampering /
+    // manual cleanup) and assert the read-side backstop still fires.
+    // Use a test-owned copy of the fixture so the real cached layout
+    // for the production sfDir is untouched.
     val tmp = java.nio.file.Files.createTempDirectory("graft_torn_avro")
     try {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sf/customer.parquet"),
         tmp.resolve("customer.parquet"))
-      val scratch = new java.io.File(
-        s"${Tables.scratchDir}/ingest_avro_${Tables.fingerprint(tmp.toString, "customer")}")
+      val scratch = new java.io.File(s"${Tables.scratchDir}/ingest_avro=" +
+        s"${tmp.getFileName}=${Tables.fingerprint(tmp.toString, "customer")}=" +
+        operators.ScratchParquet.ConstructionVersion)
       scratch.mkdirs()
       new java.io.File(scratch, "_DONE").createNewFile()
       val e = intercept[IllegalArgumentException] {
