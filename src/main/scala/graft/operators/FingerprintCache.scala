@@ -193,10 +193,23 @@ private[graft] object ScratchParquet {
     val dir = new java.io.File(scratch, dirName)
     val done = new java.io.File(dir, "_DONE")
     if (!done.exists()) {
-      withLock(dirName) {
+      // lock granularity is (name, base) — EVERY generation of one
+      // artifact serializes on one lock, so the eviction and tmp sweep
+      // below can never pull a live concurrent builder's dirs out from
+      // under it (two fingerprints racing means one fixture is stale,
+      // but its builder still must not crash on vanished files)
+      withLock(s"$name$Sep$base") {
         if (!done.exists()) { // re-check: the lock's previous holder may have published
           evictSuperseded(name, base, keep = dirName)
           if (dir.exists()) rmTree(dir) // pre-atomic-era half-write
+          // crashed-build debris: a process that died mid-build left a
+          // .tmp= dir that no retry ever reuses (names are per-attempt
+          // unique). Safe to sweep HERE and only here — any process
+          // building any generation of this artifact holds this lock,
+          // so a matching .tmp= dir can't belong to a live builder.
+          Option(scratch.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(s".tmp$Sep$name$Sep$base$Sep"))
+            .foreach(rmTree)
           val tmp = new java.io.File(scratch,
             s".tmp$Sep$dirName$Sep${ProcessHandle.current().pid()}" +
               s"$Sep${java.util.UUID.randomUUID().toString.take(8)}")

@@ -231,6 +231,34 @@ class CacheSpec extends AnyFunSuite {
     assert(left.isEmpty, s"legacy dirs must be swept on rebuild, saw: $left")
   }
 
+  test("ScratchParquet: crashed-build .tmp= debris is swept on the next build") {
+    val sp = spark
+    import sp.implicits._
+    val d = s"${Tables.scratchDir}/cachespec_crash_fixture"
+    new java.io.File(d).mkdirs()
+    Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.contains("cachespec_crash"))
+      .foreach(Tables.deleteRecursively)
+    // plant what a process that died mid-build leaves: per-attempt-unique
+    // temp dirs nothing ever reuses — including one from an OLDER
+    // fingerprint generation of the same artifact
+    val debris = Seq(
+      s".tmp=cachespec_crash=cachespec_crash_fixture=fpX=" +
+        s"${operators.ScratchParquet.ConstructionVersion}=999=deadbeef",
+      s".tmp=cachespec_crash=cachespec_crash_fixture=fpOld=c16=998=cafebabe")
+    debris.foreach { n =>
+      val f = new java.io.File(Tables.scratchDir, n)
+      f.mkdirs(); new java.io.File(f, "partial").createNewFile()
+    }
+    operators.ScratchParquet.ensure(spark, "cachespec_crash", d, "fpX")(
+      Seq((1L, "v")).toDF("id", "s"))
+    val left = Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => debris.contains(n)).toList
+    assert(left.isEmpty, s"crashed temp dirs must be swept under the lock: $left")
+  }
+
   test("ScratchParquet: concurrent ensure builds once, atomically (r18 advice 1)") {
     val sp = spark
     import sp.implicits._
