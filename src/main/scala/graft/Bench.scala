@@ -31,17 +31,13 @@ object Bench {
     // steady-state numbers exclude. The steps stay OUT of the per-query
     // timings on purpose: they run once per fixture lifetime by design
     // (on a cluster they'd be materialized artifacts, not query work).
-    // (name, seconds, succeeded) — a failed build step is recorded as
-    // -1 in the JSON (the per-query failed convention) instead of a
-    // misleadingly tiny elapsed time; NonFatal-only, so a fatal error
-    // (OOM) aborts the run rather than benchmarking a broken JVM.
+    // (name, seconds, succeeded) via the one shared Warmup.step spelling
+    // — a failed build step is recorded as -1 in the JSON (the per-query
+    // failed convention) instead of a misleadingly tiny elapsed time;
+    // NonFatal-only, so a fatal error (OOM) aborts the run rather than
+    // benchmarking a broken JVM.
     val builds = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
-    def build(name: String)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      val ok = try { body; true }
-               catch { case scala.util.control.NonFatal(_) => false }
-      builds += ((name, (System.nanoTime() - t0) / 1e9, ok))
-    }
+    def build(name: String)(body: => Unit): Unit = Warmup.step(builds, name)(body)
     // JVM/codegen/session one-time costs, paid here rather than
     // attributed to whichever query runs first. Split in two (round-15
     // advice item 5): `session_init` pays the generic first-ever-query

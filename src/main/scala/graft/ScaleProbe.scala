@@ -100,15 +100,23 @@ object ScaleProbe {
   /** Wipe this fixture's probed scratch artifacts so every timed build
     * is COLD — the probe measures construction cost, not warm reads. */
   private def cleanScratch(sfBase: String): Unit = {
-    // the anchors/ann paths interpose a version token between prefix and
-    // sf base, so match on prefix + an "_<sfBase>_" segment
-    val prefixes = Seq("mhp_pairs_", "shp_pairs_", "emb_pairs_", "multilab_",
-      "wn_index_", "mh_index_", "embcos_anchors_", "ann_index_",
-      "winnow_fps_", "trade_edges_")
+    // round-18 format: name=base=fp=version — match the probed names by
+    // exact first-two-segment parse. Legacy pre-18 underscore dirs
+    // (prefix + "_<sfBase>_" segment) are matched too so a probe over a
+    // part-migrated scratch dir still starts cold.
+    val names = Seq("mhp_pairs", "shp_pairs", "emb_pairs", "multilab",
+      "wn_index", "mh_index", "embcos_anchors", "ann_index",
+      "winnow_fps", "trade_edges")
     Option(new java.io.File(Tables.scratchDir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => prefixes.exists(p => f.getName.startsWith(p) &&
-        f.getName.contains(s"_${sfBase}_")))
+      .filter { f =>
+        val n = f.getName
+        (n.split("=", -1) match {
+          case Array(nm, b, _, _) => names.contains(nm) && b == sfBase
+          case _ => false
+        }) ||
+        names.exists(p => n.startsWith(s"${p}_") && n.contains(s"_${sfBase}_"))
+      }
       .foreach(f => Tables.deleteRecursively(f))
   }
 

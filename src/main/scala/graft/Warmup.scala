@@ -25,15 +25,22 @@ import org.apache.spark.sql.SparkSession
   * errors (OutOfMemoryError, InterruptedException...) propagate: after
   * one of those the JVM can't be trusted to keep benchmarking. */
 object Warmup {
+  /** ONE spelling of the timed-step convention, shared with Bench's
+    * session_init/jit_* steps: seconds elapsed plus a succeeded flag,
+    * NonFatal-only so a fatal error (OOM) aborts instead of running on
+    * in a broken JVM. */
+  def step(out: scala.collection.mutable.Growable[(String, Double, Boolean)],
+           name: String)(body: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    val ok = try { body; true }
+             catch { case scala.util.control.NonFatal(_) => false }
+    out += ((name, (System.nanoTime() - t0) / 1e9, ok))
+  }
+
   /** Run every named build; returns (name, seconds, succeeded) per step. */
   def all(spark: SparkSession, sfDir: String): Seq[(String, Double, Boolean)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
-    def build(name: String)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      val ok = try { body; true }
-               catch { case scala.util.control.NonFatal(_) => false }
-      out += ((name, (System.nanoTime() - t0) / 1e9, ok))
-    }
+    def build(name: String)(body: => Unit): Unit = step(out, name)(body)
     // Fingerprint-keyed one-time artifact builds (ANN index, embcos
     // anchor cells, DPP layout): on a cold scratch dir these would
     // otherwise be silently absorbed by whichever query runs first.

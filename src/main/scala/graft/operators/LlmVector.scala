@@ -158,28 +158,35 @@ object LlmVector extends QueryGroup {
     // sees a complete directory or none, never a half-written overwrite
     // (round-6 advice). Spark's scan ignores underscore-prefixed files,
     // so the marker rides inside the directory it certifies.
-    // The tmp dir is PROCESS-UNIQUE (round 18 — the ScratchParquet
-    // atomicity posture applied here too): a fixed tmp path would let
-    // two JVMs racing this build interleave writes into one directory
-    // and then seal the mix with _DONE. With unique tmps both racers
-    // build complete deltas (identical — deterministic content) and the
-    // loser of the rename discards its copy.
+    // The tmp dir is PROCESS-UNIQUE and the publish runs under the
+    // SAME cross-process lock discipline as every other round-18
+    // artifact: a fixed tmp path would let two JVMs racing this build
+    // interleave writes into one directory and seal the mix with
+    // _DONE, and an unlocked delete-then-rename would let the loser
+    // delete the winner's just-published complete delta while a reader
+    // holds it. Inside the lock the _DONE re-check makes the stale-dir
+    // delete reachable only for true crash debris.
     val deltaDir = new java.io.File(s"$path/delta_cells")
-    if (!new java.io.File(deltaDir, "_DONE").exists()) {
-      val tmp = new java.io.File(
-        s"$path/.delta_cells_tmp_${ProcessHandle.current().pid()}_" +
-          java.util.UUID.randomUUID().toString.take(8))
-      assigned.write.mode("overwrite").partitionBy("cell")
-        .parquet(tmp.getPath)
-      new java.io.File(tmp, "_DONE").createNewFile()
-      if (deltaDir.exists()) Tables.deleteRecursively(deltaDir) // crash-stale partial dir
-      try java.nio.file.Files.move(tmp.toPath, deltaDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // a concurrent process published an identical delta first
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Tables.deleteRecursively(tmp)
-        case _: java.nio.file.DirectoryNotEmptyException =>
-          Tables.deleteRecursively(tmp)
+    def deltaDone = new java.io.File(deltaDir, "_DONE").exists()
+    if (!deltaDone) {
+      ScratchParquet.withLock(new java.io.File(path).getName + "+delta") {
+        if (!deltaDone) {
+          val tmp = new java.io.File(
+            s"$path/.delta_cells_tmp_${ProcessHandle.current().pid()}_" +
+              java.util.UUID.randomUUID().toString.take(8))
+          assigned.write.mode("overwrite").partitionBy("cell")
+            .parquet(tmp.getPath)
+          new java.io.File(tmp, "_DONE").createNewFile()
+          if (deltaDir.exists()) Tables.deleteRecursively(deltaDir) // crash-stale partial dir
+          try java.nio.file.Files.move(tmp.toPath, deltaDir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { // a process outside the lock protocol published first
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Tables.deleteRecursively(tmp)
+            case _: java.nio.file.DirectoryNotEmptyException =>
+              Tables.deleteRecursively(tmp)
+          }
+        }
       }
     }
     val base = s.read.parquet(s"$path/cells")

@@ -175,6 +175,13 @@ class CacheSpec extends AnyFunSuite {
     val dA = s"${Tables.scratchDir}/cachespec_fix"
     val dB = s"${Tables.scratchDir}/cachespec_fix_old"
     Seq(dA, dB).foreach(p => new java.io.File(p).mkdirs())
+    // scratch persists across JVMs: clear both published artifacts so
+    // the second ensure actually BUILDS (running its eviction) instead
+    // of warm-reading past the regression this test pins
+    Option(new java.io.File(Tables.scratchDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("cachespec_sib="))
+      .foreach(Tables.deleteRecursively)
     def one() = Seq((1L, "x")).toDF("id", "s")
     operators.ScratchParquet.ensure(spark, "cachespec_sib", dB, "fpOld")(one())
     // building for the SHORTER basename must not sweep the longer one's dir

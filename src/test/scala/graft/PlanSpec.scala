@@ -448,7 +448,7 @@ class PlanSpec extends AnyFunSuite {
     // once per iteration (fatal at 100 TB)
     val p = plan("graph_pagerank")
     assert(!p.contains("lineitem"), p)
-    assert(p.contains("trade_edges_") || p.contains("InMemoryTableScan"),
+    assert(p.contains("trade_edges=") || p.contains("InMemoryTableScan"),
       s"expected the persisted edge-table leaf:\n$p")
   }
 
@@ -1159,7 +1159,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!build.contains("CartesianProduct"), build)
     // and the served rung leafs at the artifact scan, never re-deriving
     val served = plan("text_winnowing")
-    assert(served.contains("winnow_fps_") || served.contains("InMemoryTableScan"),
+    assert(served.contains("winnow_fps=") || served.contains("InMemoryTableScan"),
       s"expected the persisted fingerprint leaf:\n$served")
   }
 
