@@ -178,6 +178,32 @@ private[graft] object ScratchParquet {
     }
   }
 
+  /** The locked double-checked once-per-layout build idiom, ONE
+    * spelling for every in-place builder (manifest layout/delta/delete,
+    * vacuum, compaction input): cheap unlocked probe, then re-probe
+    * under the cross-process lock so the previous holder's publish is
+    * seen. `needsBuild` is re-evaluated inside the lock. */
+  private[graft] def onceLocked(key: String)(needsBuild: => Boolean)
+                               (build: => Unit): Unit =
+    if (needsBuild) withLock(key) { if (needsBuild) build }
+
+  /** Atomically publish a finished tmp dir at `dir`. On Linux a rename
+    * onto an existing non-empty directory surfaces as a GENERIC
+    * java.nio.file.FileSystemException (ENOTEMPTY) — NOT the
+    * DirectoryNotEmptyException / FileAlreadyExistsException subclasses
+    * (verified empirically, round-18 review) — so the losing-racer
+    * fallback catches the superclass and accepts the loss ONLY when a
+    * complete artifact (`_DONE` inside) is actually present; any other
+    * move failure (permissions, IO) still propagates. */
+  private[graft] def publishTmp(tmp: java.io.File, dir: java.io.File): Unit = {
+    try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        if (new java.io.File(dir, "_DONE").exists()) rmTree(tmp) else throw e
+    }
+  }
+
   /** Build-or-reuse a whole artifact DIRECTORY (the general form: an
     * IVF index with cells + centroids, a hive-partitioned fingerprint
     * table...). `build` receives the temp dir to populate; the temp dir
@@ -216,12 +242,7 @@ private[graft] object ScratchParquet {
           rmTree(tmp)
           build(tmp)
           new java.io.File(tmp, "_DONE").createNewFile()
-          try java.nio.file.Files.move(tmp.toPath, dir.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { // a process outside the lock protocol published first
-            case _: java.nio.file.FileAlreadyExistsException => rmTree(tmp)
-            case _: java.nio.file.DirectoryNotEmptyException => rmTree(tmp)
-          }
+          publishTmp(tmp, dir)
         }
       }
     }

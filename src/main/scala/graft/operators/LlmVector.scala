@@ -167,27 +167,21 @@ object LlmVector extends QueryGroup {
     // holds it. Inside the lock the _DONE re-check makes the stale-dir
     // delete reachable only for true crash debris.
     val deltaDir = new java.io.File(s"$path/delta_cells")
-    def deltaDone = new java.io.File(deltaDir, "_DONE").exists()
-    if (!deltaDone) {
-      ScratchParquet.withLock(new java.io.File(path).getName + "+delta") {
-        if (!deltaDone) {
-          val tmp = new java.io.File(
-            s"$path/.delta_cells_tmp_${ProcessHandle.current().pid()}_" +
-              java.util.UUID.randomUUID().toString.take(8))
-          assigned.write.mode("overwrite").partitionBy("cell")
-            .parquet(tmp.getPath)
-          new java.io.File(tmp, "_DONE").createNewFile()
-          if (deltaDir.exists()) Tables.deleteRecursively(deltaDir) // crash-stale partial dir
-          try java.nio.file.Files.move(tmp.toPath, deltaDir.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { // a process outside the lock protocol published first
-            case _: java.nio.file.FileAlreadyExistsException =>
-              Tables.deleteRecursively(tmp)
-            case _: java.nio.file.DirectoryNotEmptyException =>
-              Tables.deleteRecursively(tmp)
-          }
-        }
-      }
+    ScratchParquet.onceLocked(new java.io.File(path).getName + "+delta")(
+        !new java.io.File(deltaDir, "_DONE").exists()) {
+      // crash debris first (safe under the lock — any builder of this
+      // delta holds it): per-attempt-unique tmps nothing ever reuses
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".delta_cells_tmp_"))
+        .foreach(Tables.deleteRecursively)
+      val tmp = new java.io.File(
+        s"$path/.delta_cells_tmp_${ProcessHandle.current().pid()}_" +
+          java.util.UUID.randomUUID().toString.take(8))
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(tmp.getPath)
+      new java.io.File(tmp, "_DONE").createNewFile()
+      if (deltaDir.exists()) Tables.deleteRecursively(deltaDir) // crash-stale partial dir
+      ScratchParquet.publishTmp(tmp, deltaDir)
     }
     val base = s.read.parquet(s"$path/cells")
       .groupBy(col("cell").cast(IntegerType).as("cell"))

@@ -317,20 +317,16 @@ object Scans extends QueryGroup {
     def shards(): Int =
       Option(new java.io.File(frag).listFiles()).getOrElse(Array.empty)
         .count(_.getName.endsWith(".parquet"))
-    def torn(): Boolean =
-      !new java.io.File(s"$frag/_FRAG_DONE").exists() || shards() != 64
     // in-place + locked (the marker lives beside a shard-count check,
     // and sink_compact reads the fragmented dir by path)
-    if (torn())
-      ScratchParquet.withLock(new java.io.File(frag).getName) {
-        if (torn()) {
-          Tables.lineitem(s, d)
-            .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-            .repartition(64)
-            .write.mode("overwrite").parquet(frag)
-          new java.io.File(s"$frag/_FRAG_DONE").createNewFile()
-        }
-      }
+    ScratchParquet.onceLocked(new java.io.File(frag).getName)(
+        !new java.io.File(s"$frag/_FRAG_DONE").exists() || shards() != 64) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      new java.io.File(s"$frag/_FRAG_DONE").createNewFile(); ()
+    }
     frag
   }
 
@@ -644,22 +640,20 @@ object Scans extends QueryGroup {
     // and the delta/delete generations land INSIDE this dir later.
     // The cross-process lock still prevents interleaved double-builds;
     // _DONE handles the crash-half-write case as before.
-    if (!new java.io.File(s"$base/_DONE").exists())
-      ScratchParquet.withLock(new java.io.File(base).getName) {
-        if (!new java.io.File(s"$base/_DONE").exists()) {
-          Tables.lineitem(s, d)
-            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-            .repartitionByRange(16, col("l_orderkey"))
-            .sortWithinPartitions(col("l_orderkey"))
-            .write.mode("overwrite").parquet(s"$base/data")
-          s.read.parquet(s"$base/data")
-            .groupBy(input_file_name().as("path"))
-            .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
-                 count(lit(1)).as("n_rows"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
-          new java.io.File(s"$base/_DONE").createNewFile()
-        }
-      }
+    ScratchParquet.onceLocked(new java.io.File(base).getName)(
+        !new java.io.File(s"$base/_DONE").exists()) {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$base/data")
+      s.read.parquet(s"$base/data")
+        .groupBy(input_file_name().as("path"))
+        .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+             count(lit(1)).as("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/manifest")
+      new java.io.File(s"$base/_DONE").createNewFile(); ()
+    }
     base
   }
 
@@ -702,23 +696,21 @@ object Scans extends QueryGroup {
     val dd = s"$layout/delta"
     // in-place + locked, same reasons as the base layout (absolute
     // paths in the delta manifest)
-    if (!new java.io.File(s"$dd/_DONE").exists())
-      ScratchParquet.withLock(new java.io.File(layout).getName + "+delta") {
-        if (!new java.io.File(s"$dd/_DONE").exists()) {
-          Tables.lineitem(s, d)
-            .filter(col("l_orderkey") % 97L === 0L)
-            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-            .repartitionByRange(2, col("l_orderkey"))
-            .sortWithinPartitions(col("l_orderkey"))
-            .write.mode("overwrite").parquet(s"$dd/data")
-          s.read.parquet(s"$dd/data")
-            .groupBy(input_file_name().as("path"))
-            .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
-                 count(lit(1)).as("n_rows"))
-            .coalesce(1).write.mode("overwrite").parquet(s"$dd/manifest")
-          new java.io.File(s"$dd/_DONE").createNewFile()
-        }
-      }
+    ScratchParquet.onceLocked(new java.io.File(layout).getName + "+delta")(
+        !new java.io.File(s"$dd/_DONE").exists()) {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 97L === 0L)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartitionByRange(2, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$dd/data")
+      s.read.parquet(s"$dd/data")
+        .groupBy(input_file_name().as("path"))
+        .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"),
+             count(lit(1)).as("n_rows"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dd/manifest")
+      new java.io.File(s"$dd/_DONE").createNewFile(); ()
+    }
     dd
   }
 
@@ -756,16 +748,14 @@ object Scans extends QueryGroup {
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val layout = ensureManifestLayout(s, d)
     val dl = s"$layout/delete"
-    if (!new java.io.File(s"$dl/_DONE").exists())
-      ScratchParquet.withLock(new java.io.File(layout).getName + "+delete") {
-        if (!new java.io.File(s"$dl/_DONE").exists()) {
-          Tables.lineitem(s, d)
-            .filter(col("l_orderkey") % 101L === 0L)
-            .select(col("l_orderkey")).distinct()
-            .coalesce(1).write.mode("overwrite").parquet(s"$dl/keys")
-          new java.io.File(s"$dl/_DONE").createNewFile()
-        }
-      }
+    ScratchParquet.onceLocked(new java.io.File(layout).getName + "+delete")(
+        !new java.io.File(s"$dl/_DONE").exists()) {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 101L === 0L)
+        .select(col("l_orderkey")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$dl/keys")
+      new java.io.File(s"$dl/_DONE").createNewFile(); ()
+    }
     dl
   }
 
@@ -906,10 +896,10 @@ object Scans extends QueryGroup {
     // and the rung itself mutates the layout post-publish. The lock
     // still keeps two JVMs from interleaving one build (_DONE handles
     // the crash-half-write case as before).
-    if (!new java.io.File(s"$base/_DONE").exists())
-      ScratchParquet.withLock(new java.io.File(base).getName) {
-        buildVacuumLayout(s, d, base)
-      }
+    ScratchParquet.onceLocked(new java.io.File(base).getName)(
+        !new java.io.File(s"$base/_DONE").exists()) {
+      buildVacuumLayout(s, d, base)
+    }
     base
   }
 
@@ -961,12 +951,11 @@ object Scans extends QueryGroup {
     * read-only. */
   private[graft] def vacuumRetainLatest(
       s: org.apache.spark.sql.SparkSession, base: String): Unit = {
-    if (new java.io.File(s"$base/_VACUUMED").exists()) return
     // serialized across JVMs like the layout build: two concurrent
     // vacuums would race each other's Files.delete calls
-    ScratchParquet.withLock(new java.io.File(base).getName + "+vacuum") {
-      if (!new java.io.File(s"$base/_VACUUMED").exists())
-        vacuumRetainLatestLocked(s, base)
+    ScratchParquet.onceLocked(new java.io.File(base).getName + "+vacuum")(
+        !new java.io.File(s"$base/_VACUUMED").exists()) {
+      vacuumRetainLatestLocked(s, base)
     }
   }
 

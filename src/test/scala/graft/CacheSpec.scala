@@ -238,6 +238,34 @@ class CacheSpec extends AnyFunSuite {
     assert(left.isEmpty, s"legacy dirs must be swept on rebuild, saw: $left")
   }
 
+  test("ScratchParquet: publishTmp survives a non-protocol racer (generic FileSystemException)") {
+    // On Linux, rename onto an existing non-empty dir throws the GENERIC
+    // FileSystemException (ENOTEMPTY), not DirectoryNotEmptyException —
+    // the loser must discard its tmp when (and only when) a complete
+    // artifact is already published.
+    def mk(n: String, withDone: Boolean, payload: Boolean): java.io.File = {
+      val f = new java.io.File(Tables.scratchDir, n)
+      Tables.deleteRecursively(f); f.mkdirs()
+      if (payload) new java.io.File(f, "part-0").createNewFile()
+      if (withDone) new java.io.File(f, "_DONE").createNewFile()
+      f
+    }
+    // complete artifact already there -> loser's tmp silently discarded
+    val win = mk("cachespec_pub_done", withDone = true, payload = true)
+    val tmp1 = mk(".tmp=cachespec_pub1", withDone = true, payload = true)
+    operators.ScratchParquet.publishTmp(tmp1, win)
+    assert(!tmp1.exists(), "losing tmp must be discarded")
+    assert(new java.io.File(win, "_DONE").exists(), "winner must be untouched")
+    // existing dir WITHOUT _DONE -> a real failure, must propagate
+    val half = mk("cachespec_pub_half", withDone = false, payload = true)
+    val tmp2 = mk(".tmp=cachespec_pub2", withDone = true, payload = true)
+    intercept[java.nio.file.FileSystemException] {
+      operators.ScratchParquet.publishTmp(tmp2, half)
+    }
+    assert(tmp2.exists(), "tmp must survive a genuine move failure")
+    Seq(win, half, tmp2).foreach(Tables.deleteRecursively)
+  }
+
   test("ScratchParquet: crashed-build .tmp= debris is swept on the next build") {
     val sp = spark
     import sp.implicits._
