@@ -74,13 +74,74 @@ case class CosineSimF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: fused Σx² over an `array<float>` column
+  * (round-18 opt). Accumulates in double, index order — bit-identical
+  * to the HOF formula `aggregate(transform(e, x -> double(x)*double(x)),
+  * 0D, (a,v) -> a+v)` (the cosine_f32 nx accumulator run alone;
+  * VectorSpec pins the equivalence). Null elements read as 0.0 like
+  * cosine_f32; fixture embeddings are non-null fixed-width. */
+case class SumSqF32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sumsq_f32 expects array<float>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      acc += xi * xi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val xi = ctx.freshName("xi")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  $acc += $xi * $xi;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   val builder: Seq[Expression] => Expression = exprs => CosineSimF32(exprs(0), exprs(1))
 
-  /** Session-level registration so queries can say `expr("cosine_f32(a,b)")`. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Session-level registration so queries can say `expr("cosine_f32(a,b)")`
+    * (plus the round-18 fused text-signal kernels). */
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f32", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "phash_sig16", exprs => PhashSig16(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "frame_sigs32", exprs => FrameSigs32(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ssq128", exprs => Ssq128(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sumsq_f32", exprs => SumSqF32(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_merge_all", exprs => BpeMergeAll(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** SparkSessionExtensions hook for users who load the library via
@@ -92,6 +153,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineSimF32].getName, "cosine_f32"),
       GraftFunctions.builder))
+    e.injectFunction((
+      FunctionIdentifier("sumsq_f32"),
+      new ExpressionInfo(classOf[SumSqF32].getName, "sumsq_f32"),
+      (exprs: Seq[Expression]) => SumSqF32(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("phash_sig16"),
+      new ExpressionInfo(classOf[PhashSig16].getName, "phash_sig16"),
+      (exprs: Seq[Expression]) => PhashSig16(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("frame_sigs32"),
+      new ExpressionInfo(classOf[FrameSigs32].getName, "frame_sigs32"),
+      (exprs: Seq[Expression]) => FrameSigs32(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("ssq128"),
+      new ExpressionInfo(classOf[Ssq128].getName, "ssq128"),
+      (exprs: Seq[Expression]) => Ssq128(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("bpe_merge_all"),
+      new ExpressionInfo(classOf[BpeMergeAll].getName, "bpe_merge_all"),
+      (exprs: Seq[Expression]) => BpeMergeAll(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("histogram10"),
       new ExpressionInfo(classOf[HistogramAgg].getName, "histogram10"),

@@ -118,7 +118,16 @@ object ScalarFns extends QueryGroup {
   }
 
   private val fnMath: QFn = (s, d) =>
-    Tables.lineitem(s, d).select(
+    // round-18 opt: sort FIRST, project the math AFTER the sort. The
+    // range-partitioning exchange behind orderBy runs a sampling job
+    // that re-executes its child, so a projection under the sort pays
+    // every libm call and BigDecimal round TWICE — and ships 12
+    // computed columns through the exchange. Sorting the raw scan on
+    // the (unique) key pair and projecting above the sort computes the
+    // math once, after the shuffle, on key-identical row order.
+    Tables.lineitem(s, d)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(
       col("l_orderkey"), col("l_linenumber"),
       // floor(x·10 + 0.5)/10, not round(x, 1): Spark rounds doubles via
       // BigDecimal HALF_UP on the decimal string, DuckDB rounds the
@@ -136,7 +145,7 @@ object ScalarFns extends QueryGroup {
       pmod(col("l_orderkey"), lit(7L)).as("ok_mod7"),
       greatest(col("l_tax"), col("l_discount")).as("max_rate"),
       least(col("l_tax"), col("l_discount")).as("min_rate"),
-    ).orderBy(col("l_orderkey"), col("l_linenumber"))
+    )
 
   /** Trigonometric / angular family. sin/cos/atan2 are libm functions
     * that are NOT IEEE-correctly-rounded, so cross-engine last-bit

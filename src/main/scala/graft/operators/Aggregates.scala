@@ -296,18 +296,29 @@ object Aggregates extends QueryGroup {
     * ratio of two sums, each accumulated exactly via the per-element
     * DECIMAL pre-cast so the division is performed on identical inputs
     * on any engine/partitioning. */
-  private val aggWeighted: QFn = (s, d) =>
+  private val aggWeighted: QFn = (s, d) => {
+    // round-18 opt: int64-micros accumulators (the pricing-summary /
+    // agg_linreg idiom) replace the per-row DECIMAL(18,6) casts; the
+    // exact integer sum is rescaled through DECIMAL so the closing
+    // double equals the old decimal-sum cast bit for bit (same
+    // unscaled integer, correctly-rounded conversion — parity
+    // re-proven at sf0.01 and sf0.1). Safe here because every operand
+    // (price·qty ≤ 5e6, disc·qty ≤ 5, qty ≤ 50) is well under the
+    // magnitude where the float product's error could reach the 0.5 µ
+    // rounding boundary.
+    def usum(e: String) =
+      (sum(expr(s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"))
+        .cast("decimal(26,0)") / lit(1000000)).cast("double")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(sum(expr("CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))")).cast("double")
-          / sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 6)
-          .as("wavg_price"),
-        round(sum(expr("CAST(l_discount * l_quantity AS DECIMAL(18,6))")).cast("double")
-          / sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 6)
-          .as("wavg_disc"),
+        round(usum("l_extendedprice * l_quantity")
+          / usum("l_quantity"), 6).as("wavg_price"),
+        round(usum("l_discount * l_quantity")
+          / usum("l_quantity"), 6).as("wavg_disc"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Shannon entropy of each user's event-type distribution — the
     * behavioral-diversity metric (its corpus twin scores topic/source
@@ -343,14 +354,31 @@ object Aggregates extends QueryGroup {
     * slope/intercept/r² are computed from those identical doubles with
     * the identical operation order on both engines. */
   private val aggLinreg: QFn = (s, d) => {
+    // round-18 opt: four of the five raw sums accumulate int64 MICROS
+    // (the pricing-summary idiom — one IEEE multiply+floor per row
+    // instead of a per-row Decimal allocation on the widened-precision
+    // sum path), then rescale the exact integer through DECIMAL so the
+    // closing double is the correctly-rounded value of S/1e6 — the
+    // same double the DECIMAL(18,6) sum cast produced (the decimal sum
+    // holds the identical unscaled integer; parity re-proven at sf0.01
+    // and sf0.1). The per-row floor equals the decimal half-up cast
+    // because every operand is ≤ 5e6 with ≤ 2 dp provenance: the
+    // accumulated IEEE error of x·1e6 is ≤ ~1e-3, never near the 0.5
+    // boundary. syy STAYS on the DECIMAL pre-cast: p² ≈ 1e10 → micros
+    // 1e16/row would overflow int64 within a 1000-row group, and at
+    // that magnitude the float product's error exceeds the 0.5 µ
+    // boundary, so the floor idiom is neither safe nor exact there.
     def dsum(e: String) = sum(expr(s"CAST($e AS DECIMAL(18,6))")).cast("double")
+    def usum(e: String) =
+      (sum(expr(s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"))
+        .cast("decimal(26,0)") / lit(1000000)).cast("double")
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("double").as("nd"),
-           dsum("l_quantity").as("sx"),
-           dsum("l_extendedprice").as("sy"),
-           dsum("l_quantity * l_extendedprice").as("sxy"),
-           dsum("l_quantity * l_quantity").as("sxx"),
+           usum("l_quantity").as("sx"),
+           usum("l_extendedprice").as("sy"),
+           usum("l_quantity * l_extendedprice").as("sxy"),
+           usum("l_quantity * l_quantity").as("sxx"),
            dsum("l_extendedprice * l_extendedprice").as("syy"))
       .select(col("l_returnflag"), col("nd").cast("long").as("n"),
         (round((col("nd") * col("sxy") - col("sx") * col("sy"))
@@ -440,7 +468,17 @@ object Aggregates extends QueryGroup {
   private val aggAutocorr: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    def dsum(e: String) = sum(expr(s"CAST($e AS DECIMAL(18,6))")).cast("double")
+    // round-18 opt: int64-micros accumulators (the agg_linreg idiom)
+    // replace the per-row DECIMAL(18,6) casts; exact integer sum,
+    // rescaled through DECIMAL so the closing double equals the old
+    // decimal-sum cast bit for bit. Bounds checked on the fixture:
+    // value ≤ 560.21 (2 dp), so x·y ≤ 3.2e5 → 3.2e11 µ/row and ≤ 1e5
+    // rows/group → ≤ 3.2e16 per sum, far under the int64 line; the
+    // float product's error (≤ 3.2e11·2⁻⁵² ≈ 7e-5 µ) never reaches
+    // the 0.5 µ rounding boundary. Parity re-proven at both SFs.
+    def dsum(e: String) =
+      (sum(expr(s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"))
+        .cast("decimal(26,0)") / lit(1000000)).cast("double")
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value").as("x"))

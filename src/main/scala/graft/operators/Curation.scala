@@ -117,15 +117,20 @@ object Curation extends QueryGroup {
     * second corpus shuffle, no window over the corpus. */
   private[graft] def substringDedupOn(docs: org.apache.spark.sql.DataFrame,
                                       k: Int) = {
+    // round-18 opt: explode the OFFSETS (a codegen generator) and
+    // digest each shingle as a top-level projection — md5/array_join/
+    // slice are all codegen expressions there, where the former
+    // transform(...) lambda evaluated the same md5 chain INTERPRETED
+    // (HOFs are CodegenFallback) per shingle. Same (doc_id, i, dig)
+    // rows bit for bit.
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(tk)-$k),
-              i -> struct(CAST(i AS BIGINT) AS i,
-                          md5(array_join(slice(tk, i+1, $k), ' ')) AS dig))"""))
-        .as("s"))
-      .select(col("doc_id"), col("s.i").as("i"), col("s.dig").as("dig"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(size(tk) - $k AS BIGINT))"))
+          .as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"md5(array_join(slice(tk, CAST(i + 1 AS INT), $k), ' '))").as("dig"))
       // the shingle stream feeds BOTH the dup-set build and the probe:
       // materialize it once (multi-consumer corpus lineage recipe) so
       // the corpus isn't re-scanned and every window isn't re-hashed
@@ -233,15 +238,19 @@ object Curation extends QueryGroup {
     * digest plus one groupBy(doc_id). No corpus-side self-join, no
     * shuffle of shingle text. */
   private val textDecontaminate: QFn = (s, d) => {
+    // round-18 opt (the substringDedupOn device): explode the offsets
+    // — a codegen generator — and build+digest each shingle as a
+    // top-level codegen projection, instead of constructing every
+    // shingle string inside an interpreted transform(...) lambda.
+    // Same (doc_id, source, dig) rows bit for bit.
     val shingled = Tables.documents(s, d)
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("source"), col("tk"),
+        explode(expr("sequence(0, size(tk) - 8)")).as("i"))
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(0, size(tk)-8), i -> array_join(slice(tk, i+1, 8), ' '))"))
-          .as("sh"))
-      .select(col("doc_id"), col("source"), md5(col("sh")).as("dig"))
+        expr("md5(array_join(slice(tk, i + 1, 8), ' '))").as("dig"))
     val evalSet = shingled.filter(col("source") === "src0")
       .select(col("dig")).distinct()
     shingled.filter(col("source") =!= "src0")

@@ -210,6 +210,12 @@ object EventsBatch extends QueryGroup {
       .withColumn("sid", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("user_id"), col("sid"), col("event_type")).distinct()
+      // round-18 opt: THREE consumers re-derived this table (session
+      // total + both self-join sides re-ran the sessionize window and
+      // the distinct) — checkpoint the bounded (user, session, type)
+      // set once (the sim_mmr device; ~|sessions|·|types| rows, never
+      // event-sized)
+      .localCheckpoint()
     // 1-row session total rides a broadcast (the textCollocations
     // pattern) — no driver action, stays one lazy plan
     val nSess = items.select(col("user_id"), col("sid")).distinct()

@@ -1813,9 +1813,19 @@ object LlmText extends QueryGroup {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .withColumn("tokens_before", size(col("tk")).cast(LongType))
-    val enc = merges.foldLeft(base) { case (df, (x, y)) =>
-      df.withColumn("tk", bpeMergeExpr(x, y))
-    }
+    // round-18 opt: ONE fused codegen pass applies all 6 trained
+    // merges in order (graft.functions.BpeMergeAll) instead of 6
+    // chained interpreted HOF passes — each step is the greedy
+    // left-to-right merge DedupProps proves equal to bpeMergeExpr's
+    // both branches, and LawsSpec pins the full-chain equality on the
+    // real corpus merges. Pairs enter as Column literals (never SQL
+    // text — the round-11 quoting rule); call_function resolves
+    // through the registry without parsing.
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val pairsCol = array(merges.map { case (x, y) =>
+      array(lit(x), lit(y)) }: _*)
+    val enc = base.withColumn("tk",
+      call_function("bpe_merge_all", col("tk"), pairsCol))
     enc
       .withColumn("tokens_after", size(col("tk")).cast(LongType))
       .select(col("doc_id"), col("tokens_before"), col("tokens_after"),

@@ -248,6 +248,7 @@ object LlmVector extends QueryGroup {
     * ground-truth companion, like dedup_eval's all-pairs cap; the
     * probe side is the production shape. */
   private val ivfEval: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     def bit(c: Column, i: Int): Column =
       when(c.getItem(i) >= 0.0, 1).otherwise(0)
     val e = Tables.embeddings(s, d)
@@ -258,24 +259,34 @@ object LlmVector extends QueryGroup {
     val q = e.filter(col("vec_id") < 20L)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("b0").as("q0"), col("b1").as("q1"), col("b2").as("q2"))
+    // ONE candidate pass (round-18 opt): the former exact/approx split
+    // evaluated the crossJoin+cosine subtree TWICE (column pruning made
+    // the two exchanges differ, so ReuseExchange could not dedupe) and
+    // re-joined the branches. Both ranks come off one shuffle instead:
+    // row_number gives the exact rank; the running count of probe-set
+    // rows in the same (cs DESC, vec_id) order IS the approx rank of a
+    // probe-set row (row_number over the ham<=1 subset ≡ running count
+    // at that row), so approx top-10 membership = ham<=1 AND run<=10.
+    // cosine_f32 replaces the interpreted HOF fold (bit-identical
+    // accumulation order, pinned in VectorSpec). Results unchanged.
     val cand = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("qe")).as("cs"),
+        expr("cosine_f32(embedding, qe)").as("cs"),
         (abs(col("b0") - col("q0")) + abs(col("b1") - col("q1"))
           + abs(col("b2") - col("q2"))).as("ham"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
-    val exact = cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
-    val approx = cand.filter(col("ham") <= 1)
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    cand
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .withColumn("run",
+        sum(when(col("ham") <= 1, 1L).otherwise(0L)).over(wRun))
       .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_exact"),
-           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .agg(sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("n_exact"),
+           sum(when(col("rn") <= 10 && col("ham") <= 1 && col("run") <= 10L,
+             1L).otherwise(0L)).as("n_hit"))
       .select(col("qid"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_10"))
       .orderBy(col("qid"))
@@ -299,6 +310,7 @@ object LlmVector extends QueryGroup {
     * a global sort. Output micro-averages over the query set: exact
     * int hit/truth sums per radius, one closing division. */
   private val ivfNprobeCurve: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     def bit(c: Column, i: Int): Column =
       when(c.getItem(i) >= 0.0, 1).otherwise(0)
     val e = Tables.embeddings(s, d)
@@ -309,34 +321,40 @@ object LlmVector extends QueryGroup {
     val q = e.filter(col("vec_id") < 20L)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("b0").as("q0"), col("b1").as("q1"), col("b2").as("q2"))
+    // ONE candidate pass for the whole sweep (round-18 opt, the
+    // ivf_eval device generalized): cosine is computed once per
+    // (corpus, query) row BELOW the 4-row radii explode — the
+    // BroadcastNestedLoopJoin replays the already-computed (cs, ham)
+    // row per radius — and both ranks come off one (radius, qid)
+    // exchange. row_number is the exact rank (each radius holds a full
+    // copy, so the per-(radius, qid) rank equals the per-qid rank);
+    // the running count of probe-set rows in the same order is the
+    // approx rank (row_number over the ham<=radius subset ≡ running
+    // count at that row). The former shape evaluated the crossJoin+
+    // cosine subtree twice and re-joined the branches through two
+    // broadcasts. Results unchanged; cosine_f32 bit-equality is pinned
+    // in VectorSpec.
     val cand = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("qe")).as("cs"),
+        expr("cosine_f32(embedding, qe)").as("cs"),
         (abs(col("b0") - col("q0")) + abs(col("b1") - col("q1"))
           + abs(col("b2") - col("q2"))).as("ham"))
-    val wE = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
-    val exact = cand.withColumn("rn", row_number().over(wE))
-      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
     val radii = s.range(0, 4)
       .select(col("id").cast(IntegerType).as("radius"))
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("radius"), col("qid"))
       .orderBy(col("cs").desc, col("vec_id"))
-    val approx = cand.crossJoin(broadcast(radii))
-      .filter(col("ham") <= col("radius"))
+    val wRun = wA.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    cand.crossJoin(broadcast(radii))
       .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") <= 10)
-      .select(col("radius"), col("qid"), col("vec_id"), lit(1L).as("hit"))
-    // both join sides are query-set-bounded (≤ 10·|Q|·|radii| rows by
-    // the rn<=10 cut), but Spark's estimator only sees corpus-derived
-    // children — hint the hash-set side so the truth join never SMJs
-    exact.crossJoin(broadcast(radii))
-      .join(broadcast(approx), Seq("radius", "qid", "vec_id"), "left")
+      .withColumn("run",
+        sum(when(col("ham") <= col("radius"), 1L).otherwise(0L)).over(wRun))
       .groupBy(col("radius"))
-      .agg(count(lit(1)).as("n_exact"),
-           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .agg(sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("n_exact"),
+           sum(when(col("rn") <= 10 && col("ham") <= col("radius")
+                 && col("run") <= 10L, 1L).otherwise(0L)).as("n_hit"))
       .select(col("radius"),
         // nprobe = Σ C(3,i) for i ≤ radius: 1, 4, 7, 8 cells of 8
         when(col("radius") === 0, 1).when(col("radius") === 1, 4)
@@ -360,28 +378,37 @@ object LlmVector extends QueryGroup {
     * recall is the UNTRAINED-prefix baseline an MRL deployment must
     * beat. */
   private val embedTruncateEval: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 20L)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // ONE candidate pass (round-18 opt, the ivf_eval device): both
+    // rankings come off one crossJoin+cosine evaluation and one
+    // hashpartitioning(qid) exchange — two sorts under it (the
+    // orderings differ), but the expensive subtree is no longer
+    // duplicated and the branch re-join is gone. Top-10 membership in
+    // both orders is a per-row predicate, so the overlap is a plain
+    // conditional count. cosine_f32 replaces the interpreted HOF fold
+    // (bit-identical accumulation, pinned in VectorSpec); slice() of
+    // the float embedding keeps the float element type, so the
+    // truncated leg is the same expression over the same input.
     val cand = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("qe")).as("cs_full"),
-        cosine(slice(col("embedding"), 1, 16), slice(col("qe"), 1, 16))
+        expr("cosine_f32(embedding, qe)").as("cs_full"),
+        expr("cosine_f32(slice(embedding, 1, 16), slice(qe, 1, 16))")
           .as("cs_trunc"))
     val wF = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cs_full").desc, col("vec_id"))
     val wT = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cs_trunc").desc, col("vec_id"))
-    val exact = cand.withColumn("rn", row_number().over(wF))
-      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
-    val trunc = cand.withColumn("rn", row_number().over(wT))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-    exact.join(trunc, Seq("qid", "vec_id"), "left")
+    cand
+      .withColumn("rnf", row_number().over(wF))
+      .withColumn("rnt", row_number().over(wT))
       .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_exact"),
-           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .agg(sum(when(col("rnf") <= 10, 1L).otherwise(0L)).as("n_exact"),
+           sum(when(col("rnf") <= 10 && col("rnt") <= 10, 1L).otherwise(0L))
+             .as("n_hit"))
       .select(col("qid"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_10"))
       .orderBy(col("qid"))
@@ -407,6 +434,7 @@ object LlmVector extends QueryGroup {
     * is a |q|-row argmax + one small equality join — no corpus
     * rescan. */
   private val simMmr: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 5L)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -414,7 +442,7 @@ object LlmVector extends QueryGroup {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val rel = q.crossJoin(broadcast(cand))
       .select(col("qid"), col("cid"), col("ce"),
-        round(cosine(col("qe"), col("ce")), 9).as("rel"))
+        round(expr("cosine_f32(qe, ce)"), 9).as("rel"))
       .localCheckpoint()  // 3 rounds + the output re-read it
     def argmax(df: org.apache.spark.sql.DataFrame, score: String) =
       df.groupBy(col("qid"))
@@ -429,7 +457,7 @@ object LlmVector extends QueryGroup {
     val r2 = rel.join(broadcast(s1e), col("qid") === col("qid1"))
       .filter(col("cid") =!= col("sid1"))
       .select(col("qid"), col("cid"), col("ce"), col("rel"),
-        round(cosine(col("ce"), col("se1")), 9).as("sim1"))
+        round(expr("cosine_f32(ce, se1)"), 9).as("sim1"))
       .withColumn("mmr", round(lit(0.7) * col("rel") - lit(0.3) * col("sim1"), 9))
       .localCheckpoint()  // the argmax and round 3 both re-read it
     val s2 = argmax(r2, "mmr")
@@ -440,7 +468,7 @@ object LlmVector extends QueryGroup {
     val r3 = r2.join(broadcast(s2e), col("qid") === col("qid2"))
       .filter(col("cid") =!= col("sid2"))
       .select(col("qid"), col("cid"), col("rel"), col("sim1"),
-        round(cosine(col("ce"), col("se2")), 9).as("sim2"))
+        round(expr("cosine_f32(ce, se2)"), 9).as("sim2"))
       .withColumn("mmr", round(lit(0.7) * col("rel")
         - lit(0.3) * greatest(col("sim1"), col("sim2")), 9))
     val s3 = argmax(r3, "mmr")
@@ -1072,7 +1100,8 @@ object LlmVector extends QueryGroup {
     * engines (the embed_quantize recipe; a DECIMAL cast here is NOT
     * portable: Spark rounds the decimal string HALF_UP, DuckDB rounds
     * the binary double) — so the per-doc fold sums exact integers. */
-  private val multimodalAudioRms: QFn = (s, d) =>
+  private val multimodalAudioRms: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.documents(s, d)
       // sequence(1, 0) DESCENDS and would fabricate two phantom rows for
       // an empty doc (the textBigramLm/minhashPairs guard convention);
@@ -1081,18 +1110,17 @@ object LlmVector extends QueryGroup {
       // one generated row per 256-char FRAME (not per char — the r5
       // per-char explosion cost 2 s steady at sf0.1; this shape is the
       // same math at 1/256th the generated rows): substring slices out
-      // each frame, and the per-frame Σ(b−128)² folds INSIDE the row as
-      // an exact integer aggregate HOF — order-fixed, engine-exact, and
-      // no (doc_id, frame) shuffle at all, only the final per-doc agg
+      // each frame, and the per-frame Σ(b−128)² folds INSIDE the row
+      // via the fused codegen kernel ssq128 (round-18 opt — replaces
+      // the interpreted split+transform+aggregate HOF; identical exact
+      // int64 char-order sum, pinned in VectorSpec) — order-fixed,
+      // engine-exact, and no (doc_id, frame) shuffle at all
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, (length(text) - 1) div 256), f -> substring(text, f * 256 + 1, 256))"))
         .as(Seq("frame", "chunk")))
       .select(col("doc_id"), col("frame"),
         length(col("chunk")).cast(LongType).as("flen"),
-        expr("""aggregate(transform(split(chunk, ''),
-                  c -> CAST(ascii(c) AS BIGINT)),
-                  CAST(0 AS BIGINT), (acc, b) -> acc + (b - 128) * (b - 128))""")
-          .as("ssq"))
+        expr("ssq128(chunk)").as("ssq"))
       .withColumn("urms", floor(
         sqrt(col("ssq").cast(DoubleType) / col("flen")) * 1e6 + 0.5).cast(LongType))
       .groupBy(col("doc_id"))
@@ -1105,6 +1133,7 @@ object LlmVector extends QueryGroup {
            (floor(sum(col("urms")).cast(DoubleType) / count(lit(1)) + 0.5)
              .cast(LongType) / lit(1000000L)).as("mean_rms"))
       .orderBy(col("doc_id"))
+  }
 
   /** "Resize" for vector payloads: average-pool the 64-dim embedding down
     * to 16 dims (4→1). Pure HOF — stays in codegen, no UDF. */
@@ -1147,11 +1176,12 @@ object LlmVector extends QueryGroup {
     * dims are emitted as %.6f strings (array-free checker contract) and
     * the division uses the UNROUNDED norm so the text is a faithful
     * sample of what a normalized sink would store. */
-  private val embedNorm: QFn = (s, d) =>
+  private val embedNorm: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
-        lit(0.0), (a, v) => a + v)))
+      // fused codegen Σx² (round-18 opt; bit-identical to the HOF
+      // fold, pinned in VectorSpec)
+      .withColumn("nrm", sqrt(expr("sumsq_f32(embedding)")))
       .select(col("vec_id"),
         round(col("nrm"), 6).as("l2_norm"),
         concat_ws(",", transform(slice(col("embedding"), 1, 4),
@@ -1159,6 +1189,7 @@ object LlmVector extends QueryGroup {
             round(x.cast(DoubleType) / col("nrm"), 6) + lit(0.0))))
           .as("head4_unit"))
       .orderBy(col("vec_id"))
+  }
 
   /** Top principal component of the embedding corpus — the dimension-
     * reduction / whitening prep a training pipeline runs before
@@ -1313,24 +1344,19 @@ object LlmVector extends QueryGroup {
     * the pipeline_multimodal_e2e near-dup stage so the composition
     * cannot drift from the standalone operator. */
   private[operators] def phashSigs(docs: DataFrame): DataFrame = {
-    val blocks = docs
+    // Round-18 opt: the fused codegen kernel [[graft.functions.TextSig
+    // .phashSig16]] computes the identical exact-int64 block rule in
+    // ONE generated-code call per row — replacing the former per-char
+    // posexplode → partial-agg → collect_list → interpreted HOF fold
+    // (one generated row per character plus two exchanges PER
+    // CONSUMER). Equivalence to the pipeline formulation is pinned in
+    // VectorSpec (same blocks, same cross-multiplication, same char
+    // semantics as split('')+ascii), and every phash oracle is
+    // unchanged.
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
       .filter(length(col("text")) >= 16L)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
-        posexplode(split(col("text"), "")))
-      .select(col("doc_id"), col("n"),
-        expr("CAST(pos AS BIGINT) * 16 div n").as("block"),
-        ascii(col("col")).cast("long").as("v"))
-      .groupBy(col("doc_id"), col("n"), col("block"))
-      .agg(sum(col("v")).as("bsum"), count(lit(1)).as("blen"))
-    blocks
-      .groupBy(col("doc_id"), col("n"))
-      .agg(sum(col("bsum")).as("ts"),
-           collect_list(struct(col("block"), col("bsum"), col("blen"))).as("bl"))
-      .select(col("doc_id"), expr(
-        """aggregate(bl, CAST(0 AS BIGINT), (acc, s) ->
-             acc + IF(s.bsum * n > ts * s.blen,
-                      shiftleft(CAST(1 AS BIGINT), CAST(s.block AS INT)),
-                      CAST(0 AS BIGINT)))""").as("sig"))
+      .select(col("doc_id"), expr("phash_sig16(text)").as("sig"))
   }
 
   private val multimodalPhash: QFn = (s, d) => {
@@ -1388,26 +1414,20 @@ object LlmVector extends QueryGroup {
     * shared with pipeline_multimodal_e2e's scene-sampling stage
     * (graft-visible so PlanSpec can pin the map-side collapse). */
   private[graft] def frameSigs(docs: DataFrame): DataFrame = {
-    val blocks = docs
+    // Round-18 opt (the phashSigs device per frame): the fused codegen
+    // kernel [[graft.functions.TextSig.frameSigs32]] emits all of a
+    // doc's per-64-char-frame 32-block signatures in one call —
+    // posexplode over the RESULT array generates one row per FRAME
+    // where the former pipeline generated one per CHARACTER and paid
+    // two exchanges collapsing chars → blocks → frames. Identical
+    // exact-int64 rule (bsum·32 > ts, ragged tail dropped); pinned in
+    // VectorSpec, oracles unchanged.
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
       .filter(length(col("text")) >= 64L)
-      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
-        posexplode(split(col("text"), "")))
-      .filter(col("pos") < expr("(n div 64) * 64"))
-      .select(col("doc_id"),
-        expr("CAST(pos AS BIGINT) div 64").as("frame_no"),
-        expr("(CAST(pos AS BIGINT) % 64) div 2").as("blk"),
-        ascii(col("col")).cast("long").as("v"))
-      .groupBy(col("doc_id"), col("frame_no"), col("blk"))
-      .agg(sum(col("v")).as("bsum"))
-    blocks
-      .groupBy(col("doc_id"), col("frame_no"))
-      .agg(sum(col("bsum")).as("ts"),
-           collect_list(struct(col("blk"), col("bsum"))).as("bl"))
-      .select(col("doc_id"), col("frame_no"), expr(
-        """aggregate(bl, CAST(0 AS BIGINT), (acc, s) ->
-             acc + IF(s.bsum * 32 > ts,
-                      shiftleft(CAST(1 AS BIGINT), CAST(s.blk AS INT)),
-                      CAST(0 AS BIGINT)))""").as("sig"))
+      .select(col("doc_id"), posexplode(expr("frame_sigs32(text)")))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_no"),
+        col("col").as("sig"))
   }
 
   private val multimodalFrameDedup: QFn = (s, d) => {
@@ -1653,27 +1673,32 @@ object LlmVector extends QueryGroup {
     * deployed by sim_knn_hamming/sim_knn_rerank. */
   private val hammingEval: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       expr(packSignBits(32)).as("code_hi"), expr(packSignBits(0)).as("code_lo"))
     val q = e.filter(col("vec_id") < 20L)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("code_hi").as("qhi"), col("code_lo").as("qlo"))
+    // ONE candidate pass (round-18 opt, the ivf_eval device): both
+    // rankings off one crossJoin+cosine+hamming evaluation and one
+    // hashpartitioning(qid) exchange (two sorts — the orderings
+    // differ), instead of evaluating the crossJoin subtree twice and
+    // re-joining the branches. cosine_f32 replaces the interpreted HOF
+    // fold (bit-identical accumulation, pinned in VectorSpec).
     val cand = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("qe")).as("cs"),
+        expr("cosine_f32(embedding, qe)").as("cs"),
         expr(hammingExpr).as("ham"))
     val wE = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
     val wH = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id"))
-    val exact = cand.withColumn("rn", row_number().over(wE))
-      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
-    val approx = cand.withColumn("rn", row_number().over(wH))
-      .filter(col("rn") <= 10)
-      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("qid", "vec_id"), "left")
+    cand
+      .withColumn("rne", row_number().over(wE))
+      .withColumn("rnh", row_number().over(wH))
       .groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_exact"),
-           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .agg(sum(when(col("rne") <= 10, 1L).otherwise(0L)).as("n_exact"),
+           sum(when(col("rne") <= 10 && col("rnh") <= 10, 1L).otherwise(0L))
+             .as("n_hit"))
       .select(col("qid"), col("n_exact"), col("n_hit"),
         (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_10"))
       .orderBy(col("qid"))
@@ -1721,6 +1746,7 @@ object LlmVector extends QueryGroup {
     * sim_knn_batch. */
   private val simHardNegatives: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10L)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -1728,7 +1754,8 @@ object LlmVector extends QueryGroup {
     val w = Window.partitionBy(col("qid")).orderBy(col("cs").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("label") =!= col("qlab"))
-      .withColumn("cs", cosine(col("embedding"), col("qe")))
+      // codegen cosine (bit-identical to the HOF fold, VectorSpec)
+      .withColumn("cs", expr("cosine_f32(embedding, qe)"))
       .filter(col("cs") < 0.95)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -1764,6 +1791,7 @@ object LlmVector extends QueryGroup {
     * fusion itself joins two ≤10·|queries|-row tables — free. */
   private val simHybridRrf: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val bm = LlmText.bm25TopK(s, d)
       .select(col("qid"), col("doc_id"), col("rank").as("rb"))
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -1774,7 +1802,8 @@ object LlmVector extends QueryGroup {
     val ct = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("embedding"), col("qe")).as("cs"))
+        // codegen cosine (bit-identical to the HOF fold, VectorSpec)
+        expr("cosine_f32(embedding, qe)").as("cs"))
       .withColumn("rc", row_number().over(wC))
       .filter(col("rc") <= 10)
       .select(col("qid"), col("vec_id").as("doc_id"),
@@ -1814,6 +1843,7 @@ object LlmVector extends QueryGroup {
     * carry (doc, frame) rows — linear. */
   private val multimodalAudioVad: QFn = (s, d) => {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
@@ -1823,10 +1853,9 @@ object LlmVector extends QueryGroup {
         .as(Seq("frame", "chunk")))
       .select(col("doc_id"), col("frame").cast(LongType).as("frame"),
         length(col("chunk")).cast(LongType).as("flen"),
-        expr("""aggregate(transform(split(chunk, ''),
-                  c -> CAST(ascii(c) AS BIGINT)),
-                  CAST(0 AS BIGINT), (acc, b) -> acc + (b - 128) * (b - 128))""")
-          .as("ssq"))
+        // fused codegen Σ(cp−128)² (round-18 opt; identical exact
+        // int64 char-order sum — VectorSpec pins the equivalence)
+        expr("ssq128(chunk)").as("ssq"))
       .withColumn("active", col("ssq") >= lit(2025L) * col("flen"))
       .withColumn("apre",
         sum(when(col("active"), 1L).otherwise(0L)).over(w))

@@ -32,6 +32,7 @@ import org.apache.spark.sql.types._
 object Pipeline extends QueryGroup {
 
   private val pipelineE2e: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val norm = Tables.documents(s, d).select(
       col("doc_id"), col("lang"), col("text"),
       regexp_replace(
@@ -62,9 +63,10 @@ object Pipeline extends QueryGroup {
       .withColumn("split",
         when(Sampling.hashBucket(col("doc_id"), 10) === 9L, "val")
           .otherwise("train"))
+    // fused codegen Σx² (round-18 opt; bit-identical to the HOF fold,
+    // pinned in VectorSpec)
     val e = Tables.embeddings(s, d).select(col("vec_id"),
-      sqrt(aggregate(transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
-        lit(0.0), (a, v) => a + v)).as("l2"))
+      sqrt(expr("sumsq_f32(embedding)")).as("l2"))
     gated.join(e, gated("doc_id") === e("vec_id"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
@@ -106,6 +108,7 @@ object Pipeline extends QueryGroup {
     * (array-fold order is fixed, so the quantized value is engine-
     * identical; the sum is then order-free integer arithmetic). */
   private val pipelineMultimodalE2e: QFn = (s, d) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val routed = Tables.documents(s, d)
       .withColumn("magic", expr("""CASE CAST(doc_id % 5 AS INT)
         WHEN 0 THEN unhex('89504E470D0A1A0A')
@@ -139,10 +142,9 @@ object Pipeline extends QueryGroup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nf"),
            (sum(when(col("ham") > 14L, 1L).otherwise(0L)) + lit(1L)).as("ns"))
+    // fused codegen Σx² (round-18 opt; bit-identical to the HOF fold)
     val e = Tables.embeddings(s, d).select(col("vec_id"),
-      expr("""CAST(floor(sqrt(aggregate(
-                transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                CAST(0.0 AS DOUBLE), (a, v) -> a + v)) * 1e9 + 0.5) AS BIGINT)""")
+      expr("CAST(floor(sqrt(sumsq_f32(embedding)) * 1e9 + 0.5) AS BIGINT)")
         .as("l2_nano"))
     val perDoc = kept
       .join(e, kept("doc_id") === e("vec_id"))

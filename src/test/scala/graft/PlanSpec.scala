@@ -489,24 +489,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
-  test("frame-sig build partial-aggregates chars before any exchange") {
-    // the per-char generator output must collapse map-side: the first
-    // Exchange above the Generate must sit above a HashAggregate, so
-    // only (doc, frame, block) partials — not raw chars — are shuffled.
-    // Asserted on the sig CONSTRUCTION plan — the declared rungs now
-    // read the per-fingerprint materialization (multi-consumer-lineage
+  test("frame-sig build is one fused pass: no exchange, no per-char rows") {
+    // round-18: the fused frame_sigs32 kernel replaced the per-char
+    // generator + two collapsing aggregates — the sig construction must
+    // now be a single codegen span (scan → filter → generate over the
+    // per-FRAME sig array) with NO exchange and NO aggregate at all.
+    // Asserted on the sig CONSTRUCTION plan — the declared rungs read
+    // the per-fingerprint materialization (multi-consumer-lineage
     // recipe), so the generator no longer appears in their plans.
     val docs = Tables.documents(spark, TestSpark.sf)
       .select(col("doc_id"), col("text"))
     val p = graft.operators.LlmVector.frameSigs(docs)
       .queryExecution.executedPlan.toString
-    val gIdx = p.lastIndexOf("Generate")
-    assert(gIdx > 0, p)
-    val before = p.substring(0, gIdx)
-    val exIdx = before.lastIndexOf("Exchange")
-    val aggIdx = before.lastIndexOf("HashAggregate")
-    assert(aggIdx > exIdx,
-      "raw generated rows reach an exchange before partial aggregation:\n" + p)
+    assert(p.contains("frame_sigs32"), p)
+    assert(!p.contains("Exchange"),
+      "the fused sig build must not shuffle:\n" + p)
+    assert(!p.contains("HashAggregate"),
+      "the fused sig build needs no aggregate:\n" + p)
+    assert(p.contains("*("), "fused sig build should stay in codegen:\n" + p)
   }
 
   test("sql_lateral decorrelates: one keyed aggregate, no per-row rescan") {

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-18 fused text-signal kernels (phash_sig16 / frame_sigs32 /
+  * ssq128 / sumsq_f32): each must be BIT-IDENTICAL to the explode/HOF
+  * pipeline formulation it replaced — the declared multimodal rungs'
+  * oracles were written against that formulation and are unchanged. */
+class TextSigSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Fixture docs PLUS adversarial shapes: exact block boundaries,
+    * repeated chars (ties in the bsum·n vs ts·blen rule), a non-ASCII
+    * char (code-point semantics = split('')+ascii), ragged frame
+    * tails, and an empty string. */
+  private def docs = {
+    import spark.implicits._
+    val edge = Seq(
+      (100001L, "a" * 16),                       // min phash length, all ties
+      (100002L, "a" * 15),                       // below the phash gate
+      (100003L, "ab" * 40),                      // alternating, 80 chars
+      (100004L, "x" * 63),                       // below the frame gate
+      (100005L, "x" * 64),                       // exactly one frame
+      (100006L, "x" * 65),                       // one frame + ragged tail
+      (100007L, ("z" * 30 + "é" + "q" * 40) * 3), // multibyte UTF-8 char
+      (100008L, (0 until 200).map(i => ('a' + i % 26).toChar).mkString),
+      (100009L, ""),                             // empty
+    ).toDF("doc_id", "text")
+    Tables.documents(spark, TestSpark.sf).select($"doc_id", $"text")
+      .unionByName(edge)
+  }
+
+  test("phash_sig16 is bit-identical to the posexplode block pipeline") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val d = docs
+    val blocks = d
+      .filter(length(col("text")) >= 16L)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        posexplode(split(col("text"), "")))
+      .select(col("doc_id"), col("n"),
+        expr("CAST(pos AS BIGINT) * 16 div n").as("block"),
+        ascii(col("col")).cast("long").as("v"))
+      .groupBy(col("doc_id"), col("n"), col("block"))
+      .agg(sum(col("v")).as("bsum"), count(lit(1)).as("blen"))
+    val legacy = blocks
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("bsum")).as("ts"),
+           collect_list(struct(col("block"), col("bsum"), col("blen"))).as("bl"))
+      .select(col("doc_id"), expr(
+        """aggregate(bl, CAST(0 AS BIGINT), (acc, s) ->
+             acc + IF(s.bsum * n > ts * s.blen,
+                      shiftleft(CAST(1 AS BIGINT), CAST(s.block AS INT)),
+                      CAST(0 AS BIGINT)))""").as("sig_legacy"))
+    val fused = d.filter(length(col("text")) >= 16L)
+      .select(col("doc_id"), expr("phash_sig16(text)").as("sig"))
+    val j = fused.join(legacy, Seq("doc_id"), "full_outer")
+    assert(j.filter(col("sig").isNull || col("sig_legacy").isNull ||
+      col("sig") =!= col("sig_legacy")).count() == 0)
+  }
+
+  test("frame_sigs32 is bit-identical to the posexplode frame pipeline") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val d = docs
+    val blocks = d
+      .filter(length(col("text")) >= 64L)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        posexplode(split(col("text"), "")))
+      .filter(col("pos") < expr("(n div 64) * 64"))
+      .select(col("doc_id"),
+        expr("CAST(pos AS BIGINT) div 64").as("frame_no"),
+        expr("(CAST(pos AS BIGINT) % 64) div 2").as("blk"),
+        ascii(col("col")).cast("long").as("v"))
+      .groupBy(col("doc_id"), col("frame_no"), col("blk"))
+      .agg(sum(col("v")).as("bsum"))
+    val legacy = blocks
+      .groupBy(col("doc_id"), col("frame_no"))
+      .agg(sum(col("bsum")).as("ts"),
+           collect_list(struct(col("blk"), col("bsum"))).as("bl"))
+      .select(col("doc_id"), col("frame_no"), expr(
+        """aggregate(bl, CAST(0 AS BIGINT), (acc, s) ->
+             acc + IF(s.bsum * 32 > ts,
+                      shiftleft(CAST(1 AS BIGINT), CAST(s.blk AS INT)),
+                      CAST(0 AS BIGINT)))""").as("sig_legacy"))
+    val fused = d.filter(length(col("text")) >= 64L)
+      .select(col("doc_id"), posexplode(expr("frame_sigs32(text)")))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_no"),
+        col("col").as("sig"))
+    val j = fused.join(legacy, Seq("doc_id", "frame_no"), "full_outer")
+    assert(j.filter(col("sig").isNull || col("sig_legacy").isNull ||
+      col("sig") =!= col("sig_legacy")).count() == 0)
+  }
+
+  test("ssq128 is bit-identical to the split+ascii HOF energy fold") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val chunks = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (length(text) - 1) div 64, 1), f -> substring(text, f * 64 + 1, 64))"))
+        .as(Seq("frame", "chunk")))
+    val both = chunks.select(
+      expr("ssq128(chunk)").as("native"),
+      expr("""aggregate(transform(split(chunk, ''),
+                c -> CAST(ascii(c) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, b) -> acc + (b - 128) * (b - 128))""")
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("bpe_merge_all equals the chained bpeMergeExpr passes, merge order respected") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // nasty shapes: overlapping runs (x = y), dense x≠y matches, a pair
+    // whose LEFT side is a previously-merged token (order sensitivity),
+    // 0/1-token rows (the size<2 guard)
+    val rows = Seq(
+      "p q p q q p p q",
+      "p p p p",
+      "q p q p q",
+      "p q r p q r r",
+      "p", "",
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val base = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val pairs = Seq(("p", "q"), ("p", "p"), ("p▁q", "r"))
+    val chained = pairs.foldLeft(base) { case (df, (x, y)) =>
+      df.withColumn("tk", graft.operators.LlmText.bpeMergeExpr(x, y))
+    }
+    val fused = base.withColumn("tk",
+      call_function("bpe_merge_all", col("tk"),
+        array(pairs.map { case (x, y) => array(lit(x), lit(y)) }: _*)))
+    val a = chained.orderBy("doc_id").collect().map(_.getSeq[String](1).toList)
+    val b = fused.orderBy("doc_id").collect().map(_.getSeq[String](1).toList)
+    assert(a.toSeq == b.toSeq, s"chained=${a.toSeq} fused=${b.toSeq}")
+  }
+
+  test("sumsq_f32 is bit-identical to the HOF fold and joins codegen") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+    val both = e.select(
+      expr("sumsq_f32(embedding)").as("native"),
+      expr("""aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x),
+               0D, (a, v) -> a + v)""").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val df = e.select(expr("sumsq_f32(embedding)").as("q"))
+      .filter(col("q") > 0.0)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}
