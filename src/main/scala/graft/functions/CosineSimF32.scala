@@ -123,6 +123,62 @@ case class SumSqF32(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression (round-18 opt): the embed_project
+  * quantized centered projection Σ_k floor((x_k − ms_k)·ws_k·1e9 + 0.5)
+  * as one fused loop. Bit-identical to the HOF formula
+  * `aggregate(transform(e, (x, k) -> CAST(floor((double(x) - ms[k]) *
+  * ws[k] * 1e9 + 0.5) AS BIGINT)), 0L, +)`: same element order, same
+  * double arithmetic per term, exact int64 adds (pinned in
+  * TextSigSpec). `ms`/`ws` must be foldable array<double> literals
+  * (the driver-held PCA fit); an embedding longer than the fit yields
+  * null exactly like the HOF's out-of-range ms[k]. */
+case class Pc1Quant(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _), ArrayType(DoubleType, _))
+          if second.foldable && third.foldable => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"pc1q expects (array<float>, foldable array<double> means, foldable array<double> weights), got $t")
+    }
+
+  @transient private lazy val ms: Array[Double] =
+    second.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient private lazy val ws: Array[Double] =
+    third.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  def fold(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n > ms.length || n > ws.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor((x.getFloat(i).toDouble - ms(i)) * ws(i) * 1e9 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, m: Any, w: Any): Any = fold(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pc1q", this, classOf[Pc1Quant].getName)
+    val r = ctx.freshName("r")
+    nullSafeCodeGen(ctx, ev, (a, _, _) => s"""
+       |Object $r = $self.fold($a);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $r).longValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object GraftFunctions {
   val builder: Seq[Expression] => Expression = exprs => CosineSimF32(exprs(0), exprs(1))
 
@@ -141,6 +197,23 @@ object GraftFunctions {
       "sumsq_f32", exprs => SumSqF32(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_merge_all", exprs => BpeMergeAll(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_distinct", hllBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pc1q", exprs => Pc1Quant(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+
+  /** `hll_distinct(x, rsd)`: the compact-buffer HLL++ (identical
+    * estimate to approx_count_distinct — same helper, same hash). */
+  val hllBuilder: Seq[Expression] => Expression = exprs => {
+    val rsd = exprs(1).eval(null) match {
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"hll_distinct: rsd must be a numeric literal, got $other")
+    }
+    HllSketchAgg(exprs(0), rsd)
   }
 }
 
@@ -173,6 +246,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_merge_all"),
       new ExpressionInfo(classOf[BpeMergeAll].getName, "bpe_merge_all"),
       (exprs: Seq[Expression]) => BpeMergeAll(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_distinct"),
+      GraftFunctions.hllBuilder))
+    e.injectFunction((
+      FunctionIdentifier("pc1q"),
+      new ExpressionInfo(classOf[Pc1Quant].getName, "pc1q"),
+      (exprs: Seq[Expression]) => Pc1Quant(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((
       FunctionIdentifier("histogram10"),
       new ExpressionInfo(classOf[HistogramAgg].getName, "histogram10"),

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
 object ScalarFns extends QueryGroup {
 
   private val fnString: QFn = (s, d) =>
-    Tables.part(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.part(s, d).orderBy(col("p_partkey")).select(
       col("p_partkey"),
       upper(col("p_name")).as("up"),
       lower(col("p_brand")).as("lo"),
@@ -28,10 +32,14 @@ object ScalarFns extends QueryGroup {
       regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
       regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
       translate(col("p_name"), "abc", "xyz").as("translated"),
-    ).orderBy(col("p_partkey"))
+    )
 
   private val fnDatetime: QFn = (s, d) =>
-    Tables.orders(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.orders(s, d).orderBy(col("o_orderkey")).select(
       col("o_orderkey"),
       year(col("o_orderdate")).cast(LongType).as("y"),
       month(col("o_orderdate")).cast(LongType).as("m"),
@@ -44,7 +52,7 @@ object ScalarFns extends QueryGroup {
       (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
         .cast(LongType).as("month_index"),
       unix_timestamp(col("o_orderdate").cast(TimestampType)).as("epoch_s"),
-    ).orderBy(col("o_orderkey"))
+    )
 
   /** Calendar-arithmetic family beyond [[fnDatetime]]: quarter/day-of-
     * year/ISO week extraction, month-end (last_day), month arithmetic
@@ -52,7 +60,11 @@ object ScalarFns extends QueryGroup {
     * clamp Jan 31 + 1m to Feb end), day arithmetic, quarter truncation
     * and strftime-style formatting. */
   private val fnDatetime2: QFn = (s, d) =>
-    Tables.orders(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.orders(s, d).orderBy(col("o_orderkey")).select(
       col("o_orderkey"),
       quarter(col("o_orderdate")).cast(LongType).as("q"),
       dayofyear(col("o_orderdate")).cast(LongType).as("doy"),
@@ -62,7 +74,7 @@ object ScalarFns extends QueryGroup {
       date_sub(col("o_orderdate").cast(DateType), 7).as("minus_7d"),
       date_trunc("quarter", col("o_orderdate")).cast(DateType).as("q_start"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_str"),
-    ).orderBy(col("o_orderkey"))
+    )
 
   /** Portable digest family — the content-addressing primitives the
     * dedup/sampling operators build on, exposed directly: md5 and
@@ -100,7 +112,12 @@ object ScalarFns extends QueryGroup {
     def maskAll(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       regexp_replace(regexp_replace(regexp_replace(c,
         "[A-Z]", "X"), "[a-z]", "x"), "[0-9]", "n")
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
     Tables.customer(s, d)
+      .orderBy(col("c_custkey"))
       .withColumn("acct", concat(lit("AC-"),
         lpad((col("c_custkey") * 7919L % 100000000L).cast(StringType), 8, "0")))
       .withColumn("email", concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
@@ -114,7 +131,6 @@ object ScalarFns extends QueryGroup {
         concat(lit("***@"),
           regexp_extract(col("email"), "@(.*)$", 1)).as("email_domain"),
         substring(md5(col("email")), 1, 16).as("pseudonym"))
-      .orderBy(col("c_custkey"))
   }
 
   private val fnMath: QFn = (s, d) =>
@@ -153,7 +169,11 @@ object ScalarFns extends QueryGroup {
     * sides (the ln/exp policy from fn_math); degrees/radians are plain
     * multiplications by the same double constant and stay exact. */
   private val fnTrig: QFn = (s, d) =>
-    Tables.part(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.part(s, d).orderBy(col("p_partkey")).select(
       col("p_partkey"),
       // + 0.0 folds -0.0: DuckDB round of a tiny negative emits -0.0,
       // Spark's BigDecimal round emits +0.0 — hash-differs at parity
@@ -165,10 +185,14 @@ object ScalarFns extends QueryGroup {
       round(radians(col("p_size").cast(DoubleType)), 6).as("rad_s"),
       round(asin(col("p_size").cast(DoubleType) / 100.0), 6).as("asin_s"),
       round(acos(col("p_size").cast(DoubleType) / 100.0), 6).as("acos_s"),
-    ).orderBy(col("p_partkey"))
+    )
 
   private val fnCond: QFn = (s, d) =>
-    Tables.orders(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.orders(s, d).orderBy(col("o_orderkey")).select(
       col("o_orderkey"),
       when(col("o_totalprice") > 400000.0, "high")
         .when(col("o_totalprice") > 200000.0, "mid")
@@ -177,7 +201,7 @@ object ScalarFns extends QueryGroup {
       nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")).as("prio_or_null"),
       expr("if(o_totalprice > 250000.0, 1L, 0L)").as("is_big"),
       nvl(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("nvl_demo"),
-    ).orderBy(col("o_orderkey"))
+    )
 
   /** Higher-order array functions over the 64-dim embedding column —
     * transform/filter/aggregate/zip_with stay inside codegen, the §4
@@ -207,7 +231,12 @@ object ScalarFns extends QueryGroup {
 
   /** Map construction from parsed JSON props + map accessors. */
   private val fnMap: QFn = (s, d) =>
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
     Tables.events(s, d)
+      .orderBy(col("event_id"))
       .withColumn("props_map", from_json(col("props"), MapType(StringType, IntegerType)))
       .select(
         col("event_id"),
@@ -216,15 +245,19 @@ object ScalarFns extends QueryGroup {
         concat_ws(",", map_keys(col("props_map"))).as("keys"),
         array_join(transform(map_values(col("props_map")),
           v => v.cast(StringType)), ",").as("vals"),
-      ).orderBy(col("event_id"))
+      )
 
   private val fnJson: QFn = (s, d) =>
-    Tables.events(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.events(s, d).orderBy(col("event_id")).select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast(IntegerType).as("k_str_path"),
       from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
         .getField("k").as("k_typed"),
-    ).orderBy(col("event_id"))
+    )
 
   /** The VARIANT semi-structured path (Spark 4's open-format answer to
     * schema-on-read JSON columns): `parse_json` ingests once into the
@@ -275,7 +308,11 @@ object ScalarFns extends QueryGroup {
     * cleaning pass leans on. All POSIX-safe patterns (SURVEY.md §7.4)
     * so both engines' regex dialects agree. */
   private val fnRegex: QFn = (s, d) =>
-    Tables.part(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.part(s, d).orderBy(col("p_partkey")).select(
       col("p_partkey"),
       concat_ws(",", regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)))
         .as("all_words"),
@@ -286,14 +323,18 @@ object ScalarFns extends QueryGroup {
       split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
       reverse(col("p_name")).as("rev_name"),
       expr("left(p_name, 5)").as("l5"),
-    ).orderBy(col("p_partkey"))
+    )
 
   /** Struct (nested-row) family: nested construction, dotted field
     * access, and lexicographic struct comparison — the row-valued
     * building blocks the argmax aggregate (agg_argmax) and max-of-
     * struct CDC merge (ingest_incremental) rely on. */
   private val fnStruct: QFn = (s, d) =>
-    Tables.orders(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.orders(s, d).orderBy(col("o_orderkey")).select(
       col("o_orderkey"),
       struct(
         col("o_orderstatus").as("st"),
@@ -306,7 +347,7 @@ object ScalarFns extends QueryGroup {
       col("meta.inner.ck").as("cust"),
       (struct(col("meta.inner.tp"), col("meta.inner.ck")) >
         struct(lit(300000.0), lit(0L))).as("gt_300k"),
-    ).orderBy(col("o_orderkey"))
+    )
 
   /** Bitwise family over keys: shifts, and/or/xor, bit_count. */
   private val fnBitwise: QFn = (s, d) =>
@@ -386,7 +427,11 @@ object ScalarFns extends QueryGroup {
     * literal-overflow bigint, and a modulo divisor that hits zero.
     * Pure codegen row functions — free at any scale. */
   private val fnTrycast: QFn = (s, d) =>
-    Tables.customer(s, d).select(
+    // round-18 opt (the fn_math device): sort the raw scan FIRST and
+    // project above the sort — the orderBy's range-sampling job then
+    // re-executes only the scan, and the exchange carries raw columns.
+    // Keys are unique, so row order is unchanged.
+    Tables.customer(s, d).orderBy(col("c_custkey")).select(
       col("c_custkey").as("k"),
       expr("try_cast(substring(c_name, 10) AS BIGINT)").as("num_ok"),
       expr("try_cast(c_mktsegment AS BIGINT)").as("num_junk"),
@@ -408,7 +453,7 @@ object ScalarFns extends QueryGroup {
       expr("try_divide(c_acctbal, c_custkey % 5)").as("safe_div"),
       expr("try_element_at(split(c_name, '#'), 2)").as("seg2"),
       expr("try_element_at(split(c_name, '#'), 3)").as("seg3_oob"),
-    ).orderBy(col("k"))
+    )
 
   val queries: Seq[(String, QFn)] = Seq(
     "fn_string" -> fnString,

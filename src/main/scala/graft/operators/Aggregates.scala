@@ -64,11 +64,21 @@ object Aggregates extends QueryGroup {
 
   /** HLL sketch distinct — approximate, not portable → no oracle
     * (SURVEY.md §2.D agg_approx_distinct). */
-  private val aggApproxDistinct: QFn = (s, d) =>
+  private val aggApproxDistinct: QFn = (s, d) => {
+    // round-18 opt: the built-in approx_count_distinct at rsd 0.01
+    // declares 1,639 long BUFFER COLUMNS per group (one per register
+    // word) — the generated update loop spans a 1,640-field row and
+    // the partial/final exchange ships that row per group. hll_distinct
+    // (graft.functions.HllSketchAgg) runs the IDENTICAL sketch through
+    // Spark's own HyperLogLogPlusPlusHelper — same hash, registers and
+    // estimator, so the estimate is bit-for-bit the built-in's (pinned
+    // in TextSigSpec) — with the words in ONE compact binary buffer.
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(expr("hll_distinct(user_id, 0.01D)").as("approx_users"))
       .orderBy(col("event_type"))
+  }
 
   /** sum(DISTINCT) per flag. */
   private val aggSumDistinct: QFn = (s, d) =>
@@ -513,6 +523,10 @@ object Aggregates extends QueryGroup {
       .select(col("event_type").as("et"),
         floor(col("value") / lit(50.0)).cast("long").as("bkt"))
       .groupBy(col("et"), col("bkt")).agg(count(lit(1)).as("o"))
+      // round-18 opt: FOUR consumers (both marginals, the total, and
+      // the join probe) re-derived this contingency table — checkpoint
+      // the |cells|-bounded aggregate once (the profile_freshness idiom)
+      .localCheckpoint()
     val rt = o.groupBy(col("et")).agg(sum(col("o")).as("rt"))
     val ct = o.groupBy(col("bkt")).agg(sum(col("o")).as("ct"))
     val n = o.agg(sum(col("o")).as("n"))
@@ -540,7 +554,11 @@ object Aggregates extends QueryGroup {
     * needed. One contingency-free aggregation pass; nothing but six
     * numbers crosses the final stage. */
   private val aggTtest: QFn = (s, d) => {
-    def dsum(e: String) = sum(expr(s"CAST($e AS DECIMAL(18,6))")).cast("double")
+    // round-18 opt: int64-micros accumulators (the agg_linreg idiom;
+    // value is 2 dp so value·value is 4 dp — inside the exactness bound)
+    def dsum(e: String) =
+      (sum(expr(s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"))
+        .cast("decimal(26,0)") / lit(1000000)).cast("double")
     val m = Tables.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy(col("event_type"))

@@ -287,7 +287,7 @@ object Curation extends QueryGroup {
         sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("n_domain_bad"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).cast("double"), 4)
+        round((sum(expr("CAST(floor((o_totalprice) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
@@ -521,10 +521,16 @@ object Curation extends QueryGroup {
   private val profileNumeric: QFn = (s, d) => {
     val li = Tables.lineitem(s, d)
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // round-18 opt: int64-micros accumulators (the agg_linreg idiom)
+    // replace the per-row DECIMAL(18,6) casts; the exact integer sum
+    // is rescaled through DECIMAL so the closing double equals the
+    // old decimal-sum cast bit for bit (all four columns are ≤ ~1.1e5
+    // with 2 dp — far inside both the int64 and the 0.5 µ bounds).
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       min(col(c)).as(s"${c}__mn"),
       max(col(c)).as(s"${c}__mx"),
-      sum(col(c).cast(DecimalType(18, 6))).as(s"${c}__sm"),
+      (sum(expr(s"CAST(floor($c * 1e6 + 0.5) AS BIGINT)"))
+        .cast("decimal(26,0)") / lit(1000000)).as(s"${c}__sm"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn")))
     val one = li.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map(c =>

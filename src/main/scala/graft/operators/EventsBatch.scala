@@ -129,8 +129,8 @@ object EventsBatch extends QueryGroup {
     val e = Tables.events(s, d)
     val st = e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(expr("CAST(value AS DECIMAL(18,6))")).cast("double").as("s1"),
-           sum(expr("CAST(value * value AS DECIMAL(18,6))")).cast("double").as("s2"))
+           (sum(expr("CAST(floor((value) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double").as("s1"),
+           (sum(expr("CAST(floor((value * value) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double").as("s2"))
     e.join(broadcast(st), "event_type")
       .withColumn("z", (col("value") - col("s1") / col("n")) /
         sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1L)))
@@ -559,17 +559,19 @@ object EventsBatch extends QueryGroup {
   private val eventsAbTest: QFn = (s, d) => {
     val perUser = Tables.events(s, d)
       .groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "purchase",
-          expr("CAST(value AS DECIMAL(18,6))"))
-        .otherwise(expr("CAST(0 AS DECIMAL(18,6))"))).as("td"))
+      // round-18 opt: micros accumulator, rescaled through DECIMAL so
+      // td carries the identical value the DECIMAL(18,6) sum held
+      .agg((sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
+        .otherwise(lit(0L))).cast("decimal(26,0)") / lit(1000000)).as("td"))
       .select(
         (expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
           % 2L).as("arm"),
         col("td").cast("double").as("t"))
     val m = perUser.groupBy(col("arm"))
       .agg(count(lit(1)).cast("double").as("nd"),
-        sum(expr("CAST(t AS DECIMAL(18,6))")).cast("double").as("sx"),
-        sum(expr("CAST(t * t AS DECIMAL(18,6))")).cast("double").as("sxx"))
+        (sum(expr("CAST(floor((t) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double").as("sx"),
+        (sum(expr("CAST(floor((t * t) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double").as("sxx"))
     def pick(c: String, a: Int) =
       max(when(col("arm") === a.toLong, col(c))).as(s"${c}$a")
     m.agg(pick("nd", 0), pick("sx", 0), pick("sxx", 0),

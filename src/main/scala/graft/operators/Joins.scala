@@ -35,8 +35,12 @@ object Joins extends QueryGroup {
     * from the oracle at the 4th decimal once plans reorder accumulation
     * (seen at sf0.1 with the bucketed plan; SURVEY.md §7.4 policy). */
   private[operators] def revenueSum: Column =
-    round(sum(expr("CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))"))
-      .cast("double"), 4)
+    // round-18 opt: int64-micros accumulator (the pricing-summary
+    // idiom) with an exact DECIMAL rescale — same double bit for bit
+    // (the product has 4 dp provenance, far inside the 0.5 µ bound)
+    round((sum(expr(
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)"))
+      .cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
 
   private[operators] val revenueSumSql =
     "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)"
@@ -65,7 +69,7 @@ object Joins extends QueryGroup {
            // pattern): double sums are accumulation-order dependent and
            // bit-diverge from the oracle once partitioning varies
            round(coalesce(
-             sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).cast("double"),
+             (sum(expr("CAST(floor((o_totalprice) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"),
              lit(0.0)), 4).as("total_spent"))
       .orderBy(col("c_custkey"))
   }
@@ -107,7 +111,7 @@ object Joins extends QueryGroup {
     c.join(dim, c("nk") <=> dim("nk"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-           round(sum(expr("CAST(c_acctbal AS DECIMAL(18,6))")).cast("double"), 4)
+           round((sum(expr("CAST(floor((c_acctbal) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
              .as("total_bal"))
       .orderBy(col("n_name"))
   }

@@ -46,10 +46,15 @@ object LlmText extends QueryGroup {
       // sequence(0, size-3) would DESCEND (default step -1) and
       // fabricate null-padded grams no consumer's oracle produces
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id") +: extras.map(col) :+ posexplode(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")): _*)
+      // round-18 opt: explode the OFFSETS (codegen generator) and build
+      // each gram as a top-level codegen projection — the former
+      // transform(...) lambda assembled every gram string interpreted
+      // (HOFs are CodegenFallback). Same rows bit for bit.
+      .select(col("doc_id") +: extras.map(col) :+ col("t") :+
+        explode(expr("sequence(0, size(t) - 3)")).as("i"): _*)
       .select((col("doc_id") +: extras.map(col)) ++ Seq(
-        col("pos").cast(LongType).as("pos"), tokHash(col("col")).as("gh")): _*)
+        col("i").cast(LongType).as("pos"),
+        tokHash(expr("concat_ws(' ', t[i], t[i+1], t[i+2])")).as("gh")): _*)
 
   /** The session-lifetime gram base over the fixture corpus — one
     * persisted (doc_id, source, pos, gh) table per (session, sf dir,
@@ -605,10 +610,11 @@ object LlmText extends QueryGroup {
     val bg = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // round-18 opt: offsets-explode + top-level codegen projection
+      // (the gramsOf device) instead of an interpreted struct lambda
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(col("doc_id"), expr("toks[i-1]").as("w1"), expr("toks[i]").as("w2"))
     // bigram-vocabulary-sized; checkpointed so the left-context margin
     // c1 derives from the |V²|-row table instead of re-running the
     // corpus bigram aggregation, and the broadcast reads it directly
@@ -1197,9 +1203,10 @@ object LlmText extends QueryGroup {
   private val dedupNgramJaccard: QFn = (s, d) => {
     val g = Tables.documents(s, d)
       .filter(col("doc_id") < 150L && length(col("text")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
-        .as("s"))
+      // round-18 opt: offsets-explode + top-level codegen substring
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 4)")).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
       .distinct()
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = g.select(col("doc_id").as("da"), col("s")).as("x")
@@ -1226,9 +1233,10 @@ object LlmText extends QueryGroup {
   private val dedupContainment: QFn = (s, d) => {
     val g = Tables.documents(s, d)
       .filter(col("doc_id") < 150L && length(col("text")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"))
-        .as("sh"))
+      // round-18 opt: offsets-explode + top-level codegen substring
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 4)")).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 5)").as("sh"))
       .distinct()
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = g.select(col("doc_id").as("da"), col("sh")).as("x")
@@ -1267,9 +1275,10 @@ object LlmText extends QueryGroup {
     val g = Tables.documents(s, d).filter(col("doc_id") < cap)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("s"))
+      // round-18 opt: offsets-explode + top-level codegen projection
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t) - 3)")).as("i"))
+      .select(col("doc_id"), expr("concat_ws(' ', t[i], t[i+1], t[i+2])").as("s"))
       .distinct()
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val truth = g.select(col("doc_id").as("da"), col("s"))
@@ -1555,13 +1564,15 @@ object LlmText extends QueryGroup {
     val t = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-    val big = t.select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("g"))
+    val big = t.select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t) - 2)")).as("i"))
+      .select(col("doc_id"), expr("concat(t[i], ' ', t[i+1])").as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg((max(col("n")).cast(DoubleType) / sum(col("n"))).as("tb"))
-    val tri = t.select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("g"))
+    val tri = t.select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, size(t) - 3)")).as("i"))
+      .select(col("doc_id"), expr("concat(t[i], ' ', t[i+1], ' ', t[i+2])").as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg((sum(when(col("n") > 1L, col("n")).otherwise(0L)).cast(DoubleType)
@@ -1704,11 +1715,11 @@ object LlmText extends QueryGroup {
     * under 2 tokens mid-training, so this is live, not theoretical. */
   private[graft] def bpePairCounts(cur: DataFrame): DataFrame = cur
     .filter(size(col("tk")) >= 2)
-    .select(explode(expr(
-      """transform(sequence(1, size(tk) - 1),
-           i -> named_struct('x', element_at(tk, i), 'y', element_at(tk, i + 1)))"""))
-      .as("p"))
-    .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+    // round-18 opt: offsets-explode + top-level codegen element_at
+    // (the gramsOf device) instead of an interpreted struct lambda
+    .select(col("tk"), explode(expr("sequence(1, size(tk) - 1)")).as("i"))
+    .groupBy(expr("element_at(tk, i)").as("x"),
+             expr("element_at(tk, i + 1)").as("y"))
     .agg(count(lit(1)).as("n"))
 
   private[graft] def bpeTrain(docs0: DataFrame, steps: Int)
@@ -1869,11 +1880,11 @@ object LlmText extends QueryGroup {
     val tg = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(toks) - 1), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3))"))
-        .as("t"))
-      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
+      // round-18 opt: offsets-explode + top-level codegen projection
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(2, size(toks) - 1)")).as("i"))
+      .select(col("doc_id"), expr("toks[i-2]").as("w1"),
+        expr("toks[i-1]").as("w2"), expr("toks[i]").as("w3"))
     // one corpus-count aggregation, checkpointed: every lower order is
     // a |V³|-bounded re-aggregation of this table (the bigram_lm idiom)
     val c123 = tg.filter(col("doc_id") % 2 === 0)

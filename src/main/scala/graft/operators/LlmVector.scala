@@ -1296,18 +1296,16 @@ object LlmVector extends QueryGroup {
     * sums the same terms in engine order; the quantized sum is
     * order-free and exact, one closing division. */
   private val embedProject: QFn = (s, d) => {
-    import org.apache.spark.sql.types.DoubleType
     val (ms, ws) = pcaFit(s, d)
+    // round-18 opt: the fused codegen kernel pc1q replaces the
+    // interpreted per-element transform+aggregate fold — identical
+    // term order and double arithmetic, exact int64 adds (pinned in
+    // TextSigSpec). The fit arrays enter as foldable literals.
+    graft.functions.GraftFunctions.ensureRegistered(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
-      .withColumn("ms", array(ms.map(lit(_)): _*))
-      .withColumn("ws", array(ws.map(lit(_)): _*))
-      .select(col("vec_id"),
-        expr("""aggregate(
-                  transform(e, (x, k) ->
-                    CAST(floor((x - ms[k]) * ws[k] * 1000000000.0 + 0.5) AS BIGINT)),
-                  CAST(0 AS BIGINT), (a, b) -> a + b)""").as("sq"))
+        call_function("pc1q", col("embedding"),
+          array(ms.map(lit(_)): _*), array(ws.map(lit(_)): _*)).as("sq"))
       .select(col("vec_id"),
         (round(col("sq") / lit(1000000000.0), 6) + lit(0.0)).as("pc1"))
       .orderBy(col("vec_id"))

@@ -123,7 +123,7 @@ object Scans extends QueryGroup {
     s.read.parquet(out)
       .groupBy((col("l_orderkey") % 10L).as("bucket"))
       .agg(count(lit(1)).as("n"),
-           round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast("double"), 4)
+           round((sum(expr("CAST(floor((l_extendedprice) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
              .as("sum_price"))
       .orderBy(col("bucket"))
   }
@@ -214,7 +214,7 @@ object Scans extends QueryGroup {
               col("l_shipdate") <  lit("1996-01-01").cast(TimestampNTZType))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n"),
-           round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+           round((sum(expr("CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
              .as("sum_qty"))
       .orderBy(col("month"))
   }
@@ -249,7 +249,7 @@ object Scans extends QueryGroup {
     merged.groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"),
            sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_updated"),
-           round(sum(expr("CAST(c_acctbal AS DECIMAL(18,6))")).cast("double"), 4)
+           round((sum(expr("CAST(floor((c_acctbal) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
              .as("total_bal"))
       .orderBy(col("c_nationkey"))
   }
@@ -338,7 +338,7 @@ object Scans extends QueryGroup {
     s.read.parquet(compact)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-           round(sum(expr("CAST(l_extendedprice AS DECIMAL(18,6))")).cast("double"), 4)
+           round((sum(expr("CAST(floor((l_extendedprice) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
              .as("sum_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -617,7 +617,7 @@ object Scans extends QueryGroup {
       .filter(col("l_partkey") < 1024L && col("l_suppkey") < 64L)
       .groupBy(expr("zval div 16777216").as("zbucket"))
       .agg(count(lit(1)).as("n"),
-           round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+           round((sum(expr("CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
              .as("sum_qty"))
       .orderBy(col("zbucket"))
   }
@@ -680,7 +680,7 @@ object Scans extends QueryGroup {
     pruned.filter(col("l_orderkey") >= loK && col("l_orderkey") <= hiK)
       .agg(count(lit(1)).as("n"),
            countDistinct(col("l_orderkey")).as("n_orders"),
-           round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+           round((sum(expr("CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
              .as("sum_qty"))
   }
 
@@ -735,7 +735,7 @@ object Scans extends QueryGroup {
     pruned.filter(col("l_orderkey") >= loK && col("l_orderkey") <= hiK)
       .agg(count(lit(1)).as("n"),
            countDistinct(col("l_orderkey")).as("n_orders"),
-           round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+           round((sum(expr("CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
              .as("sum_qty"))
   }
 
@@ -789,7 +789,7 @@ object Scans extends QueryGroup {
     def agg(df: org.apache.spark.sql.DataFrame, snap: Long) =
       df.agg(count(lit(1)).as("n"),
              countDistinct(col("l_orderkey")).as("n_orders"),
-             round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+             round((sum(expr("CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
                .as("sum_qty"))
         .select(lit(snap).as("snapshot"), col("n"), col("n_orders"), col("sum_qty"))
     agg(slice, 1L)
@@ -830,7 +830,7 @@ object Scans extends QueryGroup {
       pruned.filter(col("l_orderkey") >= loK && col("l_orderkey") <= hiK)
         .agg(count(lit(1)).as("n"),
              countDistinct(col("l_orderkey")).as("n_orders"),
-             round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+             round((sum(expr("CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
                .as("sum_qty"))
         .select(lit(gen.toLong).as("snapshot"), col("n"), col("n_orders"),
                 col("sum_qty"))
@@ -1038,7 +1038,7 @@ object Scans extends QueryGroup {
       s.read.parquet(files.toIndexedSeq: _*)
         .agg(count(lit(1)).as("n"),
              countDistinct(col("l_orderkey")).as("n_orders"),
-             round(sum(expr("CAST(l_quantity AS DECIMAL(18,6))")).cast("double"), 4)
+             round((sum(expr("CAST(floor((l_quantity) * 1e6 + 0.5) AS BIGINT)")).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
                .as("sum_qty"))
     }
     val b = latest().collect()(0)

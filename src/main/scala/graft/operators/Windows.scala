@@ -154,7 +154,7 @@ object Windows extends QueryGroup {
     Tables.events(s, d)
       .withColumn("n_10m", count(lit(1)).over(w))
       .withColumn("sum_10m",
-        round(sum(expr("CAST(value AS DECIMAL(18,6))")).over(w).cast("double"), 4))
+        round((sum(expr("CAST(floor((value) * 1e6 + 0.5) AS BIGINT)")).over(w).cast("decimal(26,0)") / lit(1000000)).cast("double"), 4))
       .select(col("event_id"), col("user_id"), col("n_10m"), col("sum_10m"))
       .orderBy(col("event_id"))
   }
@@ -257,7 +257,7 @@ object Windows extends QueryGroup {
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     src
       .withColumn("tot",
-        sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).over(wTot).cast("double"))
+        (sum(expr("CAST(floor((o_totalprice) * 1e6 + 0.5) AS BIGINT)")).over(wTot).cast("decimal(26,0)") / lit(1000000)).cast("double"))
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         (round(col("o_totalprice") / col("tot"), 6) + lit(0.0)).as("share"),
         (round(cume_dist().over(wOrd), 6) + lit(0.0)).as("cd"))

@@ -133,6 +133,41 @@ class TextSigSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"chained=${a.toSeq} fused=${b.toSeq}")
   }
 
+  test("pc1q is bit-identical to the transform+aggregate projection fold") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val ms = (0 until 64).map(i => 0.01 * i - 0.3)
+    val ws = (0 until 64).map(i => math.sin(i + 1.0))
+    val both = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("ms", array(ms.map(lit(_)): _*))
+      .withColumn("ws", array(ws.map(lit(_)): _*))
+      .select(
+        call_function("pc1q", col("e").cast("array<float>"),
+          array(ms.map(lit(_)): _*), array(ws.map(lit(_)): _*)).as("native"),
+        expr("""aggregate(
+                  transform(e, (x, k) ->
+                    CAST(floor((x - ms[k]) * ws[k] * 1000000000.0 + 0.5) AS BIGINT)),
+                  CAST(0 AS BIGINT), (a, b) -> a + b)""").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("hll_distinct is bit-identical to approx_count_distinct (same helper, same hash)") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.events(spark, TestSpark.sf)
+    val both = e.groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id"), 0.01).as("builtin"),
+      expr("hll_distinct(user_id, 0.01D)").as("compact"))
+    assert(both.filter(col("builtin") =!= col("compact")).count() == 0)
+    val g = e.agg(approx_count_distinct(col("user_id"), 0.05).as("b"),
+      expr("hll_distinct(user_id, 0.05D)").as("c")).head()
+    assert(g.getLong(0) == g.getLong(1))
+    // string inputs hash differently than longs — pin those too
+    val s2 = e.agg(approx_count_distinct(col("event_type"), 0.02).as("b"),
+      expr("hll_distinct(event_type, 0.02D)").as("c")).head()
+    assert(s2.getLong(0) == s2.getLong(1))
+  }
+
   test("sumsq_f32 is bit-identical to the HOF fold and joins codegen") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, TestSpark.sf)
