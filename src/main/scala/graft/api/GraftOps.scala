@@ -107,8 +107,7 @@ object GraftOps {
     * split_train_val membership: a pure function of the row id,
     * independent of partitioning, executor count, or engine. */
   def hashBucket(id: Column, buckets: Int): Column =
-    conv(substring(md5(id.cast(StringType)), 1, 12), 16, 10)
-      .cast(LongType) % buckets
+    graft.functions.GraftFunctions.md5Prefix48(id.cast(StringType)) % buckets
 
   /** Exact double cosine via the zip_with/aggregate left fold — the
     * SQL-expressible twin of the codegen'd `cosine_f32` expression
@@ -147,7 +146,7 @@ object GraftOps {
         .as("s"))
       .distinct()
     val hashed = sh.withColumn("hm",
-      conv(substring(md5(col("s")), 1, 12), 16, 10).cast(LongType) % P)
+      graft.functions.GraftFunctions.md5Prefix48(col("s")) % P)
     val mins = (0 until 16).map { i =>
       min((col("hm") * (2L * i + 3L) + (7919L * i + 13L)) % P).as(s"mh$i")
     }
@@ -413,7 +412,7 @@ object GraftOps {
   def weightedKeep(id: Column, weight: Column, cap: Long = 1024L): Column = {
     require(cap > 0 && (cap & (cap - 1)) == 0 && cap <= (1L << 48),
       s"cap must be a power of two in [1, 2^48], was $cap")
-    val u48 = conv(substring(md5(id.cast(StringType)), 1, 12), 16, 10)
+    val u48 = graft.functions.GraftFunctions.md5Prefix48(id.cast(StringType))
       .cast(LongType)
     u48 < weight * lit((1L << 48) / cap)
   }

@@ -182,6 +182,20 @@ case class Pc1Quant(first: Expression, second: Expression, third: Expression)
 object GraftFunctions {
   val builder: Seq[Expression] => Expression = exprs => CosineSimF32(exprs(0), exprs(1))
 
+  import org.apache.spark.sql.{Column, GraftBridge}
+
+  /** Column-API entry for the fused 48-bit md5-prefix bucket hash —
+    * value-identical to conv(substring(md5(c), 1, 12), 16, 10) (pinned
+    * in TextSigSpec); no session registry needed. */
+  def md5Prefix48(c: Column): Column =
+    GraftBridge.column(Md5Prefix48(GraftBridge.expression(c)))
+
+  /** Column-API entry for the fused 32-bit sign pack — value-identical
+    * to the unrolled IF-sum packSignBits(off) (pinned in TextSigSpec). */
+  def signPack32(c: Column, off: Int): Column =
+    GraftBridge.column(SignPack32(GraftBridge.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(off)))
+
   /** Session-level registration so queries can say `expr("cosine_f32(a,b)")`
     * (plus the round-18 fused text-signal kernels). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -201,6 +215,10 @@ object GraftFunctions {
       "hll_distinct", hllBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pc1q", exprs => Pc1Quant(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix48", exprs => Md5Prefix48(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_pack32", exprs => SignPack32(exprs(0), exprs(1)), "built-in")
   }
 
   /** `hll_distinct(x, rsd)`: the compact-buffer HLL++ (identical
@@ -254,6 +272,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pc1q"),
       new ExpressionInfo(classOf[Pc1Quant].getName, "pc1q"),
       (exprs: Seq[Expression]) => Pc1Quant(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
+      FunctionIdentifier("md5_prefix48"),
+      new ExpressionInfo(classOf[Md5Prefix48].getName, "md5_prefix48"),
+      (exprs: Seq[Expression]) => Md5Prefix48(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("sign_pack32"),
+      new ExpressionInfo(classOf[SignPack32].getName, "sign_pack32"),
+      (exprs: Seq[Expression]) => SignPack32(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("histogram10"),
       new ExpressionInfo(classOf[HistogramAgg].getName, "histogram10"),

@@ -120,6 +120,82 @@ object TextSig {
   }
 }
 
+/** Fused 48-bit md5-prefix bucket hash (round-18 opt): the value of
+  * `conv(substring(md5(s), 1, 12), 16, 10)` — the suite's shared
+  * content-address primitive (gram base, DSIR/CLIP token buckets,
+  * sampling membership) — computed straight off the digest bytes
+  * (first 6 bytes big-endian), skipping the 32-char hex string and the
+  * base-16 re-parse the expression chain allocated per call.
+  * Bit-identical by construction; pinned in TextSigSpec. */
+object Md5Prefix48 {
+  private val mdTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash48(s: UTF8String): Long = {
+    val md = mdTL.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) | ((d(2) & 0xFFL) << 24) |
+      ((d(3) & 0xFFL) << 16) | ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
+  }
+}
+
+case class Md5Prefix48(child: Expression) extends TextSigExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix48"
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix48.hash48(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix48.hash48($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused 32-bit sign pack (round-18 opt): bit i set iff
+  * `embedding[off + i] >= 0` — the value of the unrolled 32-term
+  * IF-sum `packSignBits(off)` as ONE loop instead of 32 branch
+  * expressions per row (and a fraction of the generated-code size).
+  * Bit-identical; pinned in TextSigSpec. */
+case class SignPack32(first: Expression, second: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = first
+  override def right: Expression = second
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_pack32"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) if second.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"sign_pack32 expects (array<float>, int literal offset), got $t")
+    }
+  override def nullSafeEval(a: Any, o: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val off = o.asInstanceOf[Int]
+    var acc = 0L
+    var i = 0
+    while (i < 32) {
+      if (x.getFloat(off + i) >= 0f) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, o) => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < 32; $i++) {
+         |  if ($a.getFloat($o + $i) >= 0f) $acc |= (1L << $i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(first = l, second = r)
+}
+
 private[functions] trait TextSigExpr extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

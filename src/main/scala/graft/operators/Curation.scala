@@ -623,7 +623,7 @@ object Curation extends QueryGroup {
       .select(col("doc_id"), col("is_tgt"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("bkt",
-        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % B)
+        graft.functions.GraftFunctions.md5Prefix48(col("tok")) % B)
       .groupBy(col("doc_id"), col("is_tgt"), col("bkt"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -942,7 +942,7 @@ object Curation extends QueryGroup {
       s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def bkt(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 12), 16, 10).cast(LongType) % 64L
+      graft.functions.GraftFunctions.md5Prefix48(c) % 64L
     val wt = s.createDataFrame(QualityLexiconNano).toDF("tok", "w_nano")
       .groupBy(bkt(col("tok")).as("bkt"))
       .agg(sum(col("w_nano")).as("w"))

@@ -565,7 +565,7 @@ object EventsBatch extends QueryGroup {
           expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
         .otherwise(lit(0L))).cast("decimal(26,0)") / lit(1000000)).as("td"))
       .select(
-        (expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+        (graft.functions.GraftFunctions.md5Prefix48(col("user_id").cast("string"))
           % 2L).as("arm"),
         col("td").cast("double").as("t"))
     val m = perUser.groupBy(col("arm"))

@@ -25,7 +25,8 @@ object LlmText extends QueryGroup {
 
   /** 48-bit portable token hash from the md5 hex prefix. */
   private def tokHash(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+    // round-18 opt: fused md5-prefix kernel (value-identical, pinned)
+    graft.functions.GraftFunctions.md5Prefix48(c)
 
   private def tokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -261,7 +262,7 @@ object LlmText extends QueryGroup {
   private val textHashFeatures: QFn = (s, d) =>
     tokens(s, d)
       .withColumn("bkt",
-        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % 64L)
+        graft.functions.GraftFunctions.md5Prefix48(col("tok")) % 64L)
       .groupBy(col("doc_id"), col("bkt")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("f_nnz"),

@@ -598,8 +598,8 @@ object LlmVector extends QueryGroup {
         // m sized so the expected sample is ~cap
         val m = (n + cap - 1L) / cap
         eAll.filter(
-          conv(substring(md5(col("vec_id").cast(StringType)), 1, 12), 16, 10)
-            .cast(LongType) % m === 0L)
+          graft.functions.GraftFunctions.md5Prefix48(col("vec_id").cast(StringType))
+            % m === 0L)
       }
       anchorsFitOf(fitInput, k, iters = 2)
         .write.mode("overwrite").parquet(s"$tmp/anchors")
@@ -1541,7 +1541,7 @@ object LlmVector extends QueryGroup {
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("bkt",
-        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast(LongType) % 64L)
+        graft.functions.GraftFunctions.md5Prefix48(col("tok")) % 64L)
       .groupBy(col("doc_id"), col("bkt")).agg(count(lit(1)).as("cnt"))
     val eq = embeds.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
@@ -1619,8 +1619,8 @@ object LlmVector extends QueryGroup {
     * free rider on whatever pass reads the vectors. */
   private def binaryCodes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
-      expr(packSignBits(32)).as("code_hi"),
-      expr(packSignBits(0)).as("code_lo"))
+      graft.functions.GraftFunctions.signPack32(col("embedding"), 32).as("code_hi"),
+      graft.functions.GraftFunctions.signPack32(col("embedding"), 0).as("code_lo"))
 
   /** Spark-side 64-bit Hamming distance between (code_hi, code_lo) and
     * the broadcast query halves (qhi, qlo). */
@@ -1633,8 +1633,8 @@ object LlmVector extends QueryGroup {
     * carries little information and Hamming recall will be poor). */
   private val embedBinarize: QFn = (s, d) =>
     Tables.embeddings(s, d).select(col("vec_id"),
-      expr(packSignBits(32)).as("code_hi"),
-      expr(packSignBits(0)).as("code_lo"),
+      graft.functions.GraftFunctions.signPack32(col("embedding"), 32).as("code_hi"),
+      graft.functions.GraftFunctions.signPack32(col("embedding"), 0).as("code_lo"),
       expr(nPosExpr).as("n_pos"))
       .orderBy(col("vec_id"))
 
@@ -1673,7 +1673,7 @@ object LlmVector extends QueryGroup {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      expr(packSignBits(32)).as("code_hi"), expr(packSignBits(0)).as("code_lo"))
+      graft.functions.GraftFunctions.signPack32(col("embedding"), 32).as("code_hi"), graft.functions.GraftFunctions.signPack32(col("embedding"), 0).as("code_lo"))
     val q = e.filter(col("vec_id") < 20L)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("code_hi").as("qhi"), col("code_lo").as("qlo"))
@@ -1714,7 +1714,7 @@ object LlmVector extends QueryGroup {
   private val simKnnRerank: QFn = (s, d) => {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      expr(packSignBits(32)).as("code_hi"), expr(packSignBits(0)).as("code_lo"))
+      graft.functions.GraftFunctions.signPack32(col("embedding"), 32).as("code_hi"), graft.functions.GraftFunctions.signPack32(col("embedding"), 0).as("code_lo"))
     val q = e.filter(col("vec_id") === 0L)
       .select(col("embedding").as("qe"),
         col("code_hi").as("qhi"), col("code_lo").as("qlo"))

@@ -19,8 +19,8 @@ object Sampling extends QueryGroup {
     * Shared with Pipeline.pipeline_e2e's split stage so the two can't
     * drift (the StopTokens pattern). */
   private[operators] def hashBucket(c: org.apache.spark.sql.Column, buckets: Int) =
-    conv(substring(md5(c.cast(StringType)), 1, 12), 16, 10)
-      .cast(LongType) % buckets
+    // round-18 opt: fused md5-prefix kernel (value-identical, pinned)
+    graft.functions.GraftFunctions.md5Prefix48(c.cast(StringType)) % buckets
 
   /** Deterministic ~10% sample of orders: rows whose id-hash bucket is
     * 0 of 10. Exactly reproducible on any engine with md5. */
@@ -128,8 +128,7 @@ object Sampling extends QueryGroup {
   private val sampleWeighted: QFn = (s, d) =>
     Tables.documents(s, d)
       .withColumn("u48",
-        conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
-          .cast(LongType))
+        graft.functions.GraftFunctions.md5Prefix48(col("doc_id").cast(StringType)))
       .withColumn("keep", col("u48") < col("n_chars") * lit(274877906944L))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
@@ -187,8 +186,8 @@ object Sampling extends QueryGroup {
     val base = Tables.documents(s, d)
       .withColumn("r", r)
       .withColumn("u48",
-        conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":ep"))),
-          1, 12), 16, 10).cast(LongType))
+        graft.functions.GraftFunctions.md5Prefix48(
+          concat(col("doc_id").cast(StringType), lit(":ep"))))
       .withColumn("copies",
         floor(col("r")).cast(LongType)
           + when(col("r") =!= floor(col("r")),
@@ -265,8 +264,8 @@ object Sampling extends QueryGroup {
       .orderBy(col("u48"), col("doc_id"))
     base
       .withColumn("u48",
-        conv(substring(md5(concat(col("doc_id").cast(StringType), lit(":cur"))),
-          1, 12), 16, 10).cast(LongType))
+        graft.functions.GraftFunctions.md5Prefix48(
+          concat(col("doc_id").cast(StringType), lit(":cur"))))
       .withColumn("r", row_number().over(w).cast(LongType))
       // Capacity guard (round-16 ADVICE): the stage radix is a fixed
       // 10¹², so the within-stage offset (r−1)·S + src must stay below

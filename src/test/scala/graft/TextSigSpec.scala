@@ -168,6 +168,32 @@ class TextSigSpec extends AnyFunSuite {
     assert(s2.getLong(0) == s2.getLong(1))
   }
 
+  test("md5_prefix48 is bit-identical to the conv(substring(md5)) chain") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val toks = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("s"))
+      .unionByName(Seq("", "é", "a▁b", "0", "x" * 500).toDF("s"))
+    val both = toks.select(
+      expr("md5_prefix48(s)").as("native"),
+      conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("chain"))
+    assert(both.filter(col("native") =!= col("chain")).count() == 0)
+  }
+
+  test("sign_pack32 is bit-identical to the unrolled IF-sum pack") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def unrolled(off: Int): String =
+      (0 until 32).map(i => s"IF(embedding[${i + off}] >= 0, ${1L << i}L, 0L)")
+        .mkString("(", " + ", ")")
+    val both = Tables.embeddings(spark, TestSpark.sf).select(
+      expr("sign_pack32(embedding, 0)").as("lo"),
+      expr(unrolled(0)).as("lo_ref"),
+      expr("sign_pack32(embedding, 32)").as("hi"),
+      expr(unrolled(32)).as("hi_ref"))
+    assert(both.filter(col("lo") =!= col("lo_ref") || col("hi") =!= col("hi_ref"))
+      .count() == 0)
+  }
+
   test("sumsq_f32 is bit-identical to the HOF fold and joins codegen") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, TestSpark.sf)
