@@ -7,6 +7,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Round-18 measured NEGATIVE result (do not "optimize" this back):
+      // size-targeted AQE coalescing (parallelismFirst=false + a 64 MB
+      // advisory) was A/B-benched and REGRESSED the suite 131 s → 158 s —
+      // at bench scale every shuffle is far under the advisory, so AQE
+      // coalesces joins/sorts to ONE partition and serializes them
+      // (join_salted +1.05 s, join_star +0.83 s, fn_math +0.92 s).
+      // The default parallelismFirst=true is the right trade here: local
+      // parallelism first, size-targeted coalescing only where partitions
+      // exceed the default advisory — on a real cluster the same default
+      // still coalesces the many-tiny-reducers case the guide warns about.
       // session-BUILD-time, per the Tables.events contract (no read-time set)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -93,7 +93,10 @@ object LlmText extends QueryGroup {
     // corpus size as a lazy 1-row broadcast, not an eager driver count()
     // (constructing the DataFrame must not run a Spark job)
     val n = Tables.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    // round-18 opt: the df margin and the join probe both re-derived the
+    // tokenize+count — checkpoint the |doc·distinct-tok|-bounded tf once
     val tf = tokens(s, d).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("tok"))
@@ -196,7 +199,10 @@ object LlmText extends QueryGroup {
     * sort_array-of-structs idiom. */
   private val textKeywordExtract: QFn = (s, d) => {
     val n = Tables.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    // round-18 opt: checkpoint tf once for its two consumers (the
+    // text_tfidf device)
     val tf = tokens(s, d).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
     tf.join(df, "tok")
@@ -406,10 +412,14 @@ object LlmText extends QueryGroup {
     * the cap is latent there; at 100 TB it is the anti-quadratic
     * bound, and a bound needs a live test, not a comment). */
   private[graft] def winnowPairsOfFps(fp: DataFrame, cap: Long): DataFrame = {
+    // round-18 opt: THREE consumers (the per-doc totals and both join
+    // legs) re-derived the rare-fingerprint filter — checkpoint the
+    // |fps|-bounded table once (the agg_chisq device)
     val rare = fp.join(
       fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") <= cap).select(col("fp_hash")),
       Seq("fp_hash"))
+      .localCheckpoint()
     val nFps = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
       .join(rare.select(col("fp_hash"), col("doc_id").as("doc_b")), Seq("fp_hash"))
