@@ -412,14 +412,18 @@ object LlmText extends QueryGroup {
     * the cap is latent there; at 100 TB it is the anti-quadratic
     * bound, and a bound needs a live test, not a comment). */
   private[graft] def winnowPairsOfFps(fp: DataFrame, cap: Long): DataFrame = {
-    // round-18 opt: THREE consumers (the per-doc totals and both join
-    // legs) re-derived the rare-fingerprint filter — checkpoint the
-    // |fps|-bounded table once (the agg_chisq device)
+    // Round-18 measured negative result: checkpointing the rare table
+    // here (3 consumers) cut the plan 30 → 14 Exchanges but BENCHED
+    // SLOWER (dedup_winnowing 0.93 → 1.31 s, dedup_eval_winnowing
+    // 0.72 → 0.93 s) — the input fps table is already checkpointed, so
+    // re-deriving rare is one cheap bounded join per consumer while the
+    // eager materialization costs two extra jobs inside the timed
+    // region. Left as the recompute; revisit only with cluster-scale
+    // evidence.
     val rare = fp.join(
       fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") <= cap).select(col("fp_hash")),
       Seq("fp_hash"))
-      .localCheckpoint()
     val nFps = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     rare.select(col("fp_hash"), col("doc_id").as("doc_a"))
       .join(rare.select(col("fp_hash"), col("doc_id").as("doc_b")), Seq("fp_hash"))
