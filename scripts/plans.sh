@@ -19,7 +19,7 @@ export SPARK_GRAFT_SF_DIR
 # diff must mean the plan CHANGED, not that the run order did.
 sbt -batch "runMain graft.Explain" 2>/dev/null \
   | grep -v '^\[' \
-  | sed -E 's/#[0-9]+/#N/g; s/plan_id=[0-9]+/plan_id=N/g; s/(Subquery|subquery|cte)([ _]?)[0-9]+/\1\2N/g; s/RDD\[[0-9]+\]/RDD[N]/g' \
+  | sed -E 's/#[0-9]+/#N/g; s/plan_id=[0-9]+/plan_id=N/g; s/(Subquery|subquery|cte)([ _]?)[0-9]+/\1\2N/g; s/RDD\[[0-9]+\]/RDD[N]/g; s/Lambda\$[0-9]+\/0x[0-9a-f]+@[0-9a-f]+/Lambda\$N/g' \
   | awk '/^## /{found=1} found' > PLANS.tmp
 n=$(grep -c '^## ' PLANS.tmp)
 if [ "$n" -lt 1 ]; then

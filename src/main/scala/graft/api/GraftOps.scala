@@ -877,13 +877,16 @@ object GraftOps {
       // rebind by NAME after the first select — the caller's Column
       // expressions are only resolvable against the original frame
       val keep = idOpt.map(_ => col("dc_id")).toSeq
+      // round-19 opt: fused shingle_md5s kernel (value-identical to the
+      // per-window md5(array_join(slice(...))) transform, pinned in
+      // TextSigSpec) — the former HOF built every shingle string
+      // interpreted. < n tokens yields an empty array (the old
+      // size(tk) ≥ n guard); the length ≥ 1 filter stays for the n = 1
+      // edge, where the empty string is one (empty) token.
       base.filter(length(col("dc_tx")) >= 1)
-        .withColumn("tk", split(col("dc_tx"), " "))
-        .filter(size(col("tk")) >= n)
-        .select(keep :+ explode(expr(
-          s"transform(sequence(0, size(tk)-$n), i -> array_join(slice(tk, i+1, $n), ' '))"))
-          .as("sh"): _*)
-        .withColumn("dig", md5(col("sh")))
+        .select(keep :+ explode(
+          graft.functions.GraftFunctions.shingleMd5s(col("dc_tx"), n))
+          .as("dig"): _*)
     }
     val ev = shingles(eval, None, evalText).select(col("dig")).distinct()
     shingles(train, Some(trainId), trainText)
@@ -894,24 +897,22 @@ object GraftOps {
       .withColumn("contaminated", col("n_hits") > 0L)
   }
 
-  /** Single-pass exact column profile — profile_columns over caller
-    * columns: per column, row count, null count, exact distinct count.
-    * One multi-distinct aggregation (Catalyst's Expand: |cols|× fan-out,
-    * one shuffle); at 100 TB swap countDistinct for
-    * approx_count_distinct and the Expand disappears. */
+  /** Exact column profile — profile_columns over caller columns: per
+    * column, row count, null count, exact distinct count. round-19 opt:
+    * one union branch per column (a single-distinct aggregate plans
+    * WITHOUT Catalyst's Expand — no |cols|× fan-out of the full-width
+    * row; each branch scans only its own column and all branches run in
+    * one job). At 100 TB swap countDistinct for approx_count_distinct
+    * and even the per-column value shuffle disappears. */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns: need at least one column")
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd")))
-    val stacked = cols.map(c =>
-      s"struct('$c' as col_name, `${c}__nn` as n_null, `${c}__nd` as n_distinct)")
-      .mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(col("n_rows"), explode(expr(s"array($stacked)")).as("p"))
-      .select(col("p.col_name").as("col_name"), col("n_rows"),
-        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"))
+    }.reduce(_ unionAll _)
   }
 
   /** Temperature-scaled mixture weights — sample_temperature over
@@ -1255,7 +1256,10 @@ object GraftOps {
     * Pure row function, single codegen stage. */
   def blocklistHits(text: Column, banned: Seq[String]): Column = {
     require(banned.nonEmpty, "blocklistHits: banned list must be non-empty")
-    size(filter(split(text, " "), t => t.isin(banned: _*))).cast(LongType)
+    // round-19 opt: fused kernel, value-identical to
+    // size(filter(split(text, " "), t => t.isin(banned: _*))) (pinned
+    // in TextSigSpec) with no token array and no interpreted lambda
+    graft.functions.GraftFunctions.tokHits(text, banned)
   }
 
   /** Epoch-weighted oversampling — sample_epochs' materialization over

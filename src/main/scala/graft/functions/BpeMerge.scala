@@ -19,8 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference DedupProps proves equal to bpeMergeExpr's transform/filter
   * (x ≠ y) AND fold (x = y) branches on a dense 3-symbol alphabet; a
   * LawsSpec case additionally pins the full-chain equality on the real
-  * corpus merges. Null token elements never match and pass through
-  * (the HOF's null-comparison semantics). The merge-pair argument must
+  * corpus merges. Null token elements never match and PASS THROUGH —
+  * note (round-19, ADVICE r18): this is the fold-branch (x = y)
+  * semantics; bpeMergeExpr's transform/filter branch (x ≠ y) instead
+  * DROPS pre-existing nulls via its filter(isNotNull). The two only
+  * diverge on inputs containing null elements, which split() can never
+  * produce — but this function is registered session-wide, so callers
+  * feeding hand-built arrays with nulls get pass-through, not drop.
+  * The merge-pair argument must
   * be foldable — pairs are trained driver-side (bpeFit) and enter as
   * Column literals, never through SQL text (the round-11 quoting rule).
   */

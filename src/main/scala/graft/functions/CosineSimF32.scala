@@ -123,6 +123,61 @@ case class SumSqF32(child: Expression)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression (round-19 opt): fused squared-L2 over two
+  * `array<double>` columns — the codegen replacement for the interpreted
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, +)` fold behind
+  * every k-means / PQ / IVF assign loop. Accumulates in double, index
+  * order, acc starts at 0.0 — exactly the HOF's left fold and therefore
+  * bit-identical to the DuckDB oracle's list_reduce spelling (pinned in
+  * TextSigSpec). Edge cases follow the cosine_f32 posture (NOT the
+  * null-propagating HOF): unequal lengths truncate to the shorter
+  * array, null elements read as 0.0 — all call sites feed fixed-width
+  * non-null fit vectors. */
+case class L2SqF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"l2sq_f64 expects (array<double>, array<double>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dd = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $dd * $dd;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Catalyst expression (round-18 opt): the embed_project
   * quantized centered projection Σ_k floor((x_k − ms_k)·ws_k·1e9 + 0.5)
   * as one fused loop. Bit-identical to the HOF formula
@@ -136,6 +191,15 @@ case class Pc1Quant(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   override def dataType: DataType = LongType
+
+  // round-19 fix (ADVICE r18): fold() returns null when the embedding is
+  // longer than the fit arrays, so the expression must declare itself
+  // nullable even over non-nullable children — otherwise nullSafeCodeGen
+  // receives ev.isNull as the literal "false" and the generated
+  // "${ev.isNull} = true" assignment would not compile (silent codegen
+  // fallback), while interpreted eval yielded null from an expression
+  // declared non-nullable.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
@@ -196,6 +260,41 @@ object GraftFunctions {
     GraftBridge.column(SignPack32(GraftBridge.expression(c),
       org.apache.spark.sql.catalyst.expressions.Literal(off)))
 
+  /** Column-API entry for the fused token count — value-identical to
+    * size(split(c, " ")) cast to bigint (pinned in TextSigSpec). */
+  def tokCount(c: Column): Column =
+    GraftBridge.column(TokCount(GraftBridge.expression(c)))
+
+  /** Column-API entry for the fused blocklist hit count — value-
+    * identical to size(filter(split(c, " "), t -> t IN banned))
+    * (pinned in TextSigSpec). */
+  def tokHits(c: Column, banned: Seq[String]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = Literal(
+      new GenericArrayData(banned.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any]),
+      ArrayType(StringType, containsNull = false))
+    GraftBridge.column(TokHits(GraftBridge.expression(c), arr))
+  }
+
+  /** Column-API entry for the fused squared-L2 — bit-identical to the
+    * aggregate(zip_with(...)) left fold (pinned in TextSigSpec). */
+  def l2sqF64(a: Column, b: Column): Column =
+    GraftBridge.column(L2SqF64(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-API entry for the sliding shingle md5 digests — value-
+    * identical to the md5(array_join(slice(...))) chain per window
+    * (pinned in TextSigSpec). */
+  def shingleMd5s(c: Column, k: Int): Column =
+    GraftBridge.column(ShingleMd5s(GraftBridge.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Column-API entry for the one-pass first-occurrence token dedup —
+    * struct(n_tokens, n_unique, dedup_text), value-identical to the
+    * array_position HOF filter (pinned in TextSigSpec). */
+  def dedupTokens(c: Column): Column =
+    GraftBridge.column(DedupTokens(GraftBridge.expression(c)))
+
   /** Session-level registration so queries can say `expr("cosine_f32(a,b)")`
     * (plus the round-18 fused text-signal kernels). */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -219,6 +318,16 @@ object GraftFunctions {
       "md5_prefix48", exprs => Md5Prefix48(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_pack32", exprs => SignPack32(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tok_count", exprs => TokCount(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tok_hits", exprs => TokHits(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dedup_tokens", exprs => DedupTokens(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_f64", exprs => L2SqF64(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_md5s", exprs => ShingleMd5s(exprs(0), exprs(1)), "built-in")
   }
 
   /** `hll_distinct(x, rsd)`: the compact-buffer HLL++ (identical
@@ -280,6 +389,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sign_pack32"),
       new ExpressionInfo(classOf[SignPack32].getName, "sign_pack32"),
       (exprs: Seq[Expression]) => SignPack32(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("tok_count"),
+      new ExpressionInfo(classOf[TokCount].getName, "tok_count"),
+      (exprs: Seq[Expression]) => TokCount(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("tok_hits"),
+      new ExpressionInfo(classOf[TokHits].getName, "tok_hits"),
+      (exprs: Seq[Expression]) => TokHits(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dedup_tokens"),
+      new ExpressionInfo(classOf[DedupTokens].getName, "dedup_tokens"),
+      (exprs: Seq[Expression]) => DedupTokens(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("l2sq_f64"),
+      new ExpressionInfo(classOf[L2SqF64].getName, "l2sq_f64"),
+      (exprs: Seq[Expression]) => L2SqF64(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_md5s"),
+      new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
+      (exprs: Seq[Expression]) => ShingleMd5s(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("histogram10"),
       new ExpressionInfo(classOf[HistogramAgg].getName, "histogram10"),

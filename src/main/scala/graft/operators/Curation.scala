@@ -53,6 +53,10 @@ object Curation extends QueryGroup {
         col("tk"))
       .select(col("doc_id"), col("i").cast(LongType).as("span_id"),
         expr("array_join(slice(tk, i*8 + 1, 8), ' ')").as("span"))
+      // round-19 opt: the span stream feeds BOTH the first-occurrence
+      // build and the probe (which also re-derived md5(span) each) —
+      // materialize once, the substringDedupOn precedent
+      .localCheckpoint()
     val firsts = spans
       .groupBy(md5(col("span")).as("dig"))
       .agg(min(struct(col("doc_id"), col("span_id"))).as("f"))
@@ -117,20 +121,18 @@ object Curation extends QueryGroup {
     * second corpus shuffle, no window over the corpus. */
   private[graft] def substringDedupOn(docs: org.apache.spark.sql.DataFrame,
                                       k: Int) = {
-    // round-18 opt: explode the OFFSETS (a codegen generator) and
-    // digest each shingle as a top-level projection — md5/array_join/
-    // slice are all codegen expressions there, where the former
-    // transform(...) lambda evaluated the same md5 chain INTERPRETED
-    // (HOFs are CodegenFallback) per shingle. Same (doc_id, i, dig)
-    // rows bit for bit.
+    // round-19 opt: the fused shingle_md5s kernel digests every window
+    // straight off the raw byte spans (join is split's inverse — the
+    // span from token i to token i+k−1 IS the original bytes), where
+    // the round-18 offsets-explode still allocated a slice array and a
+    // join string per window before each md5. Same (doc_id, i, dig)
+    // rows bit for bit (pinned in TextSigSpec; texts with < k tokens
+    // yield an empty array ≡ the old size(tk) ≥ k filter).
     val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= k)
-      .select(col("doc_id"), col("tk"),
-        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(size(tk) - $k AS BIGINT))"))
-          .as("i"))
-      .select(col("doc_id"), col("i"),
-        expr(s"md5(array_join(slice(tk, CAST(i + 1 AS INT), $k), ' '))").as("dig"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.shingleMd5s(col("text"), k)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("i"),
+        col("col").as("dig"))
       // the shingle stream feeds BOTH the dup-set build and the probe:
       // materialize it once (multi-consumer corpus lineage recipe) so
       // the corpus isn't re-scanned and every window isn't re-hashed
@@ -304,19 +306,22 @@ object Curation extends QueryGroup {
     val o = Tables.orders(s, d)
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd")))
-    val one = o.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c =>
-      s"struct('$c' as col_name, `${c}__nn` as n_null, `${c}__nd` as n_distinct)")
-      .mkString(", ")
-    one.select(col("n_rows"),
-        explode(expr(s"array($stacked)")).as("p"))
-      .select(col("p.col_name").as("col_name"), col("n_rows"),
-        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
-      .orderBy(col("col_name"))
+    // round-19 opt (VERDICT item 4, guide §2): SIX countDistincts in one
+    // aggregate planned via Expand — a 7× row fan-out of the full-width
+    // row before the only shuffle. Now each column profiles in its own
+    // union branch: a single-distinct aggregate plans WITHOUT Expand
+    // (partial dedup on the value, one narrow exchange per column), each
+    // branch scans just its own column (columnar pruning — same total
+    // bytes as the one wide scan), and all six branches run in one job.
+    // Exact counts, identical rows.
+    val one = cols.map { c =>
+      o.agg(count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"))
+    }.reduce(_ unionAll _)
+    one.orderBy(col("col_name"))
   }
 
   /** Data-freshness audit — the SLA table a pipeline operator reads
@@ -905,12 +910,16 @@ object Curation extends QueryGroup {
     * sort; at 100 TB this is a scan. */
   private val textBlocklist: QFn = (s, d) => {
     val banned = Seq("dup", "slow")
+    // round-19 opt: fused tok_count/tok_hits kernels (value-identical to
+    // size(split(...)) / size(filter(split(...), isin)), pinned in
+    // TextSigSpec) — the interpreted filter lambda allocated the full
+    // token array per row and was the #3 driver bench line item with a
+    // 13× 32-core-vs-8-core inversion (GC contention); the kernels scan
+    // the text bytes once with zero allocation.
     Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(filter(col("toks"), t => t.isin(banned: _*))).cast("long")
-          .as("n_bad"))
+        graft.functions.GraftFunctions.tokCount(col("text")).as("n_tokens"),
+        graft.functions.GraftFunctions.tokHits(col("text"), banned).as("n_bad"))
       .withColumn("keep", col("n_bad") === 0L)
       .orderBy(col("doc_id"))
   }

@@ -42,6 +42,17 @@ object Joins extends QueryGroup {
         "CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)"))
       .cast("decimal(26,0)") / lit(1000000)).cast("double"), 4)
 
+  // DELIBERATELY not the micros spelling of its Column twin above
+  // (round-19, ADVICE r18): this string is the DUCKDB oracle's recipe,
+  // and DuckDB's decimal-division/again-to-double semantics for the
+  // S/1e6 rescale are not probe-verified the way the DECIMAL(18,6)
+  // per-row cast is (SURVEY §7.3); at micros magnitudes past 2^53 a
+  // naive double rescale would diverge. The twins' equality therefore
+  // rests on the 0.5 µ rounding bound (4 dp provenance) plus the parity
+  // gate that re-proves it at every SF each round — and on overflow the
+  // engines now FAIL DIFFERENTLY but both loudly: Spark raises
+  // ARITHMETIC_OVERFLOW (ANSI required at the Tables choke point),
+  // DuckDB widens to HUGEINT.
   private[operators] val revenueSumSql =
     "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)"
 
@@ -384,7 +395,18 @@ object Joins extends QueryGroup {
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+    // round-19 opt (guide §3.1 "pick the strategy deliberately"): the
+    // planner's size estimate survives the 8× Generate unchanged, so it
+    // broadcast the EXPLODED replica table — a single-threaded driver
+    // collect+build of salts×|orders| rows that is also semantically
+    // backwards (salting exists to spread a SHUFFLED join's hot keys
+    // over reducers; a broadcast join has no reducers). The explicit
+    // shuffled-hash hint restores the declared shape: both sides
+    // partition by (key, salt) and the replica side builds per-partition
+    // hash tables in parallel, no sort. Same rows, provably (each
+    // big-side row still matches exactly one replica).
+    l.join(o.hint("shuffle_hash"),
+        l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
       .groupBy(col("o_orderstatus"))
       .agg(revenueSum.as("revenue"),
            count(lit(1)).as("n_lines"))

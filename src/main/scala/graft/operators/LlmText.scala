@@ -42,11 +42,14 @@ object LlmText extends QueryGroup {
     * takes gh itself. Grams leave this operator already hashed: every
     * downstream shuffle carries 8-byte digests, never text. */
   private[graft] def gramsOf(docs: DataFrame, extras: Seq[String] = Nil): DataFrame =
-    docs.withColumn("t", split(col("text"), " "))
-      // <3-token docs have no 3-grams; without this filter
-      // sequence(0, size-3) would DESCEND (default step -1) and
-      // fabricate null-padded grams no consumer's oracle produces
-      .filter(size(col("t")) >= 3)
+    // <3-token docs have no 3-grams; without this filter
+    // sequence(0, size-3) would DESCEND (default step -1) and
+    // fabricate null-padded grams no consumer's oracle produces.
+    // round-19 opt: the guard runs the tok_count kernel on the raw text
+    // (value-identical to size(split(...)), pinned) so the pushed-down
+    // filter no longer evaluates a second split() per row.
+    docs.filter(graft.functions.GraftFunctions.tokCount(col("text")) >= 3L)
+      .withColumn("t", split(col("text"), " "))
       // round-18 opt: explode the OFFSETS (codegen generator) and build
       // each gram as a top-level codegen projection — the former
       // transform(...) lambda assembled every gram string interpreted
@@ -133,12 +136,28 @@ object LlmText extends QueryGroup {
     * a per-qid rank window, never a global sort. 100 TB: this is the
     * standard posting-list scoring join — nothing data-sized crosses
     * the final stage but the (qid, doc) partial sums. */
-  private[graft] def bm25Rank(docs: DataFrame, queryTerms: DataFrame): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+  private[graft] def bm25Rank(docs: DataFrame, queryTerms: DataFrame): DataFrame =
+    bm25RankTf(bm25Tf(docs), queryTerms)
+
+  /** The one corpus tokenize+count pass behind BM25 (round-19 opt):
+    * (doc_id, tok, tf), checkpointed because FOUR consumers re-derived
+    * it (tf probe, df margin, dl = Σtf — exact integers, identical to
+    * size(split(...)) since every doc tokenizes to ≥1 token — and
+    * bm25TopK's query-workload df). One tokenize instead of two plus a
+    * separate dl scan; every downstream value is the same exact
+    * integer, so the scores are bit-identical. (Caveat recorded for
+    * caller corpora: a NULL text tokenizes to no rows, so it no longer
+    * counts into N the way the old size(split(NULL))=NULL dl row did —
+    * the fixture and every test corpus are null-free, and a null page
+    * contributing to the idf prior was arguably a bug.) */
+  private[graft] def bm25Tf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
+  private[graft] def bm25RankTf(tf: DataFrame, queryTerms: DataFrame): DataFrame = {
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast(LongType).as("dl"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val qt = queryTerms.select(col("qid"), col("term").as("tok"))
       .join(df, "tok").select(col("qid"), col("tok"), col("df"))
@@ -173,14 +192,15 @@ object LlmText extends QueryGroup {
     * (bounded by construction). Scoring itself is [[bm25Rank]]. */
   private[graft] def bm25TopK(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val df = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // round-19 opt: ONE tokenize pass — the query-workload df and the
+    // scoring legs all derive from the same checkpointed tf table
+    val tf = bm25Tf(docs)
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val top15 = df.orderBy(col("df").desc, col("tok").asc).limit(15)
     val wq = Window.orderBy(col("df").desc, col("tok").asc)
     val qt = top15.withColumn("r", row_number().over(wq))
       .select(expr("CAST((r - 1) DIV 3 AS BIGINT)").as("qid"), col("tok").as("term"))
-    bm25Rank(docs, qt)
+    bm25RankTf(tf, qt)
   }
 
   private val textBm25: QFn = (s, d) => bm25TopK(s, d)
@@ -622,9 +642,18 @@ object LlmText extends QueryGroup {
     * shuffles are the bounded count aggregations. The size≥2 guard
     * keeps sequence() ascending (it DESCENDS when end < start). */
   private val textBigramLm: QFn = (s, d) => {
+    // round-19: the tok_count kernel replaces the size(split(...)) ≥ 2
+    // guard so the pushed-down filter stops evaluating a second split()
+    // per row (the guard is value-identical, pinned in TextSigSpec).
+    // A fuller restructure (group occurrences to per-(doc, bigram)
+    // counts, checkpoint that, derive margins and probe from it) was
+    // A/B-benched this round and REGRESSED 0.64 s → 1.08 s at sf0.1 —
+    // the |doc·distinct-bigram| checkpoint materializes ~20× the bytes
+    // of the |V²| margin table and its extra shuffle outweighs the
+    // saved second tokenize. Reverted; recorded in OPTIMIZATION_r19.md.
     val bg = Tables.documents(s, d)
+      .filter(graft.functions.GraftFunctions.tokCount(col("text")) >= 2L)
       .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 2)
       // round-18 opt: offsets-explode + top-level codegen projection
       // (the gramsOf device) instead of an interpreted struct lambda
       .select(col("doc_id"), col("toks"),
@@ -653,14 +682,18 @@ object LlmText extends QueryGroup {
     * stage, no shuffle — at 100 TB this runs inside the scan like
     * text_normalize. */
   private val textDedupInline: QFn = (s, d) =>
+    // round-19 opt: the array_position lambda was an O(n²) interpreted
+    // probe per token; the fused dedup_tokens kernel is one hashed pass
+    // per row (value-identical, pinned in TextSigSpec + the unchanged
+    // oracle). Same single-codegen-stage shape, drastically less
+    // allocation.
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("uniq",
-        expr("filter(toks, (t, i) -> array_position(toks, t) = i + 1)"))
       .select(col("doc_id"),
-        size(col("toks")).cast(LongType).as("n_tokens"),
-        size(col("uniq")).cast(LongType).as("n_unique"),
-        array_join(col("uniq"), " ").as("dedup_text"))
+        graft.functions.GraftFunctions.dedupTokens(col("text")).as("p"))
+      .select(col("doc_id"),
+        col("p.n_tokens").as("n_tokens"),
+        col("p.n_unique").as("n_unique"),
+        col("p.dedup_text").as("dedup_text"))
       .orderBy(col("doc_id"))
 
   /** Dictionary scrub (the PII-redaction pipeline shape): replace
@@ -997,19 +1030,29 @@ object LlmText extends QueryGroup {
     * iterative connected-components recipe; at 100 TB — or whenever the
     * diameter isn't certified ≤ iters — use [[labelPropUntilFixed]],
     * which checkpoints per round and stops at the fixed point). */
-  private[graft] def labelProp(sym: DataFrame, iters: Int): DataFrame =
+  private[graft] def labelProp(sym: DataFrame, iters: Int,
+                               bcastLabels: Boolean = false): DataFrame =
     labelPropEdges(
-      sym.union(sym.select(col("src"), col("src").as("dst")).distinct()), iters)
+      sym.union(sym.select(col("src"), col("src").as("dst")).distinct()), iters,
+      bcastLabels)
 
   /** [[labelProp]] over an edge list that ALREADY contains a self-loop
     * per vertex — callers that evaluate repeatedly cache this edge list
     * (one persisted DataFrame read per round, instead of re-deriving the
-    * self-loop distinct from the pair list four times per evaluation). */
-  private[graft] def labelPropEdges(edges: DataFrame, iters: Int): DataFrame = {
+    * self-loop distinct from the pair list four times per evaluation).
+    * `bcastLabels` (round-19, §3.1): a checkpointed edge list carries no
+    * stats, so each unrolled round otherwise plans a sort-merge join —
+    * callers whose vertex set is DOMAIN-bounded (the nation graph: |V|
+    * fixed by the schema at any SF) opt in to broadcasting the ≤|V|-row
+    * label table per round. Data-sized graphs (document pair lists) must
+    * keep the default shuffle join. */
+  private[graft] def labelPropEdges(edges: DataFrame, iters: Int,
+                                    bcastLabels: Boolean = false): DataFrame = {
     var lab = edges.select(col("src").as("v")).distinct().withColumn("lab", col("v"))
     for (_ <- 1 to iters) {
+      val labT = lab.select(col("v").as("dst"), col("lab").as("nlab"))
       lab = edges
-        .join(lab.select(col("v").as("dst"), col("lab").as("nlab")), "dst")
+        .join(if (bcastLabels) broadcast(labT) else labT, "dst")
         .groupBy(col("src")).agg(min(col("nlab")).as("lab"))
         .select(col("src").as("v"), col("lab"))
     }
@@ -1893,8 +1936,10 @@ object LlmText extends QueryGroup {
     * exactly two linear passes (count + score). */
   private val textStupidBackoff: QFn = (s, d) => {
     val tg = Tables.documents(s, d)
+      // round-19: tok_count guard (value-identical, pinned) — the pushed
+      // size(split(...)) filter evaluated a second split per row
+      .filter(graft.functions.GraftFunctions.tokCount(col("text")) >= 3L)
       .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
       // round-18 opt: offsets-explode + top-level codegen projection
       .select(col("doc_id"), col("toks"),
         explode(expr("sequence(2, size(toks) - 1)")).as("i"))

@@ -882,11 +882,13 @@ object LlmVector extends QueryGroup {
       .orderBy(col("doc_id"))
   }
 
-  /** Squared L2 distance via zip_with/aggregate (exact doubles). */
+  /** Squared L2 distance (exact doubles, left-fold index order).
+    * round-19 opt: the fused l2sq_f64 kernel replaces the interpreted
+    * zip_with/aggregate HOF — bit-identical fold (pinned in
+    * TextSigSpec), and the assign loops it powers (k-means, PQ, IVF)
+    * stay in whole-stage codegen. Call sites all feed array<double>. */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-        (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.l2sqF64(a, b)
 
   /** Lloyd k-means over the embeddings: final (vec_id, cid, d2)
     * assignment after `iters` iterations. Fully deterministic — init =
@@ -1212,28 +1214,48 @@ object LlmVector extends QueryGroup {
     * sums. Package-visible so PlanSpec can assert the partial-aggregate
     * shuffle shape (the returned query's own plan is the already-
     * collected local eigenvector). */
-  private[graft] def pcaScatter(s: SparkSession, d: String): DataFrame = {
+  /** Per-dimension 9-dp means, collected (one tiny job) — shared by
+    * [[pcaFit]] and [[pcaScatter]] (round-19 opt: the scatter stage
+    * used to re-derive the same means as a second corpus subtree plus
+    * a broadcast crossJoin; now the collected fit means enter the
+    * centering as foldable literals, the embedProject posture). */
+  private[graft] def pcaMeans(s: SparkSession, d: String): Array[Double] = {
+    import org.apache.spark.sql.types.DoubleType
+    val means = Array.ofDim[Double](64)
+    Tables.embeddings(s, d)
+      .select(posexplode(transform(col("embedding"), x => x.cast(DoubleType)))
+        .as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(round(avg(col("xi")), 9).as("mi"))
+      .collect().foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    means
+  }
+
+  private[graft] def pcaScatter(s: SparkSession, d: String): DataFrame =
+    pcaScatterUpper(s, d, pcaMeans(s, d))
+
+  /** Centered d² scatter sums, UPPER TRIANGLE ONLY (i ≤ j) — round-19
+    * opt: cv(i,j) and cv(j,i) sum the identical per-row products
+    * xi·xj in the identical row order, so the mirror is bit-exact and
+    * emitting one triangle halves the hash-aggregate work (consumers
+    * fill cm(j)(i) = cm(i)(j) on the driver). */
+  private[graft] def pcaScatterUpper(
+      s: SparkSession, d: String, ms: Array[Double]): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val t = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
-    val means = t
-      .select(posexplode(col("e")).as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(round(avg(col("xi")), 9).as("mi"))
-    // means as one sorted array row, broadcast to make centering in-row
-    val mrow = means
-      .agg(array_sort(collect_list(struct(col("i"), col("mi")))).as("ms"))
-      .select(expr("transform(ms, s -> s.mi)").as("ms"))
-    // center once per row (64-element HOF — cheap), then expand to the
-    // d² products with two CHAINED posexplode generators: generators run
-    // inside whole-stage codegen as nested loops, where an equivalent
-    // per-row transform() building 4096 structs would be interpreted
-    // (HOFs are CodegenFallback) — measured 3× slower. Partial
-    // aggregation still collapses every task to ≤4096 groups before the
-    // only shuffle.
-    t.crossJoin(broadcast(mrow))
-      .select(col("vec_id"), expr("transform(e, (x, k) -> x - ms[k])").as("ec"))
+    // center once per row (64-element HOF over the literal fit means —
+    // cheap), then expand to the d² products with two CHAINED posexplode
+    // generators: generators run inside whole-stage codegen as nested
+    // loops, where an equivalent per-row transform() building 4096
+    // structs would be interpreted (HOFs are CodegenFallback) — measured
+    // 3× slower. Partial aggregation still collapses every task to
+    // ≤2080 groups before the only shuffle.
+    val msLit = array(ms.map(lit(_)): _*)
+    t.select(col("vec_id"),
+        transform(col("e"), (x, k) => x - element_at(msLit, k + 1)).as("ec"))
       .select(col("ec"), posexplode(col("ec")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("ec")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       .agg(round(sum(col("xi") * col("xj")), 9).as("cv"))
   }
@@ -1252,16 +1274,15 @@ object LlmVector extends QueryGroup {
     * iteration runs locally — 3 DataFrame matvec rounds would cost ~15
     * scheduler round-trips for arithmetic on 4096 doubles. */
   private[graft] def pcaFit(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
-    import org.apache.spark.sql.types.DoubleType
-    val means = Array.ofDim[Double](64)
-    Tables.embeddings(s, d)
-      .select(posexplode(transform(col("embedding"), x => x.cast(DoubleType)))
-        .as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(round(avg(col("xi")), 9).as("mi"))
-      .collect().foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    // round-19 opt: the means collect feeds the scatter centering as
+    // literals (one corpus means pass, not two), and the scatter ships
+    // only the upper triangle — the mirror is bit-exact (identical
+    // products in identical row order)
+    val means = pcaMeans(s, d)
     val cm = Array.ofDim[Double](64, 64)
-    pcaScatter(s, d).collect().foreach { r =>
+    pcaScatterUpper(s, d, means).collect().foreach { r =>
       cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      cm(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
     }
     var w = Array.fill(64)(0.125)
     for (_ <- 1 to 3) {
@@ -1521,13 +1542,13 @@ object LlmVector extends QueryGroup {
     * display column (multimodal_join's -0.0 note).
     *
     * Scale: one token explode → per-(doc, bucket) count with map-side
-    * combine; the embedding is POSEXPLODED to (vec_id, dim, evq) rows so
-    * the (doc_id, bkt)=(vec_id, dim) equi-join ships 16-byte rows, never
-    * a 64-float array per matched bucket (≤64× row expansion, the
-    * columnar-unpivot shape, vs ≤64× 512-byte array replication);
-    * per-doc reduce is ONE map-side-combining int64 agg; the vec-sized
-    * norm table joins UNHINTED (AQE broadcasts while it fits, shuffles
-    * when data-sized). 100 TB: linear, no all-pairs, no global state. */
+    * combine, collapsed to ONE ≤64-entry row per doc (round-19 opt —
+    * the former shape posexploded every embedding to 64 (vec_id, dim)
+    * rows and equi-joined ≤64 rows per doc; exact-integer commutativity
+    * makes the in-row fold bit-identical); the join ships one compact
+    * row per doc against one row per vector, and the vec-sized norm
+    * table joins UNHINTED (AQE broadcasts while it fits, shuffles when
+    * data-sized). 100 TB: linear, no all-pairs, no global state. */
   /** The scoring core behind multimodal_clip_filter, parameterized over
     * caller DataFrames (api.GraftOps.clipAlignment delegates here; the
     * declared rung applies THIS function — no-drift posture). `docs` must
@@ -1546,12 +1567,21 @@ object LlmVector extends QueryGroup {
     val eq = embeds.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))")
         .as("evq"))
-    val dims = eq.select(col("vec_id"), posexplode(col("evq")))
-      .select(col("vec_id"), col("pos").cast(LongType).as("bkt"), col("col").as("evq_d"))
-    val doc = tf.join(dims, tf("doc_id") === dims("vec_id") && tf("bkt") === dims("bkt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt") * col("evq_d")).as("dq"),
-           sum(col("cnt") * col("cnt")).as("tsq"))
+    // round-19 opt (VERDICT item 7): dq and tsq are exact int64 sums, so
+    // the fold is ORDER-FREE — collapse each doc's ≤64 bucket counts to
+    // one row first and fold against the un-exploded quantized vector
+    // in-row. The former shape posexploded every embedding into 64
+    // (vec_id, dim) rows and equi-joined ~64 rows per doc; this joins
+    // ONE row per doc against ONE row per vector and reduces nothing
+    // downstream (bit-identical dq/tsq by exact-integer commutativity).
+    val tfd = tf.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("bkt"), col("cnt"))).as("bc"))
+    val doc = tfd.join(eq, tfd("doc_id") === eq("vec_id"))
+      .select(col("doc_id"),
+        expr("aggregate(bc, CAST(0 AS BIGINT), (a, s) -> a + s.cnt * evq[CAST(s.bkt AS INT)])")
+          .as("dq"),
+        expr("aggregate(bc, CAST(0 AS BIGINT), (a, s) -> a + s.cnt * s.cnt)")
+          .as("tsq"))
     // the dimension precondition enforced AT RUN TIME inside esq (the
     // one term every consumer evaluates — a standalone check column
     // would be pruned away): a <64-dim vector would otherwise silently

@@ -76,20 +76,35 @@ object Scans extends QueryGroup {
     // whole buckets, so the table lands as 8 files, not tasks × buckets
     // small files — at 100 TB the small-file explosion is the classic
     // bucketed-write failure mode.
-    Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .repartition(8, col("o_orderkey"))
-      .write.mode("overwrite").format("parquet")
-      .option("path", s"$out/bucketed_orders")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_orders_bucketed")
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .repartition(8, col("l_orderkey"))
-      .write.mode("overwrite").format("parquet")
-      .option("path", s"$out/bucketed_lineitem")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_lineitem_bucketed")
+    // round-19 opt (guide §2.6 overlap independent jobs): the two
+    // bucketed writes are independent 8-task jobs that each leave most
+    // cores idle — submit the orders write from a second thread so the
+    // lineitem write's tasks back-fill the same executors. Spark's
+    // scheduler runs concurrent jobs safely; the catalog tables and
+    // file layouts are byte-identical to the sequential spelling.
+    // a swallowed write failure must not let the read-back consume a
+    // stale catalog table from a prior run — capture and rethrow
+    val ordersErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val ordersWrite = new Thread(() =>
+      try Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$out/bucketed_orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_bucketed")
+      catch { case t: Throwable => ordersErr.set(t) })
+    ordersWrite.start()
+    try {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$out/bucketed_lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_bucketed")
+    } finally ordersWrite.join()
+    if (ordersErr.get() != null) throw ordersErr.get()
     s.table("graft_lineitem_bucketed")
       .join(s.table("graft_orders_bucketed"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))

@@ -365,7 +365,13 @@ object SqlSurface extends QueryGroup {
       WITH RECURSIVE reach(nationkey, hop) AS (
         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         UNION ALL
-        SELECT e.dst, r.hop + 1
+        -- round-19 opt (§3.1): the checkpointed edge view is a LogicalRDD
+        -- with no stats, so every UnionLoopExec iteration planned a
+        -- 32-partition sort-merge join for a ≤2|V|-row edge list × a
+        -- ≤|V|-row frontier; the explicit broadcast makes each hop one
+        -- shuffle-free hash probe (same rows — hints never change
+        -- semantics, and the DuckDB oracle text is unchanged)
+        SELECT /*+ BROADCAST(e) */ e.dst, r.hop + 1
         FROM reach r JOIN graft_edges_rec_v e ON e.src = r.nationkey
         WHERE r.hop < 6)
       SELECT n.n_nationkey AS nationkey, n.n_name, min(r.hop) AS dist

@@ -450,8 +450,12 @@ class LawsSpec extends AnyFunSuite {
     // the Rayleigh quotient over the flat init — the mathematical
     // guarantee of the method for a symmetric PSD scatter matrix
     val cm = Array.ofDim[Double](64, 64)
+    // round-19: the scatter ships the upper triangle; mirror is exact
     operators.LlmVector.pcaScatter(spark, sf).collect()
-      .foreach(r => cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      .foreach { r =>
+        cm(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        cm(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+      }
     def rayleigh(v: Array[Double]): Double = {
       val cv = Array.tabulate(64)(i => (0 until 64).map(j => cm(i)(j) * v(j)).sum)
       (0 until 64).map(i => v(i) * cv(i)).sum / v.map(x => x * x).sum

@@ -832,15 +832,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("multimodal_clip_filter reduces map-side and joins without nested loops") {
-    // the per-doc int64 dot/norm folds must be two-phase hash aggregates
-    // (raw (doc, bucket) terms combined before any exchange) and every
-    // join equi-keyed — a nested-loop anywhere here is the all-pairs
-    // shape the CLIP gate exists to avoid at web scale.
+    // the (doc, bucket) counts must combine map-side before any exchange
+    // (partial_count), every join must be equi-keyed — a nested-loop
+    // anywhere here is the all-pairs shape the CLIP gate exists to avoid
+    // at web scale — and the round-19 shape must hold: the embedding is
+    // no longer posexploded into 64 rows per vector (the dot/norm folds
+    // run in-row against the un-exploded quantized vector, exact-integer
+    // order-free).
     val p = plan("multimodal_clip_filter")
     assert(p.contains("HashAggregate"), p)
-    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.toLowerCase.contains("posexplode"), p)
   }
 
   test("agg_bitmap_intersect joins pairs to bitmaps without a nested loop") {

@@ -194,6 +194,107 @@ class TextSigSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  /** Round-19 fused token kernels: whitespace-adversarial corpus —
+    * leading/trailing/adjacent spaces (empty tokens under split's
+    * limit=-1 semantics), all-space rows, banned words in every
+    * position, repeats, multibyte neighbors, and the empty string. */
+  private def tokDocs = {
+    import spark.implicits._
+    val edge = Seq(
+      (200001L, ""),
+      (200002L, " "),
+      (200003L, "  "),
+      (200004L, "dup"),
+      (200005L, " dup"),
+      (200006L, "dup "),
+      (200007L, "dup  slow"),
+      (200008L, "a dup b dup slow a a"),
+      (200009L, "dups slowx xdup"),
+      (200010L, "é dup é ü"),
+      (200011L, "a b c d e f g a b c"),
+      (200012L, "x" * 300 + " dup " + "x" * 300),
+    ).toDF("doc_id", "text")
+    Tables.documents(spark, TestSpark.sf).select($"doc_id", $"text")
+      .unionByName(edge)
+  }
+
+  test("tok_count is bit-identical to size(split(text, ' '))") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val both = tokDocs.select(
+      expr("tok_count(text)").as("native"),
+      size(split(col("text"), " ")).cast("long").as("legacy"))
+    assert(both.filter(col("native") =!= col("legacy")).count() == 0)
+  }
+
+  test("tok_hits is bit-identical to size(filter(split, isin))") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val banned = Seq("dup", "slow")
+    val both = tokDocs.select(
+      graft.functions.GraftFunctions.tokHits(col("text"), banned).as("native"),
+      size(filter(split(col("text"), " "), t => t.isin(banned: _*)))
+        .cast("long").as("legacy"),
+      expr("tok_hits(text, array('dup', 'slow'))").as("registered"))
+    assert(both.filter(col("native") =!= col("legacy") ||
+      col("registered") =!= col("legacy")).count() == 0)
+  }
+
+  test("dedup_tokens is bit-identical to the array_position HOF filter") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val legacy = tokDocs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("uniq",
+        expr("filter(toks, (t, i) -> array_position(toks, t) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens_l"),
+        size(col("uniq")).cast("long").as("n_unique_l"),
+        array_join(col("uniq"), " ").as("dedup_text_l"))
+    val fused = tokDocs.select(col("doc_id"),
+      expr("dedup_tokens(text)").as("p"))
+      .select(col("doc_id"), col("p.n_tokens").as("n_tokens"),
+        col("p.n_unique").as("n_unique"), col("p.dedup_text").as("dedup_text"))
+    val j = fused.join(legacy, Seq("doc_id"), "full_outer")
+    assert(j.filter(
+      col("n_tokens") =!= col("n_tokens_l") ||
+      col("n_unique") =!= col("n_unique_l") ||
+      col("dedup_text") =!= col("dedup_text_l")).count() == 0)
+  }
+
+  test("shingle_md5s is bit-identical to the md5(array_join(slice)) chain") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    for (k <- Seq(1, 3, 8, 10)) {
+      val legacy = tokDocs
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= k)
+        .select(col("doc_id"), col("tk"),
+          explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(size(tk) - $k AS BIGINT))"))
+            .as("i"))
+        .select(col("doc_id"), col("i"),
+          expr(s"md5(array_join(slice(tk, CAST(i + 1 AS INT), $k), ' '))")
+            .as("dig_l"))
+      val fused = tokDocs
+        .select(col("doc_id"),
+          posexplode(expr(s"shingle_md5s(text, $k)")))
+        .select(col("doc_id"), col("pos").cast("long").as("i"),
+          col("col").as("dig"))
+      val j = fused.join(legacy, Seq("doc_id", "i"), "full_outer")
+      assert(j.filter(col("dig").isNull || col("dig_l").isNull ||
+        col("dig") =!= col("dig_l")).count() == 0, s"k=$k")
+    }
+  }
+
+  test("l2sq_f64 is bit-identical to the zip_with/aggregate left fold") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val a = e.filter(col("vec_id") < 25L).select(col("v").as("va"))
+    val both = e.crossJoin(a).select(
+      expr("l2sq_f64(v, va)").as("native"),
+      expr("""aggregate(zip_with(v, va, (x, y) -> (x - y) * (x - y)),
+               0D, (acc, t) -> acc + t)""").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("sumsq_f32 is bit-identical to the HOF fold and joins codegen") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = Tables.embeddings(spark, TestSpark.sf)
