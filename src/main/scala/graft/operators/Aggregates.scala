@@ -53,12 +53,20 @@ object Aggregates extends QueryGroup {
 
   /** Exact distinct (expand + two-phase agg) per order priority. */
   private val aggDistinctExact: QFn = (s, d) => {
+    // round-19 opt (the profile_columns device, §2): TWO countDistincts
+    // in one aggregate plan via Expand — a 2× fan-out of the joined fact
+    // before the shuffle. One branch per distinct column plans without
+    // Expand (partial dedup on (priority, key) map-side); the broadcast
+    // orders build is shared between branches by ReuseExchange. Exact
+    // counts, identical rows.
     val l = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
-           countDistinct(col("l_suppkey")).as("n_supps"))
+    def branch(key: String, as: String) =
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col(key)).as(as))
+    branch("l_partkey", "n_parts")
+      .join(branch("l_suppkey", "n_supps"), Seq("o_orderpriority"))
       .orderBy(col("o_orderpriority"))
   }
 

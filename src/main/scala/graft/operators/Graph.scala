@@ -97,12 +97,12 @@ object Graph extends QueryGroup {
     val nodes = Tables.nation(s, d).select(col("n_nationkey").as("id"))
     var r = nodes.select(col("id"), (lit(1.0) / lit(nV)).as("r"))
     for (_ <- 1 to 3) {
-      // round-19 opt (§3.1): r and contrib are ≤|V| rows on a
-      // schema-bounded graph — broadcast them per iteration instead of
-      // the stats-less SMJ against the checkpointed edge table
-      val contrib = ew.join(broadcast(r), col("src") === col("id"))
+      // round-19 note: broadcasting r/contrib per iteration was tried
+      // and reverted with the graph_components negative — loop-varying
+      // broadcast sides forfeit the reusable edge-side broadcast
+      val contrib = ew.join(r, col("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("c"))
-      r = nodes.join(broadcast(contrib), col("id") === col("dst"), "left")
+      r = nodes.join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           round(lit(0.15) / lit(nV) + lit(0.85) * coalesce(col("c"), lit(0.0)), 9).as("r"))
     }
@@ -252,11 +252,14 @@ object Graph extends QueryGroup {
 
   private val graphComponents: QFn = (s, d) => {
     val sym = sparseSymEdges(s, d)
-    // round-19 opt (§3.1): the nation graph is domain-bounded (|V| is
-    // schema-fixed at any SF), so each round broadcasts the ≤|V|-row
-    // label table instead of the stats-less SMJ the checkpointed edge
-    // list otherwise plans
-    val lab = LlmText.labelProp(sym, iters = 6, bcastLabels = true)
+    // round-19 measured NEGATIVE (do not re-try): broadcasting the
+    // ≤|V|-row label table per round (bcastLabels=true) looked like the
+    // §3.1 move but REGRESSED 0.65 s → 1.5–2.7 s — the label table is
+    // LOOP-VARYING, so the hint replaced one reusable edges-side
+    // broadcast with six sequential blocking BroadcastExchange builds.
+    // The planner's original choice (broadcast the checkpointed edge
+    // union once, reuse it every round) was already right.
+    val lab = LlmText.labelProp(sym, iters = 6)
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
     Tables.nation(s, d).select(col("n_nationkey").as("v"), col("n_name"))
       .join(lab, Seq("v"), "left")

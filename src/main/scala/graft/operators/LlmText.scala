@@ -1030,29 +1030,26 @@ object LlmText extends QueryGroup {
     * iterative connected-components recipe; at 100 TB — or whenever the
     * diameter isn't certified ≤ iters — use [[labelPropUntilFixed]],
     * which checkpoints per round and stops at the fixed point). */
-  private[graft] def labelProp(sym: DataFrame, iters: Int,
-                               bcastLabels: Boolean = false): DataFrame =
+  private[graft] def labelProp(sym: DataFrame, iters: Int): DataFrame =
     labelPropEdges(
-      sym.union(sym.select(col("src"), col("src").as("dst")).distinct()), iters,
-      bcastLabels)
+      sym.union(sym.select(col("src"), col("src").as("dst")).distinct()), iters)
 
   /** [[labelProp]] over an edge list that ALREADY contains a self-loop
     * per vertex — callers that evaluate repeatedly cache this edge list
     * (one persisted DataFrame read per round, instead of re-deriving the
     * self-loop distinct from the pair list four times per evaluation).
-    * `bcastLabels` (round-19, §3.1): a checkpointed edge list carries no
-    * stats, so each unrolled round otherwise plans a sort-merge join —
-    * callers whose vertex set is DOMAIN-bounded (the nation graph: |V|
-    * fixed by the schema at any SF) opt in to broadcasting the ≤|V|-row
-    * label table per round. Data-sized graphs (document pair lists) must
-    * keep the default shuffle join. */
-  private[graft] def labelPropEdges(edges: DataFrame, iters: Int,
-                                    bcastLabels: Boolean = false): DataFrame = {
+    * round-19 measured NEGATIVE (do not re-try): broadcasting the label
+    * side per round on the domain-bounded nation graph regressed
+    * graph_components 0.65 s → 1.5–2.7 s — the label table is
+    * LOOP-VARYING, so the hint forfeits the planner's reusable
+    * edges-side broadcast for one blocking BroadcastExchange build per
+    * round. The unhinted join (planner broadcasts the checkpointed
+    * edge union once, reuses it every round) is the right shape. */
+  private[graft] def labelPropEdges(edges: DataFrame, iters: Int): DataFrame = {
     var lab = edges.select(col("src").as("v")).distinct().withColumn("lab", col("v"))
     for (_ <- 1 to iters) {
-      val labT = lab.select(col("v").as("dst"), col("lab").as("nlab"))
       lab = edges
-        .join(if (bcastLabels) broadcast(labT) else labT, "dst")
+        .join(lab.select(col("v").as("dst"), col("lab").as("nlab")), "dst")
         .groupBy(col("src")).agg(min(col("nlab")).as("lab"))
         .select(col("src").as("v"), col("lab"))
     }

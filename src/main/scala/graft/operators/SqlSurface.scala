@@ -374,7 +374,8 @@ object SqlSurface extends QueryGroup {
         SELECT /*+ BROADCAST(e) */ e.dst, r.hop + 1
         FROM reach r JOIN graft_edges_rec_v e ON e.src = r.nationkey
         WHERE r.hop < 6)
-      SELECT n.n_nationkey AS nationkey, n.n_name, min(r.hop) AS dist
+      SELECT /*+ BROADCAST(r) */
+             n.n_nationkey AS nationkey, n.n_name, min(r.hop) AS dist
       FROM graft_nat_rec_v n LEFT JOIN reach r ON r.nationkey = n.n_nationkey
       GROUP BY n.n_nationkey, n.n_name
       ORDER BY nationkey ASC NULLS FIRST""")
